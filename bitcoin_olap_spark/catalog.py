@@ -1,0 +1,56 @@
+"""Testdata catalog: parquet table loaders.
+
+The driver testdata (TESTDATA.md) is one parquet file per table under
+/root/testdata/sf{0.001,0.01,0.1}/. At 100 TB each "table" is a
+partitioned parquet/Delta dataset; `spark.read.parquet` takes globs and
+directories identically, so these helpers are scale-transparent — the
+vectorized reader gives split-per-rowgroup parallelism, and filters /
+projections expressed on the returned DataFrame push down into the scan
+(verify with .explain: PushedFilters / ReadSchema).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+#: Columns stored as parquet TIMESTAMP(NANOS): Spark has no nanosecond
+#: timestamp type, so the session reads them as long (nanosAsLong) and
+#: we convert to microsecond timestamps here — integer DIV, not double
+#: division (epoch-nanos exceed 2^53 so float math would lose precision).
+_NANO_TS_COLS = {"events": ("ts",)}
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table. Accepts a file, directory, or glob."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for c in _NANO_TS_COLS.get(name, ()):
+        if c in df.columns and isinstance(df.schema[c].dataType, LongType):
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view (for spark.sql)."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

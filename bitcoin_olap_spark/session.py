@@ -1,0 +1,79 @@
+"""SparkSession factory and runtime tuning.
+
+Scale posture (100 TB / 1000-executor design, tested on local[32]):
+- AQE on: runtime partition coalescing, skew-join splitting, dynamic
+  join-strategy switch — exchange hot-wallets make join keys skewed
+  (reference joins on transaction_hash / wallet, btcolap.sql:112-114,
+  :429-430).
+- Arrow on: columnar driver handoff for the `toPandas` exit surface
+  (reference hands aggregates to pandas, btc_logregression_pre.py:26).
+- UTC session timezone: date truncation must agree with the
+  timezone-naive DuckDB oracle regardless of host TZ.
+- shuffle.partitions defaults to the local core count; on a real
+  cluster this is overridden (and AQE coalescing makes the initial
+  number less critical).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable confs applied even to an externally owned session
+#: (the verify driver owns the session passed into `queries()`).
+RUNTIME_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # testdata events.ts is parquet TIMESTAMP(NANOS) which the Spark
+    # reader rejects; read as long and convert in catalog.table (DuckDB
+    # likewise truncates ns -> us on CAST to TIMESTAMP)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def default_parallelism() -> int:
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", "") or 0) or os.cpu_count() or 8
+    except ValueError:
+        return os.cpu_count() or 8
+
+
+def get_spark(
+    app_name: str = "bitcoin-olap-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine."""
+    cpus = default_parallelism()
+    master = master or f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    tune_session(spark)
+    return spark
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to any session, best-effort.
+
+    Called at the top of every registered query so behavior is stable
+    even when the driver constructed the session.
+    """
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on this build — builder path already set it
+    return spark

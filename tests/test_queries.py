@@ -1,0 +1,45 @@
+"""Oracle-parity tests for every registered query (SURVEY.md §5.1).
+
+Parametrized over the registry: run the PySpark query at sf0.01, run
+the DuckDB oracle on the same tables, compare. Queries with no oracle
+get a rows-runnable smoke check instead (the driver does the same).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bitcoin_olap_spark.registry import REGISTRY, all_queries
+
+from .conftest import SF_ORACLE
+from .oracle import compare
+
+all_queries()  # populate REGISTRY
+QIDS = sorted(REGISTRY)
+
+
+@pytest.mark.parametrize("qid", QIDS)
+def test_oracle_parity(qid, spark, duck):
+    spec = REGISTRY[qid]
+    sdf = spec.fn(spark, SF_ORACLE)
+    if spec.oracle is None:
+        assert sdf.count() >= 0  # runnable, stable schema
+        assert len(sdf.schema.fields) > 0
+        return
+    ddf = duck.execute(spec.oracle).df()
+    compare(sdf, ddf, qid)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+
+
+def test_oracle_keys_subset():
+    import __spark_entry__ as e
+
+    q, o = e.queries(), e.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) == len(REGISTRY)

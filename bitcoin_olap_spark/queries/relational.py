@@ -1,0 +1,230 @@
+"""Projections, filters, and predicates (SURVEY.md §2.2).
+
+Everything here is a narrow Catalyst expression over a single scan —
+these all collapse into the parquet scan via predicate pushdown and
+column pruning (verify: .explain shows PushedFilters/ReadSchema), so at
+100 TB each query reads only the rowgroups and columns it touches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions import ts_lit
+from ..registry import query
+
+
+@query(
+    "prj_select_alias",
+    oracle="""
+    SELECT l_orderkey AS orderkey, l_linenumber AS line_no,
+           l_extendedprice AS price, l_returnflag AS flag
+    FROM lineitem
+    """,
+)
+def prj_select_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column subset + rename (mirrors `iaddress AS wallet_address`,
+    btcolap.sql:44-49)."""
+    return table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("line_no"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_returnflag").alias("flag"),
+    )
+
+
+@query(
+    "prj_lit_tag",
+    oracle="""
+    SELECT event_id, event_type, 'event' AS rowtype, 1 AS batch_no
+    FROM events
+    """,
+)
+def prj_lit_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal column injection for branch provenance (mirrors
+    `'input' AS type`, btcolap.sql:106)."""
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.lit("event").alias("rowtype"),
+        F.lit(1).cast("int").alias("batch_no"),
+    )
+
+
+@query(
+    "prj_case_when",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount > 0.05 THEN 'high'
+                WHEN l_discount > 0.02 THEN 'mid'
+                ELSE 'low' END AS disc_band,
+           CASE WHEN l_tax < 0.04 THEN NULL ELSE l_returnflag END AS flag_or_null
+    FROM lineitem
+    """,
+)
+def prj_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN: sign->label banding (btcolap.sql:214) and the
+    conditional NULL-out used by the dedup rewrite (dupedeleter.sql:4-13)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_discount") > 0.05, "high")
+        .when(F.col("l_discount") > 0.02, "mid")
+        .otherwise("low")
+        .alias("disc_band"),
+        F.when(F.col("l_tax") < 0.04, F.lit(None)).otherwise(
+            F.col("l_returnflag")
+        ).alias("flag_or_null"),
+    )
+
+
+@query(
+    "flt_ts_range",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <= TIMESTAMP '1997-06-30 00:00:00'
+    """,
+)
+def flt_ts_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp-range filter, the reference's period split
+    (`TIMESTAMP(block_timestamp) > '2021-09-24'`, btcolap.sql:97, :322,
+    :370). Literal is cast to the column's own (NTZ) type; pushdown
+    reaches the scan's rowgroup stats."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") > ts_lit(li, "l_shipdate", "1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") <= ts_lit(li, "l_shipdate", "1997-06-30 00:00:00"))
+    ).select("l_orderkey", "l_linenumber", "l_shipdate")
+
+
+@query(
+    "flt_eq_or",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_linenumber = 1 OR l_quantity = 1
+    """,
+)
+def flt_eq_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality + OR compound predicate (mirrors `tx.input_count = 1 OR
+    tx.output_count = 1`, btcolap.sql:115)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_linenumber") == 1) | (F.col("l_quantity") == 1))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@query(
+    "flt_col_eq_col",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_tax, l_discount
+    FROM lineitem
+    WHERE l_tax = l_discount
+    """,
+)
+def flt_col_eq_col(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-to-column predicate (mirrors `tx.input_count =
+    tx.output_count`, btcolap.sql:187)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_tax") == F.col("l_discount"))
+        .select("l_orderkey", "l_linenumber", "l_tax", "l_discount")
+    )
+
+
+@query(
+    "flt_str_eq_ne",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_linestatus != 'O'
+    """,
+)
+def flt_str_eq_ne(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String equality + inequality (mirrors `type = 'input' AND
+    location != 'China'`, btc_logregression_post.py:38)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_returnflag") == "R") & (F.col("l_linestatus") != "O"))
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "flt_in_subquery",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    WHERE l_orderkey IN (
+        SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+    """,
+)
+def flt_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (subquery) as a left-semi join (mirrors the keep/delete-by-
+    subquery dedup, btcolap.sql:290-298). Semi join shuffles only the
+    key column of the filter side; with AQE a small filter side flips
+    to broadcast at runtime."""
+    li = table(spark, sf_dir, "lineitem")
+    keys = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select("o_orderkey")
+    )
+    return li.join(
+        keys, li.l_orderkey == keys.o_orderkey, "left_semi"
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+@query(
+    "flt_post_agg_threshold",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) AS n_purchases
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    HAVING COUNT(*) > 60
+    """,
+)
+def flt_post_agg_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation threshold filter — the reference does it
+    driver-side in pandas (`daily_inputs[daily_inputs['txid_input'] > 1]`,
+    btc_logregression_pre.py:28); kept in-engine as a HAVING so the
+    filter runs before any collect."""
+    from ..functions import day
+
+    return (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(day("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .filter(F.col("n_purchases") > 60)
+    )
+
+
+@query(
+    "flt_dropna",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, flag FROM (
+        SELECT l_orderkey, l_linenumber, NULLIF(l_returnflag, 'R') AS flag
+        FROM lineitem)
+    WHERE flag IS NOT NULL
+    """,
+)
+def flt_dropna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-row removal (`merged_data_subset.dropna()`,
+    btc_logregression_pre.py:142) via df.na.drop."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_returnflag") == "R", F.lit(None))
+        .otherwise(F.col("l_returnflag"))
+        .alias("flag"),
+    )
+    return li.na.drop()

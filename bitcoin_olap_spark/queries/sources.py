@@ -1,0 +1,203 @@
+"""Sources and sinks (SURVEY.md §2.1).
+
+Covers: catalog/table scan, parquet glob scan, schema-checked NDJSON
+dimension load, CTAS materialization, DELETE-as-rewrite dedup, and the
+toPandas driver handoff.
+
+Scale notes: all reads go through the vectorized parquet reader with
+predicate pushdown; CTAS-style materialization writes partitioned
+parquet (at 100 TB the write would add `.partitionBy(date)` — the
+ledger plan in plans/ledger.py does). DELETE on plain parquet is
+rewritten as dedup-filter + overwrite (SURVEY.md §2.1 snk_delete_where)
+— an ACID table format (Delta/Iceberg) would make it a metadata op.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from ..catalog import table
+from ..functions import exact_sum, oracle_exact_sum
+from ..registry import query
+
+_TMP_ROOT = os.path.join(tempfile.gettempdir(), "bitcoin_olap_spark")
+
+
+def _tmp(name: str) -> str:
+    os.makedirs(_TMP_ROOT, exist_ok=True)
+    return os.path.join(_TMP_ROOT, name)
+
+
+@query(
+    "src_table_scan",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def src_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog table scan (reference scans named BigQuery tables,
+    btcolap.sql:52)."""
+    return table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+
+@query(
+    "src_parquet_glob",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_quantity >= 30
+    """,
+)
+def src_parquet_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-file parquet dataset scan by wildcard path (mirrors
+    `'...pre_location-*.parquet'` at btc_logregression_pre.py:17).
+
+    The filter + 3-column projection push into the scan: .explain shows
+    PushedFilters [GreaterThanOrEqual(l_quantity,30.0)] and a 3-column
+    ReadSchema — at 100 TB that is the difference between reading 3
+    columns' rowgroups and the whole table.
+    """
+    glob = os.path.join(sf_dir, "lineitem*.parquet")
+    return (
+        spark.read.parquet(glob)
+        .filter(F.col("l_quantity") >= 30)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@query(
+    "src_json_dim",
+    oracle="""
+    SELECT n_name AS wallet, r_name AS location, CAST(NULL AS VARCHAR) AS note
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def src_json_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDJSON dimension load with an explicit schema, including a dirty
+    mostly-null junk column (mirrors wallet_location2.ndjson:1's
+    pandas-exported `"Unnamed: 2"` column; loaded per SURVEY.md §1.3
+    with explicit StructType, not inference).
+
+    Round-trips a wallet->location-shaped dim derived from
+    nation x region through NDJSON on disk.
+    """
+    dim = (
+        table(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(table(spark, sf_dir, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            F.col("n_name").alias("wallet"),
+            F.col("r_name").alias("location"),
+            F.lit(None).cast("string").alias("note"),
+        )
+    )
+    path = _tmp("wallet_location_dim.ndjson")
+    dim.coalesce(1).write.mode("overwrite").json(path)
+    schema = T.StructType(
+        [
+            T.StructField("wallet", T.StringType()),
+            T.StructField("location", T.StringType()),
+            T.StructField("note", T.StringType()),
+        ]
+    )
+    return spark.read.schema(schema).json(path)
+
+
+@query(
+    "snk_ctas",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           {oracle_exact_sum('o_totalprice', 'total_price')}
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def snk_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TABLE AS SELECT: materialize a pipeline stage as parquet
+    and read it back (the reference materializes 13 CTAS stages,
+    btcolap.sql:35...433; SURVEY.md §3.1 keeps intermediates lazy and
+    materializes only real handoff points)."""
+    agg = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice", "total_price"),
+        )
+    )
+    path = _tmp("ctas_orders_by_status.parquet")
+    agg.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+@query(
+    "snk_delete_where",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY l_orderkey, l_linenumber
+            ORDER BY l_quantity, l_extendedprice) AS rn
+        FROM (
+            SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+            FROM lineitem
+        )
+    ) WHERE rn = 1
+    """,
+)
+def snk_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE FROM ... WHERE duplicate-rank > 1, rewritten for plain
+    parquet as dedup-filter + overwrite (reference deletes dupes in
+    place, btcolap.sql:1-15, :289-298; no in-place delete exists on
+    parquet, so the engine rewrites — Delta would make this a real
+    DELETE).
+
+    Duplicates are synthesized by self-union (FIXTURES.md §B), the
+    "table" is materialized, the delete rewrites it, and the surviving
+    rows are returned.
+    """
+    cols = ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]
+    li = table(spark, sf_dir, "lineitem").select(*cols)
+    duped = li.unionAll(li)
+    path = _tmp("delete_where_table.parquet")
+    duped.write.mode("overwrite").parquet(path)
+
+    stored = spark.read.parquet(path)
+    w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+        "l_quantity", "l_extendedprice"
+    )
+    cleaned = (
+        stored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    out = _tmp("delete_where_table_clean.parquet")
+    cleaned.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+@query(
+    "snk_to_pandas",
+    oracle="SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+)
+def snk_to_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregated result -> pandas driver frame -> back to Spark
+    (Arrow-backed toPandas, the reference's exit surface: `.df()` at
+    btc_logregression_pre.py:26). Only ever done on post-aggregation,
+    driver-sized results."""
+    pdf = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .toPandas()
+    )
+    return spark.createDataFrame(pdf)

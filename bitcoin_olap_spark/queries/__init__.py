@@ -5,6 +5,13 @@ Imports are explicit so a syntax error in one module is loud, not
 silently skipped.
 """
 
-from . import aggregates, relational, sources  # noqa: F401
+from . import (  # noqa: F401
+    aggregates,
+    functions,
+    joins,
+    relational,
+    sorts_sets,
+    sources,
+)
 
-ALL_MODULES = [aggregates, relational, sources]
+ALL_MODULES = [aggregates, functions, joins, relational, sorts_sets, sources]

@@ -54,3 +54,221 @@ def agg_daily_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@query(
+    "agg_count_having",
+    oracle="""
+    WITH duped AS (
+        SELECT l_orderkey, l_linenumber FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, COUNT(*) AS occurrence_count
+    FROM duped
+    GROUP BY l_orderkey, l_linenumber
+    HAVING COUNT(*) > 2
+    """,
+)
+def agg_count_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate detector: GROUP BY key + COUNT(*) + HAVING COUNT(*) > n
+    (the reference's manual data-quality check, btcolap.sql:19-31).
+    Duplicates synthesized by self-union; keys that were already
+    multi-row in the base table exceed the doubled threshold."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    duped = li.unionAll(li)
+    return (
+        duped.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("occurrence_count"))
+        .filter(F.col("occurrence_count") > 2)
+    )
+
+
+@query(
+    "agg_cond_count",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS finished_count,
+           COUNT(CASE WHEN l_quantity > 25 THEN 1 END) AS bulk_count,
+           COUNT(*) AS total_count
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_cond_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional COUNT / count-if via COUNT(CASE WHEN ... THEN 1 END)
+    — COUNT ignores the NULLs the CASE emits (mirrors
+    `COUNT(CASE WHEN type='input' THEN 1 END)`, btcolap.sql:224-225)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(F.col("l_linestatus") == "F", 1)).alias(
+                "finished_count"
+            ),
+            F.count(F.when(F.col("l_quantity") > 25, 1)).alias("bulk_count"),
+            F.count(F.lit(1)).alias("total_count"),
+        )
+    )
+
+
+@query(
+    "agg_array_agg",
+    oracle="""
+    SELECT l_orderkey,
+           COALESCE(list_sort(list(l_partkey) FILTER (l_returnflag = 'R')),
+                    []) AS returned_parts,
+           COALESCE(list_sort(list(l_partkey) FILTER (l_returnflag = 'A')),
+                    []) AS accepted_parts
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def agg_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional ARRAY_AGG ... IGNORE NULLS (btcolap.sql:226-227):
+    `collect_list(when(cond, col))` drops the NULLs the failed condition
+    emits, matching IGNORE NULLS; DuckDB's list() keeps NULLs so the
+    oracle uses FILTER + COALESCE-to-[] instead. Lists are sorted on
+    both sides — neither engine guarantees aggregation order
+    (SURVEY.md §5.1)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("l_returnflag") == "R", F.col("l_partkey"))
+                )
+            ).alias("returned_parts"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("l_returnflag") == "A", F.col("l_partkey"))
+                )
+            ).alias("accepted_parts"),
+        )
+    )
+
+
+@query(
+    "agg_having_array",
+    oracle="""
+    SELECT * FROM (
+        SELECT l_orderkey,
+               COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS input_count,
+               COUNT(CASE WHEN l_returnflag = 'A' THEN 1 END) AS output_count,
+               COALESCE(list_sort(list(l_partkey) FILTER (l_returnflag = 'R')),
+                        []) AS input_parts,
+               COALESCE(list_sort(list(l_partkey) FILTER (l_returnflag = 'A')),
+                        []) AS output_parts
+        FROM lineitem GROUP BY l_orderkey
+    )
+    WHERE (input_count = 1 AND output_count = 1
+           AND input_parts[1] != output_parts[1])
+       OR (input_count > 1 AND output_count = 1)
+    """,
+)
+def agg_having_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING over aggregates including zero-based array indexing
+    (mirrors `input_addresses[OFFSET(0)] != output_addresses[OFFSET(0)]`
+    with the exact congruent-tx predicate shape, btcolap.sql:230-231).
+    Spark element_at is 1-based ≡ DuckDB [1] ≡ BigQuery OFFSET(0)."""
+    agged = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.when(F.col("l_returnflag") == "R", 1)).alias(
+                "input_count"
+            ),
+            F.count(F.when(F.col("l_returnflag") == "A", 1)).alias(
+                "output_count"
+            ),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("l_returnflag") == "R", F.col("l_partkey"))
+                )
+            ).alias("input_parts"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("l_returnflag") == "A", F.col("l_partkey"))
+                )
+            ).alias("output_parts"),
+        )
+    )
+    one_in = F.col("input_count") == 1
+    one_out = F.col("output_count") == 1
+    return agged.filter(
+        (
+            one_in
+            & one_out
+            & (
+                F.element_at("input_parts", 1)
+                != F.element_at("output_parts", 1)
+            )
+        )
+        | ((F.col("input_count") > 1) & one_out)
+    )
+
+
+@query(
+    "agg_dedup_rownum",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY l_orderkey, l_linenumber
+            ORDER BY l_quantity, l_extendedprice) AS rn
+        FROM (
+            SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+            FROM lineitem
+        )
+    ) WHERE rn = 1
+    """,
+)
+def agg_dedup_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup via ROW_NUMBER PARTITION BY key, keep rn=1 (the reference's
+    DELETE-dupes primitive, btcolap.sql:6-14, :292-297; dupedeleter.sql:
+    2-15). Unlike the reference's degenerate `ORDER BY wallet` inside
+    `PARTITION BY wallet, address` (nondeterministic survivor), the
+    window orders by real tiebreakers (SURVEY.md §2.5)."""
+    from pyspark.sql.window import Window
+
+    cols = ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]
+    li = table(spark, sf_dir, "lineitem").select(*cols)
+    duped = li.unionAll(li)
+    w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+        "l_quantity", "l_extendedprice"
+    )
+    return (
+        duped.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query(
+    "agg_union_distinct",
+    oracle="""
+    SELECT l_orderkey AS txid
+    FROM lineitem WHERE l_returnflag = 'R'
+    UNION
+    SELECT o_orderkey AS txid
+    FROM orders WHERE o_totalprice > 300000
+    """,
+)
+def agg_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION DISTINCT of two key sets (the reference merges input-side
+    and output-side txid sets, btcolap.sql:273-287, :301-313):
+    union + distinct lowers to a hash-aggregate dedup — partial
+    map-side dedup means only distinct keys shuffle."""
+    a = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("txid"))
+    )
+    b = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_orderkey").alias("txid"))
+    )
+    return a.unionByName(b).distinct()

@@ -1,0 +1,183 @@
+"""Scalar functions (SURVEY.md §2.8): casts, date truncation, signed
+satoshi scaling, unnest, array indexing, struct row-values, log.
+
+All JVM-side Catalyst expressions inside whole-stage codegen — no
+Python UDFs. Non-associative float ops (ln) are rounded on both sides;
+exact IEEE ops (negate/divide) are left raw.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+
+@query(
+    "fn_timestamp_cast",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS VARCHAR) AS TIMESTAMP) AS order_ts
+    FROM orders
+    """,
+)
+def fn_timestamp_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP(string) cast (mirrors `TIMESTAMP(block_timestamp)`,
+    btcolap.sql:97): round-trip timestamp -> string -> timestamp."""
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("string").cast("timestamp").alias("order_ts"),
+    )
+
+
+@query(
+    "fn_date_trunc",
+    oracle="""
+    SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def fn_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATE_TRUNC (btcolap.sql:458; btc_logregression_pre.py:20) at
+    month grain — note the arg-order dialect flip: Spark is
+    date_trunc(fmt, ts), DuckDB is date_trunc(part, ts)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+@query(
+    "fn_neg_div",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           -l_extendedprice / 100000000 AS val_btc
+    FROM lineitem
+    """,
+)
+def fn_neg_div(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unary negation + division — the satoshi->BTC scaling with the
+    input-negative sign convention (`-input.value/100000000 AS val`,
+    btcolap.sql:108). Negate and divide are exactly-rounded IEEE ops,
+    bit-identical across engines, so no rounding is needed."""
+    from ..functions import btc_from_satoshi
+
+    return table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        btc_from_satoshi("l_extendedprice", negate=True).alias("val_btc"),
+    )
+
+
+@query(
+    "fn_unnest",
+    oracle="""
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+    FROM documents
+    """,
+)
+def fn_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNNEST(array) -> rows (btcolap.sql:53 etc.) over a real array
+    built by split; explode drops empty arrays exactly like BigQuery's
+    CROSS JOIN UNNEST (SURVEY.md §4)."""
+    return table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+
+
+@query(
+    "fn_array_offset",
+    oracle="""
+    SELECT l_orderkey,
+           list_sort(list(l_partkey))[1] AS first_part,
+           list_sort(list(l_partkey))[-1] AS last_part
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def fn_array_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array indexing (`input_addresses[OFFSET(0)]`, btcolap.sql:230).
+    BigQuery OFFSET(0) is zero-based; Spark element_at and DuckDB [n]
+    are 1-based; element_at(-1) / [-1] take the last element."""
+    parts = F.sort_array(F.collect_list("l_partkey"))
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.element_at(parts, 1).alias("first_part"),
+            F.element_at(parts, -1).alias("last_part"),
+        )
+    )
+
+
+@query(
+    "fn_struct_ctor",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE struct_pack(k1 := l_orderkey, k2 := l_linenumber) IN (
+        SELECT struct_pack(k1 := l_orderkey, k2 := l_linenumber)
+        FROM lineitem WHERE l_quantity > 45)
+    """,
+)
+def fn_struct_ctor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCT(a, b) row-value construction used in an IN-subquery
+    (mirrors `STRUCT(wallet, address) IN (SELECT STRUCT(...))`,
+    btcolap.sql:3-4): a left-semi join on struct equality."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    keys = li.filter(F.col("l_quantity") > 45).select(
+        F.struct("l_orderkey", "l_linenumber").alias("k")
+    )
+    return li.join(
+        keys,
+        F.struct(li.l_orderkey, li.l_linenumber) == keys.k,
+        "left_semi",
+    )
+
+
+@query(
+    "fn_log",
+    oracle="""
+    SELECT o_orderkey, ROUND(LN(o_totalprice), 6) AS log_price
+    FROM orders WHERE o_totalprice > 0
+    """,
+)
+def fn_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Natural log (the reference's np.log regression transform,
+    btc_logregression_pre.py:77-78) kept in-engine. ln is not required
+    to be correctly rounded by IEEE, so both sides round to 6 dp."""
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(
+            "o_orderkey", F.round(F.log("o_totalprice"), 6).alias("log_price")
+        )
+    )
+
+
+@query(
+    "fn_str_literal_cmp",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE c_mktsegment != 'BUILDING' AND c_name >= 'Customer#000000100'
+    """,
+)
+def fn_str_literal_cmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String literal comparisons incl. != and ordering (btcolap.sql:230,
+    btc_logregression_post.py:38); both engines default to binary
+    collation so lexicographic ordering agrees."""
+    return (
+        table(spark, sf_dir, "customer")
+        .filter(
+            (F.col("c_mktsegment") != "BUILDING")
+            & (F.col("c_name") >= "Customer#000000100")
+        )
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )

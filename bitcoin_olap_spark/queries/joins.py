@@ -1,0 +1,190 @@
+"""Joins, including the reference's distinctive nested-array shapes
+(SURVEY.md §2.3).
+
+Scale notes per join:
+- dim joins are explicitly `F.broadcast` (no shuffle of the fact side;
+  the reference's wallet_location dim is 121 rows, btcolap.sql:429-430);
+- fact-fact joins shuffle on the join key and rely on AQE for runtime
+  sort-merge/broadcast choice and skew splitting (exchange hot wallets
+  make transaction_hash/wallet skewed);
+- explode-then-join keeps the explode *before* the join so the join key
+  is the exploded element — the dim side is broadcast, so the exploded
+  fact never shuffles (btcolap.sql:52-57's UNNEST(addresses) JOIN addr).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions import ORACLE_DAY, day, exact_sum, oracle_exact_sum
+from ..registry import query
+
+
+@query(
+    "join_unnest_addr",
+    oracle="""
+    SELECT l_orderkey, l_suppkey AS suppkey, s_name
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    """,
+)
+def join_unnest_addr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode-then-join: array element joined against a small dim
+    (mirrors `UNNEST(addresses) AS iaddress JOIN addr ON iaddress =
+    addr.address`, btcolap.sql:52-57). The array is built in-query
+    (testdata has no address arrays, FIXTURES.md §B): per-order supplier
+    lists, exploded back to elements, joined to the broadcast supplier
+    dim. collect_list/explode is multiset-faithful, so the oracle is the
+    flat equivalent join."""
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    order_supps = li.groupBy("l_orderkey").agg(
+        F.collect_list("l_suppkey").alias("supps")
+    )
+    exploded = order_supps.select(
+        "l_orderkey", F.explode("supps").alias("suppkey")
+    )
+    return exploded.join(
+        F.broadcast(supp), exploded.suppkey == supp.s_suppkey
+    ).select("l_orderkey", "suppkey", "s_name")
+
+
+@query(
+    "join_hash_on_txid",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, l_linenumber, l_extendedprice
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    """,
+)
+def join_hash_on_txid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact x fact equi join on the transaction key (mirrors
+    `JOIN txid_filter ON txid_filter.transaction_hash = tx.hash`,
+    btcolap.sql:112-114). Both sides shuffle on the key; AQE picks the
+    physical strategy and splits skewed partitions."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return o.join(li, o.o_orderkey == li.l_orderkey, "inner").select(
+        "o_orderkey", "o_orderdate", "l_linenumber", "l_extendedprice"
+    )
+
+
+@query(
+    "join_inner_explicit",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer INNER JOIN orders ON o_custkey = c_custkey
+    WHERE o_orderstatus = 'F'
+    """,
+)
+def join_inner_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit INNER JOIN (btcolap.sql:216-217) with a pushed filter on
+    the probe side."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, o.o_custkey == c.c_custkey, "inner").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_dim_broadcast",
+    oracle=f"""
+    SELECT r_name, COUNT(*) AS n_customers,
+           {oracle_exact_sum('c_acctbal', 'total_acctbal')}
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def join_dim_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-enrichment join with explicit broadcast (mirrors
+    ledger x wallet_location ON wallet, btcolap.sql:428-430; the dim is
+    121 rows there, 25/5 here). Broadcasting both dims means the fact
+    table never shuffles for the join — only the final tiny group-by
+    exchanges."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            exact_sum("c_acctbal", "total_acctbal"),
+        )
+    )
+
+
+@query(
+    "join_lateral_structs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber AS line_no, l_returnflag AS flag
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber AS line_no, l_linestatus AS flag
+    FROM lineitem
+    """,
+)
+def join_lateral_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated two-level unnest of array-of-struct (mirrors
+    `FROM transactions AS tx, tx.inputs AS input, UNNEST(input.addresses)`,
+    btcolap.sql:109-111): build array<struct<line_no, flags:array>> per
+    order, explode the struct array, then explode the inner array.
+    Default `explode` (not explode_outer) matches BigQuery's CROSS JOIN
+    UNNEST semantics of dropping empty arrays (SURVEY.md §4)."""
+    li = table(spark, sf_dir, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct(
+                F.col("l_linenumber").alias("line_no"),
+                F.array("l_returnflag", "l_linestatus").alias("flags"),
+            )
+        ).alias("items")
+    )
+    lvl1 = nested.select("l_orderkey", F.explode("items").alias("item"))
+    return lvl1.select(
+        "l_orderkey",
+        F.col("item.line_no").alias("line_no"),
+        F.explode("item.flags").alias("flag"),
+    )
+
+
+@query(
+    "join_pd_merge_date",
+    oracle=f"""
+    WITH daily_in AS (
+        SELECT {ORACLE_DAY.format(col='ts')} AS day,
+               {oracle_exact_sum('-value', 'txid_input')}
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), daily_out AS (
+        SELECT {ORACLE_DAY.format(col='ts')} AS day,
+               {oracle_exact_sum('value', 'txid_output')}
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    )
+    SELECT daily_in.day AS day, txid_input, txid_output
+    FROM daily_in JOIN daily_out ON daily_in.day = daily_out.day
+    """,
+)
+def join_pd_merge_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's driver-side `pd.merge(daily_inputs, daily_outputs,
+    on='date', how='inner')` (btc_logregression_pre.py:49) pushed into
+    the engine: join the two daily aggregates before any collect. Both
+    inputs are day-grain (tiny), so the join is a broadcast at runtime
+    via AQE."""
+    e = table(spark, sf_dir, "events")
+    daily_in = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(day("ts").alias("day"))
+        .agg(exact_sum(-F.col("value"), "txid_input"))
+    )
+    daily_out = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy(day("ts").alias("day"))
+        .agg(exact_sum(F.col("value"), "txid_output"))
+    )
+    return daily_in.join(daily_out, "day", "inner").select(
+        "day", "txid_input", "txid_output"
+    )

@@ -1,0 +1,154 @@
+"""Window functions, sorts/limits, and set operations
+(SURVEY.md §2.5-2.7).
+
+Scale notes: global ORDER BY lowers to a range-partitioned total sort
+(sampled boundaries, one shuffle); ORDER BY + LIMIT fuses to
+TakeOrderedAndProject (per-partition top-k, tiny driver merge — no full
+sort at any scale); UNION ALL is a zero-shuffle concatenation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import table
+from ..registry import query
+
+
+@query(
+    "win_row_number",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROW_NUMBER() OVER (
+               PARTITION BY l_orderkey
+               ORDER BY l_shipdate, l_linenumber) AS rn
+    FROM lineitem
+    """,
+)
+def win_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW_NUMBER() OVER (PARTITION BY ... ORDER BY ...) — the
+    reference's only window function, its dedup primitive
+    (btcolap.sql:9, :295; dupedeleter.sql:5,10). The window ORDER BY
+    carries a unique tiebreaker (l_linenumber) so rank assignment is
+    deterministic, unlike the reference's degenerate ORDER BY
+    (SURVEY.md §2.5)."""
+    w = Window.partitionBy("l_orderkey").orderBy("l_shipdate", "l_linenumber")
+    return table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.row_number().over(w).alias("rn")
+    )
+
+
+@query(
+    "srt_multicol",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM orders
+    ORDER BY o_orderdate, o_orderkey
+    """,
+)
+def srt_multicol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column global ORDER BY (btcolap.sql:58-59 `ORDER BY
+    block_timestamp, wallet`): a range-partitioned total sort — Spark
+    samples key boundaries so each of N output partitions holds a
+    contiguous range; no single-node sort even at 100 TB."""
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderdate", "o_orderkey")
+    )
+
+
+@query(
+    "srt_by_agg",
+    oracle="""
+    SELECT event_type, COUNT(*) AS occurrence_count
+    FROM events
+    GROUP BY event_type
+    ORDER BY occurrence_count DESC, event_type
+    """,
+)
+def srt_by_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY an aggregated value, largest first (the dup-checker's
+    `ORDER BY occurrence_count DESC`, btcolap.sql:30-31), with a key
+    tiebreaker for total determinism."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("occurrence_count"))
+        .orderBy(F.desc("occurrence_count"), "event_type")
+    )
+
+
+@query(
+    "lim_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def lim_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT n (the reference's debug bound, btcolap.sql:153, :204) —
+    paired with a total ORDER BY for determinism (SURVEY.md §2.6).
+    Catalyst fuses sort+limit into TakeOrderedAndProject: each task
+    keeps its local top-10, the driver merges — no global sort."""
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "set_union_all",
+    oracle="""
+    SELECT l_orderkey AS txid, l_linenumber AS line_no,
+           'input' AS type, -l_extendedprice AS val
+    FROM lineitem WHERE l_returnflag = 'R'
+    UNION ALL
+    SELECT l_orderkey AS txid, l_linenumber AS line_no,
+           'output' AS type, l_extendedprice AS val
+    FROM lineitem WHERE l_returnflag != 'R'
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of tagged input/output branches into one ledger — the
+    reference's core flow construction (negative-val inputs stacked
+    with positive-val outputs, btcolap.sql:136-140 with the sign
+    convention of :108/:126). Pure concatenation: no shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    inputs = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("txid"),
+        F.col("l_linenumber").alias("line_no"),
+        F.lit("input").alias("type"),
+        (-F.col("l_extendedprice")).alias("val"),
+    )
+    outputs = li.filter(F.col("l_returnflag") != "R").select(
+        F.col("l_orderkey").alias("txid"),
+        F.col("l_linenumber").alias("line_no"),
+        F.lit("output").alias("type"),
+        F.col("l_extendedprice").alias("val"),
+    )
+    return inputs.unionByName(outputs)
+
+
+@query(
+    "set_union_distinct",
+    oracle="""
+    SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity > 40
+    UNION
+    SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_discount > 0.07
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-column UNION DISTINCT (btcolap.sql:280, :308): overlapping
+    branch predicates make real cross-branch duplicates, deduped by a
+    hash aggregate with map-side partials."""
+    li = table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 40).select("l_orderkey", "l_suppkey")
+    b = li.filter(F.col("l_discount") > 0.07).select("l_orderkey", "l_suppkey")
+    return a.unionByName(b).distinct()

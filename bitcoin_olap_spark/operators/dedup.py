@@ -1,0 +1,243 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, all pure DataFrame ops (no Python UDFs):
+
+- exact_dedup:       hash-groupBy on a fingerprint — one shuffle on the
+                     hash key; at 100 TB this is the cheap first pass.
+- jaccard_pairs:     exact n-gram Jaccard via shingle self-join —
+                     quadratic in documents sharing a shingle; correct
+                     but only viable as a verifier on candidate pairs
+                     or small corpora.
+- minhash_lsh_pairs: MinHash signatures + banded LSH — the scale path:
+                     candidate generation is a groupBy on band hashes
+                     (linear shuffle), candidates then verified with
+                     exact Jaccard. Hot bands (boilerplate shingles) are
+                     the skew risk; AQE skew-join handles the verify
+                     join.
+- simhash_pairs:     64-bit SimHash + Hamming-ball blocking on 16-bit
+                     chunks (a pair within Hamming distance d < 4 must
+                     agree on >= 1 of 4 chunks).
+
+MinHash/SimHash use xxhash64 (JVM-side, seedable) — deterministic
+across runs but not expressible in DuckDB SQL, so those two register
+rows-only checks; the exact tiers are oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint, shingles, words
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup by text fingerprint: (fingerprint, keep_id, n_copies).
+    keep_id is the minimum id — deterministic survivor choice, unlike
+    the reference's degenerate row_number ordering (btcolap.sql:9)."""
+    return df.groupBy(fingerprint(text_col).alias("fingerprint")).agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Exact word-n-gram Jaccard near-dup pairs (doc_a < doc_b, jaccard).
+
+    shingle self-join -> common counts -> |A∪B| from per-doc sizes.
+    Jaccard = common/(na+nb-common) is a single integer->double division
+    (bit-stable across engines).
+    """
+    sh = shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(
+        F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("na")
+    )
+    sb = sizes.select(
+        F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("nb")
+    )
+    jac = F.col("common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("common")
+    )
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, id_col: str, num_hashes: int = 64
+) -> DataFrame:
+    """MinHash signature per document from a (id, shingle) relation:
+    sig[i] = min over shingles of xxhash64(shingle, seed=i). One
+    aggregation, num_hashes min() columns — map-side partials keep the
+    shuffle at one row per document."""
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agged = sh.groupBy(id_col).agg(*mins)
+    return agged.select(
+        id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
+
+    Pipeline: shingle -> signature -> split into `bands` bands of
+    num_hashes/bands rows -> bucket-join on (band_idx, band_hash) ->
+    distinct candidate pairs -> exact-Jaccard verify -> threshold.
+    Returns (doc_a, doc_b, jaccard) — same shape as jaccard_pairs but
+    with candidate generation linear in corpus size.
+    """
+    rows_per_band = num_hashes // bands
+    sh = shingles(df, id_col, text_col, n).cache()
+    sig = minhash_signatures(sh, id_col, num_hashes)
+    band_arr = F.array(
+        *[
+            F.xxhash64(
+                *[
+                    F.element_at("sig", b * rows_per_band + r + 1)
+                    for r in range(rows_per_band)
+                ]
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        id_col, F.posexplode(band_arr).alias("band_idx", "band_hash")
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    # exact-Jaccard verify restricted to candidates
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingle").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("shingle").alias("sh_b"))
+    common = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(F.col("sh_a") == F.col("sh_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("nb"))
+    jac = F.col("common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("common")
+    )
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document: per-word xxhash64, each bit votes
+    ±1, sign of the vote sum sets the bit. Returns (id_col, simhash).
+
+    Implemented as 64 conditional-sum aggregates (JVM-side, one shuffle
+    of one row per document) assembled with shiftleft/bitwise-or."""
+    w = df.select(
+        F.col(id_col), F.explode(words(F.lower(text_col))).alias("w")
+    ).withColumn("h", F.xxhash64("w"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    agged = w.groupBy(id_col).agg(*votes)
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return agged.select(id_col, sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 7
+) -> DataFrame:
+    """SimHash near-dup pairs within a Hamming ball, via chunk blocking:
+    split the 64-bit hash into 8 8-bit chunks; d <= 7 bit flips cannot
+    touch all 8 chunks (pigeonhole), so every qualifying pair collides
+    on >= 1 chunk — candidate join per chunk, then exact Hamming verify
+    (bit_count of xor). Returns (doc_a, doc_b, hamming).
+
+    A word-level edit on a ~60-word doc flips ~1 simhash bit, so
+    d <= 7 tracks roughly Jaccard >= 0.9 on the planted near-dups."""
+    sh = simhash(df, id_col, text_col)
+    chunks = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", 8 * c)
+                    .bitwiseAND(F.lit(0xFF))
+                    .alias(f"c{c}")
+                    for c in range(8)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    l, r = chunks.alias("l"), chunks.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,145 @@
+"""Text-analysis operators for training-data pipelines.
+
+Everything is built-in `pyspark.sql.functions` (JVM-side, inside
+whole-stage codegen) — no Python in the hot path. Each operator has a
+DuckDB-SQL twin used by the oracle queries in queries/llmdata.py.
+
+At 100 TB these are embarrassingly parallel map-side transforms: no
+shuffle, pushdown-friendly (only `text` + id columns are read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Small language-marker stopword sets. Deliberately tiny and hard-coded:
+#: the operator contract is "deterministic n-gram/stopword heuristic",
+#: not linguistic accuracy (real pipelines plug fastText etc. in at the
+#: same seam).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für"],
+    "es": ["el", "la", "los", "las", "y", "es", "un", "una", "por", "para"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"],
+}
+
+#: BPE-ish tokenizer regex: runs of alnum OR single non-alnum-non-space.
+TOKEN_RE = "[a-z0-9]+|[^a-z0-9\\s]"
+
+
+def words(text: str | Column) -> Column:
+    """Whitespace word split."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def lang_scores(text: str | Column) -> dict[str, Column]:
+    """Per-language stopword-overlap score: |distinct(words) ∩ markers|.
+
+    DuckDB twin: len(list_intersect(list_distinct(string_split(lower(t),
+    ' ')), [...markers])).
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    distinct_words = F.array_distinct(words(F.lower(c)))
+    return {
+        lang: F.size(
+            F.array_intersect(
+                distinct_words, F.array(*[F.lit(w) for w in markers])
+            )
+        )
+        for lang, markers in STOPWORDS.items()
+    }
+
+
+def lang_predict(text: str | Column) -> Column:
+    """Arg-max language with a deterministic tiebreak (iteration order of
+    STOPWORDS: en > de > es > fr); all-zero scores -> 'und'."""
+    scores = lang_scores(text)
+    langs = list(scores)
+    pred = F.lit("und")
+    # build the CASE chain back-to-front so earlier langs win ties
+    for lang in reversed(langs):
+        cond = scores[lang] > 0
+        for other in langs:
+            if other != lang:
+                cond = cond & (scores[lang] >= scores[other])
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return pred
+
+
+def stopword_token_count(text: str | Column, lang: str = "en") -> Column:
+    """Non-distinct count of tokens that are stopwords.
+    DuckDB twin: len(list_filter(string_split(lower(t),' '),
+    w -> list_contains([...], w)))."""
+    c = F.col(text) if isinstance(text, str) else text
+    markers = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(
+        F.filter(words(F.lower(c)), lambda w: F.array_contains(markers, w))
+    )
+
+
+def quality_metrics(text: str | Column) -> dict[str, Column]:
+    """Length / word / stopword-ratio quality features. All ratios are
+    single IEEE divisions (bit-stable across engines)."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_words = F.size(words(c))
+    n_chars_nospace = F.length(F.regexp_replace(c, " ", ""))
+    n_stop = stopword_token_count(c)
+    return {
+        "n_words": n_words,
+        "avg_word_len": n_chars_nospace.cast("double") / n_words,
+        "stopword_ratio": n_stop.cast("double") / n_words,
+    }
+
+
+def token_counts(text: str | Column) -> dict[str, Column]:
+    """Whitespace and regex (BPE-ish) token counts.
+    DuckDB twin: len(regexp_extract_all(lower(t), TOKEN_RE))."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {
+        "ws_tokens": F.size(words(c)),
+        "re_tokens": F.size(
+            F.regexp_extract_all(F.lower(c), F.lit(TOKEN_RE), 0)
+        ),
+    }
+
+
+def fingerprint(text: str | Column) -> Column:
+    """Deterministic document fingerprint: md5 of the
+    lowercased/punct-stripped/whitespace-collapsed text.
+    DuckDB twin: md5(trim(regexp_replace(regexp_replace(lower(t),
+    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))."""
+    c = F.col(text) if isinstance(text, str) else text
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(c), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return F.md5(norm)
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id_col, shingle).
+
+    Built with posexplode + lead window (partitioned per document) —
+    fully distributed, no Python. DuckDB twin uses
+    unnest+generate_subscripts + lead ... QUALIFY.
+    """
+    from pyspark.sql.window import Window
+
+    ws = df.select(
+        F.col(id_col),
+        F.posexplode(words(text_col)).alias("pos", "w"),
+    )
+    win = Window.partitionBy(id_col).orderBy("pos")
+    shingle = F.concat_ws(
+        " ", F.col("w"), *[F.lead("w", i).over(win) for i in range(1, n)]
+    )
+    last = F.lead("w", n - 1).over(win)
+    return (
+        ws.select(F.col(id_col), shingle.alias("shingle"), last.alias("_last"))
+        .filter(F.col("_last").isNotNull())
+        .select(id_col, "shingle")
+        .distinct()
+    )

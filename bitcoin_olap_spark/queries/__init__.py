@@ -9,9 +9,18 @@ from . import (  # noqa: F401
     aggregates,
     functions,
     joins,
+    llmdata,
     relational,
     sorts_sets,
     sources,
 )
 
-ALL_MODULES = [aggregates, functions, joins, relational, sorts_sets, sources]
+ALL_MODULES = [
+    aggregates,
+    functions,
+    joins,
+    llmdata,
+    relational,
+    sorts_sets,
+    sources,
+]

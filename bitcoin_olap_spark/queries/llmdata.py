@@ -1,0 +1,354 @@
+"""LLM-training-data pipeline operators over `documents` and
+`embeddings` (SURVEY.md §7 Phase 5; graded first-class alongside the
+§2 inventory).
+
+Coverage:
+- dedup:      exact fingerprint, exact n-gram Jaccard, MinHash+LSH,
+              SimHash (operators/dedup.py)
+- similarity: brute-force cosine top-k (exact-decimal, oracle-checked)
+              and LSH-bucketed approximate top-k (operators/vectors.py)
+- text:       language-ID, quality scoring, token counting,
+              fingerprinting (operators/text.py)
+
+MinHash/SimHash/LSH use xxhash64 — not expressible in DuckDB SQL, so
+they register rows-only checks; tests/test_llmdata.py instead verifies
+them against their exact counterparts (recall on planted near-dups).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators import dedup as D
+from ..operators import text as TX
+from ..operators import vectors as V
+from ..registry import query
+
+# ---------------------------------------------------------------- dedup
+
+@query(
+    "dedup_exact",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text FROM documents
+        WHERE doc_id % 5 = 0
+    )
+    SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM corpus GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on a normalized-text fingerprint with
+    deterministic min-id survivor. Duplicates are synthesized (testdata
+    has near-dups but no exact dups) by re-adding every 5th doc under a
+    shifted id."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    dupes = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return D.exact_dedup(docs.unionByName(dupes), "doc_id", "text")
+
+
+_JACCARD_ORACLE = """
+    WITH words AS (
+        SELECT doc_id, w,
+               row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents)
+    ), tri AS (
+        SELECT DISTINCT doc_id,
+               w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+                   AS shingle
+        FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(w, 2) OVER win IS NOT NULL
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM tri GROUP BY 1
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        FROM tri a JOIN tri b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, common * 1.0 / (sa.n + sb.n - common) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.8
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-trigram Jaccard near-dup pairs at threshold 0.8 (the
+    testdata plants ~25 such pairs). Jaccard is one integer->double
+    division — bit-stable, so no rounding is needed for oracle parity."""
+    return D.jaccard_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.8
+    )
+
+
+@query("dedup_minhash_lsh", oracle=None)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + 16-band LSH candidate generation, exact-Jaccard
+    verified at 0.8 — the linear-shuffle scale path for what
+    dedup_ngram_jaccard computes quadratically. xxhash64-based, hence
+    rows-only for the driver; tests verify recall against the exact
+    operator."""
+    return D.minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=3,
+        num_hashes=64,
+        bands=16,
+        threshold=0.8,
+    )
+
+
+@query("dedup_simhash", oracle=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64-bit) near-dup pairs within Hamming distance 7, via
+    8-bit chunk blocking (pigeonhole: <=7 flips leave >=1 of 8 chunks
+    intact). Rows-only (xxhash64); tests cross-check against Jaccard
+    pairs."""
+    return D.simhash_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=7
+    )
+
+
+_COSINE_PAIRS_ORACLE = """
+    WITH pos AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ), norms AS (
+        SELECT vec_id, SUM(CAST(x * x AS DECIMAL(30,20))) AS norm_sq
+        FROM pos GROUP BY 1
+    ), dots AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               SUM(CAST(a.x * b.x AS DECIMAL(30,20))) AS dot
+        FROM pos a JOIN pos b ON a.pos = b.pos AND a.vec_id < b.vec_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(dot AS DOUBLE) /
+                 sqrt(CAST(na.norm_sq AS DOUBLE) * CAST(nb.norm_sq AS DOUBLE)),
+                 6) AS cosine
+    FROM dots
+    JOIN norms na ON na.vec_id = id_a
+    JOIN norms nb ON nb.vec_id = id_b
+    WHERE ROUND(CAST(dot AS DOUBLE) /
+                sqrt(CAST(na.norm_sq AS DOUBLE) * CAST(nb.norm_sq AS DOUBLE)),
+                6) >= 0.4
+"""
+
+
+@query("dedup_embedding_cosine", oracle=_COSINE_PAIRS_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine >= 0.4): all-pairs exact
+    cosine with DECIMAL-accumulated dot products so summation order
+    cannot perturb the value on either engine (SURVEY.md §5.1
+    determinism rule applied to floats)."""
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = V.cosine_pairs_exact(emb, "vec_id", "embedding")
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    ).filter(F.col("cosine") >= 0.4)
+
+
+# ----------------------------------------------------------- similarity
+
+_TOPK_ORACLE = """
+    WITH pos AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ), norms AS (
+        SELECT vec_id, SUM(CAST(x * x AS DECIMAL(30,20))) AS norm_sq
+        FROM pos GROUP BY 1
+    ), dots AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+               SUM(CAST(a.x * b.x AS DECIMAL(30,20))) AS dot
+        FROM pos a JOIN pos b ON a.pos = b.pos AND a.vec_id != b.vec_id
+        WHERE a.vec_id < 5
+        GROUP BY 1, 2
+    ), scored AS (
+        SELECT dots.query_id AS query_id, dots.vec_id AS vec_id,
+               ROUND(CAST(dot AS DOUBLE) /
+                     sqrt(CAST(na.norm_sq AS DOUBLE) *
+                          CAST(nb.norm_sq AS DOUBLE)), 6) AS cosine
+        FROM dots
+        JOIN norms na ON na.vec_id = dots.query_id
+        JOIN norms nb ON nb.vec_id = dots.vec_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+"""
+
+
+@query("sim_topk_bruteforce", oracle=_TOPK_ORACLE)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for query vectors (vec_id < 5) against the
+    corpus: the ANN baseline. Ranks on round(cosine, 6) with vec_id
+    tiebreak so the rank-k cut is engine-stable."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return V.topk_bruteforce(emb, queries, "vec_id", "embedding", k=10)
+
+
+@query("sim_topk_lsh", oracle=None)
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via random-hyperplane LSH bucketing with
+    Hamming-1 multi-probe — scores only the query's bucket neighborhood
+    instead of the full corpus. Rows-only for the driver; tests measure
+    recall against sim_topk_bruteforce."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return V.topk_lsh(emb, queries, "vec_id", "embedding", k=10, num_planes=6)
+
+
+# ----------------------------------------------------------------- text
+
+_LANG_CASE = """
+        CASE
+        WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+        WHEN s_de > 0 AND s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+        WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+        WHEN s_fr > 0 AND s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+        ELSE 'und' END
+"""
+
+
+def _duck_markers(lang: str) -> str:
+    inner = ", ".join(f"'{w}'" for w in TX.STOPWORDS[lang])
+    return (
+        "len(list_intersect(list_distinct(string_split(lower(text), ' ')), "
+        f"[{inner}]))"
+    )
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    SELECT doc_id, s_en, s_de, s_es, s_fr, {_LANG_CASE} AS lang_pred
+    FROM (
+        SELECT doc_id,
+               {_duck_markers('en')} AS s_en,
+               {_duck_markers('de')} AS s_de,
+               {_duck_markers('es')} AS s_es,
+               {_duck_markers('fr')} AS s_fr
+        FROM documents
+    )
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by stopword-marker overlap (n-gram heuristic tier):
+    per-language distinct-word intersection scores + deterministic
+    arg-max (ties break en > de > es > fr; all-zero -> 'und')."""
+    docs = table(spark, sf_dir, "documents")
+    scores = TX.lang_scores("text")
+    return docs.select(
+        "doc_id",
+        scores["en"].alias("s_en"),
+        scores["de"].alias("s_de"),
+        scores["es"].alias("s_es"),
+        scores["fr"].alias("s_fr"),
+        TX.lang_predict("text").alias("lang_pred"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle="""
+    SELECT doc_id, n_words, avg_word_len, stopword_ratio,
+           CASE WHEN n_words >= 20 AND stopword_ratio >= 0.01
+                THEN 'keep' ELSE 'drop' END AS verdict
+    FROM (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_words,
+               CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS avg_word_len,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                        w -> list_contains(['the','and','of','to','a','in',
+                                            'is','it','that','for'], w)))
+                    AS DOUBLE)
+                   / len(string_split(text, ' ')) AS stopword_ratio
+        FROM documents
+    )
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: word count, average word length, stopword
+    ratio, and a keep/drop verdict — the standard cheap pre-filter tier
+    of a training-data pipeline. Ratios are single IEEE divisions
+    (bit-stable)."""
+    docs = table(spark, sf_dir, "documents")
+    m = TX.quality_metrics("text")
+    return docs.select(
+        "doc_id",
+        m["n_words"].alias("n_words"),
+        m["avg_word_len"].alias("avg_word_len"),
+        m["stopword_ratio"].alias("stopword_ratio"),
+        F.when(
+            (m["n_words"] >= 20) & (m["stopword_ratio"] >= 0.01), "keep"
+        )
+        .otherwise("drop")
+        .alias("verdict"),
+    )
+
+
+@query(
+    "text_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(lower(text), '{TX.TOKEN_RE}')) AS re_tokens,
+           n_chars
+    FROM documents
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens and a BPE-ish regex token count
+    (runs of alnum / single punctuation), against the stored n_chars."""
+    docs = table(spark, sf_dir, "documents")
+    t = TX.token_counts("text")
+    return docs.select(
+        "doc_id",
+        t["ws_tokens"].alias("ws_tokens"),
+        t["re_tokens"].alias("re_tokens"),
+        "n_chars",
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+    FROM (
+        SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
+        FROM documents
+    )
+    GROUP BY fingerprint
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over normalized text, grouped to
+    (fingerprint, keep_id, n_docs) — the join key for cross-corpus
+    exact dedup."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy(TX.fingerprint("text").alias("fingerprint")).agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_docs")
+    )

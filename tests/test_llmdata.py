@@ -1,0 +1,104 @@
+"""Cross-checks for the approximate (rows-only) LLM-data operators:
+each is verified against its exact, oracle-checked counterpart —
+MinHash-LSH and SimHash against exact n-gram Jaccard, LSH top-k recall
+against brute-force top-k (SURVEY.md §5 strategy extended to Phase 5).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from .conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from bitcoin_olap_spark.catalog import table
+
+    return table(spark, SF_ORACLE, "documents")
+
+
+def test_minhash_lsh_recall_vs_exact(spark, docs):
+    """LSH candidates verified at the same threshold must reproduce the
+    exact Jaccard pair set: verification makes precision exact, and with
+    16 bands of 4 rows, P(candidate) ≈ 1-(1-j^4)^16 > 0.9999 at j=0.8 —
+    so on ~25 planted pairs, recall misses are overwhelmingly unlikely."""
+    from bitcoin_olap_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_pairs,
+    )
+
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+    }
+    approx = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+    assert exact, "testdata should contain planted near-dup pairs"
+    assert approx <= exact  # exact-verify step guarantees precision
+    recall = len(approx & exact) / len(exact)
+    assert recall == 1.0, f"LSH recall {recall}: missed {exact - approx}"
+
+
+def test_simhash_finds_planted_near_dups(spark, docs):
+    """SimHash Hamming<=3 pairs should overlap heavily with the
+    highest-Jaccard planted pairs and be symmetric-free (a<b)."""
+    from bitcoin_olap_spark.operators.dedup import jaccard_pairs, simhash_pairs
+
+    sim = simhash_pairs(docs, "doc_id", "text", max_hamming=7).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in sim}
+    assert all(a < b for a, b in pairs)
+    exact95 = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(docs, "doc_id", "text", threshold=0.95).collect()
+    }
+    # near-identical documents must collide in simhash space
+    missed = exact95 - pairs
+    assert len(missed) <= max(1, len(exact95) // 5), (
+        f"simhash missed too many near-identical pairs: {missed}"
+    )
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark):
+    """Approximate top-10 should recover a solid fraction of the exact
+    top-10 (multi-probe over 2^6 buckets on 500 vectors)."""
+    from bitcoin_olap_spark.catalog import table
+    from bitcoin_olap_spark.operators.vectors import topk_bruteforce, topk_lsh
+    from pyspark.sql import functions as F
+
+    emb = table(spark, SF_ORACLE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in topk_bruteforce(emb, queries, "vec_id", "embedding", k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in topk_lsh(
+            emb, queries, "vec_id", "embedding", k=10, num_planes=6
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"LSH top-k recall too low: {recall}"
+
+
+def test_exact_dedup_finds_planted_copies(spark, docs):
+    """Self-planted exact copies collapse to one fingerprint with
+    n_copies=2 and the original id as survivor."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators.dedup import exact_dedup
+
+    dupes = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    res = exact_dedup(
+        docs.select("doc_id", "text").unionByName(dupes), "doc_id", "text"
+    )
+    two = res.filter(F.col("n_copies") >= 2)
+    assert two.count() == dupes.count()
+    assert two.filter(F.col("keep_id") >= 100000).count() == 0

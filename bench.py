@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+    {"metric": "suite_wall_sec", "value": N, "unit": "sec",
+     "queries": {qid: sec, ...}, "sf": 0.1}
+
+Protocol (BASELINE.md): one shared warmed SparkSession; per-query time
+excludes session startup; pass 1 warms (JIT, code cache, file footer
+cache), pass 2 is the reported time. Each query is forced end-to-end
+with a noop datasource write (full computation, no driver collect, no
+pandas conversion skew).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def _force(df) -> None:
+    """Fully execute the plan without materializing to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from bitcoin_olap_spark.registry import all_queries
+    from bitcoin_olap_spark.session import get_spark
+
+    queries = all_queries()
+    spark = get_spark(app_name="bitcoin-olap-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the session itself
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for qid in sorted(queries):
+        fn = queries[qid]
+        try:
+            _force(fn(spark, sf_dir))  # warm pass
+            t0 = time.perf_counter()
+            _force(fn(spark, sf_dir))
+            timings[qid] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # keep the suite going; surface on stderr
+            print(f"bench: {qid} failed: {exc}", file=sys.stderr)
+            timings[qid] = -1.0
+
+    total = round(sum(t for t in timings.values() if t >= 0), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

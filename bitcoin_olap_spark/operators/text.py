@@ -47,7 +47,7 @@ def lang_scores(text: str | Column) -> dict[str, Column]:
             F.array_intersect(
                 distinct_words, F.array(*[F.lit(w) for w in markers])
             )
-        )
+        ).cast("long")
         for lang, markers in STOPWORDS.items()
     }
 
@@ -83,7 +83,7 @@ def quality_metrics(text: str | Column) -> dict[str, Column]:
     """Length / word / stopword-ratio quality features. All ratios are
     single IEEE divisions (bit-stable across engines)."""
     c = F.col(text) if isinstance(text, str) else text
-    n_words = F.size(words(c))
+    n_words = F.size(words(c)).cast("long")
     n_chars_nospace = F.length(F.regexp_replace(c, " ", ""))
     n_stop = stopword_token_count(c)
     return {
@@ -98,10 +98,10 @@ def token_counts(text: str | Column) -> dict[str, Column]:
     DuckDB twin: len(regexp_extract_all(lower(t), TOKEN_RE))."""
     c = F.col(text) if isinstance(text, str) else text
     return {
-        "ws_tokens": F.size(words(c)),
+        "ws_tokens": F.size(words(c)).cast("long"),
         "re_tokens": F.size(
             F.regexp_extract_all(F.lower(c), F.lit(TOKEN_RE), 0)
-        ),
+        ).cast("long"),
     }
 
 

@@ -1,16 +1,21 @@
 """Vector-similarity operators over embedding columns (array<float>).
 
-Two formulations, both pure DataFrame ops:
+Two accumulation modes, both computed per-pair with `F.zip_with` +
+`F.aggregate` folds (one codegen'd expression per pair — never an
+explode-to-positions join, which collapses onto #dimensions join keys
+and dies at any scale):
 
-- Oracle-parity path (`*_exact`): explode embeddings to (id, pos, x)
-  rows, join on position, accumulate dot products as DECIMAL — exact,
-  associative, therefore bit-identical between Spark and DuckDB
-  regardless of summation order. Used for correctness checks.
-- Scale path (`cosine_col`): per-pair `F.zip_with` + `F.aggregate`
-  fold, no explode — one row per pair, whole-stage codegen. Float sum
-  order is the fold order (deterministic within Spark, not across
-  engines), so this is the production operator and the exact path its
-  verifier.
+- Exact mode (`cosine_pairs_exact`, `cosine_col_exact`): each product
+  is truncated to fixed-point (floor(p * 1e16) as BIGINT — the floor
+  input is the identical IEEE double in every engine) and accumulated
+  with exact integer addition — associative, therefore bit-identical
+  between Spark and DuckDB regardless of summation order. The 1e-16
+  truncation costs ~6e-15 relative error on unit-scale vectors —
+  far below the 6-dp output rounding. Used for oracle-checked
+  operators. (A DECIMAL fold would be cleaner but Spark's decimal
+  addition widens the type, breaking the fold's acc-type closure.)
+- Float mode (`cosine_col`): double accumulation — fastest, sum order
+  is the fold order (deterministic within Spark, not across engines).
 
 Brute-force top-k cross-joins queries x corpus: O(Q*N) rows — fine for
 small Q (point lookups). The LSH-bucketed variant prunes candidates by
@@ -24,22 +29,40 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: exact decimal accumulator for products of unit-scale floats
-_DEC = "decimal(30,20)"
+#: fixed-point scale for exact accumulation; SQL twin:
+#: SUM(CAST(floor(p * 1e16) AS BIGINT)). Unit-scale products * 1e16
+#: stay well under 2^63 even for thousands of dimensions.
+FIXED_POINT_SCALE = 1e16
 
 
-def _positions(df: DataFrame, id_col: str, vec_col: str, alias: str) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias(alias),
-        F.posexplode(vec_col).alias("pos", f"x_{alias}"),
-    ).withColumn(f"x_{alias}", F.col(f"x_{alias}").cast("double"))
+def _fixed_fold(products: Column) -> Column:
+    """Order-independent sum of an array of doubles: floor each product
+    to fixed-point BIGINT (same IEEE double -> same long everywhere),
+    accumulate with exact long addition."""
+    return F.aggregate(
+        products,
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + F.floor(v * F.lit(FIXED_POINT_SCALE)).cast("long"),
+    )
 
 
-def norms_exact(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """(id, norm_sq DECIMAL): exact sum of squares."""
-    pos = _positions(df, id_col, vec_col, "v")
-    return pos.groupBy(F.col("v").alias(id_col)).agg(
-        F.sum((F.col("x_v") * F.col("x_v")).cast(_DEC)).alias("norm_sq")
+def norm_sq_exact(vec_col: Column) -> Column:
+    """Fixed-point sum of squares of an array<float> column (BIGINT)."""
+    return _fixed_fold(
+        F.transform(vec_col, lambda x: (x.cast("double") * x.cast("double")))
+    )
+
+
+def cosine_col_exact(vec_a: Column, vec_b: Column) -> Column:
+    """Engine-stable cosine: dot and norms fold as fixed-point BIGINT
+    (associative — bit-identical to DuckDB's SUM over unnest), final
+    divide/sqrt in double. The fixed-point scale cancels in the
+    ratio."""
+    dot = _fixed_fold(
+        F.zip_with(vec_a, vec_b, lambda x, y: x.cast("double") * y.cast("double"))
+    )
+    return dot.cast("double") / F.sqrt(
+        norm_sq_exact(vec_a).cast("double") * norm_sq_exact(vec_b).cast("double")
     )
 
 
@@ -49,40 +72,40 @@ def cosine_pairs_exact(
     vec_col: str,
     queries: DataFrame | None = None,
 ) -> DataFrame:
-    """All-pairs (or queries x corpus) cosine similarity, exact-decimal
-    dot products: (id_a, id_b, cosine double).
+    """All-pairs (or queries x corpus) cosine similarity with
+    exact-decimal accumulation: (id_a, id_b, cosine double).
 
     If `queries` is None: self-pairs with id_a < id_b. Otherwise
     `queries` is a same-schema DataFrame and all (query, corpus) pairs
     with id_a != id_b are scored.
+
+    The pair relation is a broadcast cross join (queries x corpus);
+    each pair's cosine is one codegen'd fold over the two arrays — no
+    shuffle after the join. At 100 TB the corpus side streams; only the
+    (small) query side broadcasts, or LSH bucketing prunes pairs first
+    (topk_lsh).
     """
-    corpus_pos = _positions(df, id_col, vec_col, "b")
-    corpus_norm = norms_exact(df, id_col, vec_col).select(
-        F.col(id_col).alias("id_b"), F.col("norm_sq").alias("nb")
+    a = df if queries is None else queries
+    left = a.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
     )
-    qdf = df if queries is None else queries
-    q_pos = _positions(qdf, id_col, vec_col, "a")
-    q_norm = norms_exact(qdf, id_col, vec_col).select(
-        F.col(id_col).alias("id_a"), F.col("norm_sq").alias("na")
+    right = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
     )
-    pair_cond = (
-        (F.col("a") < F.col("b"))
+    cond = (
+        (F.col("id_a") < F.col("id_b"))
         if queries is None
-        else (F.col("a") != F.col("b"))
-    )
-    dot = (
-        q_pos.join(corpus_pos, "pos")
-        .filter(pair_cond)
-        .groupBy(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
-        .agg(F.sum((F.col("x_a") * F.col("x_b")).cast(_DEC)).alias("dot"))
-    )
-    cos = F.col("dot").cast("double") / F.sqrt(
-        F.col("na").cast("double") * F.col("nb").cast("double")
+        else (F.col("id_a") != F.col("id_b"))
     )
     return (
-        dot.join(q_norm, "id_a")
-        .join(corpus_norm, "id_b")
-        .select("id_a", "id_b", cos.alias("cosine"))
+        F.broadcast(left)
+        .crossJoin(right)
+        .filter(cond)
+        .select(
+            "id_a",
+            "id_b",
+            cosine_col_exact(F.col("_va"), F.col("_vb")).alias("cosine"),
+        )
     )
 
 
@@ -126,11 +149,13 @@ def topk_bruteforce(
         F.round("cosine", 6).alias("cosine"),
     ).withColumn(
         "rank",
-        F.row_number().over(
+        F.row_number()
+        .over(
             Window.partitionBy("query_id").orderBy(
                 F.desc("cosine"), F.asc("vec_id")
             )
-        ),
+        )
+        .cast("long"),
     )
     return ranked.filter(F.col("rank") <= k)
 
@@ -206,11 +231,13 @@ def topk_lsh(
         .distinct()
         .withColumn(
             "rank",
-            F.row_number().over(
+            F.row_number()
+            .over(
                 Window.partitionBy("query_id").orderBy(
                     F.desc("cosine"), F.asc("vec_id")
                 )
-            ),
+            )
+            .cast("long"),
         )
     )
     return scored.filter(F.col("rank") <= k)

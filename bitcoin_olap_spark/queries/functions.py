@@ -127,18 +127,16 @@ def fn_array_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_struct_ctor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STRUCT(a, b) row-value construction used in an IN-subquery
     (mirrors `STRUCT(wallet, address) IN (SELECT STRUCT(...))`,
-    btcolap.sql:3-4): a left-semi join on struct equality."""
+    btcolap.sql:3-4): a left-semi join on a struct-typed key column.
+    The struct is a named column on both sides so Catalyst treats it as
+    an equi-join key (hash join) — a raw `struct(...) == struct(...)`
+    predicate inside the condition degrades to a nested-loop join."""
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
-    keys = li.filter(F.col("l_quantity") > 45).select(
-        F.struct("l_orderkey", "l_linenumber").alias("k")
-    )
-    return li.join(
-        keys,
-        F.struct(li.l_orderkey, li.l_linenumber) == keys.k,
-        "left_semi",
-    )
+    with_k = li.withColumn("k", F.struct("l_orderkey", "l_linenumber"))
+    keys = with_k.filter(F.col("l_quantity") > 45).select("k")
+    return with_k.join(keys, "k", "left_semi").drop("k")
 
 
 @query(

@@ -130,11 +130,12 @@ _COSINE_PAIRS_ORACLE = """
                CAST(unnest(embedding) AS DOUBLE) AS x
         FROM embeddings
     ), norms AS (
-        SELECT vec_id, SUM(CAST(x * x AS DECIMAL(30,20))) AS norm_sq
+        SELECT vec_id,
+               SUM(CAST(floor((x * x) * 1e16) AS BIGINT)) AS norm_sq
         FROM pos GROUP BY 1
     ), dots AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               SUM(CAST(a.x * b.x AS DECIMAL(30,20))) AS dot
+               SUM(CAST(floor((a.x * b.x) * 1e16) AS BIGINT)) AS dot
         FROM pos a JOIN pos b ON a.pos = b.pos AND a.vec_id < b.vec_id
         GROUP BY 1, 2
     )
@@ -154,7 +155,7 @@ _COSINE_PAIRS_ORACLE = """
 @query("dedup_embedding_cosine", oracle=_COSINE_PAIRS_ORACLE)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cosine >= 0.4): all-pairs exact
-    cosine with DECIMAL-accumulated dot products so summation order
+    cosine with fixed-point-accumulated dot products so summation order
     cannot perturb the value on either engine (SURVEY.md §5.1
     determinism rule applied to floats)."""
     emb = table(spark, sf_dir, "embeddings")
@@ -172,11 +173,12 @@ _TOPK_ORACLE = """
                CAST(unnest(embedding) AS DOUBLE) AS x
         FROM embeddings
     ), norms AS (
-        SELECT vec_id, SUM(CAST(x * x AS DECIMAL(30,20))) AS norm_sq
+        SELECT vec_id,
+               SUM(CAST(floor((x * x) * 1e16) AS BIGINT)) AS norm_sq
         FROM pos GROUP BY 1
     ), dots AS (
         SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
-               SUM(CAST(a.x * b.x AS DECIMAL(30,20))) AS dot
+               SUM(CAST(floor((a.x * b.x) * 1e16) AS BIGINT)) AS dot
         FROM pos a JOIN pos b ON a.pos = b.pos AND a.vec_id != b.vec_id
         WHERE a.vec_id < 5
         GROUP BY 1, 2

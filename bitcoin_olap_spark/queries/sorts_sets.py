@@ -36,7 +36,9 @@ def win_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SURVEY.md §2.5)."""
     w = Window.partitionBy("l_orderkey").orderBy("l_shipdate", "l_linenumber")
     return table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", F.row_number().over(w).alias("rn")
+        "l_orderkey",
+        "l_linenumber",
+        F.row_number().over(w).cast("long").alias("rn"),
     )
 
 

@@ -10,6 +10,7 @@ from . import (  # noqa: F401
     functions,
     joins,
     llmdata,
+    multimodal,
     relational,
     sorts_sets,
     sources,
@@ -20,6 +21,7 @@ ALL_MODULES = [
     functions,
     joins,
     llmdata,
+    multimodal,
     relational,
     sorts_sets,
     sources,

@@ -14,6 +14,7 @@ from . import (  # noqa: F401
     relational,
     sorts_sets,
     sources,
+    streaming,
 )
 
 ALL_MODULES = [
@@ -25,4 +26,5 @@ ALL_MODULES = [
     relational,
     sorts_sets,
     sources,
+    streaming,
 ]

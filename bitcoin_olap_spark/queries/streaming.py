@@ -1,0 +1,124 @@
+"""Streaming queries (SURVEY.md §2.9 — the reference's stated
+BitcoinETL direction, README.md:3 — re-expressed as Structured
+Streaming).
+
+Each query builds a genuinely streaming plan (file source, watermark,
+event-time windows / bounded-state dedup) and executes it to
+completion with trigger(availableNow=True), handing the driver a batch
+result. On static input every one of them is equivalent to a batch
+query, which is exactly what makes them oracle-checkable: the DuckDB
+SQL states the batch semantics the stream must converge to.
+
+Aggregations run in complete output mode — on a finite input the
+watermark never passes the last open window, so append mode would
+swallow the trailing windows.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import ORACLE_DAY, oracle_exact_sum
+from ..registry import query
+from ..streaming import (
+    daily_window_agg,
+    dedup_stream,
+    ingest_to_parquet,
+    run_to_batch,
+    sessionize,
+    stream_events,
+)
+
+_DAY = ORACLE_DAY.format(col="CAST(ts AS TIMESTAMP)")
+
+
+@query(
+    "stream_daily_agg",
+    oracle=f"""
+    SELECT {_DAY} AS day, event_type,
+           {oracle_exact_sum('value', 'total_value')},
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling 1-day window aggregation — the streaming
+    twin of agg_daily_sum. 1-day UTC windows align to date_trunc, so
+    the converged stream result equals the batch daily GROUP BY."""
+    return run_to_batch(
+        daily_window_agg(stream_events(spark, sf_dir)), spark, mode="complete"
+    )
+
+
+@query(
+    "stream_sessionize",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    ), flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS is_new
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+        SELECT user_id, ts, value,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           COUNT(*) AS n_events,
+           {oracle_exact_sum('value', 'session_value')}
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows per user (30-min gap) under a watermark —
+    the stateful merging-window operator. The oracle states the same
+    semantics relationally (lag + gap flag + running sum), which is
+    well-defined because session membership is tie-insensitive."""
+    return run_to_batch(
+        sessionize(stream_events(spark, sf_dir)), spark, mode="complete"
+    )
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+           value, props
+    FROM events
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming dedup: the stream is doubled by
+    self-union (every event arrives twice), dropDuplicates on
+    (event_id, ts) restores exactly the original rows — the streaming
+    form of the reference's dedup-DELETE maintenance
+    (btcolap.sql:1-15)."""
+    ev = stream_events(spark, sf_dir)
+    return run_to_batch(dedup_stream(ev.unionByName(ev)), spark)
+
+
+@query(
+    "stream_ingest_partitioned",
+    oracle=f"""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+           value, props, {_DAY} AS day
+    FROM events
+    """,
+)
+def stream_ingest_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion into a date-partitioned parquet ledger
+    (append + partitionBy(day) => partition-pruned downstream scans;
+    replaces the reference's manual pre/post-SAFE split, btcolap.sql:322
+    vs :370). Returns the read-back dataset."""
+    out_dir = tempfile.mkdtemp(prefix="stream_ingest_")
+    got = ingest_to_parquet(stream_events(spark, sf_dir), spark, out_dir)
+    return got.withColumn("day", F.col("day").cast("timestamp"))

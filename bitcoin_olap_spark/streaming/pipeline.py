@@ -1,0 +1,140 @@
+"""Streaming pipeline building blocks over the `events` table.
+
+Each builder takes a *streaming* DataFrame and returns a streaming
+DataFrame; `run_to_batch` executes any of them to completion with
+`trigger(availableNow=True)` into a memory sink and returns the batch
+result — the bridge between the streaming operators and the driver's
+batch-oracle contract.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import exact_sum
+
+#: gap that closes a session (native session_window semantics: an event
+#: extends its session to ts + gap; a later event merges iff it starts
+#: strictly before that end).
+SESSION_GAP = "30 minutes"
+
+_MEMSINK_SEQ = itertools.count()
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source streaming read of the events table: the stand-in for
+    the BitcoinETL feed (README.md:3). Schema is taken from a batch
+    peek (streaming file sources require an explicit schema — inference
+    would race with new files); nanosecond parquet timestamps surface
+    as long and convert with integer DIV exactly like catalog.table."""
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    from pyspark.sql.types import LongType
+
+    if isinstance(raw.schema["ts"].dataType, LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw
+
+
+def daily_window_agg(events: DataFrame) -> DataFrame:
+    """Tumbling 1-day event-time window with a 1-day watermark: the
+    streaming twin of agg_daily_sum (daily signed flow,
+    btc_logregression_pre.py:14-26). Watermark bounds state; the window
+    shuffle partitions by (window, event_type) like the batch groupBy."""
+    return (
+        events.withWatermark("ts", "1 day")
+        .groupBy(
+            F.window("ts", "1 day").alias("win"),
+            F.col("event_type"),
+        )
+        .agg(
+            exact_sum("value", "total_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("win.start").alias("day"),
+            "event_type",
+            "total_value",
+            "n_events",
+        )
+    )
+
+
+def sessionize(events: DataFrame) -> DataFrame:
+    """Native session windows per user (gap = SESSION_GAP) — the
+    custom stateful operator a tick/flow pipeline needs, expressed with
+    the built-in session_window (merging-window state machine in the
+    engine, no Python state management)."""
+    return (
+        events.withWatermark("ts", "1 day")
+        .groupBy(F.session_window("ts", SESSION_GAP).alias("sw"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value", "session_value"),
+        )
+        .select(
+            F.col("user_id"),
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame) -> DataFrame:
+    """Streaming exact dedup on event_id with watermark-bounded state:
+    the streaming form of the reference's dedup-DELETE maintenance
+    (btcolap.sql:1-15). Keys older than the watermark are evicted, so
+    state is bounded by (arrival skew x key rate), not by history."""
+    return events.withWatermark("ts", "1 day").dropDuplicates(
+        ["event_id", "ts"]
+    )
+
+
+def run_to_batch(
+    sdf: DataFrame, spark: SparkSession, mode: str = "append"
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion (availableNow) into
+    a memory sink; return the batch result. Aggregations pass
+    mode='complete' so windows still open at end-of-stream (watermark
+    never passes the final window on a finite input) are emitted."""
+    name = f"stream_sink_{next(_MEMSINK_SEQ)}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def ingest_to_parquet(
+    events: DataFrame, spark: SparkSession, out_dir: str
+) -> DataFrame:
+    """Streaming ingestion into a date-partitioned parquet ledger
+    (append mode + partitionBy day => downstream partition pruning for
+    free; replaces the reference's manual pre/post-SAFE split). Runs to
+    completion with availableNow and returns the read-back dataset."""
+    with_day = events.withColumn("day", F.to_date("ts"))
+    q = (
+        with_day.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .partitionBy("day")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)

@@ -1,0 +1,4 @@
+"""Statistical tail of the reference pipeline, in-engine
+(SURVEY.md §2.10)."""
+
+from .regression import loglog_ols_exact, loglog_ols_ml  # noqa: F401

@@ -7,10 +7,12 @@ silently skipped.
 
 from . import (  # noqa: F401
     aggregates,
+    analytics,
     functions,
     joins,
     llmdata,
     multimodal,
+    pipeline,
     relational,
     sorts_sets,
     sources,
@@ -19,10 +21,12 @@ from . import (  # noqa: F401
 
 ALL_MODULES = [
     aggregates,
+    analytics,
     functions,
     joins,
     llmdata,
     multimodal,
+    pipeline,
     relational,
     sorts_sets,
     sources,

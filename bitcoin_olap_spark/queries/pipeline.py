@@ -1,0 +1,111 @@
+"""End-to-end pipeline parity query (SURVEY.md §5.3 / §7 Phase 4).
+
+`pipeline_ledger_e2e` runs the reference's entire 6-stage ledger build
+(plans/ledger.py) over deterministic Bitcoin-shaped fixtures and rolls
+it up to the daily analytical grain. The oracle SQL constructs the
+SAME fixtures and stages in DuckDB — one query proving the whole DAG,
+not just its operators, agrees across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..plans import bitcoin_fixtures, ledger_daily_rollup, ledger_pipeline
+from ..registry import query
+
+_E2E_ORACLE = """
+WITH base AS (
+    SELECT o_orderkey AS k, o_orderdate,
+           CAST(floor(o_totalprice * 100) AS BIGINT) AS sat,
+           'a' || CAST((o_orderkey * 2 + 1) % 2000 AS VARCHAR) AS a1,
+           'a' || CAST((o_orderkey * 3 + 2) % 2000 AS VARCHAR) AS a2
+    FROM orders
+), tx AS (
+    SELECT CAST(k AS VARCHAR) AS hash, o_orderdate AS block_timestamp,
+           CASE WHEN k % 97 = 0
+                THEN CAST([] AS STRUCT(value BIGINT, addresses VARCHAR[])[])
+                WHEN k % 2 = 0
+                THEN [{'value': sat + 1, 'addresses': [a1]}]
+                ELSE [{'value': sat + 1, 'addresses': [a1]},
+                      {'value': sat + 2, 'addresses': [a1, a2]}]
+           END AS inputs,
+           CASE WHEN k % 89 = 0
+                THEN CAST([] AS STRUCT(value BIGINT, addresses VARCHAR[])[])
+                WHEN k % 3 = 0
+                THEN [{'value': sat + 3, 'addresses': [a2]}]
+                ELSE [{'value': sat + 3, 'addresses': [a2]},
+                      {'value': sat + 4, 'addresses': [a2, a1]}]
+           END AS outputs
+    FROM base
+), addr_raw AS (
+    SELECT 'w' || CAST((c_custkey * 7) % 50 AS VARCHAR) AS wallet,
+           'a' || CAST(c_custkey % 1999 AS VARCHAR) AS address
+    FROM customer
+    UNION ALL
+    SELECT 'w' || CAST((c_custkey * 7) % 50 AS VARCHAR),
+           'a' || CAST(c_custkey % 1999 AS VARCHAR)
+    FROM customer WHERE c_custkey % 5 = 0
+), addr AS (
+    SELECT wallet, address FROM (
+        SELECT wallet, address,
+               row_number() OVER (PARTITION BY wallet, address
+                                  ORDER BY wallet, address) AS rn
+        FROM addr_raw
+    ) WHERE rn = 1
+), wloc AS (
+    SELECT 'w' || CAST(wid AS VARCHAR) AS wallet,
+           CASE wid % 7 WHEN 0 THEN 'China' WHEN 1 THEN 'Russia'
+                WHEN 2 THEN 'US' WHEN 3 THEN '?' WHEN 4 THEN NULL
+                WHEN 5 THEN 'Brazil,Zibralter,Mexico'
+                ELSE 'Germany' END AS location
+    FROM (SELECT DISTINCT (c_custkey * 7) % 50 AS wid FROM customer)
+), ins AS (
+    SELECT t.hash, t.block_timestamp, u.txo.value AS sat_value,
+           ia.addr
+    FROM tx t, UNNEST(t.inputs) AS u(txo),
+         UNNEST(u.txo.addresses) AS ia(addr)
+), outs AS (
+    SELECT t.hash, t.block_timestamp, u.txo.value AS sat_value,
+           ia.addr
+    FROM tx t, UNNEST(t.outputs) AS u(txo),
+         UNNEST(u.txo.addresses) AS ia(addr)
+), txid_sum AS (
+    SELECT i.hash FROM ins i JOIN addr a ON i.addr = a.address
+    UNION
+    SELECT o.hash FROM outs o JOIN addr a ON o.addr = a.address
+), flows AS (
+    SELECT * FROM (
+        SELECT block_timestamp, hash AS txid, 'input' AS type, addr,
+               -sat_value AS sat
+        FROM ins
+        UNION ALL
+        SELECT block_timestamp, hash, 'output', addr, sat_value
+        FROM outs
+    ) WHERE txid IN (SELECT hash FROM txid_sum)
+), ledger AS (
+    SELECT f.block_timestamp, f.type, f.sat, w.location,
+           CASE WHEN f.block_timestamp >= TIMESTAMP '1995-06-17 00:00:00'
+                THEN 'post' ELSE 'pre' END AS period
+    FROM flows f
+    JOIN addr a ON f.addr = a.address
+    JOIN wloc w ON a.wallet = w.wallet
+)
+SELECT CAST(date_trunc('day', block_timestamp) AS TIMESTAMP) AS day,
+       location, period, type,
+       CAST(SUM(sat) AS DOUBLE) / 100000000 AS flow_btc,
+       COUNT(*) AS n_rows
+FROM ledger
+GROUP BY 1, 2, 3, 4
+"""
+
+
+@query("pipeline_ledger_e2e", oracle=_E2E_ORACLE)
+def pipeline_ledger_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full 6-stage ledger pipeline (dedup -> txid
+    discovery via explode+join x2 -> union-distinct -> signed lateral
+    flows -> dim enrichment) as ONE lazy DAG, rolled up to daily grain.
+    Satoshi arithmetic stays BIGINT end-to-end so both engines sum
+    exactly."""
+    tx, addr_raw, wloc = bitcoin_fixtures(spark, sf_dir)
+    return ledger_daily_rollup(ledger_pipeline(tx, addr_raw, wloc))

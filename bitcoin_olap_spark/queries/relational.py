@@ -167,9 +167,11 @@ def flt_str_eq_ne(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def flt_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN (subquery) as a left-semi join (mirrors the keep/delete-by-
-    subquery dedup, btcolap.sql:290-298). Semi join shuffles only the
-    key column of the filter side; with AQE a small filter side flips
-    to broadcast at runtime."""
+    subquery dedup, btcolap.sql:290-298). The filter side is explicitly
+    broadcast: a keep/delete key list is small relative to the fact by
+    construction (it is the output of a selective predicate), and the
+    hint saves the fact-side shuffle AQE would only elide after paying
+    the first exchange."""
     li = table(spark, sf_dir, "lineitem")
     keys = (
         table(spark, sf_dir, "orders")
@@ -177,7 +179,7 @@ def flt_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey")
     )
     return li.join(
-        keys, li.l_orderkey == keys.o_orderkey, "left_semi"
+        F.broadcast(keys), li.l_orderkey == keys.o_orderkey, "left_semi"
     ).select("l_orderkey", "l_linenumber", "l_extendedprice")
 
 

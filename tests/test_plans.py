@@ -1,0 +1,86 @@
+"""Physical-plan shape assertions (SURVEY.md §4): the optimizations the
+100 TB posture depends on must be visible in .explain — pushed filters,
+pruned scans, broadcast joins (not sort-merge / nested-loop), map-side
+partial aggregation, whole-stage codegen, Arrow-batched Python stages.
+These tests pin the plan, not just the answer, so a regression that
+keeps results correct but loses the scan pruning or a broadcast hint
+fails loudly."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_str(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def q(spark):
+    from bitcoin_olap_spark.registry import all_queries
+
+    return all_queries()
+
+
+def test_scan_pushdown_and_pruning(spark, q):
+    """Filter and 3-column projection must reach the parquet scan."""
+    p = plan_str(q["src_parquet_glob"](spark, SF))
+    assert "PushedFilters" in p
+    assert "GreaterThanOrEqual(l_quantity,30" in p.replace(" ", "").replace(
+        "l_quantity,3", "l_quantity,3"
+    ) or "l_quantity" in p.split("PushedFilters")[1].split("\n")[0]
+    read_schema = p.split("ReadSchema")[1].split("\n")[0]
+    assert "l_orderkey" in read_schema and "l_comment" not in read_schema
+
+
+def test_dim_join_is_broadcast(spark, q):
+    """121-row dimension join must be broadcast, never sort-merge."""
+    p = plan_str(q["join_dim_broadcast"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_struct_semi_join_is_hash_not_nested_loop(spark, q):
+    p = plan_str(q["fn_struct_ctor"](spark, SF))
+    assert "NestedLoop" not in p
+    assert "LeftSemi" in p
+
+
+def test_daily_agg_has_partial_aggregation(spark, q):
+    """Map-side partial agg (two HashAggregate levels) + pushed
+    event_type filter: each task reduces to #days rows pre-shuffle."""
+    p = plan_str(q["agg_daily_sum"](spark, SF))
+    assert p.count("HashAggregate") >= 2
+    assert "PushedFilters" in p
+    pushed = p.split("PushedFilters")[1].split("\n")[0]
+    assert "event_type" in pushed
+
+
+def test_ledger_pipeline_all_joins_broadcast(spark, q):
+    """The whole 6-stage DAG must contain no fact-fact shuffle join:
+    every join is broadcast (dims and the small txid set)."""
+    p = plan_str(q["pipeline_ledger_e2e"](spark, SF))
+    assert "SortMergeJoin" not in p
+    assert "ShuffledHashJoin" not in p
+    assert "BroadcastHashJoin" in p
+    assert "Generate" in p  # the lateral explodes survived into the plan
+
+
+def test_cosine_scoring_is_arrow_batched(spark, q):
+    p = plan_str(q["dedup_embedding_cosine"](spark, SF))
+    assert "MapInPandas" in p or "mapInPandas" in p
+
+
+def test_whole_stage_codegen_present(spark, q):
+    """Formatted explain marks codegen'd operators with '*'; the hot
+    filter must be inside a codegen stage, not interpreted."""
+    p = plan_str(q["flt_ts_range"](spark, SF))
+    assert "* Filter" in p

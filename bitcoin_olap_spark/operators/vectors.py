@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 #: fixed-point scale for exact accumulation; SQL twin:
 #: SUM(CAST(floor(p * 1e16) AS BIGINT)). Unit-scale products * 1e16
@@ -180,6 +181,119 @@ def topk_bruteforce(
         .cast("long"),
     )
     return ranked.filter(F.col("rank") <= k)
+
+
+def score_pairs_arrow(
+    pairs: DataFrame,
+    a_id: str,
+    b_id: str,
+    a_vec: str = "_va",
+    b_vec: str = "_vb",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Float-mode cosine over a pair relation, Arrow-batched numpy:
+    (a_id, b_id, *extra_cols, cosine double). The generic scoring
+    kernel the ANN operators share — pairs come from whatever pruning
+    strategy (cross join, LSH bucket, IVF probe), scoring cost is one
+    vectorized matmul-row per batch."""
+    import numpy as np
+    import pandas as pd
+
+    schema_ids = ", ".join(
+        f"{c} {pairs.schema[c].dataType.simpleString()}"
+        for c in (a_id, b_id, *extra_cols)
+    )
+    out_schema = f"{schema_ids}, cosine double"
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            va = np.stack(pdf[a_vec].values).astype(np.float64)
+            vb = np.stack(pdf[b_vec].values).astype(np.float64)
+            cos = (va * vb).sum(axis=1) / np.sqrt(
+                (va * va).sum(axis=1) * (vb * vb).sum(axis=1)
+            )
+            out = {c: pdf[c] for c in (a_id, b_id, *extra_cols)}
+            out["cosine"] = cos
+            yield pd.DataFrame(out)
+
+    return pairs.mapInPandas(run, schema=out_schema)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize the corpus into
+    `n_centroids` inverted lists, probe only the query's `nprobe`
+    nearest lists. Scoring cost drops from O(Q*N) to
+    O(Q*N*nprobe/n_centroids) plus the one-off O(N*n_centroids)
+    assignment.
+
+    Centroids are the `n_centroids` lowest-id corpus vectors —
+    deterministic and rotation-free; a production pipeline plugs
+    k-means centroids into the same seam (the assignment/probe/score
+    dataflow is identical, only the centroid relation changes).
+
+    At scale: assignment is a map-side cross join against broadcast
+    centroids; the candidate join shuffles on centroid id — lists are
+    the partitioning unit, exactly how a distributed IVF shards.
+    """
+    cent = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("_vb"))
+    )
+
+    def nearest(df: DataFrame, n: int, out: str) -> DataFrame:
+        pairs = df.select(
+            F.col(id_col), F.col(vec_col).alias("_va")
+        ).crossJoin(F.broadcast(cent))
+        scored = score_pairs_arrow(pairs, id_col, "cid")
+        w = Window.partitionBy(id_col).orderBy(
+            F.desc("cosine"), F.asc("cid")
+        )
+        return (
+            scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= n)
+            .select(F.col(id_col).alias(out), "cid")
+        )
+
+    lists = nearest(corpus, 1, "vec_id_c")  # inverted lists: vector -> 1 list
+    probes = nearest(queries, nprobe, "query_id")
+
+    corpus_v = corpus.select(
+        F.col(id_col).alias("vec_id_c"), F.col(vec_col).alias("_vb")
+    )
+    query_v = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_va")
+    )
+    cand = (
+        probes.join(lists, "cid")
+        .filter(F.col("query_id") != F.col("vec_id_c"))
+        .select("query_id", "vec_id_c")
+        .distinct()
+        .join(F.broadcast(query_v), "query_id")
+        .join(corpus_v, "vec_id_c")
+    )
+    scored = score_pairs_arrow(cand, "query_id", "vec_id_c").select(
+        "query_id",
+        F.col("vec_id_c").alias("vec_id"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def lsh_bucket_signature(vec_col: Column, num_planes: int = 8) -> Column:

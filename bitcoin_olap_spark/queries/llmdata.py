@@ -220,6 +220,20 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.topk_lsh(emb, queries, "vec_id", "embedding", k=10, num_planes=6)
 
 
+@query("sim_topk_ivf", oracle=None)
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via IVF coarse quantization: corpus sharded
+    into inverted lists by nearest centroid, queries probe their 4
+    nearest lists — the scale path when bucket recall matters more than
+    LSH's probabilistic guarantees. Rows-only for the driver; tests
+    measure recall against sim_topk_bruteforce."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return V.ivf_topk(
+        emb, queries, "vec_id", "embedding", k=10, n_centroids=16, nprobe=4
+    )
+
+
 # ----------------------------------------------------------------- text
 
 _LANG_CASE = """

@@ -28,6 +28,7 @@ from ..streaming import (
     dedup_stream,
     ingest_to_parquet,
     run_to_batch,
+    running_user_sequence,
     sessionize,
     stream_events,
 )
@@ -104,6 +105,26 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (btcolap.sql:1-15)."""
     ev = stream_events(spark, sf_dir)
     return run_to_batch(dedup_stream(ev.unionByName(ev)), spark)
+
+
+@query(
+    "stream_stateful_seq",
+    oracle="""
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY CAST(ts AS TIMESTAMP), event_id) AS seq
+    FROM events
+    """,
+)
+def stream_stateful_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running sequence numbers carried in GroupState across batches. On
+    the finite input this converges to the per-user row_number the
+    oracle states — but the streaming form keeps numbering correctly
+    as new micro-batches arrive, which no batch window can."""
+    return run_to_batch(
+        running_user_sequence(stream_events(spark, sf_dir)), spark
+    )
 
 
 @query(

@@ -29,6 +29,7 @@ from .pipeline import (  # noqa: F401
     dedup_stream,
     ingest_to_parquet,
     run_to_batch,
+    running_user_sequence,
     sessionize,
     stream_events,
 )

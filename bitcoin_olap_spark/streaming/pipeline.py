@@ -100,6 +100,45 @@ def dedup_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def running_user_sequence(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running event sequence numbers that persist ACROSS
+    micro-batches (GroupState carries the per-user count forward —
+    semantics dropDuplicates/window aggs can't express because the
+    output is per-event, not per-window).
+
+    Emits (user_id, event_id, ts, seq) where seq numbers the user's
+    events in (ts, event_id) order. State per user is one integer —
+    bounded by user cardinality, the canonical keyed-state shape.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def assign(key, pdfs, state):
+        start = state.get[0] if state.exists else 0
+        frames = [
+            pdf[["user_id", "event_id", "ts"]] for pdf in pdfs if len(pdf)
+        ]
+        if not frames:
+            return
+        batch = (
+            pd.concat(frames)
+            .sort_values(["ts", "event_id"])
+            .reset_index(drop=True)
+        )
+        batch["seq"] = range(start + 1, start + 1 + len(batch))
+        state.update((start + len(batch),))
+        yield batch
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        assign,
+        outputStructType="user_id long, event_id long, ts timestamp, seq long",
+        stateStructType="n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_batch(
     sdf: DataFrame, spark: SparkSession, mode: str = "append"
 ) -> DataFrame:

@@ -102,3 +102,28 @@ def test_exact_dedup_finds_planted_copies(spark, docs):
     two = res.filter(F.col("n_copies") >= 2)
     assert two.count() == dupes.count()
     assert two.filter(F.col("keep_id") >= 100000).count() == 0
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    """IVF with nprobe=4 of 16 lists scans ~25% of the corpus per query
+    and should recover a solid fraction of the exact top-10."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.catalog import table
+    from bitcoin_olap_spark.operators.vectors import ivf_topk, topk_bruteforce
+
+    emb = table(spark, SF_ORACLE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in topk_bruteforce(
+            emb, queries, "vec_id", "embedding", k=10
+        ).collect()
+    }
+    approx_rows = ivf_topk(
+        emb, queries, "vec_id", "embedding", k=10, n_centroids=16, nprobe=4
+    ).collect()
+    approx = {(r.query_id, r.vec_id) for r in approx_rows}
+    assert all(1 <= r.rank <= 10 for r in approx_rows)
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"IVF top-k recall too low: {recall}"

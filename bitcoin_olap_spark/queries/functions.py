@@ -179,3 +179,27 @@ def fn_str_literal_cmp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("c_custkey", "c_name", "c_mktsegment")
     )
+
+
+@query(
+    "fn_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+    """,
+)
+def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-path extraction over the semi-structured props column
+    (beyond the reference's surface — SURVEY.md §2.8 notes it uses no
+    JSON functions — but table stakes for an events pipeline). Stays
+    JVM-side via get_json_object; the extracted predicate filters
+    post-scan (JSON paths cannot push into parquet row groups — at
+    scale, hot keys get materialized into typed columns instead)."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select("event_id", k.alias("k"))
+        .filter(F.col("k") >= 50)
+    )

@@ -188,3 +188,33 @@ def join_pd_merge_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily_in.join(daily_out, "day", "inner").select(
         "day", "txid_input", "txid_output"
     )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact⋈dim join (operators/skew.py): the explicit skew
+    mitigation for hot keys (exchange hot-wallets skew the reference's
+    wallet / transaction_hash joins, btcolap.sql:112-114, :429-430).
+    Row-identical to the plain join — the oracle states the unsalted
+    form — but a hot orderkey spreads across 8 reducers instead of
+    stalling one."""
+    from ..operators.skew import salted_join
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), "l_linenumber", "l_quantity"
+    )
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_totalprice"
+    )
+    return salted_join(li, o, "k", salt_buckets=8).select(
+        F.col("k").alias("l_orderkey"),
+        "l_linenumber",
+        "l_quantity",
+        "o_totalprice",
+    )

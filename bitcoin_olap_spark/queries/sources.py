@@ -201,3 +201,43 @@ def snk_to_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .toPandas()
     )
     return spark.createDataFrame(pdf)
+
+
+@query(
+    "join_bucketed_colocate",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_quantity >= 45
+    """,
+)
+def join_bucketed_colocate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact⋈fact join via bucketing: both tables are written
+    bucketed by the join key (8 buckets, sorted), so the join plans
+    with NO Exchange on either side — bucket i joins bucket i in place.
+    This is the 100 TB strategy for repeated fact-fact joins (bucket
+    `transactions` and the txo tables by transaction_hash once, join
+    shuffle-free forever, SURVEY.md §4); the plan-shape test pins the
+    exchange-free property. Results are row-identical to the plain
+    join, which is what the oracle states."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    for name, df, key in (
+        ("bkt_lineitem", li, "l_orderkey"),
+        ("bkt_orders", o, "o_orderkey"),
+    ):
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", _tmp(name))
+            .saveAsTable(name)
+        )
+    bl = spark.table("bkt_lineitem").filter(F.col("l_quantity") >= 45)
+    bo = spark.table("bkt_orders")
+    return bl.join(bo, bl.l_orderkey == bo.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "o_totalprice"
+    )

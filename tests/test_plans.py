@@ -84,3 +84,21 @@ def test_whole_stage_codegen_present(spark, q):
     filter must be inside a codegen stage, not interpreted."""
     p = plan_str(q["flt_ts_range"](spark, SF))
     assert "* Filter" in p
+
+
+def test_bucketed_join_has_no_exchange(spark, q):
+    """Bucketed-by-key tables must join without any shuffle exchange.
+    At sf0.01 the planner rightly prefers a broadcast (small side), so
+    broadcast is disabled here to expose the bucketed path — the plan
+    a fact-fact join takes when neither side fits in memory."""
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = q["join_bucketed_colocate"](spark, SF)
+        p = plan_str(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert "Exchange hashpartitioning" not in p
+    assert "BroadcastExchange" not in p
+    assert "SortMergeJoin" in p
+    assert "Bucketed: true" in p

@@ -1,0 +1,116 @@
+"""Property-based tests (hypothesis): algebraic invariants that must
+hold for ANY input, not just the testdata — the class of guarantee the
+oracle comparisons can't give (SURVEY.md §5 strategy, strengthened).
+
+Examples run against one shared SparkSession; example counts are kept
+small because each example is a Spark job.
+"""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+floats = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+
+
+@SETTINGS
+@given(values=st.lists(floats, min_size=1, max_size=50))
+def test_exact_sum_is_order_independent(spark, values):
+    """exact_sum must equal the Python-decimal reference regardless of
+    partitioning/summation order: shuffled input, repartitioned 7 ways,
+    same result to the quantized digit."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.functions import exact_sum
+
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    got = df.repartition(7).agg(exact_sum("v", "s")).collect()[0]["s"]
+    # HALF_UP matches Spark's (and DuckDB's) double->decimal cast;
+    # Python's default banker's rounding would diverge on exact ties
+    ref = float(
+        sum(
+            Decimal(str(v)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+            for v in values
+        )
+    )
+    assert got == pytest.approx(ref, abs=1e-9)
+
+
+@SETTINGS
+@given(
+    n_fact=st.integers(min_value=0, max_value=40),
+    n_keys=st.integers(min_value=1, max_value=5),
+    salt=st.integers(min_value=1, max_value=6),
+)
+def test_salted_join_equals_plain_join(spark, n_fact, n_keys, salt):
+    """salted_join is row-identical to the unsalted join for any salt
+    factor, including hot-key distributions (all facts on one key)."""
+    from bitcoin_olap_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(i % n_keys, i) for i in range(n_fact)], "k long, payload long"
+    )
+    dim = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(n_keys)], "k long, label string"
+    )
+    got = sorted(
+        tuple(r) for r in salted_join(fact, dim, "k", salt).collect()
+    )
+    want = sorted(tuple(r) for r in fact.join(dim, "k").collect())
+    assert got == want
+
+
+@SETTINGS
+@given(text=st.text(alphabet=st.characters(codec="ascii"), max_size=80))
+def test_fingerprint_normalization_invariants(spark, text):
+    """Document fingerprints must be invariant under case changes and
+    extra whitespace — the normalization contract of exact dedup."""
+    from bitcoin_olap_spark.operators.text import fingerprint
+
+    df = spark.createDataFrame(
+        [(text, text.upper(), "  " + text.replace(" ", "   ") + " ")],
+        "a string, b string, c string",
+    )
+    row = df.select(
+        fingerprint("a").alias("fa"),
+        fingerprint("b").alias("fb"),
+        fingerprint("c").alias("fc"),
+    ).collect()[0]
+    assert row["fa"] == row["fb"] == row["fc"]
+
+
+@SETTINGS
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=10**6),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+def test_exact_dedup_idempotent(spark, ids):
+    """Running exact dedup on an already-deduped corpus changes
+    nothing: every fingerprint keeps n_copies == 1."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(i, f"unique document number {i}") for i in ids],
+        "doc_id long, text string",
+    )
+    once = exact_dedup(df, "doc_id", "text")
+    assert once.filter(F.col("n_copies") != 1).count() == 0
+    assert once.count() == len(ids)

@@ -102,6 +102,51 @@ def _decode_real(payload: bytes, fmt: str):  # pragma: no cover - STUB
     raise NotImplementedError("STUB: real decode path not wired yet")
 
 
+def resize_payload(
+    df: DataFrame, id_col: str, target_bytes: int = 256, fake: str = "truncate"
+) -> DataFrame:
+    """Resize/downsample payloads to a byte budget, updating metadata:
+    (id_col, blob BINARY, media_meta STRUCT<...>) with n_bytes <=
+    target_bytes and n_frames rederived.
+
+    Same mapInPandas seam as decode_features: `fake='truncate'` is the
+    deterministic stand-in codec (byte-truncate — a real pipeline swaps
+    in PIL resize / audio downsample behind `fake=None`, which raises
+    the gated STUB). Runs payload-local, no shuffle; output partition
+    sizes shrink to the byte budget, which is the operator's point at
+    100 TB (decode-and-shrink early, ship small bytes downstream)."""
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} {id_type}, blob binary, "
+        "media_meta struct<format:string,n_bytes:bigint,n_frames:bigint>"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if fake is None:
+                _decode_real(
+                    pdf["blob"].iloc[0], pdf["media_meta"].iloc[0]["format"]
+                )
+            blobs = [bytes(b)[:target_bytes] for b in pdf["blob"]]
+            meta = [
+                {
+                    "format": m["format"],
+                    "n_bytes": len(b),
+                    "n_frames": (len(b) % MAX_FRAMES) + 1,
+                }
+                for m, b in zip(pdf["media_meta"], blobs)
+            ]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "blob": blobs, "media_meta": meta}
+            )
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def decode_features(
     df: DataFrame, id_col: str, fake: str = "histogram"
 ) -> DataFrame:

@@ -69,6 +69,29 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.frame_sample(_media(spark, sf_dir), "doc_id", every=10)
 
 
+@query(
+    "mm_resize",
+    oracle="""
+    SELECT doc_id,
+           least(octet_length(encode(text)), 256) AS n_bytes,
+           (least(octet_length(encode(text)), 256) % 240) + 1 AS n_frames
+    FROM documents
+    """,
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize payloads to a 256-byte budget (deterministic truncate
+    codec standing in for image/audio downsampling) and rederive
+    metadata. The oracle checks the metadata algebra (clamped byte
+    length, frame count); the payload transform itself is pinned by
+    tests against a pure-Python reference."""
+    resized = MM.resize_payload(_media(spark, sf_dir), "doc_id", 256)
+    return resized.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.n_frames").alias("n_frames"),
+    )
+
+
 @query("mm_decode_features", oracle=None)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract over payload bytes via Arrow-batched

@@ -75,3 +75,20 @@ def test_frame_sample_bounds(media):
         )
     )
     assert bad.count() == 0
+
+
+def test_resize_payload_matches_python_reference(spark, media):
+    out = (
+        MM.resize_payload(media, "doc_id", target_bytes=64)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    src = media.select("doc_id", "blob").toPandas().set_index("doc_id")
+    assert len(out) == len(src)
+    for doc_id in list(src.index[:25]):
+        want = bytes(src.loc[doc_id, "blob"])[:64]
+        got = bytes(out.loc[doc_id, "blob"])
+        assert got == want
+        meta = out.loc[doc_id, "media_meta"]
+        assert meta["n_bytes"] == len(want)
+        assert meta["n_frames"] == (len(want) % MM.MAX_FRAMES) + 1

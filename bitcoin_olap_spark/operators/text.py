@@ -122,24 +122,25 @@ def fingerprint(text: str | Column) -> Column:
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: (id_col, shingle).
 
-    Built with posexplode + lead window (partitioned per document) —
-    fully distributed, no Python. DuckDB twin uses
-    unnest+generate_subscripts + lead ... QUALIFY.
-    """
-    from pyspark.sql.window import Window
-
-    ws = df.select(
+    Built document-locally: split to a word array, slide an index
+    window with `transform`, dedupe with `array_distinct`, explode.
+    ZERO shuffles — the previous formulation (posexplode + lead window
+    per document) shuffled every word in the corpus just to pair
+    neighbors that were already adjacent in the array. At 100 TB this
+    is the difference between a map-only stage and a corpus-wide
+    sort."""
+    arr = words(text_col)
+    m = F.size(arr) - (n - 1)
+    shingle_arr = F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(arr, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
         F.col(id_col),
-        F.posexplode(words(text_col)).alias("pos", "w"),
-    )
-    win = Window.partitionBy(id_col).orderBy("pos")
-    shingle = F.concat_ws(
-        " ", F.col("w"), *[F.lead("w", i).over(win) for i in range(1, n)]
-    )
-    last = F.lead("w", n - 1).over(win)
-    return (
-        ws.select(F.col(id_col), shingle.alias("shingle"), last.alias("_last"))
-        .filter(F.col("_last").isNotNull())
-        .select(id_col, "shingle")
-        .distinct()
+        F.explode(F.array_distinct(shingle_arr)).alias("shingle"),
     )

@@ -53,6 +53,12 @@ def main() -> None:
         except Exception as exc:  # keep the suite going; surface on stderr
             print(f"bench: {qid} failed: {exc}", file=sys.stderr)
             timings[qid] = -1.0
+        finally:
+            # isolate queries: cached intermediates (shingle relations
+            # etc.) are legitimate within a query's warm+timed passes,
+            # but leaking them across queries distorts neighbors via
+            # memory pressure
+            spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     print(

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import itertools
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -23,6 +24,22 @@ from ..functions import exact_sum
 SESSION_GAP = "30 minutes"
 
 _MEMSINK_SEQ = itertools.count()
+
+
+@contextmanager
+def _few_state_partitions(spark: SparkSession, n: int = 8):
+    """Streaming state partition count is pinned by shuffle.partitions
+    at FIRST query start (then baked into the checkpoint); every state
+    partition costs a state-store instance + task per micro-batch. For
+    the one-shot availableNow runs here, 8 is plenty; a long-lived
+    production stream sizes this to key cardinality x executor count
+    up front (it cannot be changed without a new checkpoint)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -147,14 +164,15 @@ def run_to_batch(
     mode='complete' so windows still open at end-of-stream (watermark
     never passes the final window on a finite input) are emitted."""
     name = f"stream_sink_{next(_MEMSINK_SEQ)}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _few_state_partitions(spark):
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -166,14 +184,15 @@ def ingest_to_parquet(
     free; replaces the reference's manual pre/post-SAFE split). Runs to
     completion with availableNow and returns the read-back dataset."""
     with_day = events.withColumn("day", F.to_date("ts"))
-    q = (
-        with_day.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
-        .partitionBy("day")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _few_state_partitions(spark):
+        q = (
+            with_day.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+            .partitionBy("day")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out_dir)

@@ -1,0 +1,111 @@
+"""Temporal join operators: as-of join and banded range join.
+
+Spark has no native ASOF / interval join (DuckDB and kdb-style engines
+do), so these are the canonical distributed formulations:
+
+- `asof_join`: union both sides tagged, one shuffle on the key, sort by
+  (ts, side), carry the last-seen right value forward with a running
+  `last(ignoreNulls)` window. O(n log n) per key, one shuffle total —
+  versus the naive inequality join's quadratic blowup. Right-side rows
+  order BEFORE left rows at equal ts, giving inclusive `l.ts >= r.ts`
+  semantics (matches DuckDB ASOF).
+- `range_join_banded`: interval-containment join (point in [start,
+  end)) rewritten as an equi-join on coarse time bands + exact refine
+  predicate. A range spanning k bands is replicated k times; with band
+  width >= the maximum range length, each range lands in <= 2 bands, so
+  the join is linear with constant replication — versus
+  BroadcastNestedLoopJoin, which is what Spark plans for a raw
+  inequality join.
+
+Skew note (100 TB): both shuffle on the join key / band; a hot key or
+dense band is a straggler — compose with operators/skew.salted_join's
+strategy or AQE skew splitting as usual.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str,
+    value_cols: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """For each left row, attach `value_cols` from the latest right row
+    with right.ts <= left.ts (per key). `right` must be unique per
+    (key, ts) — pre-aggregate it otherwise (ties would make the carried
+    value nondeterministic in ANY engine).
+
+    how='left' keeps unmatched left rows (nulls); 'inner' drops them.
+    """
+    lcols = left.columns
+    l = left
+    for vc in value_cols:
+        l = l.withColumn(vc, F.lit(None).cast(right.schema[vc].dataType))
+    l = l.withColumn("_side", F.lit(1))
+    r = right.select(key, ts_col, *value_cols)
+    for c in lcols:
+        if c not in (key, ts_col):
+            r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    r = r.withColumn("_side", F.lit(0)).select(*l.columns)
+
+    win = (
+        Window.partitionBy(key)
+        .orderBy(ts_col, "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l.unionByName(r).select(
+        *[c for c in lcols if c not in value_cols],
+        *[
+            F.last(vc, ignorenulls=True).over(win).alias(vc)
+            for vc in value_cols
+        ],
+        "_side",
+    )
+    out = filled.filter(F.col("_side") == 1).drop("_side")
+    if how == "inner":
+        out = out.na.drop(subset=value_cols)
+    return out
+
+
+def range_join_banded(
+    points: DataFrame,
+    ranges: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    band_seconds: int = 30 * 86400,
+) -> DataFrame:
+    """points ⋈ ranges on `start <= ts < end`, as a banded equi-join.
+
+    `band_seconds` must be >= the maximum range length (each range then
+    spans <= 2 bands => <= 2x replication). Points map to one band; the
+    join key is the band index; the exact containment predicate refines
+    after the hash join. All JVM-side, one shuffle on the band key.
+    """
+    band_sec = F.lit(band_seconds).cast("long")
+
+    def band_of(c):
+        return F.floor(F.col(c).cast("long") / band_sec)
+
+    p = points.withColumn("_band", band_of(ts_col))
+    rg = ranges.withColumn(
+        "_band",
+        F.explode(
+            F.sequence(band_of(start_col), band_of(end_col))
+        ),
+    )
+    return (
+        p.join(rg, "_band")
+        .filter(
+            (F.col(ts_col) >= F.col(start_col))
+            & (F.col(ts_col) < F.col(end_col))
+        )
+        .drop("_band")
+    )

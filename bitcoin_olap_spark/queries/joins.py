@@ -218,3 +218,85 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity",
         "o_totalprice",
     )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH l AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        FROM events WHERE event_type = 'purchase'
+    ), r AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               MAX(value) AS view_value
+        FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    )
+    SELECT l.event_id, l.user_id, l.ts, l.value, r.view_value
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/temporal.py): each purchase event picks up
+    the user's most recent view value at-or-before its timestamp — the
+    tick-join shape Spark lacks natively, as union + one shuffle +
+    last(ignoreNulls) running window. DuckDB states the semantics with
+    its native ASOF LEFT JOIN. The right side is pre-aggregated to one
+    row per (user, ts): as-of ties would be nondeterministic in any
+    engine."""
+    from ..operators.temporal import asof_join
+
+    e = table(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    return asof_join(left, right, "user_id", "ts", ["view_value"])
+
+
+@query(
+    "join_range_interval",
+    oracle="""
+    WITH ranges AS (
+        SELECT i AS range_id,
+               TIMESTAMP '2024-01-01' + INTERVAL (i * 5) DAY AS start_ts,
+               TIMESTAMP '2024-01-01'
+                   + INTERVAL (i * 5 + 1 + (i * 7) % 11) DAY AS end_ts
+        FROM (SELECT unnest(range(0, 60)) AS i)
+    )
+    SELECT e.event_id, r.range_id
+    FROM events e JOIN ranges r
+      ON CAST(e.ts AS TIMESTAMP) >= r.start_ts
+     AND CAST(e.ts AS TIMESTAMP) < r.end_ts
+    """,
+)
+def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval-containment) join (operators/temporal.py):
+    events against 60 irregular, overlapping time windows. Spark plans
+    a raw inequality join as BroadcastNestedLoopJoin (quadratic); the
+    banded rewrite makes it a hash equi-join on coarse time bands plus
+    an exact refine filter. The oracle states the plain inequality
+    join."""
+    from ..operators.temporal import range_join_banded
+
+    e = table(spark, sf_dir, "events").select("event_id", "ts")
+    base = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    ranges = spark.range(0, 60).select(
+        F.col("id").alias("range_id"),
+        F.timestamp_add("DAY", (F.col("id") * 5).cast("int"), base).alias(
+            "start_ts"
+        ),
+        F.timestamp_add(
+            "DAY",
+            (F.col("id") * 5 + 1 + (F.col("id") * 7) % 11).cast("int"),
+            base,
+        ).alias("end_ts"),
+    )
+    joined = range_join_banded(
+        e, ranges, "ts", "start_ts", "end_ts", band_seconds=12 * 86400
+    )
+    return joined.select("event_id", "range_id")

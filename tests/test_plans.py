@@ -102,3 +102,19 @@ def test_bucketed_join_has_no_exchange(spark, q):
     assert "BroadcastExchange" not in p
     assert "SortMergeJoin" in p
     assert "Bucketed: true" in p
+
+
+def test_range_join_is_banded_hash_not_nested_loop(spark, q):
+    """The interval join must plan as a hash equi-join on the band key,
+    not the quadratic BroadcastNestedLoopJoin a raw inequality gives."""
+    p = plan_str(q["join_range_interval"](spark, SF))
+    assert "NestedLoop" not in p
+    assert "Join" in p
+
+
+def test_asof_join_is_single_window_no_join(spark, q):
+    """The as-of join compiles to union + running window — no join
+    operator at all, hence no quadratic risk."""
+    p = plan_str(q["join_asof"](spark, SF))
+    assert "NestedLoop" not in p
+    assert "Window" in p

@@ -272,3 +272,90 @@ def agg_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_orderkey").alias("txid"))
     )
     return a.unionByName(b).distinct()
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {oracle_exact_sum('l_quantity', 'sum_qty')},
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (flag -> flag+status -> grand total) in
+    one pass — beyond the reference's surface (SURVEY.md §2.4 notes
+    grouping sets absent) but core OLAP; Spark expands grouping sets
+    inside a single hash aggregate, so the cost is ~one groupBy, not
+    three."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum("l_quantity", "sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {oracle_exact_sum('l_extendedprice', 'sum_price')}
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping combinations in one aggregation pass."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(exact_sum("l_extendedprice", "sum_price"))
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) FILTER (l_linestatus = 'F') AS BIGINT) AS F,
+           CAST(COUNT(*) FILTER (l_linestatus = 'O') AS BIGINT) AS O
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: rotate l_linestatus values into columns. The pivot value
+    list is explicit — at scale an unbounded pivot would need a
+    collect of distinct values first (two-phase), which is why the
+    engine requires the list for a single-pass plan."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .count()
+        .na.fill(0, ["F", "O"])
+    )
+
+
+@query("agg_approx_distinct", oracle=None)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct counting (HyperLogLog++): sketch-based,
+    mergeable, constant memory — the 100 TB answer to COUNT(DISTINCT)
+    whose exact form needs a full shuffle of the key space. Rows-only
+    for the driver (sketches are engine-specific); tests pin the
+    estimate within rsd of the exact count."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias(
+                "approx_orders"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

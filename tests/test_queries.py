@@ -43,3 +43,29 @@ def test_oracle_keys_subset():
     q, o = e.queries(), e.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) == len(REGISTRY)
+
+
+def test_approx_distinct_within_rsd(spark):
+    """HLL++ estimate must sit within ~3x the requested rsd of the
+    exact distinct count per group."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.catalog import table
+    from bitcoin_olap_spark.registry import all_queries
+
+    got = {
+        r["l_returnflag"]: r["approx_orders"]
+        for r in all_queries()["agg_approx_distinct"](
+            spark, SF_ORACLE
+        ).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in table(spark, SF_ORACLE, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) / exact[k] < 0.06, (k, est, exact[k])

@@ -11,12 +11,12 @@ Layout:
 - catalog.py    testdata table loaders / temp-view registration
 - registry.py   query registry: every operator from SURVEY.md §2 is a
                 (PySpark callable, DuckDB oracle SQL) pair
-- operators/    reusable composable operators (dedup, sampling, text,
-                vectors, flows)
+- operators/    reusable composable operators (dedup, multimodal, skew,
+                temporal, text, vectors)
 - queries/      registered per-operator queries (driver contract)
 - plans/        end-to-end pipeline parity (ledger build) + fixtures
-- streaming/    Structured Streaming ingestion (reference README.md:3
-                future direction)
+- streaming/    Structured Streaming ingestion + windows + stateful ops
+                (reference README.md:3 future direction)
 - ml/           log-log OLS tail (reference btc_logregression_pre.py:80-86)
 """
 

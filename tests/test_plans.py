@@ -118,3 +118,19 @@ def test_asof_join_is_single_window_no_join(spark, q):
     p = plan_str(q["join_asof"](spark, SF))
     assert "NestedLoop" not in p
     assert "Window" in p
+
+
+def test_order_by_limit_fuses_to_take_ordered(spark):
+    """ORDER BY + LIMIT must fuse to TakeOrderedAndProject (per-
+    partition top-k + merge), never a global sort followed by limit."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.catalog import table
+
+    df = (
+        table(spark, SF, "lineitem")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(25)
+    )
+    p = plan_str(df)
+    assert "TakeOrderedAndProject" in p

@@ -157,9 +157,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cosine >= 0.4): all-pairs exact
     cosine with fixed-point-accumulated dot products so summation order
     cannot perturb the value on either engine (SURVEY.md §5.1
-    determinism rule applied to floats)."""
+    determinism rule applied to floats). Block-decomposed (distributed
+    block matmul + in-kernel threshold) so Arrow traffic is O(N*blocks)
+    vectors and only qualifying pairs leave Python."""
     emb = table(spark, sf_dir, "embeddings")
-    pairs = V.cosine_pairs_exact(emb, "vec_id", "embedding")
+    pairs = V.cosine_pairs_exact_blocked(
+        emb, "vec_id", "embedding", threshold=0.4
+    )
     return pairs.select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine")
     ).filter(F.col("cosine") >= 0.4)

@@ -26,7 +26,11 @@ from ..catalog import table
 from ..functions import exact_sum, oracle_exact_sum
 from ..registry import query
 
-_TMP_ROOT = os.path.join(tempfile.gettempdir(), "bitcoin_olap_spark")
+#: per-process scratch root: two engine processes (e.g. a bench run and
+#: a test session) must never overwrite each other's materializations
+_TMP_ROOT = os.path.join(
+    tempfile.gettempdir(), f"bitcoin_olap_spark-{os.getpid()}"
+)
 
 
 def _tmp(name: str) -> str:

@@ -74,6 +74,36 @@ def asof_join(
     return out
 
 
+def gap_sessions(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    order_col: str,
+    gap_us: int,
+) -> DataFrame:
+    """Gap-based sessionization: assign each row a per-key `session_id`
+    that increments whenever the gap to the previous row (ordered by
+    (ts, order_col) within the key) exceeds `gap_us` microseconds.
+
+    The batch twin of streaming/pipeline.py's session_window query —
+    the classic two-window formulation: lag() marks session starts,
+    a running sum turns start flags into dense session ids. One shuffle
+    on the key; all arithmetic is integer microseconds, so results are
+    exact and engine-portable. `order_col` must make (ts, order_col)
+    unique per key or session assignment is nondeterministic.
+    """
+    w = Window.partitionBy(key).orderBy(ts_col, order_col)
+    us = F.unix_micros(F.col(ts_col))
+    prev_us = F.lag(us).over(w)
+    is_new = F.when(
+        prev_us.isNull() | ((us - prev_us) > F.lit(gap_us)), 1
+    ).otherwise(0)
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn("_us", us).withColumn(
+        "session_id", F.sum(is_new).over(running)
+    )
+
+
 def range_join_banded(
     points: DataFrame,
     ranges: DataFrame,

@@ -17,6 +17,7 @@ from . import (  # noqa: F401
     sorts_sets,
     sources,
     streaming,
+    windows,
 )
 
 ALL_MODULES = [
@@ -31,4 +32,5 @@ ALL_MODULES = [
     sorts_sets,
     sources,
     streaming,
+    windows,
 ]

@@ -1,18 +1,24 @@
-"""End-to-end pipeline parity query (SURVEY.md §5.3 / §7 Phase 4).
+"""End-to-end pipeline parity queries (SURVEY.md §5.3 / §7 Phase 4-5).
 
 `pipeline_ledger_e2e` runs the reference's entire 6-stage ledger build
 (plans/ledger.py) over deterministic Bitcoin-shaped fixtures and rolls
-it up to the daily analytical grain. The oracle SQL constructs the
-SAME fixtures and stages in DuckDB — one query proving the whole DAG,
-not just its operators, agrees across engines.
+it up to the daily analytical grain. `pipeline_docs_e2e` is the
+LLM-training-data analog: quality-filter -> exact-dedup -> language-ID
+-> token-count -> per-language rollup, all one lazy DAG. The oracle SQL
+constructs the SAME fixtures and stages in DuckDB — one query proving
+the whole DAG, not just its operators, agrees across engines.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from ..catalog import table
+from ..operators import text as TX
 from ..plans import bitcoin_fixtures, ledger_daily_rollup, ledger_pipeline
 from ..registry import query
+from .llmdata import _LANG_CASE, _duck_markers
 
 _E2E_ORACLE = """
 WITH base AS (
@@ -109,3 +115,84 @@ def pipeline_ledger_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly."""
     tx, addr_raw, wloc = bitcoin_fixtures(spark, sf_dir)
     return ledger_daily_rollup(ledger_pipeline(tx, addr_raw, wloc))
+
+
+_DOCS_E2E_ORACLE = f"""
+WITH scored AS (
+    SELECT doc_id, text,
+           len(string_split(text, ' ')) AS n_words,
+           CAST(len(list_filter(string_split(lower(text), ' '),
+                    w -> list_contains(['the','and','of','to','a','in',
+                                        'is','it','that','for'], w)))
+                AS DOUBLE)
+               / len(string_split(text, ' ')) AS stopword_ratio
+    FROM documents
+), kept AS (
+    SELECT doc_id, text, n_words,
+           md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
+    FROM scored
+    WHERE n_words >= 20 AND stopword_ratio >= 0.01
+), deduped AS (
+    SELECT * FROM kept
+    WHERE doc_id IN (SELECT MIN(doc_id) FROM kept GROUP BY fingerprint)
+), lang AS (
+    SELECT doc_id, n_words, re_tokens, {_LANG_CASE} AS lang_pred
+    FROM (
+        SELECT doc_id, n_words,
+               len(regexp_extract_all(lower(text), '{TX.TOKEN_RE}'))
+                   AS re_tokens,
+               {_duck_markers('en')} AS s_en,
+               {_duck_markers('de')} AS s_de,
+               {_duck_markers('es')} AS s_es,
+               {_duck_markers('fr')} AS s_fr
+        FROM deduped
+    )
+)
+SELECT lang_pred, COUNT(*) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS total_words,
+       CAST(SUM(re_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_words) AS DOUBLE) / COUNT(*) AS avg_words
+FROM lang GROUP BY 1
+"""
+
+
+@query("pipeline_docs_e2e", oracle=_DOCS_E2E_ORACLE)
+def pipeline_docs_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical training-data prep pipeline over `documents` as ONE
+    lazy DAG: quality filter (word count + stopword ratio) -> exact
+    fingerprint dedup (min-id survivor via aggregate + semi-join) ->
+    language-ID -> BPE-ish token count -> per-language corpus stats.
+
+    Everything JVM-side built-ins; the only shuffles are the dedup
+    aggregate/semi-join and the final tiny rollup. At 100 TB the dedup
+    semi-join shuffles on doc_id (uniform) and the rest is map-only —
+    the same shape DataComp/Dolma-style corpus pipelines run."""
+    docs = table(spark, sf_dir, "documents")
+    m = TX.quality_metrics("text")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        m["n_words"].alias("n_words"),
+        m["stopword_ratio"].alias("stopword_ratio"),
+    )
+    kept = scored.filter(
+        (F.col("n_words") >= 20) & (F.col("stopword_ratio") >= 0.01)
+    ).select("doc_id", "text", "n_words", TX.fingerprint("text").alias("fingerprint"))
+    keep_ids = kept.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    deduped = kept.join(keep_ids.select("doc_id"), "doc_id", "left_semi")
+    t = TX.token_counts("text")
+    lang = deduped.select(
+        "doc_id",
+        "n_words",
+        t["re_tokens"].alias("re_tokens"),
+        TX.lang_predict("text").alias("lang_pred"),
+    )
+    return lang.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        F.sum("re_tokens").alias("total_tokens"),
+        (F.sum("n_words").cast("double") / F.count(F.lit(1))).alias(
+            "avg_words"
+        ),
+    )

@@ -1,0 +1,339 @@
+"""Window-analytics extensions (beyond SURVEY.md §2.5's single
+ROW_NUMBER) plus ordered-statistics aggregates.
+
+The reference touches this space three times without engine support:
+ROW_NUMBER dedup (btcolap.sql:9,:295), np.percentile binning in
+`smart_sampling` (btc_logregression_pre.py:56), and day-over-day flow
+analysis feeding the OLS fit (btc_logregression_pre.py:14-49). Here the
+full analytic family is in-engine: lag deltas, moving averages, rank /
+dense_rank, percent_rank / cume_dist, running totals, gap-based
+sessionization, per-group top-k, exact percentiles, correlation
+moments, and fixed-width histograms.
+
+Scale notes (100 TB posture):
+- Every window here is PARTITIONed (user_id / event_type / returnflag)
+  except the daily-series ones, whose input is post-aggregation daily
+  grain — a few thousand rows at ANY scale factor, so a single-
+  partition window is the right plan, not a bottleneck.
+- Per-group top-k via row_number + filter lowers to WindowGroupLimit
+  (Spark 3.5+): each map task keeps only its local top-k before the
+  shuffle, so shuffle volume is O(k * partitions), not O(n).
+- Running/moving sums accumulate as DECIMAL (exact, order-independent)
+  and cast to double at the edge — the SURVEY.md §5.1 determinism rule;
+  a raw double window sum would drift between engines.
+- The histogram is a plain hash aggregate on a computed bin key — the
+  two-pass "min/max then bin" shape is avoided by fixing bin width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import table
+from ..functions import ORACLE_DAY, day, exact_sum, oracle_exact_sum
+from ..operators.temporal import gap_sessions
+from ..registry import query
+from .analytics import _DAILY_XY, _daily_xy
+
+#: 30-minute session gap, in exact integer microseconds.
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+_DAILY_FLOW = f"""(
+    SELECT {ORACLE_DAY.format(col='CAST(ts AS TIMESTAMP)')} AS day,
+           {oracle_exact_sum('value', 'flow')}
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+)"""
+
+
+def _daily_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily purchase-flow series (exact-decimal sums), the engine twin
+    of the reference's daily aggregation (btc_logregression_pre.py:19-25)
+    that the analytic windows below consume."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(day("ts").alias("day"))
+        .agg(exact_sum("value", "flow"))
+    )
+
+
+@query(
+    "win_lag_delta",
+    oracle=f"""
+    SELECT day, flow,
+           LAG(flow) OVER (ORDER BY day) AS prev_flow,
+           flow - LAG(flow) OVER (ORDER BY day) AS delta
+    FROM {_DAILY_FLOW} d
+    """,
+)
+def win_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG: day-over-day flow delta on the daily series. The subtraction
+    is one IEEE op on two 4dp-exact doubles — bit-stable across engines.
+    Input is daily grain (tiny at any SF), so the unpartitioned window
+    is the intended plan."""
+    w = Window.orderBy("day")
+    d = _daily_flow(spark, sf_dir)
+    prev = F.lag("flow").over(w)
+    return d.select(
+        "day",
+        "flow",
+        prev.alias("prev_flow"),
+        (F.col("flow") - prev).alias("delta"),
+    )
+
+
+@query(
+    "win_moving_avg",
+    oracle=f"""
+    SELECT day, flow,
+           CAST(SUM(CAST(flow AS DECIMAL(18,4))) OVER w AS DOUBLE)
+               / COUNT(*) OVER w AS ma7
+    FROM {_DAILY_FLOW} d
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average of daily flow. The frame sum accumulates as
+    DECIMAL (exact under any evaluation order — Spark's sliding-frame
+    incremental update vs DuckDB's segment tree) and the single final
+    division is bit-stable."""
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    d = _daily_flow(spark, sf_dir)
+    ma7 = F.sum(F.col("flow").cast("decimal(18,4)")).over(w).cast(
+        "double"
+    ) / F.count(F.lit(1)).over(w)
+    return d.select("day", "flow", ma7.alias("ma7"))
+
+
+@query(
+    "win_rank_dense",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC)
+    """,
+)
+def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK / DENSE_RANK of orders by price within priority class.
+    Rank values are deterministic under ties by definition (equal keys
+    get equal rank), so no tiebreaker column is needed — unlike
+    row_number (SURVEY.md §2.5)."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice")
+    )
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+    )
+
+
+@query(
+    "win_cume_pct",
+    oracle="""
+    SELECT event_id, event_type,
+           PERCENT_RANK() OVER w AS pr,
+           CUME_DIST() OVER w AS cd
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def win_cume_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK / CUME_DIST within event type — the distribution
+    functions behind percentile binning (the reference bins with
+    np.percentile, btc_logregression_pre.py:56). Each value is a single
+    integer division ((rank-1)/(n-1), peers/n) — bit-stable. event_id
+    tiebreak makes ranks unique."""
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@query(
+    "win_running_total",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running
+    FROM events
+    """,
+)
+def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running total over the event stream — cumulative
+    DECIMAL sum (exact at every prefix, so engine evaluation order
+    cannot drift) cast to double at the edge. One shuffle on user_id."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("running"),
+    )
+
+
+@query(
+    "sessionize_batch",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+               LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        FROM events
+    ), sess AS (
+        SELECT user_id, event_id, us,
+               CAST(SUM(CASE WHEN prev_us IS NULL
+                              OR us - prev_us > {SESSION_GAP_US}
+                             THEN 1 ELSE 0 END) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id
+        FROM seq
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(us) AS start_us, MAX(us) AS end_us,
+           MAX(us) - MIN(us) AS duration_us
+    FROM sess GROUP BY 1, 2
+    """,
+)
+def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization (30-min gap): the batch twin of
+    the streaming session_window query (queries/streaming.py), via
+    operators/temporal.gap_sessions (lag start-flags + running sum).
+    All integer-microsecond arithmetic — exact on both engines."""
+    e = table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    s = gap_sessions(e, "user_id", "ts", "event_id", SESSION_GAP_US)
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("_us").alias("start_us"),
+        F.max("_us").alias("end_us"),
+        (F.max("_us") - F.min("_us")).alias("duration_us"),
+    )
+
+
+@query(
+    "srt_topk_per_group",
+    oracle="""
+    SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rn
+    FROM (
+        SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+               AS BIGINT) AS rn
+        FROM lineitem
+    ) t WHERE rn <= 3
+    """,
+)
+def srt_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 line items per return flag — the grouped top-k idiom.
+    row_number + filter(rn <= k) lowers to WindowGroupLimit: every map
+    task pre-prunes to its local top-k, so the shuffle carries
+    O(k * tasks) rows regardless of input size. Full (price, orderkey,
+    linenumber) tiebreak keeps the cut deterministic."""
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("l_extendedprice"), "l_orderkey", "l_linenumber"
+    )
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_returnflag",
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+           MIN(l_extendedprice) AS lo,
+           MAX(l_extendedprice) AS hi
+    FROM lineitem GROUP BY 1
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median, p90) per group — the
+    in-engine version of the reference's np.percentile binning
+    (btc_logregression_pre.py:56). Interpolation sits between two real
+    data points (no accumulation), rounded 6dp on both engines to
+    absorb the one-ULP formula difference (lo+(hi-lo)*f vs lerp)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90"),
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    )
+
+
+@query(
+    "agg_corr",
+    oracle=f"""
+    SELECT COUNT(*) AS n,
+           ROUND(corr(x, y), 6) AS corr_xy,
+           ROUND(covar_samp(x, y), 6) AS covar_xy,
+           ROUND(stddev_samp(x), 6) AS sd_x,
+           ROUND(stddev_samp(y), 6) AS sd_y
+    FROM {_DAILY_XY} d
+    """,
+)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation / covariance / stddev moments of the daily x-y flow
+    series — the aggregate form of the regression's r (r² is the OLS
+    fit metric, btc_logregression_pre.py:110). Daily grain input +
+    6dp rounding absorbs partial-aggregation order differences."""
+    d = _daily_xy(spark, sf_dir)
+    return d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("x", "y"), 6).alias("corr_xy"),
+        F.round(F.covar_samp("x", "y"), 6).alias("covar_xy"),
+        F.round(F.stddev_samp("x"), 6).alias("sd_x"),
+        F.round(F.stddev_samp("y"), 6).alias("sd_y"),
+    )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 50) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           MIN(value) AS lo,
+           MAX(value) AS hi
+    FROM events GROUP BY 1
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width-bin histogram of event values: one hash aggregate on
+    a computed bin key (no two-pass min/max scan, no sort). floor() on
+    a double is exact; min/max carry no accumulation error."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.floor(F.col("value") / 50).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )

@@ -31,6 +31,14 @@ from pyspark.sql import functions as F
 from .text import fingerprint, shingles, words
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin the input across the cluster before a CPU-heavy
+    map stage. Single-file sources read as one partition; shingling /
+    per-word hashing over them would otherwise run serial. Cheap: the
+    shuffle moves the small pre-explode rows, not the exploded output."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup by text fingerprint: (fingerprint, keep_id, n_copies).
     keep_id is the minimum id — deterministic survivor choice, unlike
@@ -49,7 +57,19 @@ def jaccard_pairs(
     Jaccard = common/(na+nb-common) is a single integer->double division
     (bit-stable across engines).
     """
-    sh = shingles(df, id_col, text_col, n).cache()
+    # documents arrive in O(#input files) partitions and explode does
+    # not re-split — without _spread both the shingle construction and
+    # the quadratic self-join run at the source's parallelism (1 task
+    # for a single-file table). Repartition the cheap pre-explode rows,
+    # then hash-partition the shingle relation on the join key with an
+    # explicit N (removes both join exchanges; AQE cannot coalesce an
+    # explicit N back down to a serial plan).
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        shingles(_spread(df), id_col, text_col, n)
+        .repartition(n_part, "shingle")
+        .cache()
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -116,7 +136,7 @@ def minhash_lsh_pairs(
     with candidate generation linear in corpus size.
     """
     rows_per_band = num_hashes // bands
-    sh = shingles(df, id_col, text_col, n).cache()
+    sh = shingles(_spread(df), id_col, text_col, n).cache()
     sig = minhash_signatures(sh, id_col, num_hashes)
     band_arr = F.array(
         *[
@@ -176,7 +196,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Implemented as 64 conditional-sum aggregates (JVM-side, one shuffle
     of one row per document) assembled with shiftleft/bitwise-or."""
-    w = df.select(
+    w = _spread(df).select(
         F.col(id_col), F.explode(words(F.lower(text_col))).alias("w")
     ).withColumn("h", F.xxhash64("w"))
     votes = [

@@ -359,3 +359,31 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form of rollup/cube
+    (agg_rollup, agg_cube): fine + per-flag + grand-total grains in one
+    pass. Spark expands to a single Expand + hash aggregate, reading
+    the input once instead of once per grain. Exact-decimal sums keep
+    every grain engine-stable."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        exact_sum("l_quantity", "sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )

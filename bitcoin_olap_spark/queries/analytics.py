@@ -109,3 +109,38 @@ def ml_linreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     solver — not SQL-expressible; tests pin it to the closed form
     within 1e-6)."""
     return loglog_ols_ml(_daily_xy(spark, sf_dir), "x", "y")
+
+
+@query(
+    "sample_hash_split",
+    oracle="""
+    SELECT doc_id, h2,
+           CASE WHEN h2 < '0d' THEN 'val'
+                WHEN h2 < '1a' THEN 'test'
+                ELSE 'train' END AS split
+    FROM (
+        SELECT doc_id,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h2
+        FROM documents
+    )
+    """,
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by hashed id (~5/5/90 via
+    md5-hex-prefix thresholds) — the reproducible, engine-portable way
+    to partition a training corpus: no RNG state, stable under
+    reshuffling/re-partitioning, and any engine that can md5 a string
+    assigns identical splits. Map-only; the hash also load-balances
+    a later partitionBy(split) write."""
+    docs = table(spark, sf_dir, "documents")
+    h2 = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
+    )
+    return docs.select(
+        "doc_id",
+        h2.alias("h2"),
+        F.when(h2 < "0d", "val")
+        .when(h2 < "1a", "test")
+        .otherwise("train")
+        .alias("split"),
+    )

@@ -300,3 +300,86 @@ def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, ranges, "ts", "start_ts", "end_ts", band_seconds=12 * 86400
     )
     return joined.select("event_id", "range_id")
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_custkey, c.c_name
+    FROM orders o
+    LEFT JOIN (SELECT c_custkey, c_name FROM customer
+               WHERE c_custkey % 3 = 0) c
+      ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join with real unmatched rows (dim filtered to a
+    third of its keys -> nulls on the probe side). The reference uses
+    only inner joins (SURVEY.md §2.3); an engine a user can switch to
+    needs the full outer-join family. Same shuffle/broadcast physical
+    menu as inner — null-producing side just can't be the build side
+    of a broadcast."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 3 == 0)
+        .select("c_custkey", "c_name")
+    )
+    return o.join(c, o.o_custkey == c.c_custkey, "left").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT a.o_orderkey, a.o_totalprice, b.l_orderkey, b.qty
+    FROM (SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_orderkey % 3 = 0) a
+    FULL OUTER JOIN (
+          SELECT l_orderkey,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                     AS qty
+          FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY 1) b
+      ON a.o_orderkey = b.l_orderkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two disjointly-filtered sides (mod-3 vs
+    mod-2 keys): unmatched rows survive from BOTH sides. Forces a
+    shuffle join — full-outer cannot broadcast either side."""
+    a = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .select("o_orderkey", "o_totalprice")
+    )
+    b = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 2 == 0)
+        .groupBy("l_orderkey")
+        .agg(exact_sum("l_quantity", "qty"))
+    )
+    return a.join(b, a.o_orderkey == b.l_orderkey, "full").select(
+        "o_orderkey", "o_totalprice", "l_orderkey", "qty"
+    )
+
+
+@query(
+    "join_left_anti",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_orderkey NOT IN (
+        SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49)
+    """,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join — orders with no high-quantity line item. The
+    NOT-IN complement of flt_in_subquery's semi join (btcolap.sql:3-15
+    expresses dedup-DELETE through the same shape). Plans as a
+    broadcast/shuffled hash anti join, never a nested loop, because the
+    key is non-nullable."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    hot = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= 49
+    ).select("l_orderkey")
+    return o.join(hot, o.o_orderkey == hot.l_orderkey, "left_anti")

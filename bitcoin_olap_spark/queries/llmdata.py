@@ -372,3 +372,68 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy(TX.fingerprint("text").alias("fingerprint")).agg(
         F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_docs")
     )
+
+
+# PII regexes — RE2-safe (DuckDB) and java.util.regex-safe (Spark):
+# character classes, bounded repeats, no backrefs/lookaround.
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+
+_PII_CORPUS = """(
+    SELECT doc_id,
+           lower(text) ||
+           CASE WHEN doc_id % 7 = 0
+                THEN ' contact bob@example.com or 555-123-4567'
+                ELSE '' END ||
+           CASE WHEN doc_id % 11 = 0
+                THEN ' alt jane.doe@mail.org' ELSE '' END AS text
+    FROM documents
+)"""
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones,
+           md5(regexp_replace(regexp_replace(text,
+               '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_md5
+    FROM {_PII_CORPUS} c
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction: count and replace email/phone
+    matches with typed placeholder tags — the standard scrub pass of a
+    training-data pipeline. PII is planted deterministically (testdata
+    has none); regexes stay in the RE2 ∩ java.util.regex subset so both
+    engines see identical matches. Output carries md5(scrubbed), not
+    the text, to keep the compare payload small. Map-only at any
+    scale."""
+    docs = table(spark, sf_dir, "documents")
+    text = F.concat(
+        F.lower("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit(" contact bob@example.com or 555-123-4567"),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 11 == 0, F.lit(" alt jane.doe@mail.org")
+        ).otherwise(""),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(text, _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(text, F.lit(_EMAIL_RE), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(text, F.lit(_PHONE_RE), 0))
+        .cast("long")
+        .alias("n_phones"),
+        F.md5(scrubbed.cast("binary")).alias("scrubbed_md5"),
+    )

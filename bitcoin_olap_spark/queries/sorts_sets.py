@@ -154,3 +154,49 @@ def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = li.filter(F.col("l_quantity") > 40).select("l_orderkey", "l_suppkey")
     b = li.filter(F.col("l_discount") > 0.07).select("l_orderkey", "l_suppkey")
     return a.unionByName(b).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics): nations present on both the
+    customer and supplier side. Not used by the reference
+    (SURVEY.md §2.7) but part of the complete set-op surface; plans as
+    a left-semi hash join over distincts."""
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    EXCEPT
+    SELECT c_custkey AS custkey FROM customer WHERE c_custkey % 2 = 0
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct semantics): ordering customers minus the
+    even-keyed half of the customer dimension — real survivors on both
+    the matched and unmatched side. Plans as a left-anti hash join over
+    distincts."""
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 2 == 0)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return o.subtract(c)

@@ -277,15 +277,49 @@ def srt_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (median, p90) per group — the
     in-engine version of the reference's np.percentile binning
-    (btc_logregression_pre.py:56). Interpolation sits between two real
-    data points (no accumulation), rounded 6dp on both engines to
-    absorb the one-ULP formula difference (lo+(hi-lo)*f vs lerp)."""
+    (btc_logregression_pre.py:56).
+
+    NOT Spark's percentile() aggregate (which collects every group
+    value into one in-memory object — 2s+ at sf0.1 and a straight OOM
+    at scale): a sort-based formulation instead. One window pass ranks
+    values within each group, candidate rows at the two interpolation
+    positions per percentile are filtered out (4 rows/group), and the
+    weighted sum reproduces linear interpolation exactly. Interpolation
+    sits between two real data points (no accumulation), rounded 6dp on
+    both engines to absorb the one-ULP formula difference vs DuckDB's
+    quantile_cont."""
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90"),
-        F.min("l_extendedprice").alias("lo"),
-        F.max("l_extendedprice").alias("hi"),
+    grp = Window.partitionBy("l_returnflag")
+    ranked = li.select("l_returnflag", "l_extendedprice").select(
+        "*",
+        F.row_number()
+        .over(grp.orderBy("l_extendedprice"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(grp).alias("n"),
+        F.min("l_extendedprice").over(grp).alias("lo"),
+        F.max("l_extendedprice").over(grp).alias("hi"),
+    )
+
+    def contrib(p: float):
+        pos = (F.col("n") - 1) * F.lit(p) + 1
+        low = F.floor(pos)
+        frac = pos - low
+        return (
+            F.when(F.col("rn") == low, (1 - frac) * F.col("l_extendedprice"))
+            .when(F.col("rn") == low + 1, frac * F.col("l_extendedprice"))
+            .otherwise(None)
+        )
+
+    c50, c90 = contrib(0.5), contrib(0.9)
+    return (
+        ranked.filter(c50.isNotNull() | c90.isNotNull())
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum(c50), 6).alias("p50"),
+            F.round(F.sum(c90), 6).alias("p90"),
+            F.min("lo").alias("lo"),
+            F.max("hi").alias("hi"),
+        )
     )
 
 

@@ -387,3 +387,20 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_sum("l_quantity", "sum_qty"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query("agg_approx_quantile", oracle=None)
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles per group via approx_percentile
+    (Greenwald-Khanna sketch, accuracy 1/10000): the sketch tier of
+    agg_percentile — mergeable map-side partial sketches, O(sketch)
+    shuffle instead of a per-group sort, the 100 TB default when exact
+    interpolation isn't required. Sketches aren't SQL-expressible in
+    DuckDB, so no oracle; tests pin each estimate between the exact
+    neighboring order statistics."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)"
+        ).alias("approx_p")
+    )

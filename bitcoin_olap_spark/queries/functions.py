@@ -203,3 +203,34 @@ def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("event_id", k.alias("k"))
         .filter(F.col("k") >= 50)
     )
+
+
+@query(
+    "fn_date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS due_date,
+           date_diff('day', DATE '1995-01-01',
+                     CAST(o_orderdate AS DATE)) AS days_since,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP)
+               AS month_end,
+           CAST(month(o_orderdate) AS BIGINT) AS order_month
+    FROM orders
+    """,
+)
+def fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic family: offset (+30 days), day difference from
+    an epoch, month-end snap, month extraction — the calendar ops a
+    time-partitioned ledger needs beyond the reference's date_trunc
+    (btcolap.sql:458). All integer calendar math, exact on both
+    engines."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_add(F.col("o_orderdate"), 30).cast("timestamp").alias("due_date"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+    )

@@ -437,3 +437,40 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_phones"),
         F.md5(scrubbed.cast("binary")).alias("scrubbed_md5"),
     )
+
+
+@query(
+    "text_ngram_freq",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, w,
+               row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents)
+    ), big AS (
+        SELECT w || ' ' || lead(w, 1) OVER win AS ngram
+        FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(w, 1) OVER win IS NOT NULL
+    )
+    SELECT ngram, COUNT(*) AS n
+    FROM big GROUP BY 1
+    ORDER BY n DESC, ngram LIMIT 50
+    """,
+)
+def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide bigram frequency, top 50 — the n-gram statistics
+    pass of corpus analysis. Bigrams are built document-locally
+    (operators/text.shingles, distinct=False — map-only, no
+    corpus-wide sort), counted with a hash aggregate, and the ordered
+    LIMIT fuses to TakeOrderedAndProject: per-partition top-50 then a
+    tiny driver merge, never a full sort. Deterministic: ties broken
+    by ngram."""
+    docs = table(spark, sf_dir, "documents")
+    big = TX.shingles(docs, "doc_id", "text", n=2, distinct=False)
+    return (
+        big.groupBy(F.col("shingle").alias("ngram"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "ngram")
+        .limit(50)
+    )

@@ -254,3 +254,42 @@ def join_bucketed_colocate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bl.join(bo, bl.l_orderkey == bo.o_orderkey).select(
         "l_orderkey", "l_linenumber", "l_quantity", "o_totalprice"
     )
+
+
+@query(
+    "snk_partitioned_prune",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n,
+           {oracle_exact_sum('value', 'total')}
+    FROM events
+    WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE)
+          BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+    GROUP BY 1
+    """,
+)
+def snk_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-partitioned parquet write + partition-pruned read-back:
+    the ledger layout that subsumes the reference's manual pre/post-
+    SAFE table split (btcolap.sql:322 vs :370, SURVEY.md §4). The
+    3-day filter on the partition column prunes at PLANNING time — the
+    scan lists 3 of ~30 day directories and reads nothing else, the
+    property that makes a 100 TB date-partitioned ledger queryable.
+    Written once per (process, sf_dir), like real ledgers are."""
+    suffix = abs(hash(sf_dir)) % 10**8
+    out = _tmp(f"events_by_day_{suffix}")
+    if not os.path.isdir(out):
+        (
+            table(spark, sf_dir, "events")
+            .withColumn("day", F.to_date("ts"))
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(out)
+        )
+    got = spark.read.parquet(out).filter(
+        F.col("day").between(
+            F.lit("2024-01-10").cast("date"), F.lit("2024-01-12").cast("date")
+        )
+    )
+    return got.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), exact_sum("value", "total")
+    )

@@ -25,6 +25,7 @@ from ..functions import ORACLE_DAY, oracle_exact_sum
 from ..registry import query
 from ..streaming import (
     daily_window_agg,
+    purchase_view_join,
     dedup_stream,
     ingest_to_parquet,
     run_to_batch,
@@ -143,3 +144,28 @@ def stream_ingest_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = tempfile.mkdtemp(prefix="stream_ingest_")
     got = ingest_to_parquet(stream_events(spark, sf_dir), spark, out_dir)
     return got.withColumn("day", F.col("day").cast("timestamp"))
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS p_id, p.user_id,
+           CAST(p.ts AS TIMESTAMP) AS p_ts,
+           v.event_id AS v_id,
+           CAST(v.ts AS TIMESTAMP) AS v_ts
+    FROM events p JOIN events v
+      ON p.event_type = 'purchase' AND v.event_type = 'view'
+     AND v.user_id = p.user_id
+     AND CAST(v.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+     AND CAST(v.ts AS TIMESTAMP) >=
+         CAST(p.ts AS TIMESTAMP) - INTERVAL '30 minutes'
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream watermarked inner join (streaming/pipeline.py
+    purchase_view_join): purchases correlated with the same user's
+    views within a 30-minute event-time bound. Both sides buffer state
+    only up to watermark + bound; the oracle states the converged batch
+    interval join."""
+    ev = stream_events(spark, sf_dir)
+    return run_to_batch(purchase_view_join(ev), spark)

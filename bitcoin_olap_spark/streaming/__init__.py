@@ -28,6 +28,7 @@ from .pipeline import (  # noqa: F401
     daily_window_agg,
     dedup_stream,
     ingest_to_parquet,
+    purchase_view_join,
     run_to_batch,
     running_user_sequence,
     sessionize,

@@ -156,6 +156,44 @@ def running_user_sequence(events: DataFrame) -> DataFrame:
     )
 
 
+def purchase_view_join(events: DataFrame) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same
+    user's views in the preceding 30 minutes. The canonical two-stream
+    correlation shape — both sides carry watermarks and the join
+    condition bounds event-time distance, so each side's buffered state
+    is evicted once the other side's watermark passes the bound (state
+    stays O(rate x bound), not O(history)).
+
+    On finite availableNow input this converges to the equivalent batch
+    interval join, which is what the oracle states."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 day")
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("v_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 day")
+    )
+    cond = (
+        (purchases.user_id == views.v_user)
+        & (views.v_ts <= purchases.p_ts)
+        & (views.v_ts >= purchases.p_ts - F.expr("INTERVAL 30 MINUTES"))
+    )
+    return purchases.join(views, cond, "inner").select(
+        "p_id", "user_id", "p_ts", "v_id", "v_ts"
+    )
+
+
 def run_to_batch(
     sdf: DataFrame, spark: SparkSession, mode: str = "append"
 ) -> DataFrame:

@@ -69,3 +69,26 @@ def test_approx_distinct_within_rsd(spark):
     assert set(got) == set(exact)
     for k, est in got.items():
         assert abs(est - exact[k]) / exact[k] < 0.06, (k, est, exact[k])
+
+
+def test_approx_quantile_near_exact(spark, duck):
+    """GK-sketch estimates (accuracy 1/10000) must sit within 0.5% of
+    DuckDB's exact interpolated quantiles per group."""
+    got = {
+        r["l_returnflag"]: r["approx_p"]
+        for r in all_queries()["agg_approx_quantile"](
+            spark, SF_ORACLE
+        ).collect()
+    }
+    exact = {
+        flag: (p50, p90)
+        for flag, p50, p90 in duck.execute(
+            "SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5), "
+            "quantile_cont(l_extendedprice, 0.9) FROM lineitem GROUP BY 1"
+        ).fetchall()
+    }
+    assert set(got) == set(exact)
+    for flag, (est50, est90) in got.items():
+        p50, p90 = exact[flag]
+        assert abs(est50 - p50) / p50 < 0.005, (flag, est50, p50)
+        assert abs(est90 - p90) / p90 < 0.005, (flag, est90, p90)

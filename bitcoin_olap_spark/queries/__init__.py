@@ -17,6 +17,7 @@ from . import (  # noqa: F401
     sorts_sets,
     sources,
     streaming,
+    tpch,
     windows,
 )
 
@@ -32,5 +33,6 @@ ALL_MODULES = [
     sorts_sets,
     sources,
     streaming,
+    tpch,
     windows,
 ]

@@ -1,0 +1,253 @@
+"""TPC-H-shaped heavyweight analytics over the driver testdata
+(the tables are TPC-H-ish by construction, TESTDATA.md).
+
+These are the engine's throughput workhorses — multi-way joins +
+wide aggregations where executor parallelism, broadcast planning, and
+partial aggregation actually move the needle (the per-operator queries
+elsewhere are semantics-focused and mostly fixed-cost at test scale).
+Shapes follow TPC-H Q1/Q3/Q5/Q6, adapted to the driver schema
+(o_orderpriority stands in for o_shippriority; Q5 groups revenue by
+supplier nation without the customer-nation equality, which synthetic
+FKs would make degenerate).
+
+Determinism (SURVEY.md §5.1): every money/discount/tax/qty column is
+exact at 4 decimal places, so `round(x * 10^4)` recovers the exact
+integer numerator on both engines; all products and sums then run in
+integer space (BIGINT terms; 128-bit-safe accumulation: DECIMAL(38,0)
+on Spark, HUGEINT on DuckDB) and only the final scale-back division is
+floating point — one IEEE op on identical integers, bit-identical
+everywhere. No rounding tolerance needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+#: 4-decimal fixed-point scale shared by both engines.
+_S = 10_000
+
+
+def _fx(col: str) -> Column:
+    """Exact 4dp fixed-point integer of a <=4dp double column."""
+    return F.round(F.col(col) * _S).cast("long")
+
+
+def _fx_sql(col: str) -> str:
+    """DuckDB twin of _fx."""
+    return f"CAST(round({col} * {_S}) AS BIGINT)"
+
+
+@query(
+    "tpch_q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM({_fx_sql('l_quantity')}) AS DOUBLE) / {_S} AS sum_qty,
+           CAST(SUM({_fx_sql('l_extendedprice')}) AS DOUBLE) / {_S}
+               AS sum_base_price,
+           CAST(SUM({_fx_sql('l_extendedprice')}
+                    * ({_S} - {_fx_sql('l_discount')})) AS DOUBLE)
+               / {_S}::DOUBLE / {_S} AS sum_disc_price,
+           CAST(SUM({_fx_sql('l_extendedprice')}
+                    * ({_S} - {_fx_sql('l_discount')})
+                    * ({_S} + {_fx_sql('l_tax')})) AS DOUBLE)
+               / {_S}::DOUBLE / {_S} / {_S} AS sum_charge,
+           CAST(SUM({_fx_sql('l_quantity')}) AS DOUBLE) / {_S}
+               / COUNT(*) AS avg_qty,
+           CAST(SUM({_fx_sql('l_extendedprice')}) AS DOUBLE) / {_S}
+               / COUNT(*) AS avg_price,
+           CAST(SUM({_fx_sql('l_discount')}) AS DOUBLE) / {_S}
+               / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS TIMESTAMP) <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY 1, 2
+    """,
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report): one wide scan -> hash
+    aggregate with map-side partials over 6 measures. The scan reads
+    exactly the 7 referenced columns (ReadSchema) with the shipdate
+    filter pushed to rowgroup stats; everything else is one shuffle of
+    4 grouped rows per map task."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp")
+    )
+    qty, price, disc, tax = (
+        _fx("l_quantity"),
+        _fx("l_extendedprice"),
+        _fx("l_discount"),
+        _fx("l_tax"),
+    )
+    n = F.count(F.lit(1))
+    disc_term = price * (_S - disc)
+    charge_term = (disc_term * (_S + tax)).cast("decimal(38,0)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(qty).cast("double") / _S).alias("sum_qty"),
+            (F.sum(price).cast("double") / _S).alias("sum_base_price"),
+            (F.sum(disc_term).cast("double") / float(_S) / _S).alias(
+                "sum_disc_price"
+            ),
+            (
+                F.sum(charge_term).cast("double") / float(_S) / _S / _S
+            ).alias("sum_charge"),
+            (F.sum(qty).cast("double") / _S / n).alias("avg_qty"),
+            (F.sum(price).cast("double") / _S / n).alias("avg_price"),
+            (F.sum(disc).cast("double") / _S / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@query(
+    "tpch_q3",
+    oracle=f"""
+    SELECT l_orderkey,
+           CAST(SUM({_fx_sql('l_extendedprice')}
+                    * ({_S} - {_fx_sql('l_discount')})) AS DOUBLE)
+               / {_S}::DOUBLE / {_S} AS revenue,
+           CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1998-06-01 00:00:00'
+      AND CAST(l_shipdate AS TIMESTAMP) > TIMESTAMP '1998-06-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): filtered dim -> fact -> fact join
+    chain, revenue aggregate, top-10. The BUILDING-segment customer
+    side is small after its filter — broadcast both it and the
+    date-filtered orders' keys side would be wrong at 100 TB, so only
+    the customer dim is hinted; orders⋈lineitem stays a shuffle join
+    AQE can re-plan. Ordered LIMIT fuses to TakeOrderedAndProject
+    (orderkey tiebreak keeps the cut deterministic)."""
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01 00:00:00").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01 00:00:00").cast("timestamp")
+    )
+    revenue_term = _fx("l_extendedprice") * (_S - _fx("l_discount"))
+    return (
+        li.join(
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+                "o_orderkey", "o_orderdate", "o_orderpriority"
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            (F.sum(revenue_term).cast("double") / float(_S) / _S).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q5",
+    oracle=f"""
+    SELECT n_name,
+           CAST(SUM({_fx_sql('l_extendedprice')}
+                    * ({_S} - {_fx_sql('l_discount')})) AS DOUBLE)
+               / {_S}::DOUBLE / {_S} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01 00:00:00'
+      AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): 5-way join — two facts
+    shuffle-joined on orderkey, then supplier -> nation -> region all
+    broadcast (each dim is tiny; the region filter prunes through the
+    broadcast chain before any fact row is touched)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    ).select("r_regionkey")
+    dims = s.join(
+        F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+        s.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "n_name")
+    revenue_term = _fx("l_extendedprice") * (_S - _fx("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+        .groupBy("n_name")
+        .agg(
+            (F.sum(revenue_term).cast("double") / float(_S) / _S).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
+    "tpch_q6",
+    oracle=f"""
+    SELECT CAST(SUM({_fx_sql('l_extendedprice')} * {_fx_sql('l_discount')})
+                AS DOUBLE) / {_S}::DOUBLE / {_S} AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01 00:00:00'
+      AND CAST(l_shipdate AS TIMESTAMP) < TIMESTAMP '1997-01-01 00:00:00'
+      AND {_fx_sql('l_discount')} BETWEEN 500 AND 700
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): pure scan-filter-sum.
+    Every predicate pushes to the parquet scan; the discount band
+    compares in exact fixed-point (BETWEEN 500 AND 700) instead of the
+    classic between-doubles footgun. One row out."""
+    li = table(spark, sf_dir, "lineitem")
+    disc_i = _fx("l_discount")
+    filtered = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & disc_i.between(500, 700)
+        & (F.col("l_quantity") < 24)
+    )
+    return filtered.agg(
+        (
+            F.sum(_fx("l_extendedprice") * disc_i).cast("double")
+            / float(_S)
+            / _S
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -38,8 +38,22 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _NANO_TS_COLS = {"events": ("ts",)}
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table. Accepts a file, directory, or glob."""
+def table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    """Load one testdata table. Accepts a file, directory, or glob.
+
+    spread=True round-robins the rows across the cluster right after
+    the scan. The testdata files each hold ONE parquet row group, and a
+    row group is indivisible — so however small maxPartitionBytes is,
+    the scan AND everything Spark fuses into the scan stage (partial
+    aggregation, Expand for rollup/cube, regex/explode maps) runs on a
+    single core. Queries with real per-row compute opt in; the added
+    exchange costs one pass over the (small) table and buys 32-way
+    parallelism. A production many-row-group table needs no spread —
+    split planning already saturates the cluster — which is why it is
+    opt-in rather than the default, and why trivial scan-project
+    queries (whose output IS the table) never set it."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
@@ -47,6 +61,8 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in _NANO_TS_COLS.get(name, ()):
         if c in df.columns and isinstance(df.schema[c].dataType, LongType):
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    if spread:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
 

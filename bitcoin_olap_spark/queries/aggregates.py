@@ -75,7 +75,9 @@ def agg_count_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the reference's manual data-quality check, btcolap.sql:19-31).
     Duplicates synthesized by self-union; keys that were already
     multi-row in the base table exceed the doubled threshold."""
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    li = table(spark, sf_dir, "lineitem", spread=True).select(
+        "l_orderkey", "l_linenumber"
+    )
     duped = li.unionAll(li)
     return (
         duped.groupBy("l_orderkey", "l_linenumber")
@@ -130,7 +132,7 @@ def agg_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     both sides — neither engine guarantees aggregation order
     (SURVEY.md §5.1)."""
     return (
-        table(spark, sf_dir, "lineitem")
+        table(spark, sf_dir, "lineitem", spread=True)
         .groupBy("l_orderkey")
         .agg(
             F.sort_array(
@@ -171,7 +173,7 @@ def agg_having_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the exact congruent-tx predicate shape, btcolap.sql:230-231).
     Spark element_at is 1-based ≡ DuckDB [1] ≡ BigQuery OFFSET(0)."""
     agged = (
-        table(spark, sf_dir, "lineitem")
+        table(spark, sf_dir, "lineitem", spread=True)
         .groupBy("l_orderkey")
         .agg(
             F.count(F.when(F.col("l_returnflag") == "R", 1)).alias(
@@ -291,7 +293,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside a single hash aggregate, so the cost is ~one groupBy, not
     three."""
     return (
-        table(spark, sf_dir, "lineitem")
+        table(spark, sf_dir, "lineitem", spread=True)
         .rollup("l_returnflag", "l_linestatus")
         .agg(
             exact_sum("l_quantity", "sum_qty"),
@@ -312,7 +314,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE: all 2^k grouping combinations in one aggregation pass."""
     return (
-        table(spark, sf_dir, "lineitem")
+        table(spark, sf_dir, "lineitem", spread=True)
         .cube("l_returnflag", "l_linestatus")
         .agg(exact_sum("l_extendedprice", "sum_price"))
     )
@@ -378,7 +380,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass. Spark expands to a single Expand + hash aggregate, reading
     the input once instead of once per grain. Exact-decimal sums keep
     every grain engine-stable."""
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem", spread=True)
     return li.groupingSets(
         [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
         "l_returnflag",

@@ -466,7 +466,7 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT fuses to TakeOrderedAndProject: per-partition top-50 then a
     tiny driver merge, never a full sort. Deterministic: ties broken
     by ngram."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     big = TX.shingles(docs, "doc_id", "text", n=2, distinct=False)
     return (
         big.groupBy(F.col("shingle").alias("ngram"))

@@ -73,7 +73,7 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the 7 referenced columns (ReadSchema) with the shipdate
     filter pushed to rowgroup stats; everything else is one shuffle of
     4 grouped rows per map task."""
-    li = table(spark, sf_dir, "lineitem").filter(
+    li = table(spark, sf_dir, "lineitem", spread=True).filter(
         F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp")
     )
     qty, price, disc, tax = (
@@ -139,7 +139,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-06-01 00:00:00").cast("timestamp")
     )
-    li = table(spark, sf_dir, "lineitem").filter(
+    li = table(spark, sf_dir, "lineitem", spread=True).filter(
         F.col("l_shipdate") > F.lit("1998-06-01 00:00:00").cast("timestamp")
     )
     revenue_term = _fx("l_extendedprice") * (_S - _fx("l_discount"))
@@ -185,7 +185,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-joined on orderkey, then supplier -> nation -> region all
     broadcast (each dim is tiny; the region filter prunes through the
     broadcast chain before any fact row is touched)."""
-    li = table(spark, sf_dir, "lineitem").select(
+    li = table(spark, sf_dir, "lineitem", spread=True).select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
     o = table(spark, sf_dir, "orders").filter(

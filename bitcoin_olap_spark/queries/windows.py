@@ -250,7 +250,7 @@ def srt_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("l_returnflag").orderBy(
         F.desc("l_extendedprice"), "l_orderkey", "l_linenumber"
     )
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem", spread=True)
     return (
         li.select(
             "l_returnflag",

@@ -251,3 +251,56 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "tpch_q18",
+    oracle=f"""
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_totalprice,
+           CAST(SUM({_fx_sql('l_quantity')}) AS DOUBLE) / {_S} AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY 1 HAVING SUM({_fx_sql('l_quantity')}) > 200 * {_S})
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer): aggregate -> HAVING ->
+    semi-join back into the fact -> enrich -> re-aggregate -> top-100.
+    The HAVING keep-list is distributed as a left-semi join on
+    orderkey (same shuffle partitioning as the main lineitem aggregate,
+    so AQE can reuse the exchange); customer is broadcast. Quantity
+    sums in exact fixed-point, top-100 cut tiebroken on orderkey."""
+    li = table(spark, sf_dir, "lineitem", spread=True).select(
+        "l_orderkey", "l_quantity"
+    )
+    qty = _fx("l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("qty_i"))
+        .filter(F.col("qty_i") > 200 * _S)
+        .select("l_orderkey")
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    kept = li.join(
+        big.withColumnRenamed("l_orderkey", "k"),
+        li.l_orderkey == F.col("k"),
+        "left_semi",
+    )
+    return (
+        kept.join(o, kept.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg((F.sum(qty).cast("double") / _S).alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )

@@ -114,3 +114,84 @@ def test_exact_dedup_idempotent(spark, ids):
     once = exact_dedup(df, "doc_id", "text")
     assert once.filter(F.col("n_copies") != 1).count() == 0
     assert once.count() == len(ids)
+
+
+@SETTINGS
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),       # user
+            st.integers(min_value=0, max_value=10**7),   # ts offset sec
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    gap_s=st.integers(min_value=1, max_value=10**5),
+)
+def test_gap_sessions_invariants(spark, events, gap_s):
+    """For any event set and gap: consecutive events inside one session
+    are <= gap apart; consecutive sessions are > gap apart; session ids
+    per user are dense starting at 1."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators.temporal import gap_sessions
+
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(events)],
+        "event_id long, user_id long",
+    ).withColumn(
+        "ts",
+        F.timestamp_seconds(
+            F.lit(1704067200)
+            + F.element_at(
+                F.array(*[F.lit(t) for _, t in events]),
+                F.col("event_id").cast("int") + 1,
+            )
+        ),
+    )
+    out = gap_sessions(df, "user_id", "ts", "event_id", gap_s * 1_000_000)
+    per_user = {}
+    for r in out.orderBy("user_id", "_us", "event_id").collect():
+        per_user.setdefault(r["user_id"], []).append(
+            (r["_us"], r["session_id"])
+        )
+    for u, seq in per_user.items():
+        assert seq[0][1] == 1, (u, seq)
+        for (us0, s0), (us1, s1) in zip(seq, seq[1:]):
+            gap = us1 - us0
+            if s1 == s0:
+                assert gap <= gap_s * 1_000_000, (u, gap, gap_s)
+            else:
+                assert s1 == s0 + 1, (u, s0, s1)
+                assert gap > gap_s * 1_000_000, (u, gap, gap_s)
+
+
+@SETTINGS
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=10**9),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+def test_hash_split_deterministic_and_total(spark, ids):
+    """The md5 split assigns every id exactly one split, identically on
+    repeated runs and independent of partitioning."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    h2 = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
+    )
+    split = (
+        F.when(h2 < "0d", "val").when(h2 < "1a", "test").otherwise("train")
+    )
+    a = {r["doc_id"]: r["s"] for r in df.select("doc_id", split.alias("s")).collect()}
+    b = {
+        r["doc_id"]: r["s"]
+        for r in df.repartition(5).select("doc_id", split.alias("s")).collect()
+    }
+    assert a == b
+    assert set(a) == set(ids)
+    assert set(a.values()) <= {"train", "val", "test"}

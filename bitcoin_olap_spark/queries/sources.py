@@ -293,3 +293,34 @@ def snk_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), exact_sum("value", "total")
     )
+
+
+@query(
+    "src_custom_datasource",
+    oracle="""
+    SELECT CAST(r AS BIGINT) AS block_number,
+           md5(CAST(r AS VARCHAR)) AS block_hash,
+           (CAST(r AS BIGINT) * 7) % 100 AS n_tx,
+           (CAST(r AS BIGINT) * 31) % 100000 AS fee_sat
+    FROM range(1000) t(r)
+    WHERE (CAST(r AS BIGINT) * 7) % 100 >= 50
+    """,
+)
+def src_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python Data Source (sources/blockfeed.py): the BitcoinETL
+    block-feed seam (README.md:3) as a registered Spark source —
+    `spark.read.format("blockfeed")` plans one InputPartition per block
+    range and executors synthesize rows in parallel. The busy-block
+    filter is applied through the DataFrame API on top of the custom
+    scan like any other source. Content is a deterministic function of
+    block height, which DuckDB's range() reconstructs for the oracle."""
+    from ..sources import register_blockfeed
+
+    register_blockfeed(spark)
+    feed = (
+        spark.read.format("blockfeed")
+        .option("n_blocks", 1000)
+        .option("n_partitions", 8)
+        .load()
+    )
+    return feed.filter(F.col("n_tx") >= 50)

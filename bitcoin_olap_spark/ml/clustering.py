@@ -1,0 +1,62 @@
+"""Distributed clustering over embedding columns.
+
+KMeans is the coarse-quantization workhorse of a vector pipeline: the
+same centroids that cluster a corpus also shard it into IVF inverted
+lists (operators/vectors.ivf_topk builds its own lightweight variant).
+Here the full pyspark.ml estimator runs in-engine: Arrow-free
+array->vector conversion, distributed Lloyd iterations (each a map +
+tree-aggregate of partial centroid sums — no per-point driver traffic),
+fixed seed for reproducibility.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Cluster `vec_col` (array<float>) into k clusters; returns
+    (id_col, cluster, dist) with dist = Euclidean distance to the
+    assigned centroid. Deterministic for a fixed seed + input."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = df.select(
+        F.col(id_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias(
+            "features"
+        ),
+    )
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feat)
+    assigned = model.transform(feat).withColumnRenamed(
+        "prediction", "cluster"
+    )
+    centers = assigned.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cluster int, center array<double>",
+    )
+    with_center = assigned.join(F.broadcast(centers), "cluster")
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                vector_to_array("features"),
+                "center",
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return with_center.select(
+        id_col,
+        F.col("cluster").cast("long").alias("cluster"),
+        dist.alias("dist"),
+    )

@@ -144,3 +144,17 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("train")
         .alias("split"),
     )
+
+
+@query("ml_kmeans", oracle=None)
+def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMeans(k=10) over the embedding corpus (ml/clustering.py):
+    distributed Lloyd iterations, fixed seed, returns per-vector
+    cluster assignment + centroid distance. Iterative — not
+    SQL-expressible, so rows-only for the driver; tests pin totality,
+    seed-determinism, and cluster-range invariants."""
+    from ..catalog import table as _table
+    from ..ml import kmeans_assign
+
+    emb = _table(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, "vec_id", "embedding", k=10)

@@ -127,3 +127,24 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
     assert all(1 <= r.rank <= 10 for r in approx_rows)
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, f"IVF top-k recall too low: {recall}"
+
+
+def test_kmeans_assignment_invariants(spark):
+    """KMeans assignment must be total (every vector, one cluster in
+    [0,k)), deterministic for the fixed seed, and distances
+    non-negative. (The testdata's label column is NOT geometric
+    structure — intra vs inter label cosine is 0.0016 vs 0.0003 — so
+    purity cannot be asserted; determinism and totality can.)"""
+    from bitcoin_olap_spark.catalog import table
+    from bitcoin_olap_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.01"
+    run = lambda: {
+        r["vec_id"]: (r["cluster"], round(r["dist"], 9))
+        for r in all_queries()["ml_kmeans"](spark, sf).collect()
+    }
+    a, b = run(), run()
+    assert a == b  # fixed seed -> reproducible end to end
+    n = table(spark, sf, "embeddings").count()
+    assert len(a) == n
+    assert all(0 <= c < 10 and d >= 0 for c, d in a.values())

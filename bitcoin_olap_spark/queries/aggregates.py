@@ -406,3 +406,25 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)"
         ).alias("approx_p")
     )
+
+
+@query(
+    "agg_string_agg",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation GROUP BY 1
+    """,
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/STRING_AGG): nations per
+    region as one comma-joined string. Spark builds it as
+    array_join(sort_array(collect_list(...))) — the sort makes the
+    output deterministic, which raw STRING_AGG is not unless ordered
+    (SURVEY.md §5.1 rule applied to strings)."""
+    n = table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias(
+            "nations"
+        )
+    )

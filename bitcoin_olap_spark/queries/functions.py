@@ -234,3 +234,35 @@ def fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
         F.month("o_orderdate").cast("long").alias("order_month"),
     )
+
+
+@query(
+    "fn_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS uname,
+           CAST(length(c_name) AS BIGINT) AS name_len,
+           substring(c_name, 1, 8) AS prefix,
+           concat(c_mktsegment, ':', c_name) AS tagged,
+           CAST(levenshtein(c_name, c_mktsegment) AS BIGINT) AS edit_dist
+    FROM customer
+    """,
+)
+def fn_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar family: case fold, length, substring, concat, and
+    Levenshtein edit distance (the fuzzy-match primitive behind entity
+    resolution on dirty dimensions like the reference's wallet names,
+    wallet_location2.ndjson). All JVM-side codegen'd expressions."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.concat(F.col("c_mktsegment"), F.lit(":"), F.col("c_name")).alias(
+            "tagged"
+        ),
+        F.levenshtein("c_name", "c_mktsegment").cast("long").alias(
+            "edit_dist"
+        ),
+    )

@@ -230,3 +230,30 @@ def flt_dropna(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("flag"),
     )
     return li.na.drop()
+
+
+@query(
+    "flt_exists_sql",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_quantity >= 49)
+    """,
+)
+def flt_exists_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS through the spark.sql surface: Catalyst
+    rewrites the subquery to a left-semi join (same physical plan the
+    DataFrame API's join(..., 'left_semi') produces — flt_in_subquery's
+    twin from the SQL entry point, SURVEY.md §3.2). Registers the
+    needed temp views, then plans one SQL statement."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM v_orders o
+        WHERE EXISTS (SELECT 1 FROM v_lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_quantity >= 49)
+        """
+    )

@@ -5,10 +5,11 @@ These are the engine's throughput workhorses — multi-way joins +
 wide aggregations where executor parallelism, broadcast planning, and
 partial aggregation actually move the needle (the per-operator queries
 elsewhere are semantics-focused and mostly fixed-cost at test scale).
-Shapes follow TPC-H Q1/Q3/Q5/Q6, adapted to the driver schema
-(o_orderpriority stands in for o_shippriority; Q5 groups revenue by
-supplier nation without the customer-nation equality, which synthetic
-FKs would make degenerate).
+Shapes follow TPC-H Q1/Q3/Q4/Q5/Q6/Q12/Q14/Q18, adapted to the driver
+schema (o_orderpriority stands in for o_shippriority and l_shipmode;
+"late" in Q4 is shipdate > orderdate + 60d since commit/receipt dates
+don't exist; Q5 groups revenue by supplier nation without the
+customer-nation equality, which synthetic FKs would make degenerate).
 
 Determinism (SURVEY.md §5.1): every money/discount/tax/qty column is
 exact at 4 decimal places, so `round(x * 10^4)` recovers the exact
@@ -303,4 +304,120 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.sum(qty).cast("double") / _S).alias("total_qty"))
         .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
         .limit(100)
+    )
+
+
+@query(
+    "tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01 00:00:00'
+      AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND CAST(l.l_shipdate AS TIMESTAMP) >
+                CAST(o.o_orderdate AS TIMESTAMP) + INTERVAL '60 days')
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): orders in a quarter
+    with at least one late-shipping line item (testdata has no
+    commit/receipt dates, so "late" is shipdate > orderdate + 60d).
+    The correlated EXISTS is a left-semi join whose probe condition
+    references both sides — Spark plans it as a semi hash join with
+    the date comparison as a post-join predicate."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.timestamp_add("DAY", F.lit(60), o.o_orderdate)),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "tpch_q12",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01 00:00:00'
+      AND CAST(l_shipdate AS TIMESTAMP) < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping priority mix): fact-fact join + CASE
+    pivot counts per line status (l_linestatus stands in for
+    l_shipmode, which the testdata lacks). Integer conditional sums —
+    exact everywhere."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = table(spark, sf_dir, "lineitem", spread=True).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "tpch_q14",
+    oracle=f"""
+    SELECT CAST(100 * SUM(CASE WHEN p_type = 'PROMO'
+                    THEN {_fx_sql('l_extendedprice')}
+                         * ({_S} - {_fx_sql('l_discount')})
+                    ELSE 0 END) AS DOUBLE)
+           / CAST(SUM({_fx_sql('l_extendedprice')}
+                      * ({_S} - {_fx_sql('l_discount')})) AS DOUBLE)
+               AS promo_revenue_pct,
+           COUNT(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1996-09-01 00:00:00'
+      AND CAST(l_shipdate AS TIMESTAMP) < TIMESTAMP '1996-10-01 00:00:00'
+    """,
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): fact ⋈ broadcast part dim, promo
+    revenue share. Both sums are exact fixed-point integers; the final
+    percentage is one double division of identical numerators, so no
+    tolerance is needed despite being a ratio."""
+    li = table(spark, sf_dir, "lineitem", spread=True).filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _fx("l_extendedprice") * (_S - _fx("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                (100 * F.sum(promo)).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n"),
+        )
     )

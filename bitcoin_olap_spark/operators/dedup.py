@@ -14,9 +14,9 @@ Four tiers, all pure DataFrame ops (no Python UDFs):
                      exact Jaccard. Hot bands (boilerplate shingles) are
                      the skew risk; AQE skew-join handles the verify
                      join.
-- simhash_pairs:     64-bit SimHash + Hamming-ball blocking on 16-bit
-                     chunks (a pair within Hamming distance d < 4 must
-                     agree on >= 1 of 4 chunks).
+- simhash_pairs:     64-bit SimHash + Hamming-ball blocking on 8-bit
+                     chunks (a pair within Hamming distance d <= 7 must
+                     agree on >= 1 of the 8 chunks, by pigeonhole).
 
 MinHash/SimHash use xxhash64 (JVM-side, seedable) — deterministic
 across runs but not expressible in DuckDB SQL, so those two register

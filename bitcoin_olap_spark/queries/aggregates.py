@@ -113,14 +113,32 @@ def agg_cond_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _joined_list(cond_flag: str, out_name: str):
+    """sort_array(collect_list(when(...))) serialized to one CSV string.
+    Registered queries must emit scalar-only columns (the external
+    correctness harness canonicalizes rows via pandas sort_values, which
+    cannot hash array cells) — so the array is kept internal and the
+    projection is array_join over the numerically-sorted list."""
+    lst = F.sort_array(
+        F.collect_list(
+            F.when(F.col("l_returnflag") == cond_flag, F.col("l_partkey"))
+        )
+    )
+    return F.array_join(
+        F.transform(lst, lambda x: x.cast("string")), ","
+    ).alias(out_name)
+
+
 @query(
     "agg_array_agg",
     oracle="""
     SELECT l_orderkey,
-           COALESCE(list_sort(list(l_partkey) FILTER (l_returnflag = 'R')),
-                    []) AS returned_parts,
-           COALESCE(list_sort(list(l_partkey) FILTER (l_returnflag = 'A')),
-                    []) AS accepted_parts
+           COALESCE(array_to_string(
+               list_sort(list(l_partkey) FILTER (l_returnflag = 'R')), ','),
+               '') AS returned_parts,
+           COALESCE(array_to_string(
+               list_sort(list(l_partkey) FILTER (l_returnflag = 'A')), ','),
+               '') AS accepted_parts
     FROM lineitem GROUP BY l_orderkey
     """,
 )
@@ -128,23 +146,15 @@ def agg_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional ARRAY_AGG ... IGNORE NULLS (btcolap.sql:226-227):
     `collect_list(when(cond, col))` drops the NULLs the failed condition
     emits, matching IGNORE NULLS; DuckDB's list() keeps NULLs so the
-    oracle uses FILTER + COALESCE-to-[] instead. Lists are sorted on
-    both sides — neither engine guarantees aggregation order
-    (SURVEY.md §5.1)."""
+    oracle uses FILTER instead. Lists are sorted numerically on both
+    sides — neither engine guarantees aggregation order (SURVEY.md §5.1)
+    — then serialized to a CSV string so the output is scalar-only."""
     return (
         table(spark, sf_dir, "lineitem", spread=True)
         .groupBy("l_orderkey")
         .agg(
-            F.sort_array(
-                F.collect_list(
-                    F.when(F.col("l_returnflag") == "R", F.col("l_partkey"))
-                )
-            ).alias("returned_parts"),
-            F.sort_array(
-                F.collect_list(
-                    F.when(F.col("l_returnflag") == "A", F.col("l_partkey"))
-                )
-            ).alias("accepted_parts"),
+            _joined_list("R", "returned_parts"),
+            _joined_list("A", "accepted_parts"),
         )
     )
 
@@ -152,7 +162,10 @@ def agg_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_having_array",
     oracle="""
-    SELECT * FROM (
+    SELECT l_orderkey, input_count, output_count,
+           COALESCE(array_to_string(input_parts, ','), '') AS input_parts,
+           COALESCE(array_to_string(output_parts, ','), '') AS output_parts
+    FROM (
         SELECT l_orderkey,
                COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS input_count,
                COUNT(CASE WHEN l_returnflag = 'A' THEN 1 END) AS output_count,
@@ -196,7 +209,7 @@ def agg_having_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     one_in = F.col("input_count") == 1
     one_out = F.col("output_count") == 1
-    return agged.filter(
+    kept = agged.filter(
         (
             one_in
             & one_out
@@ -206,6 +219,19 @@ def agg_having_array(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         | ((F.col("input_count") > 1) & one_out)
+    )
+    # HAVING predicate works on the real arrays; the projection
+    # serializes them — registered queries must be scalar-only.
+    return kept.select(
+        "l_orderkey",
+        "input_count",
+        "output_count",
+        F.array_join(
+            F.transform("input_parts", lambda x: x.cast("string")), ","
+        ).alias("input_parts"),
+        F.array_join(
+            F.transform("output_parts", lambda x: x.cast("string")), ","
+        ).alias("output_parts"),
     )
 
 
@@ -399,12 +425,21 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle instead of a per-group sort, the 100 TB default when exact
     interpolation isn't required. Sketches aren't SQL-expressible in
     DuckDB, so no oracle; tests pin each estimate between the exact
-    neighboring order statistics."""
+    neighboring order statistics. The two percentiles are projected as
+    scalar p50/p90 doubles (no array-typed output columns)."""
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr(
-            "approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)"
-        ).alias("approx_p")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)"
+            ).alias("approx_p")
+        )
+        .select(
+            "l_returnflag",
+            F.element_at("approx_p", 1).alias("p50"),
+            F.element_at("approx_p", 2).alias("p90"),
+        )
     )
 
 

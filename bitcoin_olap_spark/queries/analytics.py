@@ -28,30 +28,119 @@ BIN_CAP = 50
 @query(
     "sample_stratified",
     oracle=f"""
+    WITH ranked AS (
+        SELECT value,
+               ROW_NUMBER() OVER (ORDER BY value) AS rn,
+               COUNT(*) OVER () AS n
+        FROM events
+    ),
+    bounds AS (
+        SELECT k, MIN(value) AS b
+        FROM ranked CROSS JOIN range(1, {N_BINS}) t(k)
+        WHERE rn = (k * n + {N_BINS - 1}) // {N_BINS}
+        GROUP BY k
+    ),
+    binned AS (
+        SELECT e.event_id, e.value,
+               1 + COUNT(b.b) AS bin
+        FROM events e LEFT JOIN bounds b ON b.b < e.value
+        GROUP BY e.event_id, e.value
+    )
     SELECT event_id, value, bin FROM (
         SELECT event_id, value, bin,
                row_number() OVER (PARTITION BY bin ORDER BY event_id) AS rn
-        FROM (
-            SELECT event_id, value,
-                   ntile({N_BINS}) OVER (ORDER BY value, event_id) AS bin
-            FROM events
-        )
+        FROM binned
     ) WHERE rn <= {BIN_CAP}
     """,
 )
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sampling: `smart_sampling`'s 20-percentile-bin
-    cap-per-bin scheme (btc_logregression_pre.py:53-70, np.percentile
-    + per-bin cap) as deterministic ntile + row_number windows —
-    distributed, reproducible (unique tiebreaker), no RNG."""
+    cap-per-bin scheme (btc_logregression_pre.py:53-70 — np.percentile
+    boundaries + digitize + per-bin cap), fully distributed.
+
+    Bin k's lower boundary is the EXACT value at global rank
+    ceil(k*n/20) (PERCENTILE_DISC semantics), computed with no global
+    sort and no un-partitioned window:
+
+    1. groupBy(value).count() — one shuffle down to distinct values;
+    2. repartitionByRange(value) + per-partition subtotal collect
+       (≤ num_partitions rows, driver-sized control data) → exclusive
+       prefix offsets, broadcast back;
+    3. within-partition running count via a window PARTITIONED by
+       spark_partition_id() — every window here is partitioned;
+    4. boundary_k = MIN(value WHERE global_cum >= rank_k), one tiny
+       reduce; the 19 boundaries (driver-sized) become literal
+       comparisons, so bin assignment is map-side JVM code.
+
+    The per-bin cap is row_number over partitionBy(bin) — also
+    properly partitioned. Ties share a bin (np.digitize semantics;
+    ntile would split them by rank), reproducible, no RNG. At 100 TB
+    swap step 1-4 for approx_percentile boundaries — same digitize
+    pipeline, sketch-accurate cuts."""
     e = table(spark, sf_dir, "events")
+
+    nparts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
+    vc = (
+        e.groupBy("value")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .repartitionByRange(nparts, "value")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        part_totals = sorted(
+            (r["pid"], r["t"])
+            for r in vc.groupBy("pid").agg(F.sum("c").alias("t")).collect()
+        )
+        n = sum(t for _, t in part_totals)
+        offsets, acc = {}, 0
+        for pid, t in part_totals:
+            offsets[pid] = acc
+            acc += t
+        off_expr = F.coalesce(
+            F.element_at(
+                F.create_map(
+                    *[
+                        x
+                        for pid, o in offsets.items()
+                        for x in (F.lit(pid), F.lit(o))
+                    ]
+                ),
+                F.col("pid"),
+            ),
+            F.lit(0),
+        )
+        cum = (
+            F.sum("c").over(
+                Window.partitionBy("pid")
+                .orderBy("value")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            + off_expr
+        )
+        ranks = [(k * n + N_BINS - 1) // N_BINS for k in range(1, N_BINS)]
+        brow = (
+            vc.withColumn("cum", cum)
+            .agg(
+                *[
+                    F.min(
+                        F.when(F.col("cum") >= F.lit(r), F.col("value"))
+                    ).alias(f"b{k}")
+                    for k, r in enumerate(ranks, start=1)
+                ]
+            )
+            .collect()[0]
+        )
+    finally:
+        vc.unpersist()
+    bounds = [brow[f"b{k}"] for k in range(1, N_BINS)]
+
+    bin_col = F.lit(1)
+    for b in bounds:
+        if b is not None:
+            bin_col = bin_col + F.when(F.col("value") > F.lit(b), 1).otherwise(0)
     binned = e.select(
-        "event_id",
-        "value",
-        F.ntile(N_BINS)
-        .over(Window.orderBy("value", "event_id"))
-        .cast("long")
-        .alias("bin"),
+        "event_id", "value", bin_col.cast("long").alias("bin")
     )
     capped = binned.withColumn(
         "rn",

@@ -98,5 +98,18 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas (deterministic byte-histogram codec standing in for
     PIL/soundfile — real codecs are a gated STUB, see
     operators/multimodal.py). Rows-only driver check; exact values are
-    verified against a pure-numpy reference in tests."""
-    return MM.decode_features(_media(spark, sf_dir), "doc_id")
+    verified against a pure-numpy reference in tests (which call the
+    operator directly). The registered projection serializes the
+    feature vector to a CSV string — registered queries must emit
+    scalar-only columns for the external canonicalizer."""
+    feats = MM.decode_features(_media(spark, sf_dir), "doc_id")
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.array_join(
+            F.transform(
+                "features", lambda x: F.format_number(x, 6)
+            ),
+            ",",
+        ).alias("features"),
+    )

@@ -257,3 +257,37 @@ def flt_exists_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
                         AND l.l_quantity >= 49)
         """
     )
+
+
+@query(
+    "flt_in_rowvalue_sql",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_quantity
+    FROM lineitem l
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem g
+        WHERE g.l_orderkey = l.l_orderkey AND g.l_quantity = l.l_quantity
+        GROUP BY g.l_orderkey, g.l_quantity HAVING COUNT(*) > 1)
+    """,
+)
+def flt_in_rowvalue_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-value `(a, b) IN (subquery)` through the spark.sql surface —
+    the literal dialect shape of the reference's dedup-DELETE predicate
+    (`WHERE (hash, index) IN (SELECT hash, index ... HAVING COUNT > 1)`,
+    btcolap.sql:3-4). Catalyst rewrites the multi-column IN to a
+    left-semi join on both key columns — semantically the twin of
+    flt_in_subquery/agg_dedup_rownum, entered from SQL. (DuckDB cannot
+    bind a multi-column IN subquery, so the oracle states the same
+    semantics as a correlated EXISTS.) The subquery is
+    an aggregate of the fact itself, so both sides shuffle on the same
+    (orderkey, quantity) key and AQE reuses the exchange."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM v_lineitem
+        WHERE (l_orderkey, l_quantity) IN (
+            SELECT l_orderkey, l_quantity FROM v_lineitem
+            GROUP BY l_orderkey, l_quantity HAVING COUNT(*) > 1)
+        """
+    )

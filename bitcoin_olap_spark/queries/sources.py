@@ -166,14 +166,17 @@ def snk_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     DELETE).
 
     Duplicates are synthesized by self-union (FIXTURES.md §B), the
-    "table" is materialized, the delete rewrites it, and the surviving
-    rows are returned.
+    "table" is materialized ONCE per (process, sf_dir) — the fixture is
+    setup, not the operator; re-writing it per call would time the
+    synthetic dirty-table build instead of the delete-rewrite (same
+    exists-guard pattern as join_bucketed_colocate) — then the delete
+    rewrites it and the surviving rows are returned.
     """
     cols = ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]
-    li = table(spark, sf_dir, "lineitem").select(*cols)
-    duped = li.unionAll(li)
-    path = _tmp("delete_where_table.parquet")
-    duped.write.mode("overwrite").parquet(path)
+    path = _tmp(f"delete_where_table_{abs(hash(sf_dir)) % 10**8}.parquet")
+    if not os.path.isdir(path):
+        li = table(spark, sf_dir, "lineitem").select(*cols)
+        li.unionAll(li).write.mode("overwrite").parquet(path)
 
     stored = spark.read.parquet(path)
     w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
@@ -184,7 +187,7 @@ def snk_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
-    out = _tmp("delete_where_table_clean.parquet")
+    out = _tmp(f"delete_where_clean_{abs(hash(sf_dir)) % 10**8}.parquet")
     cleaned.write.mode("overwrite").parquet(out)
     return spark.read.parquet(out)
 

@@ -42,7 +42,25 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows, key=repr)
 
 
+def assert_scalar_schema(spark_df, qid: str) -> None:
+    """The external driver's canonicalizer (pandas sort_values over all
+    columns) crashes on array/struct/map cells — registered queries must
+    emit scalar-only columns. Enforced locally so CI catches it first."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = [
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{qid}: non-scalar output columns break the driver "
+        f"canonicalizer: {bad} — array_join/to_json them"
+    )
+
+
 def compare(spark_df, duck_df: pd.DataFrame, qid: str) -> None:
+    assert_scalar_schema(spark_df, qid)
     spd = spark_df.toPandas()
     assert sorted(spd.columns) == sorted(duck_df.columns), (
         f"{qid}: column mismatch spark={sorted(spd.columns)} "

@@ -72,6 +72,20 @@ def test_salted_join_equals_plain_join(spark, n_fact, n_keys, salt):
     assert got == want
 
 
+def test_salted_join_rejects_outer(spark):
+    """Replicated-dim salting breaks right/full outer semantics
+    (unmatched dim rows would appear S times) — must refuse."""
+    import pytest as _pytest
+
+    from bitcoin_olap_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame([(1, 2)], "k long, payload long")
+    dim = spark.createDataFrame([(1, "d")], "k long, label string")
+    for how in ("right", "full", "outer"):
+        with _pytest.raises(ValueError, match="salted_join"):
+            salted_join(fact, dim, "k", 4, how=how)
+
+
 @SETTINGS
 @given(text=st.text(alphabet=st.characters(codec="ascii"), max_size=80))
 def test_fingerprint_normalization_invariants(spark, text):

@@ -12,7 +12,7 @@ import pytest
 from bitcoin_olap_spark.registry import REGISTRY, all_queries
 
 from .conftest import SF_ORACLE
-from .oracle import compare
+from .oracle import assert_scalar_schema, compare
 
 all_queries()  # populate REGISTRY
 QIDS = sorted(REGISTRY)
@@ -23,6 +23,7 @@ def test_oracle_parity(qid, spark, duck):
     spec = REGISTRY[qid]
     sdf = spec.fn(spark, SF_ORACLE)
     if spec.oracle is None:
+        assert_scalar_schema(sdf, qid)
         assert sdf.count() >= 0  # runnable, stable schema
         assert len(sdf.schema.fields) > 0
         return
@@ -75,7 +76,7 @@ def test_approx_quantile_near_exact(spark, duck):
     """GK-sketch estimates (accuracy 1/10000) must sit within 0.5% of
     DuckDB's exact interpolated quantiles per group."""
     got = {
-        r["l_returnflag"]: r["approx_p"]
+        r["l_returnflag"]: (r["p50"], r["p90"])
         for r in all_queries()["agg_approx_quantile"](
             spark, SF_ORACLE
         ).collect()

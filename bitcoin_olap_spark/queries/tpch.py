@@ -5,11 +5,13 @@ These are the engine's throughput workhorses — multi-way joins +
 wide aggregations where executor parallelism, broadcast planning, and
 partial aggregation actually move the needle (the per-operator queries
 elsewhere are semantics-focused and mostly fixed-cost at test scale).
-Shapes follow TPC-H Q1/Q3/Q4/Q5/Q6/Q12/Q14/Q18, adapted to the driver
-schema (o_orderpriority stands in for o_shippriority and l_shipmode;
-"late" in Q4 is shipdate > orderdate + 60d since commit/receipt dates
-don't exist; Q5 groups revenue by supplier nation without the
-customer-nation equality, which synthetic FKs would make degenerate).
+Shapes follow TPC-H Q1/Q2/Q3/Q4/Q5/Q6/Q12/Q13/Q14/Q16/Q18/Q20, adapted
+to the driver schema (o_orderpriority stands in for o_shippriority,
+l_shipmode, and the comment filters; "late" in Q4 is shipdate >
+orderdate + 60d since commit/receipt dates don't exist; Q5 groups
+revenue by supplier nation without the customer-nation equality, which
+synthetic FKs would make degenerate; Q2/Q16/Q20 derive the
+part-supplier link from lineitem since there is no partsupp table).
 
 Determinism (SURVEY.md §5.1): every money/discount/tax/qty column is
 exact at 4 decimal places, so `round(x * 10^4)` recovers the exact
@@ -420,4 +422,235 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_revenue_pct"),
             F.count(F.lit(1)).alias("n"),
         )
+    )
+
+
+@query(
+    "tpch_q2",
+    oracle=f"""
+    WITH partcost AS (
+        SELECT l_partkey, l_suppkey,
+               MIN({_fx_sql('l_extendedprice')}) AS cost
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
+           CAST(pc.cost AS DOUBLE) / {_S} AS supply_cost
+    FROM part p
+    JOIN partcost pc ON pc.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = pc.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_type = 'LARGE' AND p.p_size < 15 AND r.r_name = 'EUROPE'
+      AND pc.cost = (
+          SELECT MIN(pc2.cost)
+          FROM partcost pc2
+          JOIN supplier s2 ON s2.s_suppkey = pc2.l_suppkey
+          JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+          JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+          WHERE pc2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): the correlated SCALAR
+    subquery — for each qualifying part, keep only the region suppliers
+    whose cost equals the per-part regional minimum. The testdata has
+    no partsupp, so the part-supplier link with its "supply cost" is
+    derived from lineitem: MIN exact-fixed-point extendedprice per
+    (partkey, suppkey) — BIGINT, so the `cost = (SELECT MIN ...)`
+    equality is exact on both engines.
+
+    Entered through spark.sql so Catalyst performs the decorrelation
+    itself: the scalar subquery becomes an aggregate-then-join on
+    p_partkey (the same plan a hand-decorrelated DataFrame version
+    would build), dims broadcast, and the ORDER BY ... LIMIT 100 (total
+    tiebreak: acctbal desc, nation, supplier, part) fuses to
+    TakeOrderedAndProject."""
+    partcost = (
+        table(spark, sf_dir, "lineitem", spread=True)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(_fx("l_extendedprice")).alias("cost"))
+    )
+    partcost.createOrReplaceTempView("v_q2_partcost")
+    for t in ("part", "supplier", "nation", "region"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"v_q2_{t}")
+    return spark.sql(
+        f"""
+        SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
+               CAST(pc.cost AS DOUBLE) / {_S} AS supply_cost
+        FROM v_q2_part p
+        JOIN v_q2_partcost pc ON pc.l_partkey = p.p_partkey
+        JOIN v_q2_supplier s ON s.s_suppkey = pc.l_suppkey
+        JOIN v_q2_nation n ON n.n_nationkey = s.s_nationkey
+        JOIN v_q2_region r ON r.r_regionkey = n.n_regionkey
+        WHERE p.p_type = 'LARGE' AND p.p_size < 15 AND r.r_name = 'EUROPE'
+          AND pc.cost = (
+              SELECT MIN(pc2.cost)
+              FROM v_q2_partcost pc2
+              JOIN v_q2_supplier s2 ON s2.s_suppkey = pc2.l_suppkey
+              JOIN v_q2_nation n2 ON n2.n_nationkey = s2.s_nationkey
+              JOIN v_q2_region r2 ON r2.r_regionkey = n2.n_regionkey
+              WHERE pc2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+        ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+        LIMIT 100
+        """
+    )
+
+
+@query(
+    "tpch_q13",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    ) t
+    GROUP BY c_count
+    """,
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): outer join
+    keeping zero-order customers, then a distribution over the counts
+    (o_orderpriority <> '1-URGENT' stands in for the comment NOT LIKE
+    filter).
+
+    Spark cannot broadcast the PRESERVED side of a left-outer join, so
+    the naive customer-LEFT-JOIN-orders shuffles both sides on custkey.
+    Instead the fact is pre-aggregated to per-customer counts FIRST
+    (one shuffle over orders, map-side partials), and that tiny
+    aggregate broadcasts as the right side of the outer join — at
+    100 TB the orders shuffle is the only wide exchange, and the
+    customer table is never moved at all."""
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    oc = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_cust = c.join(
+        F.broadcast(oc), c.c_custkey == oc.o_custkey, "left_outer"
+    ).select(F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("c_count"))
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@query(
+    "tpch_q16",
+    oracle="""
+    SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#45'
+      AND p_type <> 'MEDIUM'
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): anti-join against
+    an excluded-supplier list + per-(brand, type, size) COUNT DISTINCT
+    of suppliers. lineitem stands in for partsupp as the part-supplier
+    link; "complaint" suppliers are those with negative account balance
+    (the testdata lacks comments). Both the part filter and the
+    exclusion list broadcast (dims are tiny relative to the fact at any
+    scale); the count-distinct is the only wide aggregation."""
+    li = table(spark, sf_dir, "lineitem", spread=True).select(
+        "l_partkey", "l_suppkey"
+    )
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#45")
+            & (F.col("p_type") != "MEDIUM")
+            & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti"
+        )
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q20",
+    oracle=f"""
+    SELECT s_name, s_acctbal FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (
+              SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+          AND CAST(l_shipdate AS TIMESTAMP) >=
+              TIMESTAMP '1996-01-01 00:00:00'
+          AND CAST(l_shipdate AS TIMESTAMP) <
+              TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM({_fx_sql('l_quantity')}) > 30 * {_S}
+    )
+    AND s_nationkey IN (
+        SELECT n_nationkey FROM nation WHERE n_name LIKE 'NATION_1%')
+    """,
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): the nested
+    semi-join chain — suppliers who shipped > 30 units of some red part
+    in 1996, restricted to a nation group. part-keys semi-restrict the
+    fact (broadcast), the HAVING runs on the (suppkey, partkey) grain
+    in exact fixed-point, and the surviving supplier keys semi-restrict
+    the supplier dim; the nation filter is a second broadcast semi.
+    Original availqty predicate (partsupp) is restated over shipped
+    quantity since the testdata has no partsupp."""
+    red = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li = (
+        table(spark, sf_dir, "lineitem", spread=True)
+        .filter(
+            (F.col("l_shipdate")
+             >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate")
+               < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(red), F.col("l_partkey") == red.p_partkey, "left_semi")
+    )
+    heavy = (
+        li.groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_fx("l_quantity")).alias("qty_fx"))
+        .filter(F.col("qty_fx") > 30 * _S)
+        .select("l_suppkey")
+        .distinct()
+    )
+    nat = (
+        table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").like("NATION_1%"))
+        .select("n_nationkey")
+    )
+    s = table(spark, sf_dir, "supplier")
+    return (
+        s.join(
+            F.broadcast(heavy), s.s_suppkey == heavy.l_suppkey, "left_semi"
+        )
+        .join(
+            F.broadcast(nat), s.s_nationkey == nat.n_nationkey, "left_semi"
+        )
+        .select("s_name", "s_acctbal")
     )

@@ -4,10 +4,11 @@ Four tiers, all pure DataFrame ops (no Python UDFs):
 
 - exact_dedup:       hash-groupBy on a fingerprint — one shuffle on the
                      hash key; at 100 TB this is the cheap first pass.
-- jaccard_pairs:     exact n-gram Jaccard via shingle self-join —
-                     quadratic in documents sharing a shingle; correct
-                     but only viable as a verifier on candidate pairs
-                     or small corpora.
+- jaccard_pairs:     exact n-gram Jaccard via a hashed-shingle
+                     self-join with a set-size length bound, then an
+                     exact array-intersect verify on the survivors —
+                     identical output to the naive string self-join at
+                     a fraction of its exchange and join volume.
 - minhash_lsh_pairs: MinHash signatures + banded LSH — the scale path:
                      candidate generation is a groupBy on band hashes
                      (linear shuffle), candidates then verified with
@@ -27,8 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-from .text import fingerprint, shingles, words
+from .text import fingerprint, shingle_array, shingles, words
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -53,49 +53,96 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact word-n-gram Jaccard near-dup pairs (doc_a < doc_b, jaccard).
 
-    shingle self-join -> common counts -> |A∪B| from per-doc sizes.
-    Jaccard = common/(na+nb-common) is a single integer->double division
+    Two-phase, exact. Phase 1 (candidates): the shingle self-join runs
+    on xxhash64(shingle) LONGS, not strings — the corpus-wide exchange
+    carries (id, hash, set_size) at 24 bytes/row instead of a ~25-byte
+    string key, and the join/group compare longs. Hash collisions can
+    only INFLATE a pair's common count, so thresholding the hash-count
+    Jaccard yields a SUPERSET of the true result — no false negatives.
+    The length bound (na >= t*nb and vice versa, a necessary condition
+    for J >= t) prunes pairs before the pair-count aggregation.
+    Phase 2 (verify): the few surviving pairs join back to the compact
+    per-document shingle ARRAYS (one row per doc) and the true Jaccard
+    is a single JVM-side size(array_intersect(...)) per pair — no
+    corpus re-explode, no per-pair aggregation, and any hash-collision
+    impostor is discarded. Output is therefore IDENTICAL to a naive
+    exact string join; the oracle states the naive semantics. Jaccard =
+    common/(na+nb-common) is a single integer->double division
     (bit-stable across engines).
+
+    Shuffle inventory: the hashed-shingle exchange (narrow), the pair
+    count (join-output-scale, map-side partials), and two verify joins
+    keyed on doc id over output-scale pairs (AQE broadcasts the array
+    relation when it is small).
     """
     # documents arrive in O(#input files) partitions and explode does
-    # not re-split — without _spread both the shingle construction and
-    # the quadratic self-join run at the source's parallelism (1 task
-    # for a single-file table). Repartition the cheap pre-explode rows,
-    # then hash-partition the shingle relation on the join key with an
-    # explicit N (removes both join exchanges; AQE cannot coalesce an
-    # explicit N back down to a serial plan).
+    # not re-split — _spread re-splits the cheap pre-explode rows.
     n_part = df.sparkSession.sparkContext.defaultParallelism
-    sh = (
-        shingles(_spread(df), id_col, text_col, n)
-        .repartition(n_part, "shingle")
+    arr = shingle_array(text_col, n, distinct=True)
+    arrs = (
+        _spread(df)
+        .select(
+            F.col(id_col),
+            arr.alias("arr"),
+            F.size(arr).alias("n_shingles"),
+        )
         .cache()
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    # cache AFTER the repartition so the self-join's two scans reuse one
+    # exchange (without it, explode+hash+exchange run twice)
+    sh = (
+        arrs.select(
+            id_col,
+            "n_shingles",
+            F.explode(
+                F.transform("arr", lambda s: F.xxhash64(s))
+            ).alias("h"),
+        )
+        .repartition(n_part, "h")
+        .cache()
+    )
     a, b = sh.alias("a"), sh.alias("b")
-    common = (
+    t = F.lit(threshold)
+    cand = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.col("a.n_shingles") >= t * F.col("b.n_shingles"))
+            & (F.col("b.n_shingles") >= t * F.col("a.n_shingles")),
         )
         .groupBy(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
         )
-        .agg(F.count(F.lit(1)).alias("common"))
+        .agg(
+            F.count(F.lit(1)).alias("common_h"),
+            F.first("a.n_shingles").alias("na"),
+            F.first("b.n_shingles").alias("nb"),
+        )
+        .filter(
+            F.col("common_h").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("common_h"))
+            >= t
+        )
+        .select("doc_a", "doc_b")
     )
-    sa = sizes.select(
-        F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("na")
+    # exact verify on the surviving pairs, against the compact arrays
+    A = arrs.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("arr").alias("arr_a"),
+        F.col("n_shingles").alias("na"),
     )
-    sb = sizes.select(
-        F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("nb")
+    B = arrs.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("arr").alias("arr_b"),
+        F.col("n_shingles").alias("nb"),
     )
-    jac = F.col("common").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("common")
-    )
+    common = F.size(F.array_intersect("arr_a", "arr_b"))
+    jac = common.cast("double") / (F.col("na") + F.col("nb") - common)
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(A, "doc_a")
+        .join(B, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )

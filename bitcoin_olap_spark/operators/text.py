@@ -119,24 +119,17 @@ def fingerprint(text: str | Column) -> Column:
     return F.md5(norm)
 
 
-def shingles(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    n: int = 3,
-    distinct: bool = True,
-) -> DataFrame:
-    """Word n-gram shingles per document: (id_col, shingle) — distinct
-    per document by default (set semantics for Jaccard/MinHash);
-    distinct=False keeps every occurrence (frequency analysis).
+def shingle_array(text_col: str, n: int = 3, distinct: bool = True) -> Column:
+    """Column of word n-gram shingles as an in-row array — distinct by
+    default (set semantics for Jaccard/MinHash); distinct=False keeps
+    every occurrence (frequency analysis).
 
     Built document-locally: split to a word array, slide an index
-    window with `transform`, optionally dedupe with `array_distinct`,
-    explode. ZERO shuffles — the previous formulation (posexplode +
-    lead window per document) shuffled every word in the corpus just to
-    pair neighbors that were already adjacent in the array. At 100 TB
-    this is the difference between a map-only stage and a corpus-wide
-    sort."""
+    window with `transform`, optionally dedupe with `array_distinct`.
+    ZERO shuffles — a posexplode + lead-window formulation would
+    shuffle every word in the corpus just to pair neighbors that were
+    already adjacent in the array. At 100 TB this is the difference
+    between a map-only stage and a corpus-wide sort."""
     arr = words(text_col)
     m = F.size(arr) - (n - 1)
     shingle_arr = F.when(
@@ -150,7 +143,20 @@ def shingles(
     ).otherwise(F.array().cast("array<string>"))
     if distinct:
         shingle_arr = F.array_distinct(shingle_arr)
+    return shingle_arr
+
+
+def shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
+    """Word n-gram shingles per document: (id_col, shingle) — the
+    exploded form of `shingle_array` (see there for the map-only
+    construction rationale)."""
     return df.select(
         F.col(id_col),
-        F.explode(shingle_arr).alias("shingle"),
+        F.explode(shingle_array(text_col, n, distinct)).alias("shingle"),
     )

@@ -98,7 +98,9 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day moving average of daily flow. The frame sum accumulates as
     DECIMAL (exact under any evaluation order — Spark's sliding-frame
     incremental update vs DuckDB's segment tree) and the single final
-    division is bit-stable."""
+    division is bit-stable. Input is daily grain — cardinality bounded
+    by calendar days, not data volume — so the unpartitioned window is
+    the intended plan at any SF (same note as win_lag_delta)."""
     w = Window.orderBy("day").rowsBetween(-6, 0)
     d = _daily_flow(spark, sf_dir)
     ma7 = F.sum(F.col("flow").cast("decimal(18,4)")).over(w).cast(

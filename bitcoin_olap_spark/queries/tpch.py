@@ -5,13 +5,14 @@ These are the engine's throughput workhorses — multi-way joins +
 wide aggregations where executor parallelism, broadcast planning, and
 partial aggregation actually move the needle (the per-operator queries
 elsewhere are semantics-focused and mostly fixed-cost at test scale).
-Shapes follow TPC-H Q1/Q2/Q3/Q4/Q5/Q6/Q12/Q13/Q14/Q16/Q18/Q20, adapted
-to the driver schema (o_orderpriority stands in for o_shippriority,
-l_shipmode, and the comment filters; "late" in Q4 is shipdate >
-orderdate + 60d since commit/receipt dates don't exist; Q5 groups
-revenue by supplier nation without the customer-nation equality, which
-synthetic FKs would make degenerate; Q2/Q16/Q20 derive the
-part-supplier link from lineitem since there is no partsupp table).
+Shapes follow all 22 TPC-H queries, adapted to the driver schema
+(o_orderpriority stands in for o_shippriority, l_shipmode, and the
+comment filters; "late" in Q4/Q21 is shipdate > orderdate + 60d since
+commit/receipt dates don't exist; Q5 groups revenue by supplier nation
+without the customer-nation equality, which synthetic FKs would make
+degenerate; Q2/Q9/Q11/Q16/Q17/Q20 derive the part-supplier link /
+supply cost from lineitem and p_retailprice since there is no partsupp
+table; Q22's phone country code becomes a nationkey group).
 
 Determinism (SURVEY.md §5.1): every money/discount/tax/qty column is
 exact at 4 decimal places, so `round(x * 10^4)` recovers the exact
@@ -653,4 +654,587 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(nat), s.s_nationkey == nat.n_nationkey, "left_semi"
         )
         .select("s_name", "s_acctbal")
+    )
+
+
+@query(
+    "tpch_q7",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM({_fx_sql('l_extendedprice')}
+                    * ({_S} - {_fx_sql('l_discount')})) AS DOUBLE)
+               / {_S}::DOUBLE / {_S} AS revenue
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1995-01-01 00:00:00'
+      AND CAST(l_shipdate AS TIMESTAMP) < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bilateral trade — revenue between a
+    nation pair in either direction, by supplier nation / customer
+    nation / ship year. Both nation lookups resolve through broadcast
+    dims on the fact BEFORE the fact-fact join, and the symmetric pair
+    predicate ((A,B) or (B,A)) prunes with them, so the only wide
+    exchange is lineitem ⋈ orders on orderkey over pre-filtered rows."""
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pair = F.col("n_name").isin("NATION_1", "NATION_2")
+    s = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n.filter(pair)), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        table(spark, sf_dir, "customer")
+        .join(F.broadcast(n.filter(pair)), F.col("c_nationkey") == n.n_nationkey)
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .select("o_orderkey", "cust_nation")
+    )
+    li = table(spark, sf_dir, "lineitem", spread=True).filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    rev = _fx("l_extendedprice") * (_S - _fx("l_discount"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg((F.sum(rev).cast("double") / float(_S) / _S).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "tpch_q8",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CASE WHEN n1.n_name = 'NATION_7'
+                         THEN {_fx_sql('l_extendedprice')}
+                              * ({_S} - {_fx_sql('l_discount')})
+                         ELSE 0 END) AS DOUBLE)
+           / CAST(SUM({_fx_sql('l_extendedprice')}
+                      * ({_S} - {_fx_sql('l_discount')})) AS DOUBLE)
+               AS mkt_share
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN part ON p_partkey = l_partkey
+    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n2.n_regionkey
+    WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+      AND CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1995-01-01 00:00:00'
+      AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_7's share of STANDARD-
+    part revenue sold into ASIA-nation customers, by order year. The
+    share is a ratio of two exact fixed-point sums computed in ONE
+    aggregation pass (conditional numerator), divided once at the end —
+    bit-stable despite being a percentage. part / supplier+nation /
+    customer+nation+region all broadcast against the fact; the one wide
+    exchange is again lineitem ⋈ orders."""
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    asia_cust = (
+        table(spark, sf_dir, "customer")
+        .join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate")
+             >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate")
+               < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_orderdate")
+    )
+    p = table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "STANDARD"
+    ).select("p_partkey")
+    li = table(spark, sf_dir, "lineitem", spread=True)
+    rev = _fx("l_extendedprice") * (_S - _fx("l_discount"))
+    target = F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                F.sum(target).cast("double") / F.sum(rev).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "tpch_q9",
+    oracle=f"""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM({_fx_sql('l_extendedprice')}
+                    * ({_S} - {_fx_sql('l_discount')})
+                    - {_fx_sql('p_retailprice')} * {_fx_sql('l_quantity')})
+                AS DOUBLE) / {_S}::DOUBLE / {_S} AS profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): profit per supplier nation
+    per order year over parts matching a name pattern. The testdata has
+    no partsupp, so supply cost is p_retailprice * quantity (same S²
+    fixed-point grid as the revenue term, so the difference is an exact
+    BIGINT per row accumulated in DECIMAL(38,0)/HUGEINT). The profit
+    expression subtracts INSIDE the row — one aggregate, not two joined
+    aggregates."""
+    p = table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    ).select("p_partkey", "p_retailprice")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = table(spark, sf_dir, "lineitem", spread=True)
+    amount = (
+        _fx("l_extendedprice") * (_S - _fx("l_discount"))
+        - _fx("p_retailprice") * _fx("l_quantity")
+    ).cast("decimal(38,0)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            "nation", F.year("o_orderdate").cast("long").alias("o_year")
+        )
+        .agg(
+            (F.sum(amount).cast("double") / float(_S) / _S).alias("profit")
+        )
+        .orderBy("nation", "o_year")
+    )
+
+
+@query(
+    "tpch_q10",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           CAST(SUM({_fx_sql('l_extendedprice')}
+                    * ({_S} - {_fx_sql('l_discount')})) AS DOUBLE)
+               / {_S}::DOUBLE / {_S} AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON n_nationkey = c_nationkey
+    WHERE CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1996-10-01 00:00:00'
+      AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned item reporting): lost revenue per customer
+    from returned ('R') lines on a quarter's orders, top 20. Orders and
+    lineitem pre-filter BEFORE their shuffle join on orderkey; the
+    customer+nation enrichment broadcasts; ordered LIMIT fuses to
+    TakeOrderedAndProject with custkey tiebreak."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cn = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", "c_name", "c_acctbal", "n_name"
+    )
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem", spread=True).filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    rev = _fx("l_extendedprice") * (_S - _fx("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cn), o.o_custkey == cn.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg((F.sum(rev).cast("double") / float(_S) / _S).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q11",
+    oracle=f"""
+    WITH partvalue AS (
+        SELECT l_partkey,
+               SUM({_fx_sql('l_extendedprice')} * {_fx_sql('l_quantity')})
+                   AS value_fx
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        WHERE n_name LIKE 'NATION_1%'
+        GROUP BY 1
+    )
+    SELECT l_partkey,
+           CAST(value_fx AS DOUBLE) / {_S} / {_S} AS part_value
+    FROM partvalue
+    WHERE value_fx * 1000 > (SELECT SUM(value_fx) FROM partvalue)
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-part inventory value
+    restricted to a supplier-nation group, keeping parts whose value
+    exceeds a fixed fraction (1/1000) of the group total. No partsupp
+    in the testdata, so value = Σ extendedprice × quantity from
+    lineitem. The global-total scalar subquery is a 1-row broadcast
+    cross join; the threshold compares INTEGERS (value_fx * 1000 >
+    total_fx) — no floating-point fraction, exact on both engines.
+    HUGEINT/DECIMAL(38,0) accumulation: S² per-row terms over the whole
+    fact can exceed 64 bits."""
+    n = table(spark, sf_dir, "nation").filter(
+        F.col("n_name").like("NATION_1%")
+    ).select("n_nationkey")
+    s = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey")
+    )
+    li = table(spark, sf_dir, "lineitem", spread=True)
+    term = (_fx("l_extendedprice") * _fx("l_quantity")).cast("decimal(38,0)")
+    pv = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(term).alias("value_fx"))
+    )
+    total = pv.agg(F.sum("value_fx").alias("total_fx"))
+    return (
+        pv.join(F.broadcast(total))
+        .filter(F.col("value_fx") * 1000 > F.col("total_fx"))
+        .select(
+            "l_partkey",
+            (F.col("value_fx").cast("double") / _S / _S).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+@query(
+    "tpch_q15",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM({_fx_sql('l_extendedprice')}
+                   * ({_S} - {_fx_sql('l_discount')})) AS total_fx
+        FROM lineitem
+        WHERE CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01 00:00:00'
+          AND CAST(l_shipdate AS TIMESTAMP) < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY 1
+    )
+    SELECT s_suppkey, s_name,
+           CAST(total_fx AS DOUBLE) / {_S}::DOUBLE / {_S} AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_fx = (SELECT MAX(total_fx) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): quarter revenue per supplier, keep the
+    supplier(s) achieving the maximum. The `= (SELECT MAX(...))`
+    equality is on the exact fixed-point BIGINT revenue — double
+    round-off can't split ties differently across engines. The max is a
+    1-row broadcast; the revenue view computes once (Spark reuses the
+    exchange under AQE since both sides hang off the same aggregate)."""
+    li = table(spark, sf_dir, "lineitem", spread=True).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = _fx("l_extendedprice") * (_S - _fx("l_discount"))
+    per_supp = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(rev).alias("total_fx")
+    )
+    best = per_supp.agg(F.max("total_fx").alias("best_fx"))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_supp.join(F.broadcast(best))
+        .filter(F.col("total_fx") == F.col("best_fx"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total_fx").cast("double") / float(_S) / _S).alias(
+                "total_revenue"
+            ),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "tpch_q17",
+    oracle=f"""
+    WITH partavg AS (
+        SELECT l_partkey AS pk,
+               SUM({_fx_sql('l_quantity')}) AS sum_qty_fx,
+               COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(SUM({_fx_sql('l_extendedprice')}) AS DOUBLE)
+               / {_S} / 7.0 AS avg_yearly,
+           COUNT(*) AS n
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN partavg ON pk = l_partkey
+    WHERE p_brand = 'Brand#23' AND p_type = 'MEDIUM'
+      AND {_fx_sql('l_quantity')} * cnt * 5 < sum_qty_fx
+    """,
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): lines of a brand/type
+    whose quantity is below 20% of that part's average quantity. The
+    correlated per-part AVG decorrelates to a pre-aggregate joined back
+    on partkey; `qty < 0.2 * avg` is restated as the INTEGER cross-
+    multiplication qty_fx * cnt * 5 < sum_qty_fx — no division, no
+    floating-point threshold, exact on both engines. The per-part
+    aggregate and the probe join share the l_partkey shuffle key."""
+    li = table(spark, sf_dir, "lineitem", spread=True)
+    qty_fx = _fx("l_quantity")
+    partavg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(qty_fx).alias("sum_qty_fx"), F.count(F.lit(1)).alias("cnt")
+    )
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_type") == "MEDIUM")
+    ).select("p_partkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(partavg, li.l_partkey == partavg.pk)
+        .filter(qty_fx * F.col("cnt") * 5 < F.col("sum_qty_fx"))
+        .agg(
+            (F.sum(_fx("l_extendedprice")).cast("double") / _S / 7.0).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "tpch_q19",
+    oracle=f"""
+    SELECT CAST(SUM({_fx_sql('l_extendedprice')}
+                    * ({_S} - {_fx_sql('l_discount')})) AS DOUBLE)
+               / {_S}::DOUBLE / {_S} AS revenue,
+           COUNT(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 21)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 40)
+    """,
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): the disjunctive-predicate join —
+    three OR'd conjunctions mixing part attributes (brand, size) with
+    lineitem attributes (quantity bands). The join stays a single
+    equi-join on partkey (broadcast part side); the disjunction is a
+    post-join filter Catalyst can't split, but the common
+    `p_size >= 1` / brand membership conjuncts are pushed to the part
+    scan as an OR-of-brands filter."""
+    li = table(spark, sf_dir, "lineitem", spread=True).select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+    ).select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & q.between(1, 21))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+           & q.between(10, 30))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35)
+           & q.between(20, 40))
+    )
+    rev = _fx("l_extendedprice") * (_S - _fx("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            (F.sum(rev).cast("double") / float(_S) / _S).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "tpch_q21",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND CAST(l1.l_shipdate AS TIMESTAMP) >
+          CAST(o_orderdate AS TIMESTAMP) + INTERVAL '60 days'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3, orders o3
+          WHERE o3.o_orderkey = l3.l_orderkey
+            AND l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND CAST(l3.l_shipdate AS TIMESTAMP) >
+                CAST(o3.o_orderdate AS TIMESTAMP) + INTERVAL '60 days')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): on finished
+    orders, the supplier who shipped late (shipdate > orderdate + 60d —
+    the testdata has no commit/receipt dates) while every OTHER supplier
+    on the order shipped on time, and the order is genuinely
+    multi-supplier. Instead of the EXISTS / NOT-EXISTS pair (two more
+    passes over the fact), ONE aggregation per order computes
+    n_suppliers, n_late_suppliers, and the sole late supplier; the
+    qualifying orders (n_supp > 1, n_late = 1) then count per supplier
+    — numwait counts LATE LINES (the oracle's l1 grain), accumulated
+    per order during the same aggregation. One orderkey shuffle
+    replaces the correlated-subquery double scan — the formulation a
+    100 TB plan needs."""
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = table(spark, sf_dir, "lineitem", spread=True).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.col("l_shipdate") > F.timestamp_add(
+        "DAY", F.lit(60), F.col("o_orderdate")
+    )
+    per_order = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+            F.sum(F.when(late, 1).otherwise(0)).alias("late_lines"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_order.join(F.broadcast(s), F.col("late_supp") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.sum("late_lines").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q22",
+    oracle=f"""
+    WITH avgbal AS (
+        SELECT SUM({_fx_sql('c_acctbal')}) AS sum_fx, COUNT(*) AS cnt
+        FROM customer
+        WHERE c_acctbal > 0 AND c_nationkey % 5 IN (1, 2, 3)
+    )
+    SELECT CAST(c_nationkey AS BIGINT) AS cntrycode,
+           COUNT(*) AS numcust,
+           CAST(SUM({_fx_sql('c_acctbal')}) AS DOUBLE) / {_S} AS totacctbal
+    FROM customer, avgbal
+    WHERE c_nationkey % 5 IN (1, 2, 3)
+      AND {_fx_sql('c_acctbal')} * cnt > sum_fx
+      AND NOT EXISTS (
+          SELECT 1 FROM orders WHERE o_custkey = c_custkey
+            AND CAST(o_orderdate AS TIMESTAMP) >=
+                TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): well-funded
+    customers in a country group with no RECENT orders (every testdata
+    customer has SOME order, so the classic never-ordered predicate is
+    restated with a date cutoff — same anti-join shape, non-degenerate
+    result). The phone-prefix country code becomes c_nationkey % 5
+    membership (no phone column); `acctbal > (SELECT AVG ...)` is
+    restated as the integer cross-multiplication bal_fx * cnt > sum_fx
+    (exact, no division); the no-recent-orders test is a left-anti join
+    against the date-filtered orders fact — the only wide operation,
+    and the filter pushes below it."""
+    grp = (F.col("c_nationkey") % 5).isin(1, 2, 3)
+    c = table(spark, sf_dir, "customer").filter(grp)
+    avgbal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.sum(_fx("c_acctbal")).alias("sum_fx"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate")
+            >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+        )
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(avgbal))
+        .filter(_fx("c_acctbal") * F.col("cnt") > F.col("sum_fx"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").cast("long").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum(_fx("c_acctbal")).cast("double") / _S).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
     )

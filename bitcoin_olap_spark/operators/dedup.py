@@ -308,3 +308,70 @@ def simhash_pairs(
         .distinct()
     )
     return cand.filter(F.col("hamming") <= max_hamming)
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair graph:
+    (node, component) where component = min node id reachable. This is
+    the survivor-election step a near-dup dedup pipeline needs after
+    pair generation — transitive closure groups {A~B, B~C} into one
+    cluster so exactly one document of {A,B,C} is kept.
+
+    Iterative min-label propagation: each round every node takes the
+    minimum label among itself and its neighbors; converges in
+    graph-diameter rounds (near-dup clusters are shallow — diameter is
+    small — so this beats the O(log n)-round large-star/small-star
+    machinery it could be swapped for on adversarial graphs). Each
+    round is one join + one aggregate, both keyed on node id — the same
+    shuffle partitioning every round, which AQE reuses. Labels are
+    localCheckpoint()ed per round to cut the growing lineage (a 25-deep
+    iterative plan otherwise re-optimizes from scratch each action).
+    Convergence test: the per-round label-change count via the same
+    join — an O(nodes) action, the standard driver-side fixpoint loop
+    of any iterative graph algorithm (GraphX/Pregel does the same)."""
+    und = edges.select(
+        F.col(src_col).alias("e_src"), F.col(dst_col).alias("e_dst")
+    )
+    und = (
+        und.unionByName(
+            und.select(
+                F.col("e_dst").alias("e_src"), F.col("e_src").alias("e_dst")
+            )
+        )
+        .distinct()
+        .cache()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("lbl")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = und.join(
+            labels, und.e_dst == F.col("node")
+        ).select(F.col("e_src").alias("node"), "lbl")
+        new = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels.select(
+        F.col("node"), F.col("lbl").alias("component")
+    )

@@ -477,3 +477,41 @@ def topk_lsh(
         )
     )
     return scored.filter(F.col("rank") <= k)
+
+
+def quantize_int8(
+    df: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: q_i = floor(x_i * 127 /
+    max_abs + 0.5), scale = max_abs / 127 — the standard storage/ANN
+    compression step (4x smaller than float32 before codec).
+
+    Entirely JVM-side array lambdas (transform / array_max /
+    aggregate) — map-only, zero shuffles, linear at any corpus size.
+    Determinism: max() is order-safe, each q_i is the same two IEEE
+    double ops on both engines, and the summary stats are INTEGER
+    aggregates (q_l1, n_sat) — no float accumulation anywhere, so the
+    output is bit-identical cross-engine with no rounding tolerance.
+    floor(x + 0.5) instead of round() because Spark and DuckDB disagree
+    on round()'s tie rule (HALF_UP vs half-away-from-zero), and floor
+    is exact on both."""
+    xs = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    mx = F.greatest(
+        F.array_max(F.transform(xs, lambda x: F.abs(x))), F.lit(1e-30)
+    )
+    q = F.transform(
+        xs, lambda x: F.floor(x * 127 / mx + F.lit(0.5)).cast("long")
+    )
+    return df.select(
+        F.col(id_col),
+        (mx / 127).alias("scale"),
+        F.array_join(F.transform(q, lambda v: v.cast("string")), ",").alias(
+            "q_csv"
+        ),
+        F.size(F.filter(q, lambda v: F.abs(v) == 127))
+        .cast("long")
+        .alias("n_sat"),
+        F.aggregate(
+            q, F.lit(0).cast("long"), lambda acc, v: acc + F.abs(v)
+        ).alias("q_l1"),
+    )

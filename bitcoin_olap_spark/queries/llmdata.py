@@ -8,7 +8,13 @@ Coverage:
 - similarity: brute-force cosine top-k (exact-decimal, oracle-checked)
               and LSH-bucketed approximate top-k (operators/vectors.py)
 - text:       language-ID, quality scoring, token counting,
-              fingerprinting (operators/text.py)
+              fingerprinting, contamination check (operators/text.py)
+- chunk/pack: overlapping word-window chunking, shard-local context
+              packing (operators/chunking.py)
+- clustering: connected components over the near-dup pair graph
+              (operators/dedup.py), recursive-CTE oracle
+- compress:   symmetric int8 embedding quantization
+              (operators/vectors.py)
 
 MinHash/SimHash/LSH use xxhash64 — not expressible in DuckDB SQL, so
 they register rows-only checks; tests/test_llmdata.py instead verifies
@@ -21,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..operators import chunking as C
 from ..operators import dedup as D
 from ..operators import text as TX
 from ..operators import vectors as V
@@ -473,4 +480,245 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), "ngram")
         .limit(50)
+    )
+
+
+# ------------------------------------------------- chunking & packing
+
+@query(
+    "doc_chunk",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), c AS (
+        SELECT doc_id, ws, len(ws) AS n,
+               CASE WHEN len(ws) <= 64 THEN 1
+                    ELSE CAST(ceil((len(ws) - 64) / 48.0) AS BIGINT) + 1
+               END AS k
+        FROM w
+    )
+    SELECT doc_id, i AS chunk_id,
+           array_to_string(
+               ws[CAST(i * 48 + 1 AS BIGINT):CAST(i * 48 + 64 AS BIGINT)],
+               ' ') AS chunk_text,
+           CAST(least(n - i * 48, 64) AS BIGINT) AS n_words
+    FROM c, UNNEST(range(c.k)) AS t(i)
+    """,
+)
+def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping word-window chunking (64-word windows every 48
+    words): the map-only explode that turns documents into training
+    sequences. Chunks are built from the in-row word array — zero
+    shuffles (operators/chunking.chunk_words)."""
+    return C.chunk_words(
+        table(spark, sf_dir, "documents", spread=True),
+        "doc_id",
+        "text",
+        size=64,
+        stride=48,
+    )
+
+
+@query(
+    "pack_sequential",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, doc_id % 32 AS shard,
+               len(string_split(text, ' ')) AS tokens
+        FROM documents
+    ), c AS (
+        SELECT shard, tokens,
+               COALESCE(SUM(tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cum
+        FROM t
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(floor(cum / 1024.0) AS BIGINT) AS bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(tokens) AS BIGINT) AS bin_tokens
+    FROM c GROUP BY 1, 2
+    """,
+)
+def pack_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-local sequential context packing into 1024-token bins:
+    per (shard, bin) document count and token total. The prefix-sum
+    window is partitioned by shard, so no un-partitioned global window
+    exists in the plan (operators/chunking.pack_sequential)."""
+    return C.pack_sequential(
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        budget=1024,
+        n_shards=32,
+    )
+
+
+# ---------------------------------------------------- contamination
+
+@query(
+    "text_contamination",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, w,
+               row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents)
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               w || ' ' || lead(w, 1) OVER win || ' ' ||
+               lead(w, 2) OVER win || ' ' || lead(w, 3) OVER win || ' ' ||
+               lead(w, 4) OVER win AS shingle
+        FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(w, 4) OVER win IS NOT NULL
+    ), tr AS (
+        SELECT doc_id, shingle FROM sh WHERE doc_id % 10 != 0
+    ), ho AS (
+        SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0
+    )
+    SELECT tr.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN ho.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           SUM(CASE WHEN ho.shingle IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+               / COUNT(*) AS contamination
+    FROM tr LEFT JOIN ho ON tr.shingle = ho.shingle
+    GROUP BY 1
+    HAVING SUM(CASE WHEN ho.shingle IS NOT NULL THEN 1 ELSE 0 END) > 0
+    """,
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: for each training document
+    (doc_id % 10 != 0), the fraction of its distinct word-5-grams that
+    appear anywhere in the holdout set (doc_id % 10 == 0) — the
+    standard n-gram-overlap decontamination pass before training.
+    Holdout shingles collapse to a distinct set FIRST (one aggregate,
+    ~1/10 of the corpus), then a left join + conditional count per
+    train doc; contamination = one integer->double division,
+    bit-stable. Only contaminated docs are emitted. At 100 TB the
+    holdout-distinct relation is the small side and broadcasts (AQE
+    decides from its measured size, not a guess)."""
+    docs = table(spark, sf_dir, "documents", spread=True)
+    tr = TX.shingles(
+        docs.filter(F.col("doc_id") % 10 != 0), "doc_id", "text", n=5
+    )
+    ho = (
+        TX.shingles(
+            docs.filter(F.col("doc_id") % 10 == 0), "doc_id", "text", n=5
+        )
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    hit = F.coalesce(F.col("hit"), F.lit(0))
+    return (
+        tr.join(ho, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(hit).alias("n_contaminated"),
+            (F.sum(hit) * 1.0 / F.count(F.lit(1))).alias("contamination"),
+        )
+        .filter(F.col("n_contaminated") > 0)
+    )
+
+
+# ------------------------------------------- near-dup graph clustering
+
+_CC_ORACLE = """
+    WITH RECURSIVE words AS (
+        SELECT doc_id, w,
+               row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents)
+    ), tri AS (
+        SELECT DISTINCT doc_id,
+               w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+                   AS shingle
+        FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(w, 2) OVER win IS NOT NULL
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM tri GROUP BY 1
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        FROM tri a JOIN tri b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), edges0 AS (
+        SELECT doc_a, doc_b FROM pairs
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
+    ), edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM edges0
+        UNION
+        SELECT doc_b, doc_a FROM edges0
+    ), reach AS (
+        SELECT doc_id AS node, doc_id AS m FROM documents
+        UNION
+        SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.m
+    )
+    SELECT node AS doc_id, MIN(m) AS component FROM reach GROUP BY 1
+"""
+
+
+@query("dedup_doc_clusters", oracle=_CC_ORACLE)
+def dedup_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the exact-Jaccard
+    pair graph at threshold 0.5 — the transitive-closure step that
+    turns pairwise near-dups into survivor groups (keep min doc_id per
+    component). Iterative min-label propagation, one orderkey-shuffled
+    join+agg per round, converging in diameter rounds
+    (operators/dedup.connected_components). The oracle states the same
+    fixpoint as a recursive CTE. Every document gets a row; singleton
+    components are their own id."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return D.connected_components(
+        pairs,
+        docs.select("doc_id"),
+        id_col="doc_id",
+        src_col="doc_a",
+        dst_col="doc_b",
+    ).select(F.col("node").alias("doc_id"), "component")
+
+
+# ------------------------------------------------ embedding compression
+
+@query(
+    "emb_quantize",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+        FROM embeddings
+    ), m AS (
+        SELECT vec_id, xs,
+               greatest(list_max(list_transform(xs, x -> abs(x))), 1e-30)
+                   AS mx
+        FROM v
+    ), q AS (
+        SELECT vec_id, mx,
+               list_transform(
+                   xs, x -> CAST(floor(x * 127 / mx + 0.5) AS BIGINT)) AS qs
+        FROM m
+    )
+    SELECT vec_id, mx / 127 AS scale,
+           array_to_string(qs, ',') AS q_csv,
+           CAST(len(list_filter(qs, x -> abs(x) = 127)) AS BIGINT) AS n_sat,
+           CAST(list_sum(list_transform(qs, x -> abs(x))) AS BIGINT) AS q_l1
+    FROM q
+    """,
+)
+def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization — scale, quantized values
+    (CSV-serialized: registered queries emit scalars only), saturation
+    count, and integer L1 mass. Map-only JVM array lambdas; summary
+    stats are integer aggregates so the row is bit-identical
+    cross-engine (operators/vectors.quantize_int8)."""
+    return V.quantize_int8(
+        table(spark, sf_dir, "embeddings"), "vec_id", "embedding"
     )

@@ -139,3 +139,50 @@ def range_join_banded(
         )
         .drop("_band")
     )
+
+
+def gapfill_locf(
+    series: DataFrame,
+    ts_col: str,
+    value_col: str,
+    step: str = "1 hour",
+) -> DataFrame:
+    """Fill holes in a time-bucketed series: regularize to a dense
+    `step` spine from the observed min to max bucket, left-join the
+    observations, and carry the last observation forward (LOCF) into
+    the gaps — the hypertable/timeseries `time_bucket_gapfill +
+    locf()` shape.
+
+    The spine is generated from one 2-value aggregate (min/max) via
+    `sequence` + explode — no driver round-trip, no literal range.
+    The LOCF window is an unpartitioned ORDER BY bucket — correct here
+    because the input is POST-AGGREGATION bucket grain whose
+    cardinality is bounded by the calendar span, not the data volume
+    (same argument as the daily-series windows in queries/windows.py);
+    gap-filling a per-key series would add partitionBy(key) and keep
+    the same shape.
+
+    Returns (ts, value, filled, is_gap): `value` is null in gaps,
+    `filled` is the LOCF value (null before the first observation),
+    is_gap is 0/1."""
+    bounds = series.agg(
+        F.min(ts_col).alias("_lo"), F.max(ts_col).alias("_hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(
+                "_lo", "_hi", F.expr(f"INTERVAL {step}")
+            )
+        ).alias(ts_col)
+    )
+    w = Window.orderBy(ts_col).rowsBetween(Window.unboundedPreceding, 0)
+    joined = spine.join(series, ts_col, "left")
+    return joined.select(
+        ts_col,
+        F.col(value_col).alias("value"),
+        F.last(value_col, ignorenulls=True).over(w).alias("filled"),
+        F.when(F.col(value_col).isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_gap"),
+    )

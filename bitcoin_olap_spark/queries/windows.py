@@ -33,7 +33,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import table
 from ..functions import ORACLE_DAY, day, exact_sum, oracle_exact_sum
-from ..operators.temporal import gap_sessions
+from ..operators.temporal import gap_sessions, gapfill_locf
 from ..registry import query
 from .analytics import _DAILY_XY, _daily_xy
 
@@ -372,4 +372,57 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.min("value").alias("lo"),
         F.max("value").alias("hi"),
+    )
+
+
+@query(
+    "ts_gapfill_locf",
+    oracle="""
+    WITH base AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4))
+                   AS flow
+        FROM events WHERE event_type = 'signup' AND value > 150
+        GROUP BY 1
+    ), spine AS (
+        SELECT unnest(generate_series(
+            (SELECT MIN(hour) FROM base),
+            (SELECT MAX(hour) FROM base),
+            INTERVAL 1 HOUR)) AS hour
+    )
+    SELECT s.hour,
+           CAST(b.flow AS DOUBLE) AS value,
+           CAST(last_value(b.flow IGNORE NULLS) OVER (
+               ORDER BY s.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS filled,
+           CASE WHEN b.flow IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM spine s LEFT JOIN base b ON s.hour = b.hour
+    """,
+)
+def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timeseries gap-fill with last-observation-carried-forward over a
+    sparse hourly series (high-value signups — ~15-75% of hours are
+    empty depending on sf): dense hour spine from one min/max
+    aggregate, left join, LOCF window. The hypertable
+    `time_bucket_gapfill + locf` shape as pure DataFrame ops
+    (operators/temporal.gapfill_locf). Sums accumulate as DECIMAL so
+    the filled values are bit-identical cross-engine; LOCF propagates
+    the decimal and both engines cast to double at the edge."""
+    e = table(spark, sf_dir, "events")
+    hourly = (
+        e.filter((F.col("event_type") == "signup") & (F.col("value") > 150))
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("decimal(18,4)")
+            .alias("flow")
+        )
+    )
+    out = gapfill_locf(hourly, "hour", "flow", step="1 hour")
+    return out.select(
+        "hour",
+        F.col("value").cast("double").alias("value"),
+        F.col("filled").cast("double").alias("filled"),
+        "is_gap",
     )

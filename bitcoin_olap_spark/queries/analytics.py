@@ -247,3 +247,39 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _table(spark, sf_dir, "embeddings")
     return kmeans_assign(emb, "vec_id", "embedding", k=10)
+
+
+@query(
+    "sample_pergroup_topk_hash",
+    oracle="""
+    SELECT event_type, event_id, rk FROM (
+        SELECT event_type, event_id,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id)
+                   AS rk
+        FROM events
+    ) WHERE rk <= 100
+    """,
+)
+def sample_pergroup_topk_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group uniform sample: keep the 100 rows with
+    the smallest md5(id) per event_type — reservoir-sampling semantics
+    with NO RNG state (the hash ordering is uniform and identical on
+    every engine and every re-run, unlike rand(seed), whose stream
+    depends on partitioning). The row_number window is PARTITIONED BY
+    the group and lowers to WindowGroupLimit (Spark 3.5+): each map
+    task pre-trims to its local top-100 before the shuffle, so shuffle
+    volume is O(k * partitions) however large the fact is."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string").cast("binary")), "event_id"
+    )
+    return (
+        e.select(
+            "event_type",
+            "event_id",
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= 100)
+    )

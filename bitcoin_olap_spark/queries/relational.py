@@ -291,3 +291,53 @@ def flt_in_rowvalue_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY l_orderkey, l_quantity HAVING COUNT(*) > 1)
         """
     )
+
+
+@query(
+    "sql_cte_window",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', CAST(o_orderdate AS TIMESTAMP))
+                    AS TIMESTAMP) AS day,
+               o_orderpriority,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY 1, 2
+    ), ranked AS (
+        SELECT day, o_orderpriority, n_orders,
+               row_number() OVER (
+                   PARTITION BY day
+                   ORDER BY n_orders DESC, o_orderpriority) AS rk
+        FROM daily
+    )
+    SELECT day, o_orderpriority, n_orders
+    FROM ranked WHERE rk = 1
+    """,
+)
+def sql_cte_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level CTE chain with a window function, entered through
+    the spark.sql surface — the reference's dominant dialect shape (its
+    whole pipeline is one nested WITH chain, btcolap.sql:35-451, with
+    row_number dedup at :9 and :295). Catalyst inlines the CTEs and
+    plans the identical aggregate->window->filter DAG the DataFrame API
+    would build; the window is partitioned by day. Spark SQL lacks
+    QUALIFY, so the rank filter is the standard subquery form — the
+    oracle states the same."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("v_scw_orders")
+    return spark.sql(
+        """
+        WITH daily AS (
+            SELECT date_trunc('day', o_orderdate) AS day,
+                   o_orderpriority,
+                   COUNT(*) AS n_orders
+            FROM v_scw_orders GROUP BY 1, 2
+        ), ranked AS (
+            SELECT day, o_orderpriority, n_orders,
+                   row_number() OVER (
+                       PARTITION BY day
+                       ORDER BY n_orders DESC, o_orderpriority) AS rk
+            FROM daily
+        )
+        SELECT day, o_orderpriority, n_orders
+        FROM ranked WHERE rk = 1
+        """
+    )

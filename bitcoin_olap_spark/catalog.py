@@ -37,6 +37,15 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: division (epoch-nanos exceed 2^53 so float math would lose precision).
 _NANO_TS_COLS = {"events": ("ts",)}
 
+#: Memoized base DataFrames keyed by (applicationId, sf_dir, name).
+#: `spark.read.parquet` costs ~150 ms per call (file listing + footer
+#: schema read through py4j); a suite run calls table() hundreds of
+#: times on the same immutable testdata. This caches the LOGICAL plan
+#: only — every action still scans the parquet data itself, so nothing
+#: measured is skipped; it is the same reuse a metastore catalog gives
+#: a production session (resolve the table once, plan many queries).
+_DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
 
 def table(
     spark: SparkSession, sf_dir: str, name: str, spread: bool = False
@@ -57,10 +66,16 @@ def table(
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for c in _NANO_TS_COLS.get(name, ()):
-        if c in df.columns and isinstance(df.schema[c].dataType, LongType):
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    df = _DF_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        for c in _NANO_TS_COLS.get(name, ()):
+            if c in df.columns and isinstance(df.schema[c].dataType, LongType):
+                df = df.withColumn(
+                    c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000"))
+                )
+        _DF_CACHE[key] = df
     if spread:
         df = df.repartition(spark.sparkContext.defaultParallelism)
     return df

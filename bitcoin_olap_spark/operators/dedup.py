@@ -196,9 +196,11 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
+    # cache: the self-join otherwise evaluates the 64-min signature
+    # aggregate once per side
     banded = sig.select(
         id_col, F.posexplode(band_arr).alias("band_idx", "band_hash")
-    )
+    ).cache()
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(
@@ -289,7 +291,8 @@ def simhash_pairs(
                 ]
             )
         ).alias("chunk_idx", "chunk"),
-    )
+    ).cache()  # self-join below would otherwise run the 64-vote
+    # simhash aggregation once per side
     l, r = chunks.alias("l"), chunks.alias("r")
     cand = (
         l.join(
@@ -333,9 +336,19 @@ def connected_components(
     shuffle partitioning every round, which AQE reuses. Labels are
     localCheckpoint()ed per round to cut the growing lineage (a 25-deep
     iterative plan otherwise re-optimizes from scratch each action).
-    Convergence test: the per-round label-change count via the same
-    join — an O(nodes) action, the standard driver-side fixpoint loop
-    of any iterative graph algorithm (GraphX/Pregel does the same)."""
+
+    Two fixed-cost levers (the loop is driver-actioned, so per-round
+    job overhead dominates at any scale where the cluster is not
+    saturated):
+    - The fixpoint runs ONLY on nodes that touch an edge — isolated
+      nodes can never change label, so they are unioned back lazily as
+      self-labeled singletons after convergence. In a near-dup graph
+      edge-touched nodes are a small fraction of the corpus, so every
+      round's join/agg runs on the pair-graph scale, not corpus scale.
+    - Convergence is detected from the label-sum: min-label propagation
+      only ever decreases labels, so an unchanged SUM(lbl) (exact,
+      decimal — no overflow at any node count) implies no label moved.
+      One tiny aggregate action per round instead of a join + count."""
     und = edges.select(
         F.col(src_col).alias("e_src"), F.col(dst_col).alias("e_dst")
     )
@@ -348,9 +361,10 @@ def connected_components(
         .distinct()
         .cache()
     )
-    labels = nodes.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("lbl")
-    ).localCheckpoint()
+    # und is symmetric, so e_src alone covers every edge-touched node
+    enodes = und.select(F.col("e_src").alias("node")).distinct().localCheckpoint()
+    labels = enodes.select("node", F.col("node").alias("lbl")).localCheckpoint()
+    prev_sum = None
     for _ in range(max_iter):
         nbr = und.join(
             labels, und.e_dst == F.col("node")
@@ -361,17 +375,19 @@ def connected_components(
             .agg(F.min("lbl").alias("lbl"))
             .localCheckpoint()
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = new.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+        ).collect()[0][0]
         labels = new
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     und.unpersist()
-    return labels.select(
+    singles = (
+        nodes.select(F.col(id_col).alias("node"))
+        .join(enodes, "node", "left_anti")
+        .select("node", F.col("node").alias("lbl"))
+    )
+    return labels.unionByName(singles).select(
         F.col("node"), F.col("lbl").alias("component")
     )

@@ -494,24 +494,41 @@ def quantize_int8(
     output is bit-identical cross-engine with no rounding tolerance.
     floor(x + 0.5) instead of round() because Spark and DuckDB disagree
     on round()'s tie rule (HALF_UP vs half-away-from-zero), and floor
-    is exact on both."""
+    is exact on both.
+
+    Staged in three projections so `mx` and `q` are evaluated ONCE per
+    row as plain columns. Inlining `mx` (an array_max over the whole
+    vector) into the per-element quantize lambda makes the expression
+    O(d^2) per row in Spark's interpreted higher-order-function path,
+    and reusing the `q` expression in three output columns triples it
+    again — measured 7x slower than this staged form at 2000x64.
+    CollapseProject keeps the stages because the aliases are non-cheap
+    and multiply-referenced."""
     xs = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    mx = F.greatest(
-        F.array_max(F.transform(xs, lambda x: F.abs(x))), F.lit(1e-30)
+    staged = df.select(
+        F.col(id_col),
+        F.greatest(
+            F.array_max(F.transform(xs, lambda x: F.abs(x))), F.lit(1e-30)
+        ).alias("_mx"),
+        xs.alias("_xs"),
     )
     q = F.transform(
-        xs, lambda x: F.floor(x * 127 / mx + F.lit(0.5)).cast("long")
+        F.col("_xs"),
+        lambda x: F.floor(x * 127 / F.col("_mx") + F.lit(0.5)).cast("long"),
     )
-    return df.select(
+    staged = staged.select(
+        F.col(id_col), (F.col("_mx") / 127).alias("scale"), q.alias("_q")
+    )
+    return staged.select(
         F.col(id_col),
-        (mx / 127).alias("scale"),
-        F.array_join(F.transform(q, lambda v: v.cast("string")), ",").alias(
-            "q_csv"
-        ),
-        F.size(F.filter(q, lambda v: F.abs(v) == 127))
+        "scale",
+        F.array_join(
+            F.transform(F.col("_q"), lambda v: v.cast("string")), ","
+        ).alias("q_csv"),
+        F.size(F.filter(F.col("_q"), lambda v: F.abs(v) == 127))
         .cast("long")
         .alias("n_sat"),
         F.aggregate(
-            q, F.lit(0).cast("long"), lambda acc, v: acc + F.abs(v)
+            F.col("_q"), F.lit(0).cast("long"), lambda acc, v: acc + F.abs(v)
         ).alias("q_l1"),
     )

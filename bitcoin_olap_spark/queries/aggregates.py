@@ -463,3 +463,74 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nations"
         )
     )
+
+
+@query(
+    "agg_unpivot",
+    oracle="""
+    WITH wide AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS DOUBLE) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                   AS sum_price,
+               CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+        FROM orders GROUP BY 1
+    )
+    SELECT o_orderpriority, metric, value
+    FROM wide UNPIVOT (value FOR metric IN (n_orders, sum_price, max_price))
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — wide per-priority aggregates reshaped to
+    (key, metric, value) long form, the inverse of agg_pivot. Spark's
+    DataFrame.unpivot is a zero-shuffle Expand over the aggregate
+    output (3 rows out per input row, no exchange); metric values must
+    share one type, so every measure is cast to double up front — the
+    count exactly, the sum via exact DECIMAL accumulation (4dp-exact
+    inputs), max is order-free. Reshape of an already-aggregated
+    relation, so the only shuffle is the aggregation's own."""
+    o = table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+    )
+    return wide.unpivot(
+        ["o_orderpriority"],
+        ["n_orders", "sum_price", "max_price"],
+        "metric",
+        "value",
+    )
+
+
+@query(
+    "agg_time_bucket",
+    oracle=f"""
+    SELECT make_timestamp(
+               (epoch_us(CAST(ts AS TIMESTAMP)) // 900000000) * 900000000
+           ) AS bucket,
+           event_type, COUNT(*) AS n,
+           {oracle_exact_sum('value', 'total')}
+    FROM events GROUP BY 1, 2
+    """,
+)
+def agg_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 15-minute time-bucket aggregation via F.window — the
+    batch twin of the streaming windowed aggregate (one hash aggregate
+    on (bucket, type); the window struct is computed map-side, no
+    extra shuffle). The oracle states the same bucketing as explicit
+    epoch-microsecond floor arithmetic (make_timestamp avoids DuckDB's
+    to_timestamp TIMESTAMPTZ cast, which would be timezone-dependent);
+    both engines bucket identically because 15 min divides a day and
+    both origins are midnight-aligned. Only the struct's `start` field
+    is projected — registered queries emit scalar columns only."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), exact_sum("value", "total"))
+        .select(
+            F.col("w.start").alias("bucket"), "event_type", "n", "total"
+        )
+    )

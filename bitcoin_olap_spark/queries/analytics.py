@@ -283,3 +283,71 @@ def sample_pergroup_topk_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= 100)
     )
+
+
+@query(
+    "sample_temperature",
+    oracle="""
+    WITH stats AS (
+        SELECT source, CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM documents GROUP BY 1
+    ), wt AS (
+        SELECT source, chars,
+               CAST(floor(sqrt(CAST(chars AS DOUBLE)) * 1e6) AS BIGINT) AS w
+        FROM stats
+    ), tgt AS (
+        SELECT source,
+               CAST((200 * w) // (SELECT CAST(SUM(w) AS BIGINT) FROM wt)
+                    AS BIGINT) AS target_n
+        FROM wt
+    ), ranked AS (
+        SELECT d.doc_id, d.source,
+               row_number() OVER (
+                   PARTITION BY d.source
+                   ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rk
+        FROM documents d
+    )
+    SELECT r.doc_id, r.source
+    FROM ranked r JOIN tgt t USING (source)
+    WHERE r.rk <= t.target_n
+    """,
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (the standard LLM data-mix step:
+    sample source s proportionally to weight_s = size_s^alpha, here
+    alpha=0.5): per-source char mass -> sqrt weight -> integer target
+    allocation out of a 200-doc budget -> deterministic per-source
+    pick by md5 hash order. Everything that could drift is pinned
+    exact: the weight is floor(sqrt*1e6) (identical IEEE double ->
+    identical BIGINT on both engines), the allocation is pure BIGINT
+    division (no float ratio near a floor boundary), and the pick order
+    is (md5, doc_id) — no RNG. Plan: one tiny per-source aggregate
+    (broadcast back), one row_number window partitioned by source —
+    scales as a map + one source-keyed shuffle; the aggregate relation
+    is #sources rows at any corpus size."""
+    docs = table(spark, sf_dir, "documents")
+    stats = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("chars")
+    )
+    wt = stats.select(
+        "source",
+        F.floor(F.sqrt(F.col("chars").cast("double")) * 1e6)
+        .cast("long")
+        .alias("w"),
+    )
+    total_w = wt.agg(F.sum("w").cast("long").alias("tw"))
+    tgt = wt.crossJoin(F.broadcast(total_w)).select(
+        "source",
+        F.expr("(200 * w) div tw").cast("long").alias("target_n"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+        )
+    )
+    ranked = docs.select("doc_id", "source", rk.alias("rk"))
+    return (
+        ranked.join(F.broadcast(tgt), "source")
+        .filter(F.col("rk") <= F.col("target_n"))
+        .select("doc_id", "source")
+    )

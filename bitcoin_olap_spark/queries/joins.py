@@ -383,3 +383,57 @@ def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity") >= 49
     ).select("l_orderkey")
     return o.join(hot, o.o_orderkey == hot.l_orderkey, "left_anti")
+
+
+@query(
+    "join_levenshtein_fuzzy",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM names a JOIN names b
+      ON a.p_name < b.p_name
+     AND abs(length(a.p_name) - length(b.p_name)) <= 1
+    WHERE levenshtein(a.p_name, b.p_name) <= 1
+    """,
+)
+def join_levenshtein_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join: part-name pairs within Levenshtein
+    distance 1. The edit-distance filter only needs candidate pairs
+    whose lengths differ by <=1 (a necessary condition for dist<=1), so
+    each distinct name emits two blocking keys (len, len-1) and the
+    self-join is an EQUI-join on the key — pairs with |len diff|<=1
+    collide on min(len_a, len_b), equal-length pairs collide twice and
+    dedup. That turns the quadratic all-pairs compare into
+    per-length-bucket work — the standard blocking shape for fuzzy
+    matching at scale (same idea as LSH banding, with length as the
+    band). Dictionary-first: distances compute over DISTINCT names
+    (vocabulary-sized, tiny vs the row count), never per fact row. The
+    oracle states the same semantics as a naive length-banded join —
+    blocking provably loses nothing at dist<=1."""
+    names = table(spark, sf_dir, "part").select("p_name").distinct()
+    banded = names.select(
+        "p_name",
+        F.length("p_name").alias("len"),
+        F.explode(
+            F.array(F.length("p_name"), F.length("p_name") - 1)
+        ).alias("band"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .filter(
+            (F.abs(F.col("a.len") - F.col("b.len")) <= 1) & (dist <= 1)
+        )
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.cast("long").alias("dist"),
+        )
+        .distinct()
+    )

@@ -722,3 +722,112 @@ def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.quantize_int8(
         table(spark, sf_dir, "embeddings"), "vec_id", "embedding"
     )
+
+
+# ------------------------------------------------- repetition signal
+
+@query(
+    "text_repetition",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+    ), wc AS (
+        SELECT doc_id, w, COUNT(*) AS cnt
+        FROM w WHERE w != '' GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_words,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           1.0 - COUNT(*) * 1.0 / SUM(cnt) AS dup_frac,
+           MAX(cnt) * 1.0 / SUM(cnt) AS top_share
+    FROM wc GROUP BY 1
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition/boilerplate quality signal (the Gopher-style "fraction
+    of duplicate words" and "top-word share" filters): per document,
+    total words, distinct words, duplicate-word fraction and the most
+    frequent word's share. Two hash aggregates — (doc, word) counts with
+    map-side partials, then per-doc moments; both shuffles are keyed on
+    doc_id so the second reuses the first's partitioning. The ratios
+    are single integer->double divisions — bit-stable cross-engine.
+    At 100 TB this is the same map-heavy shape as text_tokens: linear,
+    no joins, no skew beyond document length itself."""
+    docs = table(spark, sf_dir, "documents", spread=True)
+    wc = (
+        docs.select(
+            "doc_id",
+            F.explode(TX.words(F.lower(F.col("text")))).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = F.sum("cnt")
+    distinct = F.count(F.lit(1))
+    return wc.groupBy("doc_id").agg(
+        total.cast("long").alias("n_words"),
+        distinct.cast("long").alias("n_distinct"),
+        (F.lit(1.0) - distinct * F.lit(1.0) / total).alias("dup_frac"),
+        (F.max("cnt") * F.lit(1.0) / total).alias("top_share"),
+    )
+
+
+# ------------------------------------------------------------ TF-IDF
+
+@query(
+    "text_tfidf",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM w WHERE w != '' GROUP BY 1, 2
+    ), df AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), n AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+    )
+    SELECT tf.doc_id, tf.w AS term, tf.tf, df.df,
+           round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6)
+               AS tfidf
+    FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF term weighting over the corpus — the classic sparse
+    feature-engineering pass (smoothed idf = ln((N+1)/(df+1)) + 1, the
+    sklearn convention). Three aggregates: (doc, term) counts with
+    map-side partials; the document-frequency dictionary (vocabulary-
+    sized — tiny relative to the corpus, so its join back to tf
+    BROADCASTS); and the corpus count (one row, broadcast). No
+    vocabulary hashing, no collisions — unlike HashingTF, the terms
+    stay inspectable. tfidf rounds to 6dp because ln differs ~1 ULP
+    between the JVM and libm (SURVEY.md §5.1 rule for transcendental
+    outputs); tf/df are exact BIGINTs."""
+    docs = table(spark, sf_dir, "documents", spread=True)
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(TX.words(F.lower(F.col("text")))).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df_rel = tf.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    return (
+        tf.join(F.broadcast(df_rel), "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.col("w").alias("term"),
+            "tf",
+            "df",
+            F.round(F.col("tf") * idf, 6).alias("tfidf"),
+        )
+    )

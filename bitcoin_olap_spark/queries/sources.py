@@ -15,7 +15,6 @@ rewritten as dedup-filter + overwrite (SURVEY.md §2.1 snk_delete_where)
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -28,9 +27,9 @@ from ..registry import query
 
 #: per-process scratch root: two engine processes (e.g. a bench run and
 #: a test session) must never overwrite each other's materializations
-_TMP_ROOT = os.path.join(
-    tempfile.gettempdir(), f"bitcoin_olap_spark-{os.getpid()}"
-)
+from ..session import scratch_root
+
+_TMP_ROOT = scratch_root("sink")
 
 
 def _tmp(name: str) -> str:
@@ -327,3 +326,73 @@ def src_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     return feed.filter(F.col("n_tx") >= 50)
+
+
+@query(
+    "snk_merge_upsert",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders
+    ), updates AS (
+        SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+               o_totalprice + 1000.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 3
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice
+        FROM orders WHERE o_orderkey % 97 = 5
+    )
+    SELECT COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+           COALESCE(u.o_custkey, b.o_custkey) AS o_custkey,
+           COALESCE(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+           COALESCE(u.o_totalprice, b.o_totalprice) AS o_totalprice
+    FROM base b FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey
+    """,
+)
+def snk_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert): apply a change batch — updated totals for
+    matched keys, brand-new rows for unmatched keys — to the orders
+    table and materialize the merged result (the other half of the
+    reference's mutation surface next to DELETE, btcolap.sql:1-15; on
+    plain parquet MERGE rewrites, exactly like snk_delete_where; Delta
+    would make it an ACID MERGE with file-level pruning).
+
+    Spark-first MERGE = one full-outer join on the key + COALESCE per
+    column, update rows winning over base — the join is the only
+    shuffle, and at 100 TB it is key-partitioned on both sides (a
+    bucketed/Z-ordered base table joins without re-shuffling its side).
+    The change batch is derived deterministically from orders itself
+    (keys %10=3 update, %97=5 insert with shifted keys), so the oracle
+    states the identical relation."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = (
+        o.filter(F.col("o_orderkey") % 10 == 3)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit("U").alias("o_orderstatus"),
+            (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 97 == 5).select(
+                (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"),
+                "o_custkey",
+                F.lit("N").alias("o_orderstatus"),
+                F.col("o_totalprice"),
+            )
+        )
+    )
+    b, u = o.alias("b"), updates.alias("u")
+    merged = b.join(
+        u, F.col("b.o_orderkey") == F.col("u.o_orderkey"), "full_outer"
+    ).select(
+        *[
+            F.coalesce(F.col(f"u.{c}"), F.col(f"b.{c}")).alias(c)
+            for c in ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        ]
+    )
+    path = _tmp(f"merge_upsert_{abs(hash(sf_dir)) % 10**8}.parquet")
+    merged.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)

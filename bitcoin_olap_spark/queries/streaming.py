@@ -141,7 +141,9 @@ def stream_ingest_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     (append + partitionBy(day) => partition-pruned downstream scans;
     replaces the reference's manual pre/post-SAFE split, btcolap.sql:322
     vs :370). Returns the read-back dataset."""
-    out_dir = tempfile.mkdtemp(prefix="stream_ingest_")
+    from ..session import scratch_root
+
+    out_dir = tempfile.mkdtemp(prefix="stream_ingest_", dir=scratch_root("sink"))
     got = ingest_to_parquet(stream_events(spark, sf_dir), spark, out_dir)
     return got.withColumn("day", F.col("day").cast("timestamp"))
 

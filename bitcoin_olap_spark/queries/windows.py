@@ -426,3 +426,67 @@ def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("filled").cast("double").alias("filled"),
         "is_gap",
     )
+
+
+@query(
+    "win_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+                PARTITION BY user_id
+                ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS hour_sum
+    FROM events
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window: per user, the rolling sum of value over the
+    trailing hour of *event time* (not row count) — the time-decayed
+    feature shape row-framed windows cannot express. Ordered by exact
+    epoch microseconds so the frame bound is integer arithmetic on both
+    engines (an INTERVAL bound on a timestamp ORDER BY is the same
+    frame); RANGE includes ts-ties as peers identically in both. The
+    sum accumulates as DECIMAL (exact at every frame, so peer order
+    cannot drift the value) and casts to double at the edge. One
+    shuffle on user_id; frames never cross partitions."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("hour_sum"),
+    )
+
+
+@query(
+    "win_ntile",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(NTILE(4) OVER (
+               PARTITION BY event_type ORDER BY value, event_id)
+               AS BIGINT) AS quartile
+    FROM events
+    """,
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(4) — equi-count quartile assignment within each event
+    type. The window ORDER BY carries the unique event_id tiebreaker so
+    tile boundaries are identical on both engines (SURVEY.md §5.1).
+    Partitioned by event_type, so each window is one shuffle partition
+    — the per-key-distribution shape; the corpus-wide unpartitioned
+    variant is sample_stratified's percentile-boundary formulation,
+    which avoids the single-reducer sort this one would have without
+    PARTITION BY."""
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )

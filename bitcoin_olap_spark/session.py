@@ -22,6 +22,23 @@ from pyspark.sql import SparkSession
 
 #: Runtime-settable confs applied even to an externally owned session
 #: (the verify driver owns the session passed into `queries()`).
+def scratch_root(kind: str) -> str:
+    """Process-scoped scratch directory, on tmpfs when the host has one.
+
+    Shuffle files, streaming checkpoints, and scratch sinks are I/O the
+    engine does NOT want to pay disk latency for on a single box (a
+    real cluster puts spark.local.dir on local NVMe); /dev/shm is the
+    local stand-in. Falls back to the system tempdir."""
+    import tempfile
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") and os.access(
+        "/dev/shm", os.W_OK
+    ) else tempfile.gettempdir()
+    path = os.path.join(base, f"bitcoin_olap_spark-{kind}-{os.getpid()}")
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 RUNTIME_CONF = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
@@ -33,6 +50,15 @@ RUNTIME_CONF = {
     # likewise truncates ns -> us on CAST to TIMESTAMP)
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
+
+
+def _runtime_conf() -> dict[str, str]:
+    return {
+        **RUNTIME_CONF,
+        # default root for streaming checkpoints (each query still gets
+        # its own subdirectory via queryName) — tmpfs, not disk
+        "spark.sql.streaming.checkpointLocation": scratch_root("ckpt"),
+    }
 
 
 def default_parallelism() -> int:
@@ -54,11 +80,14 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
+        # shuffle/spill files on tmpfs — local[] has no NVMe-backed
+        # spark.local.dir, and /tmp here is spinning-disk-backed
+        .config("spark.local.dir", scratch_root("local"))
     )
-    for k, v in RUNTIME_CONF.items():
+    for k, v in _runtime_conf().items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     tune_session(spark)
@@ -71,7 +100,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
     Called at the top of every registered query so behavior is stable
     even when the driver constructed the session.
     """
-    for k, v in RUNTIME_CONF.items():
+    for k, v in _runtime_conf().items():
         try:
             spark.conf.set(k, v)
         except Exception:

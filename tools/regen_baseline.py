@@ -106,10 +106,15 @@ def main() -> None:
         )
 
     n_ok = sum(1 for q in spark_t if duck_t.get(q, -1) > 0)
+    verdict = (
+        "within the 2x target"
+        if tot_s / tot_d <= 2
+        else "OVER the 2x target"
+    )
     header = (
         f"Totals on the oracle-checked set ({n_ok} queries): "
         f"**DuckDB {tot_d:.2f} s, Spark {tot_s:.2f} s — "
-        f"{tot_s / tot_d:.2f}x overall**, within the 2x target."
+        f"{tot_s / tot_d:.2f}x overall**, {verdict}."
     )
     table = (
         "| query ID | duckdb sec | spark sec | ratio | status |\n|---|---|---|---|---|\n"
@@ -133,11 +138,11 @@ def main() -> None:
     totals_sentence = (
         f"Totals on the oracle-checked set ({n_ok} queries): "
         f"**DuckDB {tot_d:.2f} s, Spark {tot_s:.2f} s — "
-        f"{tot_s / tot_d:.2f}x overall**, within the 2x target"
+        f"{tot_s / tot_d:.2f}x overall**, {verdict}"
     )
     pre = re.sub(
         r"Totals on the oracle-checked set \(\d+ queries\): \*\*DuckDB [\d.]+ s,\s*\n?"
-        r"Spark [\d.]+ s — [\d.]+x overall\*\*, within the 2x target",
+        r"Spark [\d.]+ s — [\d.]+x overall\*\*, (within|OVER) the 2x target",
         totals_sentence,
         pre,
     )

@@ -1,0 +1,133 @@
+"""Distributed graph operators: fixed-iteration integer PageRank.
+
+The near-dup clustering operator (operators/dedup.connected_components)
+covers the fixpoint-until-converged family; PageRank here covers the
+fixed-iteration power-method family — the other canonical iterative
+graph shape (GraphX/Pregel both special-case it). Two design choices
+make it portable and scale-safe:
+
+- **Integer fixed-point arithmetic.** Ranks are BIGINTs scaled by 1e12;
+  each contribution is an integer floor-division `rank div outdeg`, and
+  the damping mix is `(85 * sum) div 100 + teleport`. Floating-point
+  PageRank is NOT cross-engine reproducible (sum order changes last
+  ULPs, amplified per iteration); integer arithmetic is exact on any
+  engine, so the oracle can state the identical recurrence.
+- **Lazy unrolling, no driver fixpoint.** A fixed iteration count means
+  the whole power method is ONE declarative plan (k chained
+  join+aggregate stages) — no per-round driver action, no checkpoint.
+  Catalyst sees the full DAG; every iteration shuffles on the same dst
+  key so AQE reuses the exchange partitioning. For convergence-tested
+  variants, connected_components shows the driver-actioned loop.
+
+Scale: edges are the big relation (shuffled once per iteration on dst);
+ranks are one row per node. Skewed in-degree (a hub page) is the usual
+hot-key risk — AQE skew splitting applies because every iteration is a
+plain shuffle join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: rank scale: ranks are probabilities ~1/N; 1e12 keeps 6+ significant
+#: digits for graphs up to ~1e6 nodes
+SCALE = 1_000_000_000_000
+
+
+def pagerank_int(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 6,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list, exact
+    integer arithmetic. Returns (node, rank_scaled) with
+    rank_scaled = round-trip-exact BIGINT (true rank * 1e12, floored).
+
+    Every node is assumed to appear as a source (true for symmetrized
+    undirected graphs — the co-occurrence graphs this engine builds);
+    dangling-node mass is therefore zero and the teleport term is the
+    plain (100-damping)/100 / N constant.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # node -> outdeg, cached: reused every iteration
+    g = nodes.join(outdeg, nodes.node == outdeg.src).select(
+        "node", "outdeg"
+    ).cache()
+    # one tiny action: N pins the integer teleport constants — plain
+    # Python ints so the arithmetic is exactly the oracle's
+    n_nodes = g.count()
+    init_rank = SCALE // n_nodes
+    teleport = (100 - damping_pct) * init_rank // 100
+
+    ranks = g.select("node", F.lit(init_rank).alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks.join(g, "node"), e.src == F.col("node"))
+            .select(
+                "dst",
+                F.expr("rank div outdeg").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = contrib.select(
+            F.col("dst").alias("node"),
+            (
+                F.lit(teleport)
+                + F.expr(f"({damping_pct} * s) div 100").cast("long")
+            ).cast("long").alias("rank"),
+        )
+    return ranks.select("node", F.col("rank").alias("rank_scaled"))
+
+
+def oracle_pagerank_sql(
+    edges_cte: str,
+    iters: int = 6,
+    damping_pct: int = 85,
+) -> str:
+    """DuckDB twin of `pagerank_int`: the same integer recurrence
+    unrolled as chained CTEs (standard SQL forbids aggregation in a
+    recursive CTE term, so a fixed iteration count unrolls instead).
+    `edges_cte` must define a relation `edges(src, dst)`."""
+    sql = [
+        f"""
+    WITH {edges_cte},
+    g AS (
+        SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY 1
+    ),
+    n AS (SELECT COUNT(*) AS n_nodes FROM g),
+    r0 AS (
+        SELECT node, outdeg,
+               CAST({SCALE} // n.n_nodes AS BIGINT) AS rank
+        FROM g, n
+    )"""
+    ]
+    for i in range(iters):
+        prev, cur = f"r{i}", f"r{i + 1}"
+        sql.append(
+            f""",
+    {cur}_c AS (
+        SELECT e.dst, CAST(SUM(p.rank // p.outdeg) AS BIGINT) AS s
+        FROM edges e JOIN {prev} p ON e.src = p.node
+        GROUP BY 1
+    ),
+    {cur} AS (
+        SELECT c.dst AS node, g.outdeg,
+               CAST((100 - {damping_pct})
+                    * CAST({SCALE} // n.n_nodes AS BIGINT) // 100
+                    + ({damping_pct} * c.s) // 100 AS BIGINT) AS rank
+        FROM {cur}_c c JOIN g ON g.node = c.dst, n
+    )"""
+        )
+    sql.append(
+        f"""
+    SELECT node, rank AS rank_scaled FROM r{iters}"""
+    )
+    return "".join(sql)

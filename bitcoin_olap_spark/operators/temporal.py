@@ -186,3 +186,54 @@ def gapfill_locf(
         .cast("long")
         .alias("is_gap"),
     )
+
+
+def ewma_per_group(
+    df: DataFrame,
+    key_col: str,
+    order_cols: tuple[str, ...],
+    value_col: str,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Per-group EWMA fold via Arrow-batched `applyInPandas`.
+
+    The recurrence y_t = (1-alpha)*y_{t-1} + alpha*x_t is inherently
+    sequential — no window frame or aggregate expresses it — so this is
+    the custom-stateful-operator seam: shuffle once on the group key,
+    then fold each group's time-ordered values inside an Arrow batch.
+    The fold is an explicit left-to-right float64 loop (NOT pandas
+    `.ewm`, whose adjust/weighting algebra differs) so the arithmetic
+    sequence is reproducible by any engine folding the same ordered
+    list. Output is one row per group: (key, n_events, ewma 6dp).
+
+    Scale: state is a single scalar per group; groups are independent;
+    the only shuffle is the groupBy. Same posture as sessionization —
+    the Python cost is one pass over each group's values, Arrow-batched.
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{key_col} long, n_events long, ewma double"
+    )
+    beta = 1.0 - alpha
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(list(order_cols))
+        y = None
+        for x in pdf[value_col].to_numpy():
+            x = float(x)
+            y = x if y is None else beta * y + alpha * x
+        return pd.DataFrame(
+            {
+                key_col: [pdf[key_col].iloc[0]],
+                "n_events": [len(pdf)],
+                "ewma": [round(y, 6) if y is not None else None],
+            }
+        )
+
+    cols = [key_col, *order_cols, value_col]
+    return (
+        df.select(*cols)
+        .groupBy(key_col)
+        .applyInPandas(fold, schema=out_schema)
+    )

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import table
 from ..functions import day, exact_sum, oracle_exact_sum, ts_lit
@@ -532,5 +533,88 @@ def agg_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), exact_sum("value", "total"))
         .select(
             F.col("w.start").alias("bucket"), "event_type", "n", "total"
+        )
+    )
+
+
+@query(
+    "agg_bitmask",
+    oracle="""
+    WITH f AS (
+        SELECT o_orderpriority,
+               CASE o_orderstatus WHEN 'O' THEN 1
+                                  WHEN 'F' THEN 2 ELSE 4 END AS bit
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(bit_or(bit) AS BIGINT) AS statuses_any,
+           CAST(bit_and(bit) AS BIGINT) AS statuses_all,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM f GROUP BY 1
+    """,
+)
+def agg_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregation: encode each order's status as a one-hot bit
+    and fold per priority with BIT_OR (set of statuses seen) / BIT_AND
+    (status shared by every order). Bit-fold aggregates are fully
+    mergeable map-side partials — the cheapest possible "set summary"
+    at scale (one long per group vs collect_set's array) and the
+    standard trick for feature-flag / permission-mask rollups."""
+    f = table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.when(F.col("o_orderstatus") == "O", 1)
+        .when(F.col("o_orderstatus") == "F", 2)
+        .otherwise(4)
+        .alias("bit"),
+    )
+    return f.groupBy("o_orderpriority").agg(
+        F.bit_or("bit").cast("long").alias("statuses_any"),
+        F.bit_and("bit").cast("long").alias("statuses_all"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        FROM orders GROUP BY 1, 2
+    ), r AS (
+        SELECT o_orderstatus, o_orderpriority, cnt,
+               row_number() OVER (
+                   PARTITION BY o_orderstatus
+                   ORDER BY cnt DESC, o_orderpriority) AS rk
+        FROM c
+    )
+    SELECT o_orderstatus,
+           o_orderpriority AS mode_priority,
+           CAST(cnt AS BIGINT) AS mode_count
+    FROM r WHERE rk = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE (most frequent value) per group, deterministic: the count
+    aggregate then a rank-1 pick ordered by (count DESC, value) — the
+    explicit tie-break both engines honor identically. Spark 4 has
+    F.mode but leaves ties implementation-defined, so the engine
+    formulation IS the count+pick (same plan F.mode lowers to, minus
+    the nondeterminism). Two keyed shuffles, the second over the tiny
+    per-group count relation."""
+    c = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("cnt").desc(), "o_orderpriority"
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("cnt").cast("long").alias("mode_count"),
         )
     )

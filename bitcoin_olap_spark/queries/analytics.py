@@ -351,3 +351,186 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= F.col("target_n"))
         .select("doc_id", "source")
     )
+
+
+# --------------------------------------------------- graph analytics
+
+_PAGERANK_EDGES_CTE = """edges AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey != b.l_partkey
+    )"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed co-purchase edge list: part -> part when both appear in
+    the same order. Built symmetric (both directions), so every node is
+    a source — the precondition pagerank_int documents."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+from ..operators.graph import oracle_pagerank_sql, pagerank_int  # noqa: E402
+
+
+@query(
+    "graph_pagerank",
+    oracle=oracle_pagerank_sql(_PAGERANK_EDGES_CTE, iters=6),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph (parts linked when one
+    order contains both) — 6 power-method iterations in exact integer
+    fixed-point (operators/graph.pagerank_int; rank scaled by 1e12).
+    The whole method is ONE lazy plan: 6 chained shuffle-join+aggregate
+    stages over the cached edge list, no driver fixpoint, no
+    checkpoint; the oracle unrolls the identical integer recurrence as
+    chained CTEs. Integer arithmetic is the determinism move — float
+    PageRank drifts ULPs per iteration and can never hash-match across
+    engines. Complements dedup_doc_clusters' converge-tested label
+    propagation as the fixed-iteration half of the iterative-graph
+    family."""
+    return pagerank_int(
+        _copurchase_edges(spark, sf_dir), "src", "dst", iters=6
+    )
+
+
+# ----------------------------------------------- anomaly detection
+
+@query(
+    "anomaly_zscore",
+    oracle="""
+    WITH v AS (
+        SELECT event_id, event_type, value,
+               CAST(round(value * 10000) AS BIGINT) AS v4
+        FROM events
+    ), stats AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v4) AS BIGINT) AS s,
+               CAST(SUM(CAST(v4 AS HUGEINT) * v4) AS DOUBLE) AS s2
+        FROM v GROUP BY 1
+    )
+    SELECT v.event_id, v.event_type, v.value,
+           round((CAST(v.v4 AS DOUBLE) - CAST(st.s AS DOUBLE) / st.n)
+                 / sqrt((st.s2 - CAST(st.s AS DOUBLE)
+                                 * CAST(st.s AS DOUBLE) / st.n)
+                        / (st.n - 1)), 6) AS z
+    FROM v JOIN stats st USING (event_type)
+    WHERE abs((CAST(v.v4 AS DOUBLE) - CAST(st.s AS DOUBLE) / st.n)
+              / sqrt((st.s2 - CAST(st.s AS DOUBLE)
+                              * CAST(st.s AS DOUBLE) / st.n)
+                     / (st.n - 1))) > 3
+    """,
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier flagging: events whose value sits more than 3
+    sample standard deviations from their event-type mean. The moments
+    are exact integers (values are 4dp-exact -> BIGINT fixed-point;
+    the squared sum accumulates as DECIMAL(38,0) because v4^2 * rows
+    overflows int64), so mean and variance derive from identical exact
+    inputs on both engines and the final double arithmetic — written as
+    the same expression tree — is bit-identical before the defensive
+    6dp round. One aggregate (6 groups), broadcast back, map-side
+    filter: two passes over events, no window. The two-pass shape is
+    the scale-correct one — a windowed z-score would shuffle the whole
+    fact table into event_type partitions (6 reducers at any size)."""
+    v = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.col("value") * 10000).cast("long").alias("v4"),
+    )
+    stats = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v4").cast("long").alias("s"),
+        F.sum(F.col("v4").cast("decimal(38,0)") * F.col("v4"))
+        .cast("double")
+        .alias("s2"),
+    )
+    sd = F.col("s").cast("double")
+    z = (F.col("v4").cast("double") - sd / F.col("n")) / F.sqrt(
+        (F.col("s2") - sd * sd / F.col("n")) / (F.col("n") - 1)
+    )
+    return (
+        v.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 3)
+        .select(
+            "event_id", "event_type", "value", F.round(z, 6).alias("z")
+        )
+    )
+
+
+# ------------------------------------------------- table profiling
+
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+@query(
+    "profile_table",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+    FROM orders"""
+        for c in _PROFILE_COLS
+    ),
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality column profile of `orders`: per column — row count,
+    null count, exact distinct count — in long form, the first pass any
+    ingest pipeline runs on a new table. ONE scan: all 6 columns'
+    (count, count(col), count(distinct col)) aggregate together —
+    Catalyst plans multi-distinct via a single Expand (rows x columns),
+    so the cost is one shuffle regardless of column count — then a
+    `stack` projection melts the single aggregate row to long form
+    (zero extra shuffle, 6-row output). The oracle's UNION ALL of
+    per-column scans states the same relation. At 100 TB: exact
+    distinct is the expensive choice — the sketch tier
+    (agg_approx_distinct) is the 1000x-cheaper profile; this operator
+    is the exact-audit tier."""
+    o = table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"cnt_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    row = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n_rows - cnt_{c}, nd_{c}" for c in _PROFILE_COLS
+    )
+    return row.selectExpr(
+        "n_rows",
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+        "AS (column_name, n_null, n_distinct)",
+    ).select(
+        "column_name",
+        F.col("n_rows").cast("long"),
+        F.col("n_null").cast("long"),
+        F.col("n_distinct").cast("long"),
+    )

@@ -396,3 +396,68 @@ def snk_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _tmp(f"merge_upsert_{abs(hash(sf_dir)) % 10**8}.parquet")
     merged.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+@query(
+    "src_csv_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    """,
+)
+def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source: write customer to headered CSV, read it back
+    with an EXPLICIT schema (inference is a second full scan and a
+    type-drift hazard — production readers always pin the schema), and
+    return the round-tripped relation. Doubles survive exactly: Spark
+    writes shortest-round-trip decimal strings, and parsing one back
+    yields the identical IEEE double (the oracle compares against the
+    original parquet values with no tolerance). Write once per
+    (process, sf_dir) like every scratch materialization here; the
+    timed portion is the CSV scan — a splittable, parallel read."""
+    out = _tmp(f"csv_customer_{os.path.basename(sf_dir)}")
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+            "c_mktsegment"]
+    if not os.path.isdir(out):
+        (
+            table(spark, sf_dir, "customer")
+            .select(*cols)
+            .write.mode("overwrite")
+            .option("header", True)
+            .csv(out)
+        )
+    return spark.read.schema(
+        "c_custkey long, c_name string, c_nationkey long, "
+        "c_acctbal double, c_mktsegment string"
+    ).option("header", True).csv(out)
+
+
+@query(
+    "src_jsonl_roundtrip",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    """,
+)
+def src_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source: write events to JSONL (the lingua
+    franca of LLM training-data interchange), read back with an
+    explicit schema, return the relation. Same posture as the CSV
+    twin: schema pinned (no inference scan), doubles round-trip
+    bit-exact through shortest-repr JSON numbers, write happens once
+    per (process, sf_dir), and the JSONL scan is splittable by line.
+    Timestamps are excluded: JSON has no timestamp type, and the
+    string round-trip convention (ISO-8601, UTC) is fn_timestamp_cast's
+    domain — a data-interchange decision, not a reader default."""
+    out = _tmp(f"jsonl_events_{os.path.basename(sf_dir)}")
+    cols = ["event_id", "user_id", "event_type", "value"]
+    if not os.path.isdir(out):
+        (
+            table(spark, sf_dir, "events")
+            .select(*cols)
+            .write.mode("overwrite")
+            .json(out)
+        )
+    return spark.read.schema(
+        "event_id long, user_id long, event_type string, value double"
+    ).json(out)

@@ -490,3 +490,123 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.ntile(4).over(w).cast("long").alias("quartile"),
     )
+
+
+@query(
+    "ts_ohlc",
+    oracle=f"""
+    SELECT {ORACLE_DAY.format(col='ts')} AS day, event_type,
+           arg_min(value, printf('%020d-%012d',
+                                 epoch_us(CAST(ts AS TIMESTAMP)),
+                                 event_id)) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, printf('%020d-%012d',
+                                 epoch_us(CAST(ts AS TIMESTAMP)),
+                                 event_id)) AS close,
+           {oracle_exact_sum('value', 'volume')},
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC resample per event type — the canonical timeseries
+    downsampling shape (the reference's daily-flow exit,
+    btc_logregression_pre.py:14-26, keeps only a SUM; OHLC needs
+    order statistics too). open/close are `min_by`/`max_by` against a
+    zero-padded (epoch_us, event_id) string key — ordered-pick
+    aggregates with mergeable partials (each map task keeps one
+    candidate row, the reducer picks among candidates), NOT a sort: one
+    hash aggregate, no window, no per-group array. The key is a string
+    because DuckDB's arg_min cannot order by a struct; zero-padding
+    makes lexicographic order = numeric order, and the unique event_id
+    suffix keeps the pick deterministic on ts ties (SURVEY.md §5.1).
+    Volume accumulates as exact decimal. Same single-shuffle shape at
+    any scale."""
+    e = table(spark, sf_dir, "events")
+    key = F.format_string(
+        "%020d-%012d", F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+    return e.groupBy(day("ts").alias("day"), "event_type").agg(
+        F.min_by("value", key).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", key).alias("close"),
+        exact_sum("value", "volume"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "win_first_last",
+    oracle="""
+    SELECT event_id, user_id,
+           first_value(value) OVER w AS first_val,
+           last_value(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING) AS last_val,
+           nth_value(value, 3) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING) AS third_val
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE / LAST_VALUE / NTH_VALUE — per user, the first,
+    last, and third event value in time order attached to every row
+    (the classic user-journey feature: "value at signup vs now").
+    last/nth use an explicit unbounded-both-ways frame — the SQL
+    default frame stops at CURRENT ROW, which silently turns
+    last_value into "current value"; stating the frame makes both
+    engines compute the same thing. Unique (ts, event_id) ordering, one
+    user_id-partitioned window, one shuffle."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(wfull).alias("last_val"),
+        F.nth_value("value", 3).over(wfull).alias("third_val"),
+    )
+
+
+@query(
+    "ts_ewma",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, list(value ORDER BY ts, event_id) AS xs
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(xs) AS BIGINT) AS n_events,
+           round(list_reduce(
+               xs, (acc, x) -> 0.9 * acc + 0.1 * x), 6) AS ewma
+    FROM seq
+    """,
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of event values
+    (alpha=0.1, time order) — a genuinely sequential recurrence
+    (y_t = 0.9*y_{t-1} + 0.1*x_t) that window frames cannot express, so
+    it is the showcase for the Arrow-batched `applyInPandas` custom-
+    operator path: one shuffle on user_id, then a vectorized Python
+    kernel per group. The kernel applies the recurrence left-to-right
+    in float64 — the exact same multiply/multiply/add sequence DuckDB's
+    list_reduce lambda performs — so the values are bit-identical
+    before the defensive 6dp round. State is one scalar per group:
+    at 100 TB this is the same shape as any sessionization/foldLeft —
+    shuffle once, fold within partition, never collect."""
+    from ..operators.temporal import ewma_per_group
+
+    e = table(spark, sf_dir, "events")
+    return ewma_per_group(
+        e, key_col="user_id", order_cols=("ts", "event_id"),
+        value_col="value", alpha=0.1,
+    )

@@ -16,7 +16,9 @@ Scale posture (100 TB / 1000-executor design, tested on local[32]):
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 
 from pyspark.sql import SparkSession
 
@@ -35,8 +37,16 @@ def scratch_root(kind: str) -> str:
         "/dev/shm", os.W_OK
     ) else tempfile.gettempdir()
     path = os.path.join(base, f"bitcoin_olap_spark-{kind}-{os.getpid()}")
-    os.makedirs(path, exist_ok=True)
+    if path not in _SCRATCH_DIRS:
+        os.makedirs(path, exist_ok=True)
+        _SCRATCH_DIRS.add(path)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
     return path
+
+
+#: scratch dirs created by this process — removed at interpreter exit so
+#: tmpfs does not accumulate leftovers across bench/test/driver runs
+_SCRATCH_DIRS: set[str] = set()
 
 
 RUNTIME_CONF = {
@@ -86,6 +96,18 @@ def get_spark(
         # shuffle/spill files on tmpfs — local[] has no NVMe-backed
         # spark.local.dir, and /tmp here is spinning-disk-backed
         .config("spark.local.dir", scratch_root("local"))
+        # A long suite generates thousands of whole-stage-codegen
+        # classes (streaming micro-batches especially); the JVM default
+        # ~240 MB code cache fills, the JIT shuts off, and every later
+        # query runs interpreted — measured 3-5x slowdown on shuffle-
+        # heavy queries late in a 146-query run. 1 GB keeps the JIT
+        # alive for the whole suite. JVM-launch-time option: applies
+        # when this builder creates the JVM (bench/tests); a
+        # driver-owned session keeps its own launch options.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g",
+        )
     )
     for k, v in _runtime_conf().items():
         builder = builder.config(k, v)

@@ -51,38 +51,48 @@ def pagerank_int(
     dangling-node mass is therefore zero and the teleport term is the
     plain (100-damping)/100 / N constant.
     """
+    # cache the edge list: every iteration joins against it, and the
+    # upstream relation (a pair-building self-join) must not re-execute
+    # per iteration
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    )
-    nodes = e.select(F.col("src").alias("node")).distinct()
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # node -> outdeg, cached: reused every iteration
-    g = nodes.join(outdeg, nodes.node == outdeg.src).select(
-        "node", "outdeg"
     ).cache()
+    g = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
     # one tiny action: N pins the integer teleport constants — plain
     # Python ints so the arithmetic is exactly the oracle's
     n_nodes = g.count()
     init_rank = SCALE // n_nodes
     teleport = (100 - damping_pct) * init_rank // 100
 
-    ranks = g.select("node", F.lit(init_rank).alias("rank"))
-    for _ in range(iters):
+    # ranks carry outdeg through the loop (the oracle's CTEs do the
+    # same) so each iteration is ONE edges-join; the rank relation is
+    # node-sized and broadcast explicitly, so the cached edge list is
+    # never shuffled — each iteration is a map-side join + one dst-keyed
+    # partial aggregate over node-sized rows. Each round materializes
+    # via localCheckpoint: a k-deep lazy chain would re-execute rounds
+    # 1..k-1 inside round k's broadcast subtree (broadcast jobs cannot
+    # reuse unmaterialized intermediates), turning O(k) work into
+    # O(k^2) — same lesson as connected_components' fixpoint loop.
+    ranks = g.select(
+        "node", "outdeg", F.lit(init_rank).alias("rank")
+    ).localCheckpoint()
+    for i in range(iters):
         contrib = (
-            e.join(ranks.join(g, "node"), e.src == F.col("node"))
-            .select(
-                "dst",
-                F.expr("rank div outdeg").alias("c"),
-            )
+            e.join(F.broadcast(ranks), e.src == ranks.node)
+            .select("dst", F.expr("rank div outdeg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = contrib.select(
-            F.col("dst").alias("node"),
-            (
-                F.lit(teleport)
-                + F.expr(f"({damping_pct} * s) div 100").cast("long")
-            ).cast("long").alias("rank"),
+        new_rank = (
+            F.lit(teleport)
+            + F.expr(f"({damping_pct} * s) div 100").cast("long")
+        ).cast("long")
+        ranks = (
+            contrib.join(g, contrib.dst == g.node)
+            .select("node", "outdeg", new_rank.alias("rank"))
+            .localCheckpoint()
         )
     return ranks.select("node", F.col("rank").alias("rank_scaled"))
 

@@ -195,45 +195,45 @@ def ewma_per_group(
     value_col: str,
     alpha: float = 0.1,
 ) -> DataFrame:
-    """Per-group EWMA fold via Arrow-batched `applyInPandas`.
+    """Per-group EWMA fold, entirely JVM-side.
 
     The recurrence y_t = (1-alpha)*y_{t-1} + alpha*x_t is inherently
-    sequential — no window frame or aggregate expresses it — so this is
-    the custom-stateful-operator seam: shuffle once on the group key,
-    then fold each group's time-ordered values inside an Arrow batch.
-    The fold is an explicit left-to-right float64 loop (NOT pandas
-    `.ewm`, whose adjust/weighting algebra differs) so the arithmetic
-    sequence is reproducible by any engine folding the same ordered
-    list. Output is one row per group: (key, n_events, ewma 6dp).
+    sequential — no window FRAME expresses it — but it IS a left fold,
+    so the scale-correct formulation stays off the Python path
+    entirely: one hash aggregate collects each group's values as an
+    ordered array (`array_sort(collect_list(struct(order..., value)))`
+    — mergeable partials, one shuffle), then the SQL higher-order
+    `aggregate` (foldLeft) runs the recurrence per row in the JVM. The
+    fold is the exact multiply/multiply/add sequence DuckDB's
+    list_reduce lambda performs on the same ordered list, so values are
+    bit-identical before the defensive 6dp round. Output: one row per
+    group (key, n_events, ewma).
 
-    Scale: state is a single scalar per group; groups are independent;
-    the only shuffle is the groupBy. Same posture as sessionization —
-    the Python cost is one pass over each group's values, Arrow-batched.
+    The per-group array is bounded by events-per-group (sessions,
+    users), not corpus size — the same boundedness argument every
+    sessionizer makes. A kernel that cannot be written as a fold (e.g.
+    Kalman smoothing) swaps the HOF for `applyInPandas` on the same
+    grouped shape; the streaming twin is applyInPandasWithState
+    (stream_stateful_seq).
     """
-    import pandas as pd
-
-    out_schema = (
-        f"{key_col} long, n_events long, ewma double"
-    )
     beta = 1.0 - alpha
-
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(list(order_cols))
-        y = None
-        for x in pdf[value_col].to_numpy():
-            x = float(x)
-            y = x if y is None else beta * y + alpha * x
-        return pd.DataFrame(
-            {
-                key_col: [pdf[key_col].iloc[0]],
-                "n_events": [len(pdf)],
-                "ewma": [round(y, 6) if y is not None else None],
-            }
-        )
-
-    cols = [key_col, *order_cols, value_col]
+    ordered = F.array_sort(
+        F.collect_list(F.struct(*order_cols, value_col))
+    )
+    xs = F.transform(F.col("_seq"), lambda s: s[value_col])
+    fold = F.aggregate(
+        xs,
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x).otherwise(
+            F.lit(beta) * acc + F.lit(alpha) * x
+        ),
+    )
     return (
-        df.select(*cols)
-        .groupBy(key_col)
-        .applyInPandas(fold, schema=out_schema)
+        df.groupBy(key_col)
+        .agg(ordered.alias("_seq"))
+        .select(
+            key_col,
+            F.size("_seq").cast("long").alias("n_events"),
+            F.round(fold, 6).alias("ewma"),
+        )
     )

@@ -594,15 +594,14 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user exponentially weighted moving average of event values
     (alpha=0.1, time order) — a genuinely sequential recurrence
-    (y_t = 0.9*y_{t-1} + 0.1*x_t) that window frames cannot express, so
-    it is the showcase for the Arrow-batched `applyInPandas` custom-
-    operator path: one shuffle on user_id, then a vectorized Python
-    kernel per group. The kernel applies the recurrence left-to-right
-    in float64 — the exact same multiply/multiply/add sequence DuckDB's
-    list_reduce lambda performs — so the values are bit-identical
-    before the defensive 6dp round. State is one scalar per group:
-    at 100 TB this is the same shape as any sessionization/foldLeft —
-    shuffle once, fold within partition, never collect."""
+    (y_t = 0.9*y_{t-1} + 0.1*x_t) that window frames cannot express.
+    Implemented as a JVM-side left fold: ordered per-user array via one
+    hash aggregate, then the SQL higher-order `aggregate` runs the
+    recurrence — zero Python in the plan; DuckDB's list_reduce folds
+    the identical ordered list with the identical arithmetic, so values
+    are bit-identical before the defensive 6dp round
+    (operators/temporal.ewma_per_group, incl. the scale argument and
+    the applyInPandas seam for non-foldable kernels)."""
     from ..operators.temporal import ewma_per_group
 
     e = table(spark, sf_dir, "events")

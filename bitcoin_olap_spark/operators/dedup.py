@@ -352,6 +352,13 @@ def connected_components(
     und = edges.select(
         F.col(src_col).alias("e_src"), F.col(dst_col).alias("e_dst")
     )
+    # localCheckpoint, not cache: a lazily-cached edge list enters the
+    # first round's planning with UNKNOWN stats, so every round's join
+    # is planned sort-merge (measured ~2 s/round on a 512-edge graph);
+    # materializing once gives AQE real sizes and it broadcasts the
+    # small side itself — the size-adaptive choice that stays correct
+    # when the label relation is NOT small (an explicit broadcast here
+    # would be wrong at 100 TB).
     und = (
         und.unionByName(
             und.select(
@@ -359,7 +366,7 @@ def connected_components(
             )
         )
         .distinct()
-        .cache()
+        .localCheckpoint()
     )
     # und is symmetric, so e_src alone covers every edge-touched node
     enodes = und.select(F.col("e_src").alias("node")).distinct().localCheckpoint()
@@ -382,7 +389,6 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    und.unpersist()
     singles = (
         nodes.select(F.col(id_col).alias("node"))
         .join(enodes, "node", "left_anti")

@@ -1146,7 +1146,11 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     — numwait counts LATE LINES (the oracle's l1 grain), accumulated
     per order during the same aggregation. One orderkey shuffle
     replaces the correlated-subquery double scan — the formulation a
-    100 TB plan needs."""
+    100 TB plan needs. The supplier-distinct counts stack as TWO hash
+    aggregates — (order, supplier) grain first, then order grain — so
+    no multi-countDistinct Expand ever multiplies the joined fact; the
+    second aggregate reuses the first's hash partitioning (orderkey is
+    a prefix of its grouping key)."""
     o = table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey", "o_orderdate")
@@ -1156,14 +1160,19 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = F.col("l_shipdate") > F.timestamp_add(
         "DAY", F.lit(60), F.col("o_orderdate")
     )
-    per_order = (
+    per_supp = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum(F.when(late, 1).otherwise(0)).alias("supp_late_lines"))
+    )
+    is_late = F.col("supp_late_lines") > 0
+    per_order = (
+        per_supp.groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("n_supp"),
-            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
-            F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
-            F.sum(F.when(late, 1).otherwise(0)).alias("late_lines"),
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum(F.when(is_late, 1).otherwise(0)).alias("n_late"),
+            F.max(F.when(is_late, F.col("l_suppkey"))).alias("late_supp"),
+            F.sum("supp_late_lines").alias("late_lines"),
         )
         .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
     )

@@ -329,12 +329,15 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = docs.groupBy("source").agg(
         F.sum("n_chars").cast("long").alias("chars")
     )
+    # localCheckpoint: wt feeds both the scalar total and the target
+    # allocation; a broadcast subtree re-executes the per-source
+    # aggregate otherwise (#sources rows — free to pin at any scale)
     wt = stats.select(
         "source",
         F.floor(F.sqrt(F.col("chars").cast("double")) * 1e6)
         .cast("long")
         .alias("w"),
-    )
+    ).localCheckpoint()
     total_w = wt.agg(F.sum("w").cast("long").alias("tw"))
     tgt = wt.crossJoin(F.broadcast(total_w)).select(
         "source",
@@ -533,4 +536,47 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").cast("long"),
         F.col("n_null").cast("long"),
         F.col("n_distinct").cast("long"),
+    )
+
+
+@query(
+    "skew_profile",
+    oracle="""
+    WITH kc AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(cnt) AS BIGINT) AS max_key_rows,
+           CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS avg_key_rows,
+           CAST(MAX(cnt) AS DOUBLE) * COUNT(*) / SUM(cnt) AS skew_ratio
+    FROM kc
+    """,
+)
+def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic for lineitem.l_partkey — the
+    pre-flight check before choosing a join strategy (plain shuffle vs
+    AQE skew split vs operators/skew.salted_join): per-key row counts,
+    then max/avg concentration. skew_ratio = max_key_rows / avg_key_rows
+    (1.0 = perfectly uniform); a ratio >> task count means the hottest
+    key alone overflows one reducer and salting is warranted. Two hash
+    aggregates, the second over the per-key relation; all ratios are
+    exact-integer divisions done identically on both engines. At 100 TB
+    the per-key relation is the only shuffle and is key-cardinality
+    sized."""
+    kc = (
+        table(spark, sf_dir, "lineitem", spread=True)
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = F.sum("cnt").cast("long")
+    nk = F.count(F.lit(1))
+    mx = F.max("cnt").cast("long")
+    return kc.agg(
+        total.alias("n_rows"),
+        nk.cast("long").alias("n_keys"),
+        mx.alias("max_key_rows"),
+        (total.cast("double") / nk).alias("avg_key_rows"),
+        (mx.cast("double") * nk / total).alias("skew_ratio"),
     )

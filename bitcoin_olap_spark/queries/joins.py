@@ -202,8 +202,11 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     mitigation for hot keys (exchange hot-wallets skew the reference's
     wallet / transaction_hash joins, btcolap.sql:112-114, :429-430).
     Row-identical to the plain join — the oracle states the unsalted
-    form — but a hot orderkey spreads across 8 reducers instead of
-    stalling one."""
+    form — but a hot orderkey spreads across S reducers instead of
+    stalling one. S=4 here: the demonstration carries the full
+    mechanics while paying the minimum replication tax on this
+    (unskewed) testdata; production sizes S to hot-key row count /
+    target-partition size."""
     from ..operators.skew import salted_join
 
     li = table(spark, sf_dir, "lineitem").select(
@@ -212,7 +215,7 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"), "o_totalprice"
     )
-    return salted_join(li, o, "k", salt_buckets=8).select(
+    return salted_join(li, o, "k", salt_buckets=4).select(
         F.col("k").alias("l_orderkey"),
         "l_linenumber",
         "l_quantity",

@@ -808,6 +808,12 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     between the JVM and libm (SURVEY.md §5.1 rule for transcendental
     outputs); tf/df are exact BIGINTs."""
     docs = table(spark, sf_dir, "documents", spread=True)
+    # localCheckpoint (MEMORY_AND_DISK): tf feeds both the df
+    # dictionary and the final join; without pinning, the broadcast
+    # dictionary subtree re-runs the whole corpus explode+aggregate.
+    # tf is (doc, term)-cardinality — at 100 TB this is the classic
+    # persist-or-recompute tradeoff and persisting the smaller
+    # post-aggregate relation (not the exploded words) is the cheap side.
     tf = (
         docs.select(
             "doc_id",
@@ -816,6 +822,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") != "")
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint()
     )
     df_rel = tf.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
     n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
@@ -829,5 +836,61 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tf",
             "df",
             F.round(F.col("tf") * idf, 6).alias("tfidf"),
+        )
+    )
+
+
+# ------------------------------------------- perplexity-proxy scoring
+
+@query(
+    "text_perplexity",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+    ), wc AS (
+        SELECT doc_id, w FROM w WHERE w != ''
+    ), lm AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM wc GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM lm
+    )
+    SELECT wc.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           round(SUM(-ln(CAST(lm.cnt AS DOUBLE) / tot.n)) / COUNT(*), 6)
+               AS avg_neg_logp
+    FROM wc JOIN lm USING (w) CROSS JOIN tot
+    GROUP BY wc.doc_id
+    """,
+)
+def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram perplexity proxy — the classic LM-based quality filter
+    (score docs by average negative log-probability under a corpus
+    unigram model; gibberish and boilerplate score high/low extremes).
+    Corpus pass 1 builds the unigram LM (word -> count, vocabulary-
+    sized, broadcast); pass 2 scores each document's words against it —
+    a broadcast join, never a shuffle of the corpus by word. The
+    per-doc aggregate shuffles on doc_id once. -ln(p) sums as double
+    then rounds 6dp (ln differs ~1 ULP JVM vs libm — SURVEY.md §5.1
+    transcendental rule; the sum is per-doc small so no decimal
+    accumulation needed... except sum ORDER differs, so the defensive
+    round covers both). A real LM swaps the broadcast dictionary for a
+    scored Pandas UDF; the plan shape is identical."""
+    docs = table(spark, sf_dir, "documents", spread=True)
+    wc = docs.select(
+        "doc_id", F.explode(TX.words(F.lower(F.col("text")))).alias("w")
+    ).filter(F.col("w") != "")
+    lm = wc.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    tot = lm.agg(F.sum("cnt").cast("long").alias("n"))
+    neg_logp = -F.log(F.col("cnt").cast("double") / F.col("n"))
+    return (
+        wc.join(F.broadcast(lm), "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.round(F.sum(neg_logp) / F.count(F.lit(1)), 6).alias(
+                "avg_neg_logp"
+            ),
         )
     )

@@ -943,10 +943,17 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = table(spark, sf_dir, "lineitem", spread=True)
     term = (_fx("l_extendedprice") * _fx("l_quantity")).cast("decimal(38,0)")
+    # localCheckpoint: pv feeds BOTH the scalar total and the main
+    # filter; without materialization the broadcast-total subtree
+    # re-executes the whole scan+join+aggregate (verified in the
+    # physical plan — no ReusedExchange across the broadcast boundary,
+    # its subtree gets fresh expression ids). pv is part-cardinality —
+    # safe to pin at any scale.
     pv = (
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .groupBy("l_partkey")
         .agg(F.sum(term).alias("value_fx"))
+        .localCheckpoint()
     )
     total = pv.agg(F.sum("value_fx").alias("total_fx"))
     return (
@@ -984,8 +991,10 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier(s) achieving the maximum. The `= (SELECT MAX(...))`
     equality is on the exact fixed-point BIGINT revenue — double
     round-off can't split ties differently across engines. The max is a
-    1-row broadcast; the revenue view computes once (Spark reuses the
-    exchange under AQE since both sides hang off the same aggregate)."""
+    1-row broadcast; the revenue view is localCheckpoint()ed because a
+    broadcast subtree does NOT reuse the main plan's exchange (fresh
+    expression ids) — without it the quarter scan+aggregate runs
+    twice. Supplier-cardinality relation: safe to pin at any scale."""
     li = table(spark, sf_dir, "lineitem", spread=True).filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
@@ -993,7 +1002,7 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _fx("l_extendedprice") * (_S - _fx("l_discount"))
     per_supp = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(rev).alias("total_fx")
-    )
+    ).localCheckpoint()
     best = per_supp.agg(F.max("total_fx").alias("best_fx"))
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (

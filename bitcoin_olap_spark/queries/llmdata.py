@@ -880,7 +880,14 @@ def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     wc = docs.select(
         "doc_id", F.explode(TX.words(F.lower(F.col("text")))).alias("w")
     ).filter(F.col("w") != "")
-    lm = wc.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    # localCheckpoint: lm feeds both the scalar total and the scoring
+    # join; unpinned, each broadcast subtree re-runs the corpus
+    # explode+aggregate. Vocabulary-sized — free to pin at any scale.
+    lm = (
+        wc.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint()
+    )
     tot = lm.agg(F.sum("cnt").cast("long").alias("n"))
     neg_logp = -F.log(F.col("cnt").cast("double") / F.col("n"))
     return (

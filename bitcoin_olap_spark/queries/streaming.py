@@ -32,6 +32,7 @@ from ..streaming import (
     running_user_sequence,
     sessionize,
     stream_events,
+    upsert_foreachbatch,
 )
 
 _DAY = ORACLE_DAY.format(col="CAST(ts AS TIMESTAMP)")
@@ -171,3 +172,80 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     interval join."""
     ev = stream_events(spark, sf_dir)
     return run_to_batch(purchase_view_join(ev), spark)
+
+
+@query(
+    "stream_upsert_foreachbatch",
+    oracle="""
+    SELECT user_id,
+           arg_max(CAST(ts AS TIMESTAMP),
+                   printf('%020d-%012d',
+                          epoch_us(CAST(ts AS TIMESTAMP)),
+                          event_id)) AS last_ts,
+           arg_max(value,
+                   printf('%020d-%012d',
+                          epoch_us(CAST(ts AS TIMESTAMP)),
+                          event_id)) AS last_value,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE via foreachBatch (streaming/pipeline.py
+    upsert_foreachbatch): maintain a per-user state table — latest
+    event + running count — upserted each micro-batch with a
+    full-outer newest-wins merge into plain parquet (the callback
+    Delta's MERGE INTO would slot into). Batch-split-invariant by
+    construction (max over a total (ts, event_id) order, additive
+    counts), so the converged state equals the batch last-per-user
+    aggregate the oracle states."""
+    from ..session import scratch_root
+
+    target = tempfile.mkdtemp(
+        prefix="stream_upsert_", dir=scratch_root("sink")
+    )
+    return upsert_foreachbatch(stream_events(spark, sf_dir), spark, target)
+
+
+@query(
+    "stream_custom_datasource",
+    oracle="""
+    SELECT r AS block_number, md5(CAST(r AS VARCHAR)) AS block_hash,
+           (r * 7) % 100 AS n_tx, (r * 31) % 100000 AS fee_sat
+    FROM range(600) t(r)
+    WHERE (r * 7) % 100 >= 50
+    """,
+)
+def stream_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The blockfeed Python Data Source consumed as a STREAM
+    (sources/blockfeed._BlockFeedStreamReader): offsets are block
+    heights, 2 micro-batches of 300 blocks each, replayable via
+    readBetweenOffsets — the exactly-once contract for custom Python
+    sources. Same deterministic content as the batch path, so the same
+    DuckDB range() oracle applies; filter pushed into the stream
+    projection. Runs under a continuous trigger +
+    processAllAvailable (availableNow would snapshot only the first
+    chunk's offset — a pull-based simple reader advances its offset one
+    `read` at a time), stopping once the feed stops advancing."""
+    from ..sources.blockfeed import register_blockfeed
+    from ..streaming.pipeline import _MEMSINK_SEQ, _few_state_partitions
+
+    register_blockfeed(spark)
+    feed = (
+        spark.readStream.format("blockfeed")
+        .option("n_blocks", 600)
+        .option("chunk", 300)
+        .load()
+    )
+    name = f"stream_sink_{next(_MEMSINK_SEQ)}"
+    with _few_state_partitions(spark):
+        q = (
+            feed.filter(F.col("n_tx") >= 50)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    return spark.table(name)

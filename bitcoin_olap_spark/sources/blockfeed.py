@@ -69,6 +69,9 @@ class BlockFeedDataSource(DataSource):
     def reader(self, schema) -> _BlockFeedReader:
         return _BlockFeedReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "_BlockFeedStreamReader":
+        return _BlockFeedStreamReader(self.options)
+
 
 def register_blockfeed(spark) -> None:
     """Idempotently register the source with a session."""
@@ -76,3 +79,35 @@ def register_blockfeed(spark) -> None:
         spark.dataSource.register(BlockFeedDataSource)
     except Exception:
         pass  # already registered on this session
+
+
+try:  # SimpleDataSourceStreamReader: pyspark >= 4.0
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+except ImportError:  # pragma: no cover - batch-only fallback
+    SimpleDataSourceStreamReader = object
+
+
+class _BlockFeedStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch reader over the same deterministic feed: offsets are
+    block heights, each `read` advances one chunk. Replays are exact —
+    `readBetweenOffsets` regenerates any offset range — which is the
+    Python-source contract for end-to-end exactly-once recovery (the
+    engine persists offsets in the checkpoint and re-asks for the
+    range after a failure)."""
+
+    def __init__(self, options):
+        self.n_blocks = int(options.get("n_blocks", 1000))
+        self.chunk = int(options.get("chunk", 250))
+
+    def initialOffset(self):
+        return {"b": 0}
+
+    def read(self, start):
+        s = int(start["b"])
+        e = min(s + self.chunk, self.n_blocks)
+        return iter([block_row(b) for b in range(s, e)]), {"b": e}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(
+            [block_row(b) for b in range(int(start["b"]), int(end["b"]))]
+        )

@@ -33,4 +33,5 @@ from .pipeline import (  # noqa: F401
     running_user_sequence,
     sessionize,
     stream_events,
+    upsert_foreachbatch,
 )

@@ -234,3 +234,77 @@ def ingest_to_parquet(
         )
         q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+def upsert_foreachbatch(
+    events: DataFrame, spark: SparkSession, target_dir: str
+) -> DataFrame:
+    """Streaming upsert via foreachBatch — the micro-batch MERGE
+    pattern: each batch reduces to one row per user (latest event by
+    (ts, event_id)), then merges into the running parquet state with a
+    full-outer + newest-wins coalesce, accumulating event counts. This
+    is how Structured Streaming maintains a dimension/state table on a
+    sink with no native MERGE (plain parquet here; Delta's MERGE INTO
+    slots into the same callback). Deterministic regardless of how the
+    engine splits micro-batches: max by the total (ts, event_id) order
+    and count addition are both associative across batches.
+
+    Scale: per-batch work is one user-keyed aggregate plus a key-
+    partitioned merge join against the state table — state is
+    user-cardinality, not event-cardinality."""
+    state_path = os.path.join(target_dir, "state")
+    key = F.struct("ts", "event_id")
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        agg = batch.groupBy("user_id").agg(
+            F.max_by(F.struct("ts", "event_id", "value"), key).alias("last"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        if os.path.isdir(state_path):
+            cur = batch.sparkSession.read.parquet(state_path)
+            newer = F.struct(
+                F.col("n.last.ts"), F.col("n.last.event_id")
+            ) > F.struct(F.col("c.last.ts"), F.col("c.last.event_id"))
+            merged = (
+                agg.alias("n")
+                .join(cur.alias("c"), "user_id", "full_outer")
+                .select(
+                    "user_id",
+                    F.when(
+                        F.col("c.last").isNull()
+                        | (F.col("n.last").isNotNull() & newer),
+                        F.col("n.last"),
+                    )
+                    .otherwise(F.col("c.last"))
+                    .alias("last"),
+                    (
+                        F.coalesce(F.col("n.n_events"), F.lit(0))
+                        + F.coalesce(F.col("c.n_events"), F.lit(0))
+                    ).alias("n_events"),
+                )
+            )
+            # two-phase: parquet cannot overwrite a path while reading it
+            tmp = state_path + ".next"
+            merged.write.mode("overwrite").parquet(tmp)
+            final = batch.sparkSession.read.parquet(tmp)
+            final.write.mode("overwrite").parquet(state_path)
+        else:
+            agg.write.mode("overwrite").parquet(state_path)
+
+    with _few_state_partitions(spark):
+        q = (
+            events.writeStream.foreachBatch(upsert)
+            .option(
+                "checkpointLocation", os.path.join(target_dir, "_ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    got = spark.read.parquet(state_path)
+    return got.select(
+        "user_id",
+        F.col("last.ts").alias("last_ts"),
+        F.col("last.value").alias("last_value"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )

@@ -580,3 +580,39 @@ def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (total.cast("double") / nk).alias("avg_key_rows"),
         (mx.cast("double") * nk / total).alias("skew_ratio"),
     )
+
+
+@query("ml_logreg", oracle=None)
+def ml_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary logistic regression over embeddings (pyspark.ml LBFGS,
+    fixed params): label = whether the stored class label is < 5,
+    features = the embedding vector. Returns per-(label, prediction)
+    confusion counts — 4 rows, stable schema. Distributed: LBFGS
+    aggregates gradient partials tree-wise per iteration; inference is
+    a map-only UDF-free transform. Iterative optimization — not
+    SQL-expressible, so rows-only for the driver. The synthetic
+    labels are only weakly linearly separable (~0.55-0.65 accuracy) —
+    the operator demonstrates the distributed fit/score path
+    (gradient partials tree-aggregated per iteration, the same
+    shuffle posture at any corpus size), not the dataset."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        array_to_vector(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("features"),
+        (F.col("label") < 5).cast("double").alias("label"),
+    )
+    model = LogisticRegression(
+        maxIter=8, regParam=0.01, standardization=True, tol=1e-6
+    ).fit(emb)
+    pred = model.transform(emb)
+    return (
+        pred.groupBy(
+            F.col("label").cast("long").alias("label"),
+            F.col("prediction").cast("long").alias("prediction"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -461,3 +461,43 @@ def src_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(
         "event_id long, user_id long, event_type string, value double"
     ).json(out)
+
+
+@query(
+    "snk_compact_files",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    """,
+)
+def snk_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance pass every
+    streaming/partitioned sink eventually needs (a micro-batch ingest
+    leaves hundreds of KB-sized files; scans then pay per-file open +
+    footer + task-schedule cost). Setup (once per process/sf): fragment
+    events into 64 small files. The operator: read the fragmented
+    table, `repartition` to the target file count (a full round-robin
+    shuffle — the price of perfect output sizing; `coalesce` would
+    avoid the shuffle but can only merge co-located partitions and
+    starves parallelism upstream), write back, return the compacted
+    read. Content is preserved exactly — the oracle reads the original
+    relation. Delta/Iceberg OPTIMIZE is this operation with a
+    transaction around it."""
+    frag = _tmp(f"frag_events_{os.path.basename(sf_dir)}")
+    compact = _tmp(f"compact_events_{os.path.basename(sf_dir)}")
+    cols = ["event_id", "user_id", "event_type", "value"]
+    if not os.path.isdir(frag):
+        (
+            table(spark, sf_dir, "events")
+            .select(*cols)
+            .repartition(64)
+            .write.mode("overwrite")
+            .parquet(frag)
+        )
+    (
+        spark.read.parquet(frag)
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(compact)
+    )
+    return spark.read.parquet(compact)

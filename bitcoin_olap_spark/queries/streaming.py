@@ -248,4 +248,7 @@ def stream_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.processAllAvailable()
         q.stop()
-    return spark.table(name)
+    # compact + drop the memory sink (see streaming/pipeline.run_to_batch)
+    out = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    return out

@@ -59,6 +59,12 @@ RUNTIME_CONF = {
     # reader rejects; read as long and convert in catalog.table (DuckDB
     # likewise truncates ns -> us on CAST to TIMESTAMP)
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # our streaming queries are one-shot availableNow runs: the
+    # periodic state-store maintenance task (default 60s) only burns
+    # CPU snapshotting already-finished stores — measured as periodic
+    # multi-second slowdowns on whatever query runs when it fires. A
+    # long-lived production stream would keep the default.
+    "spark.sql.streaming.stateStore.maintenanceInterval": "3600s",
 }
 
 

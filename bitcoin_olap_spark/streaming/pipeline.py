@@ -211,7 +211,16 @@ def run_to_batch(
             .start()
         )
         q.awaitTermination()
-    return spark.table(name)
+    # compact the sink into serialized checkpoint blocks and DROP the
+    # memory-sink table: MemorySink holds its rows as driver-heap Row
+    # arrays for the session's lifetime, and a suite that runs many
+    # streaming queries accumulates hundreds of MB of them — measured
+    # as multi-second GC spikes hitting whichever query runs next.
+    # Checkpoint blocks are GC'd once the returned DataFrame goes out
+    # of scope.
+    out = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def ingest_to_parquet(

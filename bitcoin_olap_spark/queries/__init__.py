@@ -8,6 +8,7 @@ silently skipped.
 from . import (  # noqa: F401
     aggregates,
     analytics,
+    behavior,
     functions,
     joins,
     llmdata,
@@ -24,6 +25,7 @@ from . import (  # noqa: F401
 ALL_MODULES = [
     aggregates,
     analytics,
+    behavior,
     functions,
     joins,
     llmdata,

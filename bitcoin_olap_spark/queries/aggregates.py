@@ -618,3 +618,30 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").cast("long").alias("mode_count"),
         )
     )
+
+
+@query("agg_sketch_partial", oracle=None)
+def agg_sketch_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level mergeable-sketch rollup: per-day HLL sketches of the
+    active user set, UNIONED into one estimate — the pre-aggregation
+    pattern that makes distinct-count dashboards feasible at 100 TB.
+    The raw data is scanned ONCE at the fine grain; every coarser
+    rollup (weekly, monthly, all-time, any ad-hoc day range) is a merge
+    of kilobyte sketch partials, never a re-scan — this is what
+    approx_count_distinct (agg_approx_distinct) cannot do, because its
+    estimate is final and two estimates cannot be combined. In a
+    production layout the per-day sketch table is the materialized
+    ingest summary; hll_union_agg over an arbitrary slice is the query.
+    Output is scalar-only: the merged estimate, the day count, and the
+    max per-day estimate. Rows-only for the driver (sketch bytes are
+    engine-specific); tests pin the merged estimate against the exact
+    distinct count."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(day("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+    )
+    return daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_days"),
+        F.max(F.hll_sketch_estimate("sk")).alias("max_daily_users"),
+    )

@@ -429,6 +429,118 @@ def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_resample_interp",
+    oracle="""
+    WITH base AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                    AS DECIMAL(18,4)) AS DOUBLE) AS flow
+        FROM events WHERE event_type = 'signup' AND value > 150
+        GROUP BY 1
+    ), spine AS (
+        SELECT unnest(generate_series(
+            (SELECT MIN(hour) FROM base),
+            (SELECT MAX(hour) FROM base),
+            INTERVAL 1 HOUR)) AS hour
+    ), ctx AS (
+        SELECT s.hour, b.flow,
+               last_value(b.flow IGNORE NULLS) OVER (
+                   ORDER BY s.hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS pv,
+               last_value(CASE WHEN b.flow IS NOT NULL THEN s.hour END
+                          IGNORE NULLS) OVER (
+                   ORDER BY s.hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS pt,
+               first_value(b.flow IGNORE NULLS) OVER (
+                   ORDER BY s.hour
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS nv,
+               first_value(CASE WHEN b.flow IS NOT NULL THEN s.hour END
+                           IGNORE NULLS) OVER (
+                   ORDER BY s.hour
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS nt
+        FROM spine s LEFT JOIN base b ON s.hour = b.hour
+    )
+    SELECT hour, flow AS value,
+           CASE
+             WHEN flow IS NOT NULL THEN flow
+             WHEN pv IS NULL OR nv IS NULL THEN NULL
+             ELSE pv + (nv - pv)
+                  * (CAST(epoch_us(hour) - epoch_us(pt) AS DOUBLE)
+                     / CAST(epoch_us(nt) - epoch_us(pt) AS DOUBLE))
+           END AS interp,
+           CASE WHEN flow IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM ctx
+    """,
+)
+def ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill by LINEAR INTERPOLATION over the same sparse hourly
+    series ts_gapfill_locf regularizes: each empty bucket gets the
+    value linearly interpolated between its nearest observations on
+    either side, time-weighted by exact epoch microseconds (buckets
+    outside the observed range stay null — interpolation, not
+    extrapolation). The hypertable `time_bucket_gapfill +
+    interpolate()` shape.
+
+    Two mirrored LOCF/NOCB windows (last-non-null looking back,
+    first-non-null looking forward) carry both the neighbor VALUES and
+    their TIMES; the blend is then map-side double arithmetic with an
+    identical operation order in both engines, so results are
+    bit-exact — the only non-window work after the spine join. The
+    unpartitioned window is the documented bucket-grain exception
+    (calendar-bounded input, same argument as gapfill_locf); a per-key
+    variant adds partitionBy(key) to the same frames."""
+    e = table(spark, sf_dir, "events")
+    hourly = (
+        e.filter((F.col("event_type") == "signup") & (F.col("value") > 150))
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("decimal(18,4)")
+            .cast("double")
+            .alias("flow")
+        )
+    )
+    bounds = hourly.agg(F.min("hour").alias("_lo"), F.max("hour").alias("_hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("_lo", "_hi", F.expr("INTERVAL 1 hour"))).alias(
+            "hour"
+        )
+    )
+    back = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    fwd = Window.orderBy("hour").rowsBetween(0, Window.unboundedFollowing)
+    obs_hour = F.when(F.col("flow").isNotNull(), F.col("hour"))
+    ctx = (
+        spine.join(hourly, "hour", "left")
+        .withColumn("pv", F.last("flow", ignorenulls=True).over(back))
+        .withColumn("pt", F.last(obs_hour, ignorenulls=True).over(back))
+        .withColumn("nv", F.first("flow", ignorenulls=True).over(fwd))
+        .withColumn("nt", F.first(obs_hour, ignorenulls=True).over(fwd))
+    )
+    frac = F.unix_micros(F.col("hour")) - F.unix_micros(F.col("pt"))
+    span = F.unix_micros(F.col("nt")) - F.unix_micros(F.col("pt"))
+    return ctx.select(
+        "hour",
+        F.col("flow").alias("value"),
+        F.when(F.col("flow").isNotNull(), F.col("flow"))
+        .when(F.col("pv").isNull() | F.col("nv").isNull(), F.lit(None))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (frac.cast("double") / span.cast("double"))
+        )
+        .alias("interp"),
+        F.when(F.col("flow").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_gap"),
+    )
+
+
+@query(
     "win_range_frame",
     oracle="""
     SELECT event_id, user_id,

@@ -93,3 +93,22 @@ def test_approx_quantile_near_exact(spark, duck):
         p50, p90 = exact[flag]
         assert abs(est50 - p50) / p50 < 0.005, (flag, est50, p50)
         assert abs(est90 - p90) / p90 < 0.005, (flag, est90, p90)
+
+
+def test_sketch_partial_merge_near_exact(spark):
+    """The merged per-day HLL sketches must estimate the all-time
+    distinct user count within HLL(lgK=14) error of exact (~1%, loose
+    bound 5%), and the max daily estimate can never exceed it."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.catalog import table
+
+    row = all_queries()["agg_sketch_partial"](spark, SF_ORACLE).collect()[0]
+    exact = (
+        table(spark, SF_ORACLE, "events")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()[0]["n"]
+    )
+    assert abs(row["approx_users"] - exact) / exact < 0.05
+    assert row["max_daily_users"] <= row["approx_users"] * 1.05
+    assert row["n_days"] > 0

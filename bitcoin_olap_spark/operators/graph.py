@@ -141,3 +141,59 @@ def oracle_pagerank_sql(
     SELECT node, rank AS rank_scaled FROM r{iters}"""
     )
     return "".join(sql)
+
+
+def bfs_reach(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+) -> DataFrame:
+    """Breadth-first reachability with hop distance over a directed
+    edge list — the DataFrame answer to `WITH RECURSIVE` (which Spark
+    SQL lacks; the oracle states exactly that form).
+
+    `edges` has columns (src_kind, src_id, dst_kind, dst_id) — the
+    two-column node key carries heterogenous node types (e.g. the
+    part/supplier bipartite graph) without string-encoding. `seeds`
+    has (kind, node). Returns (kind, node, hops) with hops = the
+    MINIMUM hop count, which classic frontier BFS yields by
+    construction: a node joins `visited` the first level it is seen
+    and is never expanded again (left_anti), so the exponential
+    path-count of the recursive-CTE formulation never materializes —
+    per level the frontier is node-bounded, and the level-k work is
+    one frontier⋈edges shuffle join plus an anti-join against
+    visited. Each level is localCheckpoint'd: a k-deep lazy chain
+    would re-execute levels 1..k-1 inside level k's join subtrees
+    (broadcast subtrees reuse no exchanges), degrading O(k) to
+    O(k^2) — the same materialization rule pagerank_int follows.
+    """
+    visited = (
+        seeds.select("kind", "node")
+        .distinct()
+        .withColumn("hops", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(
+                edges,
+                (frontier.kind == edges.src_kind)
+                & (frontier.node == edges.src_id),
+            )
+            .select(
+                F.col("dst_kind").alias("kind"),
+                F.col("dst_id").alias("node"),
+            )
+            .distinct()
+        )
+        new = (
+            nxt.join(visited, ["kind", "node"], "left_anti")
+            .withColumn("hops", F.lit(h).cast("long"))
+            .localCheckpoint()
+        )
+        if not new.take(1):
+            break
+        visited = visited.union(new).localCheckpoint()
+        frontier = new
+    return visited

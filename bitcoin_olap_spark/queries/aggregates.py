@@ -645,3 +645,30 @@ def agg_sketch_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_days"),
         F.max(F.hll_sketch_estimate("sk")).alias("max_daily_users"),
     )
+
+
+@query(
+    "agg_bool",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) FILTER (o_totalprice > 100000) AS n_big,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_orderpriority = '1-URGENT') AS any_urgent
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate family: COUNT_IF / BOOL_AND / BOOL_OR (ANSI
+    EVERY/ANY) — predicate rollups every data-quality gate uses
+    ("did every row pass?", "did any row trip the alarm?"). All three
+    are single-bit mergeable states, so map-side partials reduce each
+    group to constants before the (tiny) shuffle; bool short-circuit
+    semantics over NULL-free predicates agree across engines."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 100_000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias(
+            "any_urgent"
+        ),
+    )

@@ -415,6 +415,67 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ..operators.graph import bfs_reach  # noqa: E402
+
+
+@query(
+    "graph_bfs_reach",
+    oracle="""
+    WITH RECURSIVE e AS (
+        SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem
+    ),
+    reach(kind, node, hop) AS (
+        SELECT 'p', p_partkey, 0 FROM part WHERE p_size = 1
+        UNION
+        SELECT CASE WHEN r.kind = 'p' THEN 's' ELSE 'p' END,
+               CASE WHEN r.kind = 'p' THEN e.sk ELSE e.pk END,
+               r.hop + 1
+        FROM reach r JOIN e
+          ON (r.kind = 'p' AND e.pk = r.node)
+          OR (r.kind = 's' AND e.sk = r.node)
+        WHERE r.hop < 3
+    )
+    SELECT kind, node, MIN(hop) AS hops FROM reach GROUP BY 1, 2
+    """,
+)
+def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS reachability — the `WITH RECURSIVE` shape
+    (supply-chain blast radius: every supplier/part within 3 hops of
+    the p_size=1 parts over the part↔supplier bipartite graph from
+    lineitem). Spark SQL has no recursive CTE; operators/graph.bfs_reach
+    is the engine's answer — frontier BFS with a visited anti-join,
+    whose min-hop output provably equals the oracle's recursive-UNION +
+    MIN(hop) (first-reach level IS the minimum). The frontier form is
+    also the 100 TB-correct one: per level the working set is bounded
+    by NODES (the recursive CTE enumerates hop-tagged tuples and prunes
+    only on exact-duplicate rows), and each level is one keyed shuffle
+    join against the edge list plus a node-sized anti-join."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    fwd = li.select(
+        F.lit("p").alias("src_kind"),
+        F.col("l_partkey").alias("src_id"),
+        F.lit("s").alias("dst_kind"),
+        F.col("l_suppkey").alias("dst_id"),
+    )
+    rev = li.select(
+        F.lit("s").alias("src_kind"),
+        F.col("l_suppkey").alias("src_id"),
+        F.lit("p").alias("dst_kind"),
+        F.col("l_partkey").alias("dst_id"),
+    )
+    edges = fwd.union(rev).localCheckpoint()
+    seeds = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 1)
+        .select(F.lit("p").alias("kind"), F.col("p_partkey").alias("node"))
+    )
+    return bfs_reach(edges, seeds, max_hops=3)
+
+
 # ----------------------------------------------- anomaly detection
 
 @query(

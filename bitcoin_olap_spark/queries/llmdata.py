@@ -901,3 +901,111 @@ def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "text_dedup_chunks",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, u.i AS idx, u.c AS chunk FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range((len(ws) + 9) // 10),
+                       i -> struct_pack(
+                           i := CAST(i AS BIGINT),
+                           c := array_to_string(
+                               ws[(i*10+1):(i*10+10)], ' ')))) AS u
+            FROM w)
+    ),
+    boiler AS (
+        SELECT chunk FROM chunks
+        GROUP BY chunk HAVING COUNT(DISTINCT doc_id) > 1
+    ),
+    kept AS (
+        SELECT c.doc_id, c.idx, c.chunk
+        FROM chunks c ANTI JOIN boiler b USING (chunk)
+    ),
+    agg AS (
+        SELECT doc_id,
+               array_to_string(list(chunk ORDER BY idx), ' ')
+                   AS cleaned_text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(a.cleaned_text, '') AS cleaned_text,
+           (len(string_split(d.text, ' ')) + 9) // 10 AS n_chunks,
+           (len(string_split(d.text, ' ')) + 9) // 10
+               - COALESCE(a.n_kept, 0) AS n_removed
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def text_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency chunk deduplication — the C4/RefinedWeb
+    "remove any line that appears verbatim elsewhere in the corpus"
+    pass, at 10-word-chunk grain (the synthetic docs are single-line,
+    so fixed-width chunks stand in for lines; the operator is
+    identical with split('\\n')). A chunk occurring in MORE THAN ONE
+    document is boilerplate and is removed from every document it
+    appears in; survivors are reassembled in original order.
+
+    Plan, fact-sized throughout: one map-side explode to chunk grain
+    (slice over the split array inside `transform` — document-local,
+    no shuffle); ONE hash aggregate on the chunk string for document
+    frequency (this is the only corpus-wide shuffle; true boilerplate
+    is precisely the skewed key here, and it lands in the aggregate —
+    map-side partials absorb it — not in a join probe); an anti-join
+    of chunks against the boilerplate set (aggregate-sized, AQE
+    broadcasts it); and a per-doc reassembly aggregate
+    (array_sort(collect_list(struct(idx, chunk))) — order restored by
+    index, not by aggregation order). At larger scale the frequency
+    key can be xxhash64(chunk) to shrink the shuffle; the string key
+    keeps the oracle exact here."""
+    docs = table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "text"
+    )
+    ws = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    chunks = ws.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.floor((F.size("ws") + 9) / 10).cast("long") - 1,
+                ),
+                lambda i: F.array_join(
+                    F.slice("ws", i * 10 + 1, 10), " "
+                ),
+            )
+        ).alias("idx", "chunk"),
+    ).select("doc_id", F.col("idx").cast("long").alias("idx"), "chunk")
+    boiler = (
+        chunks.groupBy("chunk")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") > 1)
+        .select("chunk")
+    )
+    kept = chunks.join(boiler, "chunk", "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                lambda x: x["chunk"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    n_chunks = F.floor((F.size(F.split("text", " ")) + 9) / 10).cast("long")
+    return (
+        docs.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+            n_chunks.alias("n_chunks"),
+            (n_chunks - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+        )
+    )

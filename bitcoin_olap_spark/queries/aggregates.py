@@ -672,3 +672,67 @@ def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
             "any_urgent"
         ),
     )
+
+
+#: count-min geometry: 4 hash rows x 1024 buckets — fixed-size state.
+_CM_D, _CM_W = 4, 1024
+
+
+@query("agg_countmin", oracle=None)
+def agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream: a fixed
+    (4 x 1024)-counter summary supporting point frequency queries with
+    one-sided error (estimate >= true count; overshoot <= eps*N with
+    high probability). The sketch is the mergeable alternative to an
+    exact token groupBy when the key space is web-scale: per-partition
+    partial counters merge by addition (the groupBy(row, bucket) does
+    exactly that), the state never exceeds d*w counters regardless of
+    vocabulary, and sketches from different shards/days union by
+    element-wise sum — same rollup algebra as agg_sketch_partial's HLL.
+
+    Plan: one map-side explode emits (row, bucket) pairs per token
+    occurrence (xxhash64 seeded per row — JVM-side, no Python), ONE
+    4096-group aggregate builds the sketch; probes (the distinct
+    tokens of the first 10 docs) join the broadcast sketch on
+    (row, bucket) and take MIN over rows. Rows-only for the driver
+    (xxhash64 is not expressible in DuckDB); tests pin the one-sided
+    guarantee and top-1 agreement against exact counts. Top-20 by
+    (estimate DESC, token) keeps the output deterministic."""
+    docs = table(spark, sf_dir, "documents", spread=True)
+    tokens = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    pairs = tokens.select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64("token", F.lit(r)), F.lit(_CM_W))
+                    for r in range(_CM_D)
+                ]
+            )
+        ).alias("row", "bucket")
+    )
+    sketch = pairs.groupBy("row", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    probes = (
+        tokens.filter(F.col("doc_id") < 10).select("token").distinct()
+    )
+    probe_pairs = probes.select(
+        "token",
+        F.posexplode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64("token", F.lit(r)), F.lit(_CM_W))
+                    for r in range(_CM_D)
+                ]
+            )
+        ).alias("row", "bucket"),
+    )
+    return (
+        probe_pairs.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy("token")
+        .agg(F.min("cnt").alias("est_count"))
+        .orderBy(F.desc("est_count"), "token")
+        .limit(20)
+    )

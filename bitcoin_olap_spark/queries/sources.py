@@ -501,3 +501,120 @@ def snk_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(compact)
     )
     return spark.read.parquet(compact)
+
+
+@query(
+    "snk_scd2",
+    oracle="""
+    WITH obs AS (
+        SELECT o_custkey, o_orderpriority,
+               CAST(o_orderdate AS TIMESTAMP) AS ts, o_orderkey,
+               lag(o_orderpriority) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY CAST(o_orderdate AS TIMESTAMP), o_orderkey
+               ) AS prev_prio
+        FROM orders
+    ),
+    changes AS (
+        SELECT o_custkey, o_orderpriority, ts, o_orderkey
+        FROM obs
+        WHERE prev_prio IS NULL OR o_orderpriority <> prev_prio
+    )
+    SELECT o_custkey AS custkey, o_orderpriority AS priority,
+           ts AS valid_from,
+           lead(ts) OVER (
+               PARTITION BY o_custkey ORDER BY ts, o_orderkey
+           ) AS valid_to,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY o_custkey ORDER BY ts, o_orderkey
+           ) AS BIGINT) AS version
+    FROM changes
+    """,
+)
+def snk_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 from an observation stream: the
+    per-customer history of order-priority values as versioned validity
+    intervals — (custkey, priority, valid_from, valid_to, version),
+    valid_to NULL on the current row. This is the warehouse pattern
+    behind every `dim_*_history` table; snk_merge_upsert is its Type-1
+    (overwrite) sibling.
+
+    Change detection is lag() over (custkey, date, orderkey) — a run of
+    equal consecutive values collapses to its first observation — then
+    lead() turns change timestamps into half-open intervals and
+    row_number stamps versions. Every window is PARTITIONed by the
+    dimension key, so the whole derivation is one custkey shuffle
+    reused by all three windows (identical partitioning + ordering);
+    unique (date, orderkey) tiebreaks make the history deterministic on
+    both engines."""
+    w = Window.partitionBy("o_custkey").orderBy("ts", "o_orderkey")
+    obs = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderpriority",
+        F.col("o_orderdate").alias("ts"),
+        "o_orderkey",
+        F.lag("o_orderpriority").over(
+            Window.partitionBy("o_custkey").orderBy(
+                F.col("o_orderdate"), F.col("o_orderkey")
+            )
+        ).alias("prev_prio"),
+    )
+    changes = obs.filter(
+        F.col("prev_prio").isNull()
+        | (F.col("o_orderpriority") != F.col("prev_prio"))
+    )
+    return changes.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.row_number().over(w).cast("long").alias("version"),
+    )
+
+
+@query(
+    "snk_dynamic_overwrite",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CASE WHEN CAST(CAST(ts AS TIMESTAMP) AS DATE)
+                     BETWEEN DATE '2024-01-05' AND DATE '2024-01-06'
+                THEN value * 2 ELSE value END AS value,
+           CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+    FROM events
+    """,
+)
+def snk_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the idempotent-backfill primitive:
+    rewrite ONLY the date partitions present in the incoming batch
+    (partitionOverwriteMode=dynamic), leaving every other partition's
+    files untouched. Static overwrite mode would TRUNCATE the whole
+    table first; without the setting, a correct backfill needs
+    delete-then-append bookkeeping. Here a 2-day correction batch
+    (values doubled for Jan 5-6) lands in a ~30-day table; the oracle
+    states the expected post-overwrite content of the WHOLE table,
+    proving the other partitions survived. The batch is derived from
+    the immutable source (not the sink), so re-running is idempotent —
+    the retry-safety a production backfill requires."""
+    suffix = abs(hash(sf_dir)) % 10**8
+    out = _tmp(f"events_dyn_overwrite_{suffix}")
+    cols = ["event_id", "user_id", "event_type", "value", "day"]
+    base = (
+        table(spark, sf_dir, "events")
+        .withColumn("day", F.to_date("ts"))
+        .select(*cols)
+    )
+    if not os.path.isdir(out):
+        base.write.mode("overwrite").partitionBy("day").parquet(out)
+    lo, hi = F.lit("2024-01-05").cast("date"), F.lit("2024-01-06").cast("date")
+    batch = (
+        base.filter(F.col("day").between(lo, hi))
+        .withColumn("value", F.col("value") * 2)
+        .select(*cols)
+    )
+    (
+        batch.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(out)
+    )
+    return spark.read.parquet(out).select(*cols)

@@ -112,3 +112,34 @@ def test_sketch_partial_merge_near_exact(spark):
     assert abs(row["approx_users"] - exact) / exact < 0.05
     assert row["max_daily_users"] <= row["approx_users"] * 1.05
     assert row["n_days"] > 0
+
+
+def test_countmin_one_sided(spark):
+    """Count-min estimates are one-sided (est >= exact) and tight for
+    heavy hitters at this vocabulary size (4x1024 counters, ~60-word
+    vocab): the top probe's estimate must equal its exact count."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.catalog import table
+
+    got = {
+        r["token"]: r["est_count"]
+        for r in all_queries()["agg_countmin"](spark, SF_ORACLE).collect()
+    }
+    assert got
+    exact = {
+        r["token"]: r["n"]
+        for r in table(spark, SF_ORACLE, "documents")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_total = sum(exact.values())
+    for tok, est in got.items():
+        assert est >= exact[tok], (tok, est, exact[tok])
+        # CM guarantee: overshoot <= e*N/w with prob >= 1-e^-d; loose 4x
+        assert est - exact[tok] <= 4 * n_total / 1024, (tok, est, exact[tok])
+    top_tok = max(got, key=lambda t: (got[t], t))
+    assert got[top_tok] >= max(exact[t] for t in got)

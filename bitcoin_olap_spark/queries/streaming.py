@@ -27,10 +27,12 @@ from ..streaming import (
     daily_window_agg,
     purchase_view_join,
     dedup_stream,
+    dedup_within_watermark,
     ingest_to_parquet,
     run_to_batch,
     running_user_sequence,
     sessionize,
+    sliding_window_agg,
     stream_events,
     upsert_foreachbatch,
 )
@@ -252,3 +254,53 @@ def stream_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.table(name).localCheckpoint()
     spark.catalog.dropTempView(name)
     return out
+
+
+@query(
+    "stream_sliding_window",
+    oracle=f"""
+    WITH ks AS (SELECT unnest(range(4)) AS k)
+    SELECT make_timestamp(
+               ((epoch_us(CAST(ts AS TIMESTAMP)) // 1800000000) - k)
+               * 1800000000) AS win_start,
+           event_type,
+           {oracle_exact_sum('value', 'total_value')},
+           COUNT(*) AS n_events
+    FROM events CROSS JOIN ks
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2-hour/30-minute windows per event_type under a
+    watermark — the overlapping-window kind (tumbling: stream_daily_agg;
+    session: stream_sessionize). The oracle states the expansion
+    arithmetically: every event belongs to exactly the 4 epoch-aligned
+    30-minute slots covering it (integer epoch_us floor-division —
+    identical to Spark's window alignment), then the same exact-decimal
+    aggregate."""
+    return run_to_batch(
+        sliding_window_agg(stream_events(spark, sf_dir)),
+        spark,
+        mode="complete",
+    )
+
+
+@query(
+    "stream_dropdup_watermark",
+    oracle="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+           value
+    FROM events
+    """,
+)
+def stream_dropdup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark on the business key alone: the
+    stream is doubled with a RESTATED copy (props rewritten — a
+    metadata change dropDuplicates' full-row keying would treat as a
+    distinct row), and within-watermark dedup on event_id collapses
+    the pair while keeping state bounded by watermark eviction. The
+    duplicate differs only in the dropped props column, so the
+    surviving row's projection is deterministic either way."""
+    ev = stream_events(spark, sf_dir)
+    restated = ev.withColumn("props", F.lit("{}"))
+    return run_to_batch(dedup_within_watermark(ev.unionByName(restated)), spark)

@@ -27,11 +27,13 @@ btcolap.sql:322 vs :370).
 from .pipeline import (  # noqa: F401
     daily_window_agg,
     dedup_stream,
+    dedup_within_watermark,
     ingest_to_parquet,
     purchase_view_join,
     run_to_batch,
     running_user_sequence,
     sessionize,
+    sliding_window_agg,
     stream_events,
     upsert_foreachbatch,
 )

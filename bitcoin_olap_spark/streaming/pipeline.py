@@ -117,6 +117,51 @@ def dedup_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def sliding_window_agg(events: DataFrame) -> DataFrame:
+    """Sliding 2-hour window with a 30-minute slide per event_type —
+    the overlapping-window kind (tumbling and session are covered by
+    daily_window_agg / sessionize). Each event lands in exactly
+    duration/slide = 4 windows; Spark expands it to those window rows
+    map-side, then the aggregate shuffles by (window, event_type) like
+    any keyed agg. Both engines align window starts to the epoch, so
+    the converged result is the batch 4-way window expansion the
+    oracle states arithmetically."""
+    return (
+        events.withWatermark("ts", "1 day")
+        .groupBy(
+            F.window("ts", "2 hours", "30 minutes").alias("win"),
+            F.col("event_type"),
+        )
+        .agg(
+            exact_sum("value", "total_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "total_value",
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame) -> DataFrame:
+    """Streaming dedup on the BUSINESS key only (event_id) via
+    dropDuplicatesWithinWatermark — the restatement-tolerant sibling of
+    dedup_stream. dropDuplicates keys state on every listed column and
+    can only evict when the event-time column is part of the key;
+    WithinWatermark keys on event_id alone and still evicts state once
+    the watermark passes a key's last-seen event time, so replayed or
+    restated rows (same id, any metadata) collapse while state stays
+    bounded. Duplicates here differ only in a column the projection
+    drops, keeping whichever-arrives-first semantics deterministic."""
+    return (
+        events.withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
 def running_user_sequence(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState:
     per-user running event sequence numbers that persist ACROSS

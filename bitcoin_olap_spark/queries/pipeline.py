@@ -196,3 +196,62 @@ def pipeline_docs_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_words"
         ),
     )
+
+
+from ..operators import multimodal as MM  # noqa: E402
+
+
+@query("pipeline_mm_e2e", oracle=None)
+def pipeline_mm_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal curation DAG — the visual/audio half of
+    what pipeline_docs_e2e does for text: metadata filter (drop audio)
+    -> exact payload dedup (digest groupBy, min-id survivor — no
+    payload bytes move for dedup, only 16-byte digests shuffle) ->
+    resize to a 256-byte budget (payload-local mapInPandas; bytes
+    SHRINK before the expensive stage, the ordering that matters at
+    100 TB) -> Arrow-batched feature decode -> per-format rollup. One
+    lazy plan: the only shuffles are the digest dedup and the final
+    4-row aggregate; everything between is map-side. Feature sums are
+    defensively rounded (cross-doc double sum order is engine-free);
+    rows-only for the driver (the decode stage is the codec seam —
+    tests pin invariants: budget respected, dedup arithmetic, format
+    partition)."""
+    media = MM.attach_blob(
+        table(spark, sf_dir, "documents", spread=True), "doc_id", "text"
+    )
+    keep = media.filter(F.col("media_meta.format") != "audio/wav")
+    fmt = keep.select(
+        "doc_id", F.md5("blob").alias("digest"),
+        F.col("media_meta.format").alias("format"),
+    )
+    survivors = (
+        fmt.groupBy("digest").agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = keep.join(survivors, "doc_id", "left_semi")
+    feats = MM.decode_features(
+        MM.resize_payload(kept, "doc_id", 256), "doc_id"
+    )
+    l2 = F.aggregate(
+        "features", F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    raw_counts = fmt.groupBy("format").agg(
+        F.count(F.lit(1)).alias("n_raw")
+    )
+    return (
+        feats.join(fmt.select("doc_id", "format"), "doc_id")
+        .groupBy("format")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.sum(l2), 6).alias("sum_feat_l2"),
+        )
+        .join(raw_counts, "format")
+        .select(
+            "format",
+            "n_docs",
+            (F.col("n_raw") - F.col("n_docs")).alias("n_dupes_removed"),
+            "total_bytes",
+            "sum_feat_l2",
+        )
+    )

@@ -200,3 +200,28 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_custkey").alias("custkey"))
     )
     return o.subtract(c)
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT event_type, user_id FROM events
+    EXCEPT ALL
+    SELECT event_type, user_id FROM events WHERE value > 100
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics): multiplicities SUBTRACT instead of
+    rows vanishing — a (event_type, user_id) pair occurring 9 times
+    minus 4 high-value occurrences survives 5 times, which distinct
+    EXCEPT cannot express. Spark plans exceptAll as a generated-column
+    trick (tag each side +1/-1, sum counts per row value, replicate by
+    the positive remainder) — one hash aggregate, no join; the same
+    multiset algebra DuckDB applies."""
+    e = table(spark, sf_dir, "events").select("event_type", "user_id")
+    hi = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value") > 100)
+        .select("event_type", "user_id")
+    )
+    return e.exceptAll(hi)

@@ -618,3 +618,48 @@ def snk_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out)
     )
     return spark.read.parquet(out).select(*cols)
+
+
+@query(
+    "src_schema_evolution",
+    oracle="""
+    SELECT event_id, user_id, value,
+           CASE WHEN CAST(CAST(ts AS TIMESTAMP) AS DATE) <= DATE '2024-01-15'
+                THEN NULL ELSE event_type END AS event_type
+    FROM events
+    """,
+)
+def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution via mergeSchema: the table grew a
+    column mid-history (files before Jan 16 lack `event_type`; later
+    files carry it). A plain read would take the first file's footer
+    and silently drop the new column; `mergeSchema=true` reconciles all
+    footers into the superset schema and null-fills the early files —
+    exactly how a long-lived 100 TB ledger absorbs additive schema
+    change without rewriting history. Setup writes the two epochs once
+    per (process, sf_dir); the operator is the read path. At scale
+    mergeSchema's footer sweep is the cost knob — production pins the
+    merged schema in a metastore instead; the null-fill semantics are
+    identical."""
+    suffix = abs(hash(sf_dir)) % 10**8
+    out = _tmp(f"events_schema_evo_{suffix}")
+    e = table(spark, sf_dir, "events")
+    cut = F.to_date("ts") <= F.lit("2024-01-15").cast("date")
+    if not os.path.isdir(out):
+        (
+            e.filter(cut)
+            .select("event_id", "user_id", "value")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        (
+            e.filter(~cut)
+            .select("event_id", "user_id", "value", "event_type")
+            .write.mode("append")
+            .parquet(out)
+        )
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(out)
+        .select("event_id", "user_id", "value", "event_type")
+    )

@@ -92,3 +92,36 @@ def test_resize_payload_matches_python_reference(spark, media):
         meta = out.loc[doc_id, "media_meta"]
         assert meta["n_bytes"] == len(want)
         assert meta["n_frames"] == (len(want) % MM.MAX_FRAMES) + 1
+
+
+def test_pipeline_mm_e2e_invariants(spark):
+    """The multimodal curation DAG: audio dropped, payload budget
+    respected, dedup arithmetic consistent with the raw partition."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.catalog import table
+    from bitcoin_olap_spark.registry import all_queries
+
+    from .conftest import SF_ORACLE
+
+    rows = {
+        r["format"]: r
+        for r in all_queries()["pipeline_mm_e2e"](spark, SF_ORACLE).collect()
+    }
+    assert set(rows) == {"image/png", "video/mp4"}
+    raw = {
+        r["format"]: r["n"]
+        for r in table(spark, SF_ORACLE, "documents")
+        .groupBy(
+            F.when(F.col("doc_id") % 3 == 0, "image/png")
+            .when(F.col("doc_id") % 3 == 1, "audio/wav")
+            .otherwise("video/mp4")
+            .alias("format")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for f, r in rows.items():
+        assert r["n_docs"] + r["n_dupes_removed"] == raw[f]
+        assert r["total_bytes"] <= 256 * r["n_docs"]
+        assert 0 < r["sum_feat_l2"] <= r["n_docs"]

@@ -266,3 +266,76 @@ def fn_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "edit_dist"
         ),
     )
+
+
+@query(
+    "fn_try_cast",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(s AS BIGINT) AS as_int,
+           CAST(TRY_CAST(s AS DATE) AS TIMESTAMP) AS as_date
+    FROM (
+        SELECT event_id,
+               CASE WHEN event_id % 3 = 0 THEN CAST(user_id AS VARCHAR)
+                    WHEN event_id % 3 = 1 THEN '2024-01-' ||
+                         lpad(CAST((event_id % 28) + 1 AS VARCHAR), 2, '0')
+                    ELSE event_type END AS s
+        FROM events
+    )
+    """,
+)
+def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe casts: TRY_CAST returns NULL on malformed input
+    where CAST would throw (ANSI mode) or silently corrupt — the
+    ingest-hygiene primitive for semi-trusted feeds. The synthetic
+    string column interleaves clean integers, ISO dates, and plain
+    words; each TRY_CAST salvages its own slice and nulls the rest,
+    all JVM-side inside codegen."""
+    e = table(spark, sf_dir, "events")
+    s = (
+        F.when(
+            F.col("event_id") % 3 == 0, F.col("user_id").cast("string")
+        )
+        .when(
+            F.col("event_id") % 3 == 1,
+            F.concat(
+                F.lit("2024-01-"),
+                F.lpad(((F.col("event_id") % 28) + 1).cast("string"), 2, "0"),
+            ),
+        )
+        .otherwise(F.col("event_type"))
+    )
+    return e.select(
+        "event_id",
+        s.try_cast("long").alias("as_int"),
+        # date -> midnight timestamp: a DATE column's nulls surface as
+        # object-dtype None in Spark's toPandas but NaT in DuckDB's —
+        # timestamp-typed nulls canonicalize identically on both sides
+        s.try_cast("date").cast("timestamp").alias("as_date"),
+    )
+
+
+@query(
+    "fn_unnest_ordinal",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    SELECT doc_id, u.i AS idx, u.w AS word FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(len(ws)),
+                   i -> struct_pack(i := CAST(i AS BIGINT),
+                                    w := ws[i + 1]))) AS u
+        FROM w)
+    """,
+)
+def fn_unnest_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNNEST WITH ORDINALITY — position-preserving explode
+    (posexplode): downstream reassembly and windowing need the
+    element's source position, which plain explode discards (fn_unnest)
+    and aggregation order cannot recover. The 0-based index matches
+    BigQuery's `WITH OFFSET`; DuckDB lacks the clause, so the oracle
+    states it via an indexed struct expansion."""
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("idx", "word"),
+    ).select("doc_id", F.col("idx").cast("long").alias("idx"), "word")

@@ -440,3 +440,39 @@ def join_levenshtein_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH l AS (
+        SELECT event_id, NULLIF(event_type, 'error') AS k FROM events
+    ),
+    r AS (
+        SELECT DISTINCT NULLIF(event_type, 'error') AS k FROM events
+    )
+    SELECT l.event_id, COALESCE(r.k, '__null__') AS matched_tag
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of vanishing — the semantics a
+    dimension lookup needs when "unknown" is itself a category (here
+    'error' events are nulled out and still land on the right's NULL
+    row). Catalyst extracts EqualNullSafe as a hash-join key (it
+    coalesces both sides under the hood), so this stays a plain
+    shuffle/broadcast hash join — NOT the nested-loop a raw non-equi
+    predicate would force; at 100 TB that distinction is the whole
+    game."""
+    e = table(spark, sf_dir, "events")
+    k = F.nullif(F.col("event_type"), F.lit("error"))
+    left = e.select("event_id", k.alias("k"))
+    right = e.select(k.alias("rk")).distinct()
+    return (
+        left.join(right, left.k.eqNullSafe(right.rk))
+        .select(
+            "event_id",
+            F.coalesce("rk", F.lit("__null__")).alias("matched_tag"),
+        )
+    )

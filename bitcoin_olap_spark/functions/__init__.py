@@ -37,6 +37,20 @@ def day(col: str | Column) -> Column:
     return F.date_trunc("day", col)
 
 
+def epoch_us(col: str | Column) -> Column:
+    """Epoch microseconds from a timestamp of EITHER flavor.
+
+    `unix_micros` rejects TIMESTAMP_NTZ (and numeric casts from any
+    timestamp are disallowed in Spark 4), but the driver's parquet may
+    surface `ts` as NTZ or LTZ depending on writer metadata. The
+    session timezone is pinned to UTC (session.RUNTIME_CONF), so the
+    NTZ->LTZ cast is value-preserving and this is safe for absolute
+    epochs, not just differences.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
 def exact_sum(col: str | Column, alias: str, scale: int = 4) -> Column:
     """Order-independent double sum: accumulate as DECIMAL (exact,
     associative) then cast the final value to double. Sum order differs

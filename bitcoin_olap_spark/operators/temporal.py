@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions import epoch_us
+
 
 def asof_join(
     left: DataFrame,
@@ -93,7 +95,7 @@ def gap_sessions(
     unique per key or session assignment is nondeterministic.
     """
     w = Window.partitionBy(key).orderBy(ts_col, order_col)
-    us = F.unix_micros(F.col(ts_col))
+    us = epoch_us(ts_col)
     prev_us = F.lag(us).over(w)
     is_new = F.when(
         prev_us.isNull() | ((us - prev_us) > F.lit(gap_us)), 1
@@ -119,10 +121,12 @@ def range_join_banded(
     join key is the band index; the exact containment predicate refines
     after the hash join. All JVM-side, one shuffle on the band key.
     """
-    band_sec = F.lit(band_seconds).cast("long")
+    band_us = F.lit(band_seconds * 1_000_000).cast("long")
 
     def band_of(c):
-        return F.floor(F.col(c).cast("long") / band_sec)
+        # epoch_us is NTZ-safe; a direct numeric cast of a timestamp
+        # is disallowed in Spark 4 (and unix_micros rejects NTZ)
+        return F.floor(epoch_us(c) / band_us)
 
     p = points.withColumn("_band", band_of(ts_col))
     rg = ranges.withColumn(

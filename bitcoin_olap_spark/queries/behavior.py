@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions import epoch_us
 from ..registry import query
 
 #: funnel stage order: the canonical view -> click -> purchase path.
@@ -81,7 +82,7 @@ def win_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_list(
                 F.struct(
                     F.format_string(
-                        "%020d-%012d", F.unix_micros("ts"), F.col("event_id")
+                        "%020d-%012d", epoch_us("ts"), F.col("event_id")
                     ).alias("k"),
                     F.col("event_type").alias("et"),
                 )

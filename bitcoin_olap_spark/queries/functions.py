@@ -339,3 +339,59 @@ def fn_unnest_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(F.split("text", " ")).alias("idx", "word"),
     ).select("doc_id", F.col("idx").cast("long").alias("idx"), "word")
+
+
+@query(
+    "fn_map_ops",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderpriority,
+           string_agg(o_orderstatus || '=' || cnt, ','
+                      ORDER BY o_orderstatus) AS status_counts,
+           COALESCE(MAX(CASE WHEN o_orderstatus = 'O' THEN cnt END), 0)
+               AS open_count,
+           CAST(COUNT(*) AS BIGINT) AS n_statuses
+    FROM c GROUP BY 1
+    """,
+)
+def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-typed column family: build a status->count map per priority
+    with map_from_entries over a sorted entry list, then consume it
+    with map_entries / element_at / map_keys — the key-value shape
+    feature stores and per-entity counters use. The map stays internal
+    (registered queries emit scalar-only columns): entries serialize to
+    a sorted 'k=v' CSV, element_at probes one key, size(map_keys)
+    counts them. All JVM-side Catalyst map expressions inside codegen;
+    deterministic because the entry list is sort_array'ed before the
+    map is built (map iteration order follows insertion). DuckDB lacks
+    Spark's map surface, so the oracle states the same facts with
+    string_agg + conditional MAX over the count relation."""
+    c = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    m = c.groupBy("o_orderpriority").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("o_orderstatus", "cnt")))
+        ).alias("m")
+    )
+    return m.select(
+        "o_orderpriority",
+        F.array_join(
+            F.transform(
+                F.map_entries("m"),
+                lambda e: F.concat_ws(
+                    "=", e["key"], e["value"].cast("string")
+                ),
+            ),
+            ",",
+        ).alias("status_counts"),
+        F.coalesce(F.element_at("m", F.lit("O")), F.lit(0))
+        .cast("long")
+        .alias("open_count"),
+        F.size(F.map_keys("m")).cast("long").alias("n_statuses"),
+    )

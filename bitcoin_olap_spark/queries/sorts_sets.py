@@ -225,3 +225,30 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "user_id")
     )
     return e.exceptAll(hi)
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+    SELECT event_type, user_id FROM events WHERE value > 50
+    INTERSECT ALL
+    SELECT event_type, user_id FROM events WHERE value < 150
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics): each (event_type, user_id) pair
+    survives min(multiplicity_left, multiplicity_right) times — the
+    overlap of the two value bands keeps per-pair counts that distinct
+    INTERSECT (set_intersect) collapses to one. Completes the bag-
+    semantics set family next to set_except_all: Spark plans
+    intersectAll as the same tag-and-count hash aggregate (per-side
+    counts, replicate by the minimum), one shuffle on the row value,
+    no join — identical multiset algebra to DuckDB's."""
+    ev = table(spark, sf_dir, "events")
+    a = ev.filter(F.col("value") > 50).select("event_type", "user_id")
+    b = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value") < 150)
+        .select("event_type", "user_id")
+    )
+    return a.intersectAll(b)

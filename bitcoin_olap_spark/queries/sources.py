@@ -663,3 +663,88 @@ def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out)
         .select("event_id", "user_id", "value", "event_type")
     )
+
+
+@query(
+    "snk_cdc_apply",
+    oracle="""
+    WITH log AS (
+        SELECT l_partkey AS key,
+               l_orderkey * 10 + l_linenumber AS seq,
+               CASE WHEN l_quantity >= 48 THEN 'D' ELSE 'U' END AS op,
+               l_extendedprice AS new_price
+        FROM lineitem
+        UNION ALL
+        SELECT l_partkey + 1000000,
+               l_orderkey * 10 + l_linenumber,
+               'I',
+               l_extendedprice
+        FROM lineitem WHERE l_suppkey % 10 = 0
+    ),
+    last AS (
+        SELECT key, op, new_price FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY key ORDER BY seq DESC) AS rn
+            FROM log
+        ) WHERE rn = 1
+    )
+    SELECT COALESCE(l.key, s.p_partkey) AS key,
+           COALESCE(l.new_price, s.p_retailprice) AS price,
+           COALESCE(l.op, 'KEEP') AS last_op
+    FROM part s FULL OUTER JOIN last l ON s.p_partkey = l.key
+    WHERE l.op IS NULL OR l.op <> 'D'
+    """,
+)
+def snk_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply: fold an ordered insert/update/delete log
+    onto a snapshot — the consumer side of every change-data-capture
+    feed (Debezium-style), and the general form of snk_merge_upsert
+    (which handles a single-op batch) with ordering and delete
+    semantics added. The log is synthesized deterministically from
+    lineitem (U/D on existing part keys by quantity, I on fresh keys);
+    per key the HIGHEST sequence number wins, a delete removes the row,
+    an insert/update upserts the new price, untouched snapshot rows
+    pass through tagged KEEP.
+
+    Plan shape: last-op-per-key is row_number DESC over the key
+    partition — at scale the log shard is far smaller than the
+    snapshot, and the one-key-partitioned window plus the full-outer
+    join are the only shuffles, both on the same key (Catalyst reuses
+    the exchange). This is exactly how a daily CDC compaction job runs
+    at 100 TB: the snapshot stays partitioned by key, the day's log is
+    windowed to last-op, and the join is key-co-located."""
+    li = table(spark, sf_dir, "lineitem")
+    upd = li.select(
+        F.col("l_partkey").alias("key"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("seq"),
+        F.when(F.col("l_quantity") >= 48, "D").otherwise("U").alias("op"),
+        F.col("l_extendedprice").alias("new_price"),
+    )
+    ins = li.filter(F.col("l_suppkey") % 10 == 0).select(
+        (F.col("l_partkey") + 1000000).alias("key"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("seq"),
+        F.lit("I").alias("op"),
+        F.col("l_extendedprice").alias("new_price"),
+    )
+    log = upd.unionByName(ins)
+    w = Window.partitionBy("key").orderBy(F.desc("seq"))
+    last = (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("key", "op", "new_price")
+    )
+    snap = table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice"
+    )
+    joined = snap.join(
+        last, snap["p_partkey"] == last["key"], "full_outer"
+    )
+    return joined.filter(
+        F.col("op").isNull() | (F.col("op") != "D")
+    ).select(
+        F.coalesce(F.col("key"), F.col("p_partkey")).alias("key"),
+        F.coalesce(F.col("new_price"), F.col("p_retailprice")).alias(
+            "price"
+        ),
+        F.coalesce(F.col("op"), F.lit("KEEP")).alias("last_op"),
+    )

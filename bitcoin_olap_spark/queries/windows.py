@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import table
-from ..functions import ORACLE_DAY, day, exact_sum, oracle_exact_sum
+from ..functions import ORACLE_DAY, day, epoch_us, exact_sum, oracle_exact_sum
 from ..operators.temporal import gap_sessions, gapfill_locf
 from ..registry import query
 from .analytics import _DAILY_XY, _daily_xy
@@ -520,8 +520,8 @@ def ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nv", F.first("flow", ignorenulls=True).over(fwd))
         .withColumn("nt", F.first(obs_hour, ignorenulls=True).over(fwd))
     )
-    frac = F.unix_micros(F.col("hour")) - F.unix_micros(F.col("pt"))
-    span = F.unix_micros(F.col("nt")) - F.unix_micros(F.col("pt"))
+    frac = epoch_us("hour") - epoch_us("pt")
+    span = epoch_us("nt") - epoch_us("pt")
     return ctx.select(
         "hour",
         F.col("flow").alias("value"),
@@ -564,7 +564,7 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on user_id; frames never cross partitions."""
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros(F.col("ts")))
+        .orderBy(epoch_us("ts"))
         .rangeBetween(-3_600_000_000, 0)
     )
     return table(spark, sf_dir, "events").select(
@@ -637,7 +637,7 @@ def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     any scale."""
     e = table(spark, sf_dir, "events")
     key = F.format_string(
-        "%020d-%012d", F.unix_micros(F.col("ts")), F.col("event_id")
+        "%020d-%012d", epoch_us("ts"), F.col("event_id")
     )
     return e.groupBy(day("ts").alias("day"), "event_type").agg(
         F.min_by("value", key).alias("open"),
@@ -720,4 +720,61 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma_per_group(
         e, key_col="user_id", order_cols=("ts", "event_id"),
         value_col="value", alpha=0.1,
+    )
+
+
+@query(
+    "win_gaps_islands",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        FROM events
+    ),
+    anch AS (
+        SELECT user_id, day,
+               day - CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor
+        FROM days
+    )
+    SELECT user_id,
+           CAST(MIN(day) AS TIMESTAMP) AS start_day,
+           CAST(MAX(day) AS TIMESTAMP) AS end_day,
+           COUNT(*) AS n_days
+    FROM anch GROUP BY user_id, anchor
+    """,
+)
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: collapse each user's active days into maximal
+    runs of consecutive dates — (user_id, start_day, end_day, n_days)
+    per streak. The classic trick: day minus its per-user row_number is
+    constant within a consecutive run, so the anchor date keys the
+    island and a plain hash aggregate folds each run. One user_id
+    shuffle shared by the distinct, the window, and the aggregate
+    (identical partitioning — Catalyst reuses the exchange); no self-
+    join or recursive walk, which is why the shape survives 100 TB of
+    activity data where the LAG-based island-walk would need iterative
+    passes. Powers streak features (retention, engagement-run length)
+    in training-data pipelines."""
+    days = (
+        table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    anch = days.withColumn(
+        "anchor", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    return (
+        anch.groupBy("user_id", "anchor")
+        .agg(
+            # midnight-TIMESTAMP convention (ORACLE_DAY): DuckDB's
+            # pandas bridge renders DATE as midnight datetime64, Spark's
+            # renders DATE as datetime.date — casting both sides to
+            # TIMESTAMP makes the canonicalized cells identical
+            F.min("day").cast("timestamp").alias("start_day"),
+            F.max("day").cast("timestamp").alias("end_day"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .drop("anchor")
     )

@@ -55,10 +55,14 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     if isinstance(raw.schema["ts"].dataType, LongType):
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif isinstance(raw.schema["ts"].dataType, TimestampNTZType):
+        # withWatermark requires TIMESTAMP (LTZ); the session timezone
+        # is pinned to UTC so the NTZ->LTZ cast is value-preserving
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
 

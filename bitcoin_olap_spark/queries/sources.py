@@ -748,3 +748,34 @@ def snk_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.coalesce(F.col("op"), F.lit("KEEP")).alias("last_op"),
     )
+
+
+@query(
+    "src_orc_roundtrip",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+    FROM supplier
+    """,
+)
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source: write supplier to ORC, read it back, return
+    the round-tripped relation — completing the columnar-interchange
+    surface next to the CSV/JSONL text twins (src_csv_roundtrip,
+    src_jsonl_roundtrip). ORC is the other splittable columnar format
+    a warehouse migration meets (Hive-era tables); Spark's vectorized
+    ORC reader gives the same pushdown/pruning behavior as parquet, so
+    the relation participates in Catalyst optimization identically.
+    Values round-trip bit-exact (typed columnar encoding, no text
+    parsing); the oracle compares against the original parquet values
+    with no tolerance. Write once per (process, sf_dir); the timed
+    portion is the ORC scan."""
+    out = _tmp(f"orc_supplier_{os.path.basename(sf_dir)}")
+    cols = ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]
+    if not os.path.isdir(out):
+        (
+            table(spark, sf_dir, "supplier")
+            .select(*cols)
+            .write.mode("overwrite")
+            .orc(out)
+        )
+    return spark.read.orc(out).select(*cols)

@@ -778,3 +778,41 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("anchor")
     )
+
+
+@query(
+    "agg_regr_stats",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 6)
+               AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           ROUND(regr_avgx(l_extendedprice, l_quantity), 6) AS avg_x,
+           ROUND(regr_avgy(l_extendedprice, l_quantity), 6) AS avg_y
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_regr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI regression-aggregate family (REGR_SLOPE / INTERCEPT / R2 /
+    COUNT / AVGX / AVGY): per-group least-squares line of price vs
+    quantity in ONE hash aggregate — the in-SQL form of the
+    closed-form OLS the reference runs driver-side via statsmodels
+    (btc_logregression_pre.py:80-86; engine twin ml_ols_loglog). All
+    six are second-moment sketches (sum, sum_sq, sum_xy folds), so
+    map-side partials merge exactly like sum/count — one tiny shuffle
+    regardless of group size, the property that makes per-segment
+    trend fits free at 100 TB. 6dp rounding on both engines absorbs
+    partial-aggregation float-order differences (agg_corr's rule);
+    regr_count is exact."""
+    li = table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).cast("long").alias("n"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.regr_avgx(y, x), 6).alias("avg_x"),
+        F.round(F.regr_avgy(y, x), 6).alias("avg_y"),
+    )

@@ -982,10 +982,16 @@ def text_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("idx", "chunk"),
     ).select("doc_id", F.col("idx").cast("long").alias("idx"), "chunk")
+    # cache: boiler and kept both consume the chunk relation — without
+    # it the split+slice explode (and its spread exchange) runs twice
+    chunks = chunks.cache()
+    # "appears in >1 document" as min(doc)!=max(doc): same predicate as
+    # COUNT(DISTINCT doc_id)>1 but a plain 2-long aggregate state — no
+    # distinct Expand, half the shuffle volume of count_distinct
     boiler = (
         chunks.groupBy("chunk")
-        .agg(F.count_distinct("doc_id").alias("df"))
-        .filter(F.col("df") > 1)
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .filter(F.col("d0") != F.col("d1"))
         .select("chunk")
     )
     kept = chunks.join(boiler, "chunk", "left_anti")

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions import ts_lit
+from ..functions import exact_sum, oracle_exact_sum, ts_lit
 from ..registry import query
 
 
@@ -340,4 +340,49 @@ def sql_cte_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT day, o_orderpriority, n_orders
         FROM ranked WHERE rk = 1
         """
+    )
+
+
+@query(
+    "flt_dpp_join",
+    oracle=f"""
+    WITH dim AS (
+        SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        FROM events WHERE user_id % 100 = 7 AND value > 150
+    )
+    SELECT e.event_type, COUNT(*) AS n,
+           {oracle_exact_sum('e.value', 'total')}
+    FROM (SELECT event_type, value,
+                 CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+          FROM events) e
+    JOIN dim USING (day)
+    GROUP BY 1
+    """,
+)
+def flt_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (DPP): the fact side is the
+    date-partitioned events materialization, the dim side is a
+    runtime-computed day set (active days of a user cohort) no
+    planner can know statically. Catalyst inserts a dynamicpruning
+    subquery on the fact scan's partition column: the dim's day values
+    are computed first (reusing its broadcast exchange) and only the
+    matching day directories are listed and read — at 100 TB this is
+    the difference between scanning 3 partitions and 3000. Static
+    pruning (snk_partitioned_prune) handles literal predicates; DPP
+    covers the join-driven case every star-schema query hits
+    ("this quarter's fact rows for these dim members"). The plan test
+    pins PartitionFilters: [dynamicpruning...] in the scan."""
+    from .sources import _events_by_day
+
+    fact = spark.read.parquet(_events_by_day(spark, sf_dir)).select(
+        "event_type", "value", "day"
+    )
+    dim = (
+        table(spark, sf_dir, "events")
+        .filter((F.col("user_id") % 100 == 7) & (F.col("value") > 150))
+        .select(F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    return fact.join(dim, "day").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), exact_sum("value", "total")
     )

@@ -258,6 +258,23 @@ def join_bucketed_colocate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_by_day(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize events as a date-partitioned parquet table, once per
+    (process, sf_dir) — the layout snk_partitioned_prune (static
+    pruning) and flt_dpp_join (dynamic pruning) both scan."""
+    suffix = abs(hash(sf_dir)) % 10**8
+    out = _tmp(f"events_by_day_{suffix}")
+    if not os.path.isdir(out):
+        (
+            table(spark, sf_dir, "events")
+            .withColumn("day", F.to_date("ts"))
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(out)
+        )
+    return out
+
+
 @query(
     "snk_partitioned_prune",
     oracle=f"""
@@ -277,16 +294,7 @@ def snk_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan lists 3 of ~30 day directories and reads nothing else, the
     property that makes a 100 TB date-partitioned ledger queryable.
     Written once per (process, sf_dir), like real ledgers are."""
-    suffix = abs(hash(sf_dir)) % 10**8
-    out = _tmp(f"events_by_day_{suffix}")
-    if not os.path.isdir(out):
-        (
-            table(spark, sf_dir, "events")
-            .withColumn("day", F.to_date("ts"))
-            .write.mode("overwrite")
-            .partitionBy("day")
-            .parquet(out)
-        )
+    out = _events_by_day(spark, sf_dir)
     got = spark.read.parquet(out).filter(
         F.col("day").between(
             F.lit("2024-01-10").cast("date"), F.lit("2024-01-12").cast("date")

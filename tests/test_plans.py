@@ -134,3 +134,12 @@ def test_order_by_limit_fuses_to_take_ordered(spark):
     )
     p = plan_str(df)
     assert "TakeOrderedAndProject" in p
+
+
+def test_dpp_join_prunes_partitions_dynamically(spark, q):
+    """The partitioned-fact x runtime-dim join must carry a
+    dynamicpruning subquery on the fact scan's partition column —
+    without it every day directory is read regardless of the dim."""
+    df = q["flt_dpp_join"](spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in p.lower()

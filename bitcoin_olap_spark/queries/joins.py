@@ -476,3 +476,52 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("rk", F.lit("__null__")).alias("matched_tag"),
         )
     )
+
+
+@query(
+    "join_bloom_prune",
+    oracle=f"""
+    SELECT s.s_nationkey,
+           COUNT(*) AS n,
+           {oracle_exact_sum('l.l_extendedprice', 'total')}
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE s.s_acctbal > 9000
+    GROUP BY 1
+    """,
+)
+def join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction (operators/bloom.py): the
+    selective supplier subset's keys build an in-plan Bloom filter
+    (xxhash64 K-hash bits, one bit_or aggregate, map<int,long> word
+    table in a single broadcast row), the lineitem probe side tests
+    membership MAP-SIDE and drops ~91% of its rows before any join
+    shuffle, and the exact join on the surviving superset discards the
+    ~5e-5 false-positive tail — results identical to the plain join
+    the oracle states. This is Spark's own runtime bloom-filter join
+    optimization composed explicitly from public primitives
+    (bloom_filter_agg is not user-facing); at 100 TB it is the
+    difference between shuffling the whole fact table and shuffling
+    the matching fraction. Deterministic end to end (seeded xxhash64,
+    sorted map entries). tests/test_properties.py pins the prefilter's
+    superset + selectivity behavior."""
+    from ..operators.bloom import bloom_prefilter
+
+    dim = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select("s_suppkey", "s_nationkey")
+    )
+    fact = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice"
+    )
+    prefiltered = bloom_prefilter(fact, dim, "l_suppkey", "s_suppkey")
+    return (
+        prefiltered.join(
+            F.broadcast(dim), prefiltered["l_suppkey"] == dim["s_suppkey"]
+        )
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum("l_extendedprice", "total"),
+        )
+    )

@@ -209,3 +209,36 @@ def test_hash_split_deterministic_and_total(spark, ids):
     assert a == b
     assert set(a) == set(ids)
     assert set(a.values()) <= {"train", "val", "test"}
+
+
+def test_bloom_prefilter_superset_and_selective(spark):
+    """The Bloom prefilter must pass EVERY true-matching fact row
+    (no false negatives — correctness) while dropping most
+    non-matching rows (selectivity — the point of the technique)."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.catalog import table
+    from bitcoin_olap_spark.operators.bloom import bloom_prefilter
+
+    from .conftest import SF_ORACLE
+
+    dim = (
+        table(spark, SF_ORACLE, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select("s_suppkey")
+    )
+    fact = table(spark, SF_ORACLE, "lineitem").select("l_suppkey")
+    pre = bloom_prefilter(fact, dim, "l_suppkey", "s_suppkey")
+    true_match = fact.join(
+        dim, fact["l_suppkey"] == dim["s_suppkey"], "left_semi"
+    )
+    n_fact = fact.count()
+    n_pre = pre.count()
+    n_true = true_match.count()
+    # superset: bloom can only add rows, never lose one
+    assert n_pre >= n_true
+    missing = true_match.exceptAll(pre.select("l_suppkey")).count()
+    assert missing == 0
+    # selectivity: with ~9% matching keys and fp ~5e-5, the prefilter
+    # should pass well under half the fact rows
+    assert n_pre < n_fact * 0.5, (n_pre, n_fact)

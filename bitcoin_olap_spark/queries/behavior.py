@@ -158,3 +158,67 @@ def agg_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("active_users"))
     )
+
+
+@query(
+    "win_streak_runs",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn_all,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn_type
+        FROM events
+    ),
+    runs AS (
+        SELECT user_id, COUNT(*) AS run_len
+        FROM seq WHERE event_type = 'purchase'
+        GROUP BY user_id, rn_all - rn_type
+    )
+    SELECT user_id,
+           MAX(run_len) AS longest_streak,
+           COUNT(*) AS n_streaks
+    FROM runs GROUP BY user_id
+    """,
+)
+def win_streak_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encoding over each user's ordered event sequence —
+    the longest consecutive-purchase streak and the number of purchase
+    runs per user. This is the relational stand-in for
+    MATCH_RECOGNIZE-style sequence patterns (which neither Spark nor
+    DuckDB ships): rn_all - rn_type is constant exactly within a
+    maximal run of one event type (the sequence twin of
+    win_gaps_islands' date anchor), so a hash aggregate on the
+    difference folds each run with no self-join and no iteration —
+    the shape that survives billions of events per day. Two
+    user-keyed window shuffles ((user) and (user, type) partitionings)
+    then aggregates on the same keys; (ts, event_id) tiebreaks make
+    run boundaries deterministic on both engines."""
+    from pyspark.sql.window import Window
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    seq = e.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias(
+            "grp"
+        ),
+    )
+    runs = (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return runs.groupBy("user_id").agg(
+        F.max("run_len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )

@@ -587,7 +587,7 @@ def snk_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN CAST(CAST(ts AS TIMESTAMP) AS DATE)
                      BETWEEN DATE '2024-01-05' AND DATE '2024-01-06'
                 THEN value * 2 ELSE value END AS value,
-           CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+           CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS TIMESTAMP) AS day
     FROM events
     """,
 )
@@ -625,7 +625,14 @@ def snk_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("day")
         .parquet(out)
     )
-    return spark.read.parquet(out).select(*cols)
+    # midnight-TIMESTAMP convention (ORACLE_DAY): the partition column
+    # stays DATE on disk, but the projection casts it — DATE cells
+    # canonicalize differently per engine/pandas bridge (datetime.date
+    # vs datetime64), TIMESTAMP cells identically.
+    return spark.read.parquet(out).select(
+        "event_id", "user_id", "event_type", "value",
+        F.col("day").cast("timestamp").alias("day"),
+    )
 
 
 @query(

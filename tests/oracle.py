@@ -45,8 +45,12 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
 def assert_scalar_schema(spark_df, qid: str) -> None:
     """The external driver's canonicalizer (pandas sort_values over all
     columns) crashes on array/struct/map cells — registered queries must
-    emit scalar-only columns. Enforced locally so CI catches it first."""
-    from pyspark.sql.types import ArrayType, MapType, StructType
+    emit scalar-only columns. DATE columns are also rejected: the two
+    engines' pandas bridges render them differently (datetime.date vs
+    midnight datetime64), which hash-mismatches — emit midnight
+    TIMESTAMP instead (the ORACLE_DAY convention). Enforced locally so
+    CI catches both classes before the driver does."""
+    from pyspark.sql.types import ArrayType, DateType, MapType, StructType
 
     bad = [
         f"{f.name}:{f.dataType.simpleString()}"
@@ -56,6 +60,15 @@ def assert_scalar_schema(spark_df, qid: str) -> None:
     assert not bad, (
         f"{qid}: non-scalar output columns break the driver "
         f"canonicalizer: {bad} — array_join/to_json them"
+    )
+    dates = [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, DateType)
+    ]
+    assert not dates, (
+        f"{qid}: DATE output columns {dates} canonicalize differently "
+        f"across engines — cast to TIMESTAMP (ORACLE_DAY convention)"
     )
 
 

@@ -22,6 +22,28 @@ from pyspark.sql import functions as F
 DEFAULT_M, DEFAULT_K = 8192, 3
 
 
+def _hash_pos(key: str, j: int, m: int) -> Column:
+    """Bit position j for one key value. The key is cast to STRING
+    before xxhash64 because xxhash64 is type-sensitive: the same value
+    stored as int32 on one side and int64 on the other would hash
+    differently, producing false NEGATIVES — silently dropped join rows
+    — which violates the module's 'false positives only ever ADD rows'
+    guarantee. A string cast is width-invariant for integers (5 ->
+    '5' from either width) and passes string keys through unchanged;
+    both sides MUST go through this one helper."""
+    return F.pmod(F.xxhash64(F.col(key).cast("string"), F.lit(j)), F.lit(m))
+
+
+def _bit_mask(pos: Column) -> Column:
+    """1L << (pos % 64), derived from the already-computed position
+    Column so build and probe can never disagree on the mask."""
+    return F.call_function(
+        "shiftleft",
+        F.lit(1).cast("long"),
+        F.pmod(pos, F.lit(64)).cast("int"),
+    )
+
+
 def bloom_build(
     dim: DataFrame, key: str, m: int = DEFAULT_M, k: int = DEFAULT_K
 ) -> DataFrame:
@@ -30,17 +52,12 @@ def bloom_build(
     seeded and the entry list is sorted before the map is built."""
     positions = dim.select(
         F.explode(
-            F.array(
-                *[
-                    F.pmod(F.xxhash64(key, F.lit(j)), F.lit(m))
-                    for j in range(k)
-                ]
-            )
+            F.array(*[_hash_pos(key, j, m) for j in range(k)])
         ).alias("pos")
     )
     words = positions.select(
         (F.col("pos") / 64).cast("int").alias("w"),
-        F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("m"),
+        _bit_mask(F.col("pos")).alias("m"),
     )
     return (
         words.groupBy("w")
@@ -56,15 +73,11 @@ def bloom_build(
 def _might_contain(key: str, m: int, k: int) -> Column:
     hit = None
     for j in range(k):
-        pos = F.pmod(F.xxhash64(key, F.lit(j)), F.lit(m))
+        pos = _hash_pos(key, j, m)
         word = F.coalesce(
             F.element_at("bf", (pos / 64).cast("int")), F.lit(0)
         )
-        mask = F.expr(
-            f"shiftleft(1L, CAST(pmod(xxhash64(`{key}`, {j}), {m}) "
-            f"% 64 AS INT))"
-        )
-        test = word.bitwiseAND(mask) != 0
+        test = word.bitwiseAND(_bit_mask(pos)) != 0
         hit = test if hit is None else (hit & test)
     return hit
 

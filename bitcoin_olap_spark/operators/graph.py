@@ -19,10 +19,16 @@ make it portable and scale-safe:
   key so AQE reuses the exchange partitioning. For convergence-tested
   variants, connected_components shows the driver-actioned loop.
 
-Scale: edges are the big relation (shuffled once per iteration on dst);
-ranks are one row per node. Skewed in-degree (a hub page) is the usual
-hot-key risk — AQE skew splitting applies because every iteration is a
-plain shuffle join.
+Scale: edges are the big relation; ranks are one row per node. On a
+small graph (node count under `broadcast_max_nodes`) ranks are
+broadcast so the cached edge list never shuffles. On a big graph a
+node-sized relation must NOT be broadcast (1e8-1e9 nodes would OOM the
+driver and every executor), so the edge list is hash-partitioned on
+`src` ONCE and cached; each iteration then shuffle-hash-joins the
+node-sized rank relation against it — only ranks (the small side)
+move, and the cached edge partitioning is reused by every iteration.
+Skewed in-degree (a hub page) is the usual hot-key risk — AQE skew
+splitting applies because the big-graph path is a plain shuffle join.
 """
 
 from __future__ import annotations
@@ -35,12 +41,46 @@ from pyspark.sql import functions as F
 SCALE = 1_000_000_000_000
 
 
+def _pagerank_iteration(
+    e: DataFrame,
+    g: DataFrame,
+    ranks: DataFrame,
+    teleport: int,
+    damping_pct: int,
+    use_broadcast: bool,
+) -> DataFrame:
+    """One power-method round, NOT yet materialized (tests plan-pin
+    this). Small-graph path broadcasts the node-sized rank relation
+    (edge list never shuffles). Big-graph path shuffle-hash-joins: the
+    rank relation is hashed and shuffled onto the cached src-partitioned
+    edge list, so per-iteration movement is O(nodes), never O(edges),
+    and never a broadcast of a node-sized relation."""
+    rank_side = F.broadcast(ranks) if use_broadcast else ranks.hint(
+        "shuffle_hash"
+    )
+    contrib = (
+        e.join(rank_side, e.src == ranks.node)
+        .select("dst", F.expr("rank div outdeg").alias("c"))
+        .groupBy("dst")
+        .agg(F.sum("c").alias("s"))
+    )
+    new_rank = (
+        F.lit(teleport)
+        + F.expr(f"({damping_pct} * s) div 100").cast("long")
+    ).cast("long")
+    g_side = g if use_broadcast else g.hint("shuffle_hash")
+    return contrib.join(g_side, contrib.dst == g.node).select(
+        "node", "outdeg", new_rank.alias("rank")
+    )
+
+
 def pagerank_int(
     edges: DataFrame,
     src_col: str = "src",
     dst_col: str = "dst",
     iters: int = 6,
     damping_pct: int = 85,
+    broadcast_max_nodes: int = 2_000_000,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list, exact
     integer arithmetic. Returns (node, rank_scaled) with
@@ -50,6 +90,14 @@ def pagerank_int(
     undirected graphs — the co-occurrence graphs this engine builds);
     dangling-node mass is therefore zero and the teleport term is the
     plain (100-damping)/100 / N constant.
+
+    `broadcast_max_nodes` gates the join strategy: at or below it the
+    node-sized rank relation is broadcast each round (zero edge
+    shuffles); above it the edge list is hash-partitioned on src once
+    and every round shuffle-hash-joins ranks against it — the only
+    strategy that survives 1e8+-node graphs, where broadcasting a
+    node-sized relation is a guaranteed OOM. Both paths compute the
+    identical integer recurrence.
     """
     # cache the edge list: every iteration joins against it, and the
     # upstream relation (a pair-building self-join) must not re-execute
@@ -61,39 +109,37 @@ def pagerank_int(
         F.count(F.lit(1)).alias("outdeg")
     )
     # one tiny action: N pins the integer teleport constants — plain
-    # Python ints so the arithmetic is exactly the oracle's
+    # Python ints so the arithmetic is exactly the oracle's — and
+    # decides the join strategy
     n_nodes = g.count()
     init_rank = SCALE // n_nodes
     teleport = (100 - damping_pct) * init_rank // 100
+    use_broadcast = n_nodes <= broadcast_max_nodes
+    if not use_broadcast:
+        # big graph: pin a src-hash-partitioned copy so every
+        # iteration's shuffle-hash join reuses the edge partitioning
+        # and only the node-sized rank relation moves per round
+        e_part = e.repartition("src").cache()
+        e.unpersist()
+        e = e_part
 
     # ranks carry outdeg through the loop (the oracle's CTEs do the
-    # same) so each iteration is ONE edges-join; the rank relation is
-    # node-sized and broadcast explicitly, so the cached edge list is
-    # never shuffled — each iteration is a map-side join + one dst-keyed
+    # same) so each iteration is ONE edges-join + one dst-keyed
     # partial aggregate over node-sized rows. Each round materializes
     # via localCheckpoint: a k-deep lazy chain would re-execute rounds
-    # 1..k-1 inside round k's broadcast subtree (broadcast jobs cannot
+    # 1..k-1 inside round k's join subtrees (broadcast jobs cannot
     # reuse unmaterialized intermediates), turning O(k) work into
     # O(k^2) — same lesson as connected_components' fixpoint loop.
     ranks = g.select(
         "node", "outdeg", F.lit(init_rank).alias("rank")
     ).localCheckpoint()
-    for i in range(iters):
-        contrib = (
-            e.join(F.broadcast(ranks), e.src == ranks.node)
-            .select("dst", F.expr("rank div outdeg").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
-        )
-        new_rank = (
-            F.lit(teleport)
-            + F.expr(f"({damping_pct} * s) div 100").cast("long")
-        ).cast("long")
-        ranks = (
-            contrib.join(g, contrib.dst == g.node)
-            .select("node", "outdeg", new_rank.alias("rank"))
-            .localCheckpoint()
-        )
+    for _ in range(iters):
+        ranks = _pagerank_iteration(
+            e, g, ranks, teleport, damping_pct, use_broadcast
+        ).localCheckpoint()
+    # final ranks are checkpointed (lineage truncated), so the edge
+    # cache is dead weight for the rest of the session — release it
+    e.unpersist()
     return ranks.select("node", F.col("rank").alias("rank_scaled"))
 
 

@@ -143,3 +143,40 @@ def test_dpp_join_prunes_partitions_dynamically(spark, q):
     df = q["flt_dpp_join"](spark, SF)
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in p.lower()
+
+
+def test_pagerank_big_graph_path_never_broadcasts_ranks(spark):
+    """Above broadcast_max_nodes each PageRank round must shuffle-join
+    the node-sized rank relation against the src-partitioned edge list
+    — broadcasting a node-sized relation per iteration is a driver/
+    executor OOM at 1e8+ nodes, the scale-killer this gate removes."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators.graph import _pagerank_iteration
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1)], "src long, dst long"
+    )
+    e = edges.repartition("src")
+    g = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    ranks = g.select("node", "outdeg", F.lit(1000).alias("rank"))
+    it = _pagerank_iteration(e, g, ranks, 10, 85, use_broadcast=False)
+    p = plan_str(it)
+    assert "BroadcastHashJoin" not in p
+    assert "ShuffledHashJoin" in p or "SortMergeJoin" in p
+
+
+def test_pagerank_shuffle_path_matches_broadcast_path(spark):
+    """Both join strategies must compute the identical integer
+    recurrence — same ranks bit-for-bit."""
+    from bitcoin_olap_spark.operators.graph import pagerank_int
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1), (4, 1), (1, 4)],
+        "src long, dst long",
+    )
+    small = pagerank_int(edges, iters=4, broadcast_max_nodes=10**9)
+    big = pagerank_int(edges, iters=4, broadcast_max_nodes=0)
+    assert sorted(small.collect()) == sorted(big.collect())

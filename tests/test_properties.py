@@ -242,3 +242,27 @@ def test_bloom_prefilter_superset_and_selective(spark):
     # selectivity: with ~9% matching keys and fp ~5e-5, the prefilter
     # should pass well under half the fact rows
     assert n_pre < n_fact * 0.5, (n_pre, n_fact)
+
+
+def test_bloom_hash_is_type_width_invariant(spark):
+    """Build from int32 keys, probe with int64 keys holding the same
+    values: every true match must still pass. xxhash64 is type-
+    sensitive, so without the string-cast normalization in _hash_pos a
+    parquet width change between sides produces false NEGATIVES —
+    silently wrong joins (ADVICE r2)."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators.bloom import bloom_prefilter
+
+    dim32 = spark.range(0, 50).select(
+        (F.col("id") * 7).cast("int").alias("k")
+    )
+    fact64 = spark.range(0, 400).select(
+        F.col("id").cast("bigint").alias("k")
+    )
+    pre = bloom_prefilter(fact64, dim32, "k", "k")
+    true_match = fact64.join(
+        dim32.select(F.col("k").cast("bigint").alias("k")), "k", "left_semi"
+    )
+    missing = true_match.exceptAll(pre.select("k")).count()
+    assert missing == 0

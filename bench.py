@@ -58,10 +58,18 @@ def main() -> None:
             # so a stall-free suite pays ~2 passes.
             passes = []
             for _ in range(2):
+                # drop cached relations BEFORE each timed pass: a query
+                # that caches an intermediate for within-plan reuse
+                # (e.g. text_dedup_chunks) must not have its timed pass
+                # read the previous pass's materialized cache — every
+                # timed pass is the full computation the docstring
+                # claims (within-pass cache reuse still applies)
+                spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 _force(fn(spark, sf_dir))
                 passes.append(time.perf_counter() - t0)
             if min(passes) > 0.2 and max(passes) > 1.5 * min(passes):
+                spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 _force(fn(spark, sf_dir))
                 passes.append(time.perf_counter() - t0)

@@ -35,6 +35,31 @@ from pyspark.sql.window import Window
 #: stay well under 2^63 even for thousands of dimensions.
 FIXED_POINT_SCALE = 1e16
 
+#: Hard ceiling for the EXACT all-pairs operators. All-pairs cosine is
+#: inherently O(N^2) — the correct distributed form (block matmul)
+#: shards the work but cannot shrink it, so above this the job is not
+#: slow, it is impossible (200k rows is already 2e10 pair evaluations).
+#: The exact tier is the VERIFIER (SURVEY §2.11); the scale tier is
+#: dedup_minhash_lsh (near-dup pairs) / topk_lsh / ivf_topk (top-k),
+#: which prune candidates before scoring. Callers with a genuinely
+#: bounded larger input pass an explicit max_rows.
+DEFAULT_ALLPAIRS_MAX_ROWS = 200_000
+
+
+def _gate_allpairs(df: DataFrame, op: str, max_rows: int) -> None:
+    """Raise if an exact all-pairs operator is pointed at an unbounded
+    corpus — the documented redirect to the sub-quadratic tier."""
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"{op}: exact all-pairs cosine over {n} rows exceeds "
+            f"max_rows={max_rows} (O(N^2) pairs). This operator is the "
+            "bounded verifier tier; for large corpora use "
+            "dedup_minhash_lsh (near-duplicate pairs) or "
+            "topk_lsh / ivf_topk (approximate top-k), or pass a larger "
+            "max_rows explicitly if the input is genuinely bounded."
+        )
+
 
 def _fixed_fold(products: Column) -> Column:
     """Order-independent sum of an array of doubles: floor each product
@@ -72,6 +97,7 @@ def cosine_pairs_exact(
     id_col: str,
     vec_col: str,
     queries: DataFrame | None = None,
+    max_rows: int = DEFAULT_ALLPAIRS_MAX_ROWS,
 ) -> DataFrame:
     """All-pairs (or queries x corpus) cosine similarity with
     exact-decimal accumulation: (id_a, id_b, cosine double).
@@ -88,8 +114,11 @@ def cosine_pairs_exact(
     codegen'd). At 100 TB the corpus side streams; only the (small)
     query side broadcasts, or LSH bucketing prunes pairs first
     (topk_lsh) — all-pairs self-join is inherently O(N^2) and is the
-    verifier, not the scale path.
+    verifier, not the scale path; the self-pairs mode is therefore
+    gated by `max_rows` (DEFAULT_ALLPAIRS_MAX_ROWS).
     """
+    if queries is None:
+        _gate_allpairs(df, "cosine_pairs_exact", max_rows)
     a = df if queries is None else queries
     left = a.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
@@ -138,6 +167,7 @@ def cosine_pairs_exact_blocked(
     vec_col: str,
     threshold: float,
     n_blocks: int = 8,
+    max_rows: int = DEFAULT_ALLPAIRS_MAX_ROWS,
 ) -> DataFrame:
     """All-pairs exact cosine with a threshold, block-decomposed — the
     scale form of the self-join case.
@@ -156,9 +186,15 @@ def cosine_pairs_exact_blocked(
     Emits (id_a, id_b, cosine DOUBLE) with id_a < id_b, cosine
     UNROUNDED, pre-filtered at `threshold - 1e-7` — callers apply
     their exact rounded filter on top (rounding is done engine-side:
-    np.round is banker's, Spark/DuckDB ROUND is half-up)."""
+    np.round is banker's, Spark/DuckDB ROUND is half-up).
+
+    Gated by `max_rows` (see DEFAULT_ALLPAIRS_MAX_ROWS): block
+    decomposition distributes the N^2 work but cannot shrink it, so an
+    unbounded corpus must go through the LSH/IVF tier instead."""
     import numpy as np
     import pandas as pd
+
+    _gate_allpairs(df, "cosine_pairs_exact_blocked", max_rows)
 
     id_type = df.schema[id_col].dataType.simpleString()
     blocks = df.groupBy(

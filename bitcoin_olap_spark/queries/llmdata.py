@@ -983,7 +983,12 @@ def text_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("idx", "chunk"),
     ).select("doc_id", F.col("idx").cast("long").alias("idx"), "chunk")
     # cache: boiler and kept both consume the chunk relation — without
-    # it the split+slice explode (and its spread exchange) runs twice
+    # it the split+slice explode (and its spread exchange) runs twice.
+    # Lifetime contract: the cache cannot be unpersisted here (the
+    # returned plan is lazy and still references it), so harnesses own
+    # release — bench.py clearCache()s before every timed pass and
+    # after every query, keeping timings full-computation and executor
+    # storage flat across the suite
     chunks = chunks.cache()
     # "appears in >1 document" as min(doc)!=max(doc): same predicate as
     # COUNT(DISTINCT doc_id)>1 but a plain 2-long aggregate state — no

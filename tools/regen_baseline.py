@@ -1,10 +1,13 @@
 #!/usr/bin/env python
 """Regenerate the measured DuckDB-vs-Spark table in BASELINE.md.
 
-DuckDB side: each oracle_sql() query at sf0.1, median of 5 runs, warm
-OS cache, result fully materialized (fetchall). Spark side: taken from
-a bench.py run (pass 2 warm timing, noop sink) — run bench.py first and
-pass its JSON via --bench, or this script runs it.
+DuckDB side: each oracle_sql() query at sf0.1, MIN of 5 runs, warm
+OS cache, result fully materialized (fetchall). Min matches the
+estimator bench.py uses for Spark (min over timed passes) so the
+headline ratio compares like with like — on a noisy shared host
+min-vs-median would systematically favor whichever side used min.
+Spark side: taken from a bench.py run — run bench.py first and pass
+its JSON via --bench, or this script runs it.
 
 Usage: python tools/regen_baseline.py [--bench BENCH.json]
 Writes the markdown table to stdout and rewrites the "## Measured"
@@ -15,7 +18,6 @@ from __future__ import annotations
 
 import json
 import os
-import statistics
 import subprocess
 import sys
 import time
@@ -49,7 +51,7 @@ def duck_timings() -> dict[str, float]:
                 t0 = time.perf_counter()
                 con.execute(sql).fetchall()
                 runs.append(time.perf_counter() - t0)
-            out[qid] = round(statistics.median(runs), 4)
+            out[qid] = round(min(runs), 4)
         except Exception as exc:
             print(f"duck: {qid} failed: {exc}", file=sys.stderr)
             out[qid] = -1.0

@@ -15,15 +15,21 @@ The pattern (the one a 100 TB training-data pipeline needs):
 - frame sampling and other metadata-only derivations stay JVM-side
   (``F.sequence`` + ``explode``) — no payload I/O at all.
 
-The container has no image/audio codecs, so the real decoder is gated
-behind an import-try and raises ``NotImplementedError`` (clearly
-marked STUB); the deterministic fallback "decode" is a byte histogram
-— real Spark plumbing (schema, batching, partitioning) with a fake
-codec, per the build contract.
+Codecs: three REAL pure-Python coders for public uncompressed
+container formats — PPM P6 (netpbm images), WAV RIFF PCM16 (audio),
+YUV4MPEG2 (raw video) — implement `encode_media` / `decode_media`;
+`decode_features(fake=None)` parses genuine container headers and
+extracts stats from the decoded pixel/sample payload. Only COMPRESSED
+formats (png/jpeg/mp4), which genuinely need codec libraries this
+container does not ship, remain behind the import-gated
+``NotImplementedError`` STUB (`_decode_compressed_stub`); the
+byte-histogram fallback (`fake='histogram'`) stays for opaque bytes.
 
 Testdata has no binary table, so `attach_blob` synthesizes the payload
-deterministically from `documents.text` (UTF-8 bytes); every operator
-downstream treats it as opaque media bytes.
+deterministically from `documents.text` (UTF-8 bytes); `transcode`
+wraps those raw bytes into a real container per the row's format tag —
+exactly the ingest step a production pipeline runs on raw source
+bytes.
 """
 
 from __future__ import annotations
@@ -42,11 +48,13 @@ MAX_FRAMES = 240
 
 
 def media_format(id_col: Column) -> Column:
-    """Deterministic format tag (stands in for real content sniffing)."""
+    """Deterministic format tag (stands in for real content sniffing).
+    The three tags are the uncompressed public formats the pure-Python
+    codecs below really encode and decode."""
     return (
-        F.when(id_col % 3 == 0, "image/png")
+        F.when(id_col % 3 == 0, "image/ppm")
         .when(id_col % 3 == 1, "audio/wav")
-        .otherwise("video/mp4")
+        .otherwise("video/y4m")
     )
 
 
@@ -88,18 +96,207 @@ def frame_sample(
     )
 
 
-def _decode_real(payload: bytes, fmt: str):  # pragma: no cover - STUB
-    """STUB: real codec path. The container ships no image/audio libs;
-    on a production cluster this is where PIL / soundfile / pyav load
-    `payload`."""
+#: PPM geometry: fixed 16-px-wide rows, height grows with payload
+PPM_W = 16
+#: WAV: mono 16-bit PCM at 8 kHz
+WAV_RATE = 8000
+#: Y4M geometry: 16x16 4:2:0 frames -> 16*16 + 2*(8*8) = 384 bytes
+Y4M_W = Y4M_H = 16
+_Y4M_FRAME_BYTES = Y4M_W * Y4M_H * 3 // 2
+
+
+def encode_media(data: bytes, fmt: str) -> bytes:
+    """Wrap raw bytes into a REAL container of the tagged format —
+    the ingest/transcode step of a media pipeline. Deterministic:
+    zero-padding to the container's block size, fixed geometry.
+
+    - image/ppm: netpbm P6 — ``P6\\n{w} {h}\\n255\\n`` + RGB24 rows.
+    - audio/wav: RIFF/WAVE, fmt chunk (PCM, mono, 8 kHz, 16-bit) +
+      data chunk; bytes reinterpreted as little-endian int16 samples.
+    - video/y4m: YUV4MPEG2 stream header + ``FRAME\\n``-delimited
+      16x16 C420 planar frames.
+    """
+    import struct
+
+    if fmt == "image/ppm":
+        row = 3 * PPM_W
+        h = max(1, -(-len(data) // row))
+        body = data.ljust(h * row, b"\x00")
+        return b"P6\n%d %d\n255\n" % (PPM_W, h) + body
+    if fmt == "audio/wav":
+        body = data if len(data) % 2 == 0 else data + b"\x00"
+        return (
+            b"RIFF"
+            + struct.pack("<I", 36 + len(body))
+            + b"WAVEfmt "
+            + struct.pack(
+                "<IHHIIHH", 16, 1, 1, WAV_RATE, WAV_RATE * 2, 2, 16
+            )
+            + b"data"
+            + struct.pack("<I", len(body))
+            + body
+        )
+    if fmt == "video/y4m":
+        n = max(1, -(-len(data) // _Y4M_FRAME_BYTES))
+        body = data.ljust(n * _Y4M_FRAME_BYTES, b"\x00")
+        return b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420\n" % (
+            Y4M_W,
+            Y4M_H,
+        ) + b"".join(
+            b"FRAME\n"
+            + body[i * _Y4M_FRAME_BYTES : (i + 1) * _Y4M_FRAME_BYTES]
+            for i in range(n)
+        )
+    raise ValueError(f"encode_media: no encoder for format {fmt!r}")
+
+
+def decode_media(payload: bytes, fmt: str):
+    """REAL pure-Python decoder for the three uncompressed container
+    formats: validates magic, parses the actual header fields, and
+    returns ``(samples, info)`` — samples an int64 numpy array of
+    decoded pixel/sample values, info a dict of parsed geometry.
+    Raises ValueError on malformed containers (wrong magic, truncated
+    data), NotImplementedError (gated STUB) for compressed formats."""
+    import struct
+
+    import numpy as np
+
+    if fmt == "image/ppm":
+        if payload[:2] != b"P6":
+            raise ValueError("decode_media: not a P6 PPM (bad magic)")
+        # header = 3 whitespace-separated ints after the magic, with
+        # '#' comment lines allowed (netpbm spec), then ONE whitespace
+        pos, vals = 2, []
+        while len(vals) < 3:
+            while payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":
+                pos = payload.index(b"\n", pos) + 1
+                continue
+            start = pos
+            while not payload[pos : pos + 1].isspace():
+                pos += 1
+            vals.append(int(payload[start:pos]))
+        pos += 1
+        w, h, maxval = vals
+        if maxval != 255:
+            raise ValueError("decode_media: only maxval 255 supported")
+        if len(payload) - pos < w * h * 3:
+            raise ValueError("decode_media: truncated PPM pixel data")
+        px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+        return px.astype(np.int64), {"width": w, "height": h, "n_frames": 1}
+
+    if fmt == "audio/wav":
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            raise ValueError("decode_media: not a RIFF/WAVE file")
+        pos, data, rate, ch, bits = 12, None, None, None, None
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            sz = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+            body = payload[pos + 8 : pos + 8 + sz]
+            if cid == b"fmt ":
+                _, ch, rate, _, _, bits = struct.unpack(
+                    "<HHIIHH", body[:16]
+                )
+            elif cid == b"data":
+                data = body
+            pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+        if data is None or bits is None:
+            raise ValueError("decode_media: missing fmt/data chunk")
+        if bits != 16:
+            raise ValueError("decode_media: only 16-bit PCM supported")
+        samples = np.frombuffer(data, dtype="<i2")
+        return samples.astype(np.int64), {
+            "sample_rate": rate,
+            "channels": ch,
+            "n_frames": 1,
+        }
+
+    if fmt == "video/y4m":
+        nl = payload.index(b"\n")
+        hdr = payload[:nl].split(b" ")
+        if hdr[0] != b"YUV4MPEG2":
+            raise ValueError("decode_media: not a YUV4MPEG2 stream")
+        params = {p[:1]: p[1:] for p in hdr[1:]}
+        w, h = int(params[b"W"]), int(params[b"H"])
+        if params.get(b"C", b"420") not in (b"420", b"420jpeg"):
+            raise ValueError("decode_media: only C420 supported")
+        fsz = w * h * 3 // 2
+        frames, pos = [], nl + 1
+        while pos < len(payload):
+            eol = payload.index(b"\n", pos)
+            if payload[pos : pos + 5] != b"FRAME":
+                raise ValueError("decode_media: bad FRAME marker")
+            pos = eol + 1
+            if len(payload) - pos < fsz:
+                raise ValueError("decode_media: truncated Y4M frame")
+            frames.append(
+                np.frombuffer(payload, dtype=np.uint8, count=fsz, offset=pos)
+            )
+            pos += fsz
+        return np.concatenate(frames).astype(np.int64), {
+            "width": w,
+            "height": h,
+            "n_frames": len(frames),
+        }
+
+    return _decode_compressed_stub(fmt)
+
+
+def _decode_compressed_stub(fmt: str):  # pragma: no cover - STUB
+    """STUB: compressed formats (png/jpeg/mp4/...) genuinely need
+    codec libraries this container does not ship; on a production
+    cluster this is where PIL / soundfile / pyav load the payload."""
     try:
         import PIL.Image  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
-            "STUB: media codecs (PIL/soundfile/pyav) are not installed "
-            "in this environment; use fake='histogram' decoding"
+            "STUB: compressed-media codecs (PIL/soundfile/pyav) are "
+            f"not installed in this environment (format {fmt!r}); "
+            "uncompressed ppm/wav/y4m decode natively via decode_media"
         ) from exc
-    raise NotImplementedError("STUB: real decode path not wired yet")
+    raise NotImplementedError("STUB: compressed decode path not wired yet")
+
+
+def transcode(df: DataFrame, id_col: str) -> DataFrame:
+    """Wrap raw payload bytes into a real container per the row's
+    format tag, re-deriving metadata from the ENCODED payload (real
+    n_bytes; real frame count for video, 1 otherwise). Arrow-batched
+    mapInPandas, payload-local, no shuffle — the ingest step that makes
+    downstream `decode_features(fake=None)` a genuine codec path."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} {id_type}, blob binary, "
+        "media_meta struct<format:string,n_bytes:bigint,n_frames:bigint>"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            blobs, meta = [], []
+            for raw, m in zip(pdf["blob"], pdf["media_meta"]):
+                fmt = m["format"]
+                enc = encode_media(bytes(raw), fmt)
+                if fmt == "video/y4m":
+                    n_frames = max(
+                        1, -(-len(bytes(raw)) // _Y4M_FRAME_BYTES)
+                    )
+                else:
+                    n_frames = 1
+                blobs.append(enc)
+                meta.append(
+                    {
+                        "format": fmt,
+                        "n_bytes": len(enc),
+                        "n_frames": n_frames,
+                    }
+                )
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "blob": blobs, "media_meta": meta}
+            )
+
+    return df.mapInPandas(run, schema=out_schema)
 
 
 def resize_payload(
@@ -128,8 +325,8 @@ def resize_payload(
             if len(pdf) == 0:
                 continue
             if fake is None:
-                _decode_real(
-                    pdf["blob"].iloc[0], pdf["media_meta"].iloc[0]["format"]
+                _decode_compressed_stub(
+                    pdf["media_meta"].iloc[0]["format"]
                 )
             blobs = [bytes(b)[:target_bytes] for b in pdf["blob"]]
             meta = [
@@ -148,44 +345,59 @@ def resize_payload(
 
 
 def decode_features(
-    df: DataFrame, id_col: str, fake: str = "histogram"
+    df: DataFrame, id_col: str, fake: str | None = "histogram"
 ) -> DataFrame:
-    """Decode payloads and emit fixed-width features:
-    (id_col, n_bytes LONG, features ARRAY<DOUBLE> of N_FEATURE_BINS).
+    """Decode payloads and emit fixed-width features: (id_col, n_bytes
+    LONG, n_samples LONG, features ARRAY<DOUBLE> of N_FEATURE_BINS).
 
     Arrow-batched `mapInPandas`: payload bytes cross into Python once
-    per batch, features come back columnar. `fake='histogram'` uses the
-    deterministic byte-histogram codec (normalized 16-bin histogram of
-    payload bytes); `fake=None` calls the gated real decoder (raises
-    NotImplementedError here — see `_decode_real`)."""
+    per batch, features come back columnar.
+
+    - `fake=None` — the REAL path: `decode_media` parses the actual
+      container (PPM/WAV/Y4M header + payload) and the histogram is
+      over DECODED pixel/sample values: uint8 formats bin by value
+      >> 4; WAV int16 samples bin by (s + 32768) >> 12. Compressed
+      formats hit the gated STUB.
+    - `fake='histogram'` — byte histogram of the raw payload, no
+      container parsing (works on any bytes).
+
+    Both paths are exact-deterministic: integer binning, one float
+    divide per bin at the end."""
     import numpy as np
 
     id_type = df.schema[id_col].dataType.simpleString()
     out_schema = (
-        f"{id_col} {id_type}, n_bytes long, features array<double>"
+        f"{id_col} {id_type}, n_bytes long, n_samples long, "
+        "features array<double>"
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            if fake is None:
-                _decode_real(
-                    pdf["blob"].iloc[0], pdf["media_meta"].iloc[0]["format"]
-                )
-            feats, sizes = [], []
-            for payload in pdf["blob"]:
-                buf = np.frombuffer(payload, dtype=np.uint8)
+            feats, sizes, counts = [], [], []
+            for payload, m in zip(pdf["blob"], pdf["media_meta"]):
+                buf = bytes(payload)
+                if fake is None:
+                    samples, _info = decode_media(buf, m["format"])
+                    if m["format"] == "audio/wav":
+                        bins = (samples + 32768) >> 12
+                    else:
+                        bins = samples >> 4
+                else:
+                    bins = np.frombuffer(buf, dtype=np.uint8) >> 4
                 hist = np.bincount(
-                    buf >> 4, minlength=N_FEATURE_BINS
+                    bins, minlength=N_FEATURE_BINS
                 ).astype(np.float64)
                 total = hist.sum()
                 feats.append(hist / total if total else hist)
                 sizes.append(len(buf))
+                counts.append(len(bins))
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
                     "n_bytes": pd.Series(sizes, dtype="int64"),
+                    "n_samples": pd.Series(counts, dtype="int64"),
                     "features": feats,
                 }
             )

@@ -30,9 +30,9 @@ def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_blob_meta",
     oracle="""
     SELECT doc_id,
-           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+           CASE WHEN doc_id % 3 = 0 THEN 'image/ppm'
                 WHEN doc_id % 3 = 1 THEN 'audio/wav'
-                ELSE 'video/mp4' END AS format,
+                ELSE 'video/y4m' END AS format,
            octet_length(encode(text)) AS n_bytes,
            (octet_length(encode(text)) % 240) + 1 AS n_frames,
            md5(text) AS digest
@@ -94,18 +94,24 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("mm_decode_features", oracle=None)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode + feature-extract over payload bytes via Arrow-batched
-    mapInPandas (deterministic byte-histogram codec standing in for
-    PIL/soundfile — real codecs are a gated STUB, see
-    operators/multimodal.py). Rows-only driver check; exact values are
-    verified against a pure-numpy reference in tests (which call the
-    operator directly). The registered projection serializes the
-    feature vector to a CSV string — registered queries must emit
-    scalar-only columns for the external canonicalizer."""
-    feats = MM.decode_features(_media(spark, sf_dir), "doc_id")
+    """REAL codec decode + feature-extract: raw bytes are transcoded
+    into genuine containers (netpbm P6 / RIFF WAV PCM16 / YUV4MPEG2 —
+    operators/multimodal.encode_media), then `decode_media` parses the
+    actual container headers and the features are a 16-bin histogram
+    over DECODED pixel/sample values, all inside Arrow-batched
+    mapInPandas stages. Rows-only driver check (container parsing is
+    not expressible in DuckDB SQL); tests pin exact values against an
+    independent struct-module reference parser and exact encode/decode
+    round-trips. The registered projection serializes the feature
+    vector to a CSV string — registered queries must emit scalar-only
+    columns for the external canonicalizer."""
+    feats = MM.decode_features(
+        MM.transcode(_media(spark, sf_dir), "doc_id"), "doc_id", fake=None
+    )
     return feats.select(
         "doc_id",
         "n_bytes",
+        "n_samples",
         F.array_join(
             F.transform(
                 "features", lambda x: F.format_number(x, 6)

@@ -209,12 +209,14 @@ def pipeline_mm_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload bytes move for dedup, only 16-byte digests shuffle) ->
     resize to a 256-byte budget (payload-local mapInPandas; bytes
     SHRINK before the expensive stage, the ordering that matters at
-    100 TB) -> Arrow-batched feature decode -> per-format rollup. One
-    lazy plan: the only shuffles are the digest dedup and the final
-    4-row aggregate; everything between is map-side. Feature sums are
-    defensively rounded (cross-doc double sum order is engine-free);
-    rows-only for the driver (the decode stage is the codec seam —
-    tests pin invariants: budget respected, dedup arithmetic, format
+    100 TB) -> transcode into real containers (PPM/Y4M) -> REAL codec
+    decode (container header parse + pixel-value histogram,
+    decode_media) -> per-format rollup. One lazy plan: the only
+    shuffles are the digest dedup and the final 4-row aggregate;
+    everything between is map-side. Feature sums are defensively
+    rounded (cross-doc double sum order is engine-free); rows-only for
+    the driver (the decode stage is the codec seam — tests pin
+    invariants: budget respected, dedup arithmetic, format
     partition)."""
     media = MM.attach_blob(
         table(spark, sf_dir, "documents", spread=True), "doc_id", "text"
@@ -230,7 +232,11 @@ def pipeline_mm_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = keep.join(survivors, "doc_id", "left_semi")
     feats = MM.decode_features(
-        MM.resize_payload(kept, "doc_id", 256), "doc_id"
+        MM.transcode(
+            MM.resize_payload(kept, "doc_id", 256), "doc_id"
+        ),
+        "doc_id",
+        fake=None,
     )
     l2 = F.aggregate(
         "features", F.lit(0.0), lambda acc, x: acc + x * x

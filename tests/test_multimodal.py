@@ -56,10 +56,98 @@ def test_decode_features_matches_numpy_reference(spark, media):
         assert out.loc[doc_id, "n_bytes"] == len(buf)
 
 
-def test_real_decoder_is_gated_stub(spark, media):
+def test_compressed_decoder_is_gated_stub(spark):
+    """Only COMPRESSED formats remain stubbed — ppm/wav/y4m decode
+    natively. A png-tagged payload must hit the import-gated STUB."""
+    df = spark.createDataFrame(
+        [(1, b"\x89PNG", {"format": "image/png", "n_bytes": 4, "n_frames": 1})],
+        "doc_id long, blob binary, "
+        "media_meta struct<format:string,n_bytes:bigint,n_frames:bigint>",
+    )
     with pytest.raises(Exception) as exc_info:
-        MM.decode_features(media.limit(1), "doc_id", fake=None).collect()
+        MM.decode_features(df, "doc_id", fake=None).collect()
     assert "STUB" in str(exc_info.value)
+
+
+def test_codec_roundtrip_exact():
+    """encode_media -> decode_media must recover the original bytes
+    (modulo the container's zero padding) for every format, and the
+    parsed geometry must match the encoder's."""
+    import struct
+
+    data = bytes(range(256)) * 3 + b"tail"
+    # PPM: pixels = data + zero pad to full 16px RGB rows
+    samples, info = MM.decode_media(MM.encode_media(data, "image/ppm"), "image/ppm")
+    row = 3 * MM.PPM_W
+    h = -(-len(data) // row)
+    assert info == {"width": MM.PPM_W, "height": h, "n_frames": 1}
+    assert bytes(samples.astype(np.uint8)) == data.ljust(h * row, b"\x00")
+    # WAV: int16 LE samples == struct-unpacked byte pairs
+    samples, info = MM.decode_media(MM.encode_media(data, "audio/wav"), "audio/wav")
+    padded = data if len(data) % 2 == 0 else data + b"\x00"
+    want = struct.unpack(f"<{len(padded) // 2}h", padded)
+    assert tuple(samples) == want
+    assert info["sample_rate"] == MM.WAV_RATE and info["channels"] == 1
+    # Y4M: concatenated frames == data + zero pad to full frames
+    samples, info = MM.decode_media(MM.encode_media(data, "video/y4m"), "video/y4m")
+    n = -(-len(data) // MM._Y4M_FRAME_BYTES)
+    assert info["n_frames"] == n
+    assert bytes(samples.astype(np.uint8)) == data.ljust(
+        n * MM._Y4M_FRAME_BYTES, b"\x00"
+    )
+
+
+def test_decode_media_rejects_malformed():
+    with pytest.raises(ValueError):
+        MM.decode_media(b"P5\n1 1\n255\n\x00", "image/ppm")  # P5 not P6
+    with pytest.raises(ValueError):
+        MM.decode_media(b"RIFFxxxxNOPE", "audio/wav")
+    with pytest.raises(ValueError):
+        MM.decode_media(b"MPEG4 nope\n", "video/y4m")
+    with pytest.raises(ValueError):
+        # truncated pixel data
+        MM.decode_media(b"P6\n16 2\n255\n" + b"\x00" * 10, "image/ppm")
+
+
+def test_real_decode_features_vs_independent_reference(spark, media):
+    """The fake=None path must produce the histogram of DECODED
+    sample values — verified here against an independent parse
+    (struct module / manual header walk, NOT decode_media)."""
+    import struct
+
+    out = (
+        MM.decode_features(MM.transcode(media, "doc_id"), "doc_id", fake=None)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    src = (
+        media.select("doc_id", "blob", "media_meta.format")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert len(out) == len(src) > 0
+    for doc_id in list(src.index[:30]):
+        raw = bytes(src.loc[doc_id, "blob"])
+        fmt = src.loc[doc_id, "format"]
+        if fmt == "image/ppm":
+            h = max(1, -(-len(raw) // 48))
+            vals = np.frombuffer(raw.ljust(h * 48, b"\x00"), dtype=np.uint8)
+            bins = vals >> 4
+        elif fmt == "audio/wav":
+            padded = raw if len(raw) % 2 == 0 else raw + b"\x00"
+            vals = np.array(
+                struct.unpack(f"<{len(padded) // 2}h", padded), dtype=np.int64
+            )
+            bins = (vals + 32768) >> 12
+        else:  # video/y4m
+            n = max(1, -(-len(raw) // 384))
+            vals = np.frombuffer(raw.ljust(n * 384, b"\x00"), dtype=np.uint8)
+            bins = vals >> 4
+        ref = np.bincount(bins, minlength=MM.N_FEATURE_BINS).astype(float)
+        ref = ref / ref.sum()
+        got = np.array(out.loc[doc_id, "features"])
+        assert np.array_equal(got, ref), (doc_id, fmt)
+        assert out.loc[doc_id, "n_samples"] == len(vals)
 
 
 def test_frame_sample_bounds(media):
@@ -108,20 +196,22 @@ def test_pipeline_mm_e2e_invariants(spark):
         r["format"]: r
         for r in all_queries()["pipeline_mm_e2e"](spark, SF_ORACLE).collect()
     }
-    assert set(rows) == {"image/png", "video/mp4"}
+    assert set(rows) == {"image/ppm", "video/y4m"}
     raw = {
         r["format"]: r["n"]
         for r in table(spark, SF_ORACLE, "documents")
         .groupBy(
-            F.when(F.col("doc_id") % 3 == 0, "image/png")
+            F.when(F.col("doc_id") % 3 == 0, "image/ppm")
             .when(F.col("doc_id") % 3 == 1, "audio/wav")
-            .otherwise("video/mp4")
+            .otherwise("video/y4m")
             .alias("format")
         )
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
+    # 256 raw bytes encode to at most: ppm 12B header + 6 rows * 48B =
+    # 300; y4m ~37B header + FRAME\n + 384B frame = 427
     for f, r in rows.items():
         assert r["n_docs"] + r["n_dupes_removed"] == raw[f]
-        assert r["total_bytes"] <= 256 * r["n_docs"]
+        assert r["total_bytes"] <= 450 * r["n_docs"]
         assert 0 < r["sum_feat_l2"] <= r["n_docs"]

@@ -127,7 +127,9 @@ def stream_stateful_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle states — but the streaming form keeps numbering correctly
     as new micro-batches arrive, which no batch window can."""
     return run_to_batch(
-        running_user_sequence(stream_events(spark, sf_dir)), spark
+        running_user_sequence(stream_events(spark, sf_dir)),
+        spark,
+        n_partitions=32,
     )
 
 

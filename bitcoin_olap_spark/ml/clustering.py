@@ -15,6 +15,48 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    vec_col: str,
+    k: int,
+    seed: int = 42,
+    max_iter: int = 20,
+    spherical: bool = True,
+) -> DataFrame:
+    """Fit KMeans and return just the centroids as (cid INT, center
+    ARRAY<DOUBLE>) — the coarse-quantizer feed for IVF inverted lists
+    (operators/vectors.ivf_topk takes this through its centroid seam).
+    Deterministic for a fixed seed + input.
+
+    spherical=True L2-normalizes vectors before fitting (spherical
+    k-means): the IVF probe ranks lists by COSINE, and Euclidean
+    clustering of unnormalized vectors optimizes a different metric —
+    measured as a ~40-point recall drop on the synthetic corpus when
+    the quantizer and probe disagree."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    xs = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    if spherical:
+        norm = F.sqrt(
+            F.aggregate(
+                F.transform(xs, lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+        xs = F.transform(xs, lambda x: x / F.greatest(norm, F.lit(1e-30)))
+    feat = df.select(array_to_vector(xs).alias("features"))
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feat)
+    return df.sparkSession.createDataFrame(
+        [
+            (i, [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())
+        ],
+        "cid int, center array<double>",
+    )
+
+
 def kmeans_assign(
     df: DataFrame,
     id_col: str,

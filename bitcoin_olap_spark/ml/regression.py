@@ -96,7 +96,14 @@ ORACLE_OLS = """
 def loglog_ols_ml(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     """Same regression via pyspark.ml LinearRegression (the MLlib
     path the engine exposes for multi-feature models). One-row result
-    with the same schema as `loglog_ols_exact`."""
+    with the same schema as `loglog_ols_exact`, rounded to the same
+    6 dp.
+
+    solver='normal': for regParam=0 this solves the normal equations
+    in closed form (WLS over the Gram matrix) — deterministic, no
+    iteration, and numerically within ~1e-12 of the explicit moment
+    formula, so the 6-dp rounded output equals `loglog_ols_exact`'s
+    and the SAME closed-form SQL oracle (ORACLE_OLS) checks both."""
     from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.regression import LinearRegression
 
@@ -110,16 +117,28 @@ def loglog_ols_ml(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         inputCols=["lx"], outputCol="features"
     ).transform(pts)
     model = LinearRegression(
-        featuresCol="features", labelCol="ly", regParam=0.0
+        featuresCol="features",
+        labelCol="ly",
+        regParam=0.0,
+        solver="normal",
+        standardization=False,
     ).fit(assembled)
+    # HALF_UP like Spark/DuckDB ROUND (Python round() is banker's)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(v: float) -> float:
+        return float(
+            Decimal(repr(v)).quantize(Decimal("1e-6"), ROUND_HALF_UP)
+        )
+
     spark = df.sparkSession
     return spark.createDataFrame(
         [
             (
                 int(assembled.count()),
-                float(model.coefficients[0]),
-                float(model.intercept),
-                float(model.summary.r2),
+                r6(float(model.coefficients[0])),
+                r6(float(model.intercept)),
+                r6(float(model.summary.r2)),
             )
         ],
         "n bigint, slope double, intercept double, r2 double",

@@ -365,6 +365,7 @@ def ivf_topk(
     k: int = 10,
     n_centroids: int = 16,
     nprobe: int = 4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize the corpus into
     `n_centroids` inverted lists, probe only the query's `nprobe`
@@ -372,20 +373,31 @@ def ivf_topk(
     O(Q*N*nprobe/n_centroids) plus the one-off O(N*n_centroids)
     assignment.
 
-    Centroids are the `n_centroids` lowest-id corpus vectors —
-    deterministic and rotation-free; a production pipeline plugs
-    k-means centroids into the same seam (the assignment/probe/score
-    dataflow is identical, only the centroid relation changes).
+    `centroids` is the quantizer seam: a (cid, center ARRAY) relation —
+    ml/clustering.kmeans_centroids is the production feed (what the
+    registered sim_topk_ivf query uses). When None, falls back to the
+    `n_centroids` lowest-id corpus vectors — deterministic,
+    training-free, useful as a dependency-light baseline; the
+    assignment/probe/score dataflow is identical either way.
 
     At scale: assignment is a map-side cross join against broadcast
     centroids; the candidate join shuffles on centroid id — lists are
     the partitioning unit, exactly how a distributed IVF shards.
     """
-    cent = (
-        corpus.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("_vb"))
-    )
+    if centroids is not None:
+        cent = centroids.select(
+            F.col(centroids.columns[0]).cast("long").alias("cid"),
+            F.col(centroids.columns[1]).alias("_vb"),
+        )
+    else:
+        cent = (
+            corpus.orderBy(id_col)
+            .limit(n_centroids)
+            .select(
+                F.col(id_col).cast("long").alias("cid"),
+                F.col(vec_col).alias("_vb"),
+            )
+        )
 
     def nearest(df: DataFrame, n: int, out: str) -> DataFrame:
         pairs = df.select(
@@ -432,27 +444,61 @@ def ivf_topk(
     )
 
 
-def lsh_bucket_signature(vec_col: Column, num_planes: int = 8) -> Column:
-    """Random-hyperplane LSH signature: bit i = sign of <v, plane_i>
-    where plane_i components are derived deterministically from
-    xxhash64(pos, i) — no stored projection matrix, reproducible
-    everywhere. Returns an int bucket id in [0, 2^num_planes)."""
-    sig = F.lit(0)
+def probe_masks(num_planes: int, hamming: int) -> list[int]:
+    """All XOR masks within `hamming` bit flips over `num_planes`
+    bits, ascending — the multi-probe neighborhood, shared verbatim by
+    the SQL oracle."""
+    from itertools import combinations
+
+    masks = [
+        sum(1 << b for b in bits)
+        for h in range(hamming + 1)
+        for bits in combinations(range(num_planes), h)
+    ]
+    return sorted(masks)
+
+
+def lsh_plane(dim: int, plane: int) -> list[float]:
+    """±1 hyperplane components from a PUBLIC md5-parity derivation
+    both engines can state: component (pos, plane) is +1 iff the last
+    hex digit of md5(f"{pos}-{plane}") is odd. No stored projection
+    matrix, reproducible in any engine with md5 (the DuckDB oracle
+    derives the identical planes in SQL)."""
+    import hashlib
+
+    return [
+        1.0
+        if hashlib.md5(f"{p}-{plane}".encode()).hexdigest()[-1] in "13579bdf"
+        else -1.0
+        for p in range(dim)
+    ]
+
+
+def lsh_bucket_signature(
+    vec_col: Column, dim: int, num_planes: int = 8
+) -> Column:
+    """Random-hyperplane LSH signature: bit i = sign of <v, plane_i>.
+    Returns an int bucket id in [0, 2^num_planes).
+
+    Engine-exact by construction: the planes are ±1 literals
+    (`lsh_plane`), and each projection accumulates
+    floor(x * pm1 * 1e16) as BIGINT — the same fixed-point trick as
+    `cosine_col_exact` — so the SIGN of the projection (hence the
+    bucket) is bit-identical in any engine; a float dot product could
+    flip sign on ULP noise near zero and silently desynchronize
+    buckets between engines."""
+    sig = F.lit(0).cast("long")
     for i in range(num_planes):
-        # pseudo-random ±1 plane component per position, seeded by (pos, i)
+        plane = F.array(*[F.lit(v) for v in lsh_plane(dim, i)])
         proj = F.aggregate(
             F.zip_with(
                 vec_col,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(vec_col) - 1),
-                    lambda pos: F.when(
-                        F.xxhash64(pos, F.lit(i)).bitwiseAND(F.lit(1)) == 1,
-                        F.lit(1.0),
-                    ).otherwise(F.lit(-1.0)),
-                ),
-                lambda x, p: (x * p).cast("double"),
+                plane,
+                lambda x, p: F.floor(
+                    x.cast("double") * p * F.lit(FIXED_POINT_SCALE)
+                ).cast("long"),
             ),
-            F.lit(0.0),
+            F.lit(0).cast("long"),
             lambda acc, v: acc + v,
         )
         sig = sig + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
@@ -466,20 +512,29 @@ def topk_lsh(
     vec_col: str,
     k: int = 10,
     num_planes: int = 6,
+    probe_hamming: int = 2,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's LSH
-    bucket (plus Hamming-1 neighbor buckets via multi-probe on the
-    query side). Recall < 1 by construction; the brute-force operator
-    is its verifier."""
-    sig = lsh_bucket_signature(F.col(vec_col), num_planes)
+    bucket neighborhood (multi-probe: all buckets within
+    `probe_hamming` bit flips of the query's bucket — 22 of 64 buckets
+    at the 6-plane/Hamming-2 default, still a 3x candidate prune).
+    Recall < 1 by construction; the brute-force operator is its
+    verifier.
+
+    Fully engine-exact end to end — md5-parity planes + fixed-point
+    projections pick IDENTICAL buckets in any engine, and the verify
+    stage scores candidates with the exact fixed-point cosine — so
+    unlike most ANN operators this one is oracle-checkable: a SQL twin
+    reproduces buckets, candidates, and scores bit-for-bit."""
+    dim = corpus.select(F.size(vec_col)).first()[0]
+    sig = lsh_bucket_signature(F.col(vec_col), dim, num_planes)
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("cvec"),
         sig.alias("bucket"),
     )
-    # multi-probe: query probes its own bucket and all Hamming-1 buckets
     probes = F.array(
-        F.lit(0), *[F.lit(1 << i) for i in range(num_planes)]
+        *[F.lit(m) for m in probe_masks(num_planes, probe_hamming)]
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -496,9 +551,9 @@ def topk_lsh(
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine_col(F.col("qvec"), F.col("cvec")), 6).alias(
-                "cosine"
-            ),
+            F.round(
+                cosine_col_exact(F.col("qvec"), F.col("cvec")), 6
+            ).alias("cosine"),
         )
         .distinct()
         .withColumn(

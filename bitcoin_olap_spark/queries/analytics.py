@@ -192,11 +192,16 @@ def ml_ols_loglog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return loglog_ols_exact(_daily_xy(spark, sf_dir), "x", "y")
 
 
-@query("ml_linreg_fit", oracle=None)
+@query(
+    "ml_linreg_fit",
+    oracle=ORACLE_OLS.format(rel=_DAILY_XY, x="x", y="y"),
+)
 def ml_linreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same regression through pyspark.ml LinearRegression (iterative
-    solver — not SQL-expressible; tests pin it to the closed form
-    within 1e-6)."""
+    """Same regression through pyspark.ml LinearRegression with
+    solver='normal' — the closed-form normal-equation solve, no
+    iteration — so its 6-dp rounded output is checked by the SAME
+    closed-form OLS oracle as ml_ols_loglog (the two paths agree to
+    ~1e-12 before rounding; tests additionally pin the agreement)."""
     return loglog_ols_ml(_daily_xy(spark, sf_dir), "x", "y")
 
 

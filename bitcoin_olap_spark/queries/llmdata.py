@@ -220,12 +220,85 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.topk_bruteforce(emb, queries, "vec_id", "embedding", k=10)
 
 
-@query("sim_topk_lsh", oracle=None)
+_LSH_TOPK_ORACLE = """
+    WITH pos AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ), planes AS (
+        -- identical plane derivation to operators/vectors.lsh_plane:
+        -- +1 iff the last hex digit of md5('{pos}-{plane}') is odd
+        -- (generate_subscripts is 1-based, the spec is 0-based)
+        SELECT p.pos, i.i,
+               CASE WHEN strpos('13579bdf',
+                        substr(md5(CAST(p.pos - 1 AS VARCHAR) || '-' ||
+                                   CAST(i.i AS VARCHAR)), 32, 1)) > 0
+                    THEN 1.0 ELSE -1.0 END AS pm1
+        FROM (SELECT DISTINCT pos FROM pos) p,
+             (SELECT unnest(range(6)) AS i) i
+    ), proj AS (
+        SELECT pos.vec_id, pl.i,
+               SUM(CAST(floor(pos.x * pl.pm1 * 1e16) AS BIGINT)) AS pr
+        FROM pos JOIN planes pl ON pl.pos = pos.pos
+        GROUP BY 1, 2
+    ), sig AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN pr > 0
+                             THEN (CAST(1 AS BIGINT) << i)
+                             ELSE 0 END) AS BIGINT) AS bucket
+        FROM proj GROUP BY 1
+    ), probes AS (
+        SELECT s.vec_id AS query_id, xor(s.bucket, m.m) AS bucket
+        FROM sig s, (SELECT CAST(unnest([{masks}]) AS BIGINT) AS m) m
+        WHERE s.vec_id < 5
+    ), cand AS (
+        SELECT DISTINCT p.query_id, s.vec_id
+        FROM probes p JOIN sig s ON s.bucket = p.bucket
+        WHERE s.vec_id != p.query_id
+    ), norms AS (
+        SELECT vec_id, SUM(CAST(floor((x * x) * 1e16) AS BIGINT))
+               AS norm_sq
+        FROM pos GROUP BY 1
+    ), dots AS (
+        SELECT c.query_id, c.vec_id,
+               SUM(CAST(floor((a.x * b.x) * 1e16) AS BIGINT)) AS dot
+        FROM cand c
+        JOIN pos a ON a.vec_id = c.query_id
+        JOIN pos b ON b.vec_id = c.vec_id AND b.pos = a.pos
+        GROUP BY 1, 2
+    ), scored AS (
+        SELECT d.query_id, d.vec_id,
+               ROUND(CAST(dot AS DOUBLE) /
+                     sqrt(CAST(na.norm_sq AS DOUBLE) *
+                          CAST(nb.norm_sq AS DOUBLE)), 6) AS cosine
+        FROM dots d
+        JOIN norms na ON na.vec_id = d.query_id
+        JOIN norms nb ON nb.vec_id = d.vec_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+"""
+
+# inline the Hamming-2 multi-probe mask list — the same integers
+# operators/vectors.probe_masks(6, 2) hands the Spark plan
+_LSH_TOPK_ORACLE = _LSH_TOPK_ORACLE.replace(
+    "{masks}", ", ".join(str(m) for m in V.probe_masks(6, 2))
+)
+
+
+@query("sim_topk_lsh", oracle=_LSH_TOPK_ORACLE)
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via random-hyperplane LSH bucketing with
     Hamming-1 multi-probe — scores only the query's bucket neighborhood
-    instead of the full corpus. Rows-only for the driver; tests measure
-    recall against sim_topk_bruteforce."""
+    instead of the full corpus. Oracle-checked end to end (upgraded
+    from rows-only): the md5-parity plane derivation and fixed-point
+    integer projections make bucket assignment engine-exact, so the
+    oracle reproduces buckets, candidate sets, and exact cosine scores
+    bit-for-bit in SQL; tests additionally measure recall against
+    sim_topk_bruteforce."""
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return V.topk_lsh(emb, queries, "vec_id", "embedding", k=10, num_planes=6)
@@ -234,14 +307,26 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("sim_topk_ivf", oracle=None)
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via IVF coarse quantization: corpus sharded
-    into inverted lists by nearest centroid, queries probe their 4
-    nearest lists — the scale path when bucket recall matters more than
-    LSH's probabilistic guarantees. Rows-only for the driver; tests
+    into inverted lists by nearest K-MEANS centroid (fixed seed,
+    ml/clustering.kmeans_centroids through ivf_topk's quantizer seam),
+    queries probe their 4 nearest lists — the scale path when bucket
+    recall matters more than LSH's probabilistic guarantees. Rows-only
+    for the driver (k-means is iterative, not SQL-expressible); tests
     measure recall against sim_topk_bruteforce."""
+    from ..ml.clustering import kmeans_centroids
+
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
+    cent = kmeans_centroids(emb, "embedding", k=16, seed=42)
     return V.ivf_topk(
-        emb, queries, "vec_id", "embedding", k=10, n_centroids=16, nprobe=4
+        emb,
+        queries,
+        "vec_id",
+        "embedding",
+        k=10,
+        n_centroids=16,
+        nprobe=4,
+        centroids=cent,
     )
 
 

@@ -105,11 +105,20 @@ def test_exact_dedup_finds_planted_copies(spark, docs):
 
 
 def test_ivf_topk_recall_vs_bruteforce(spark):
-    """IVF with nprobe=4 of 16 lists scans ~25% of the corpus per query
-    and should recover a solid fraction of the exact top-10."""
+    """IVF with k-means centroids, nprobe=4 of 16 lists scans ~25% of
+    the corpus per query and must beat the random-probe baseline
+    (nprobe/n_centroids = 0.25) by a clear margin on the exact top-10.
+
+    The comparison deliberately uses the K-MEANS quantizer, not the
+    lowest-id stand-in: the stand-in scores a misleading ~1.0 recall
+    HERE only because the test queries (vec_id < 5) are themselves
+    among the lowest-id centroids, making every query's neighborhood
+    its own inverted list by construction — for any query outside the
+    centroid set that advantage vanishes."""
     from pyspark.sql import functions as F
 
     from bitcoin_olap_spark.catalog import table
+    from bitcoin_olap_spark.ml.clustering import kmeans_centroids
     from bitcoin_olap_spark.operators.vectors import ivf_topk, topk_bruteforce
 
     emb = table(spark, SF_ORACLE, "embeddings")
@@ -120,13 +129,21 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
             emb, queries, "vec_id", "embedding", k=10
         ).collect()
     }
+    cent = kmeans_centroids(emb, "embedding", k=16, seed=42)
     approx_rows = ivf_topk(
-        emb, queries, "vec_id", "embedding", k=10, n_centroids=16, nprobe=4
+        emb,
+        queries,
+        "vec_id",
+        "embedding",
+        k=10,
+        n_centroids=16,
+        nprobe=4,
+        centroids=cent,
     ).collect()
     approx = {(r.query_id, r.vec_id) for r in approx_rows}
     assert all(1 <= r.rank <= 10 for r in approx_rows)
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.3, f"IVF top-k recall too low: {recall}"
+    assert recall >= 0.4, f"IVF top-k recall too low: {recall}"
 
 
 def test_kmeans_assignment_invariants(spark):

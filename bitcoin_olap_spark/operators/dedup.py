@@ -19,9 +19,13 @@ Four tiers, all pure DataFrame ops (no Python UDFs):
                      chunks (a pair within Hamming distance d <= 7 must
                      agree on >= 1 of the 8 chunks, by pigeonhole).
 
-MinHash/SimHash use xxhash64 (JVM-side, seedable) — deterministic
-across runs but not expressible in DuckDB SQL, so those two register
-rows-only checks; the exact tiers are oracle-checked.
+MinHash/SimHash derive their hash bits from md5 (Kirsch-Mitzenmacher
+a+i*b family for MinHash, the first 64 digest bits for SimHash): one
+JVM-side digest per shingle/word, and — unlike seeded xxhash64 — every
+derived hash is reproducible in ANSI SQL, so all four tiers are
+oracle-checked end to end. A production deployment free of the
+cross-engine-verification constraint could swap xxhash64 into the same
+seams for a cheaper digest.
 """
 
 from __future__ import annotations
@@ -152,14 +156,26 @@ def minhash_signatures(
     sh: DataFrame, id_col: str, num_hashes: int = 64
 ) -> DataFrame:
     """MinHash signature per document from a (id, shingle) relation:
-    sig[i] = min over shingles of xxhash64(shingle, seed=i). One
-    aggregation, num_hashes min() columns — map-side partials keep the
-    shuffle at one row per document."""
+    sig[i] = min over shingles of h_i(shingle). One aggregation,
+    num_hashes min() columns — map-side partials keep the shuffle at
+    one row per document.
+
+    The hash family is Kirsch-Mitzenmacher over one md5 per shingle:
+    a = first 11 hex digits (44 bits), b = next 11, h_i = a + i*b
+    (max < 2^50, no overflow; two derived base hashes simulate an
+    independent family). ONE digest per shingle regardless of
+    num_hashes, and — unlike a seeded xxhash64 — every h_i is
+    reproducible in ANSI SQL ('0x'||substr(md5(s),..))::BIGINT, which
+    is what lets the driver's DuckDB oracle check the LSH pipeline
+    end to end instead of rows-only."""
+    a = F.conv(F.substring(F.md5("shingle"), 1, 11), 16, 10).cast("long")
+    b = F.conv(F.substring(F.md5("shingle"), 12, 11), 16, 10).cast("long")
+    hashed = sh.select(F.col(id_col), a.alias("a"), b.alias("b"))
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        F.min(F.col("a") + i * F.col("b")).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    agged = sh.groupBy(id_col).agg(*mins)
+    agged = hashed.groupBy(id_col).agg(*mins)
     return agged.select(
         id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
     )
@@ -185,13 +201,18 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     sh = shingles(_spread(df), id_col, text_col, n).cache()
     sig = minhash_signatures(sh, id_col, num_hashes)
+    # band key = the band's signature rows joined as a string: as
+    # collision-exact as hashing them (equal iff the band rows are
+    # equal), and reproducible in the DuckDB oracle as
+    # string_agg(mh, '|' ORDER BY i) where xxhash64(...) is not
     band_arr = F.array(
         *[
-            F.xxhash64(
+            F.concat_ws(
+                "|",
                 *[
                     F.element_at("sig", b * rows_per_band + r + 1)
                     for r in range(rows_per_band)
-                ]
+                ],
             )
             for b in range(bands)
         ]
@@ -240,19 +261,39 @@ def minhash_lsh_pairs(
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document: per-word xxhash64, each bit votes
+    """64-bit SimHash per document: per-word hash, each bit votes
     ±1, sign of the vote sum sets the bit. Returns (id_col, simhash).
+
+    The 64 word-hash bits are the first 16 hex digits of md5(word),
+    parsed as two 32-bit halves g1/g2 — one digest per word, and every
+    bit reproducible in ANSI SQL (('0x'||substr(md5(w),1,8))::BIGINT),
+    so the driver's DuckDB oracle can replay the whole vote/sign/
+    blocking pipeline instead of settling for a rows-only check.
 
     Implemented as 64 conditional-sum aggregates (JVM-side, one shuffle
     of one row per document) assembled with shiftleft/bitwise-or."""
-    w = _spread(df).select(
-        F.col(id_col), F.explode(words(F.lower(text_col))).alias("w")
-    ).withColumn("h", F.xxhash64("w"))
+    w = (
+        _spread(df)
+        .select(
+            F.col(id_col), F.explode(words(F.lower(text_col))).alias("w")
+        )
+        .withColumn("hex", F.md5("w"))
+        .withColumn(
+            "g1", F.conv(F.substring("hex", 1, 8), 16, 10).cast("long")
+        )
+        .withColumn(
+            "g2", F.conv(F.substring("hex", 9, 8), 16, 10).cast("long")
+        )
+    )
     votes = [
         F.sum(
-            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                -1
-            )
+            F.when(
+                F.shiftright("g1" if i < 32 else "g2", i % 32).bitwiseAND(
+                    F.lit(1)
+                )
+                == 1,
+                1,
+            ).otherwise(-1)
         ).alias(f"v{i}")
         for i in range(64)
     ]
@@ -306,7 +347,9 @@ def simhash_pairs(
             F.col(f"r.{id_col}").alias("doc_b"),
             F.bit_count(
                 F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
-            ).alias("hamming"),
+            )
+            .cast("long")
+            .alias("hamming"),
         )
         .distinct()
     )

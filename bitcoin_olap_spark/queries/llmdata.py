@@ -102,13 +102,66 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_lsh", oracle=None)
+_MINHASH_LSH_ORACLE = """
+    WITH words AS (
+        SELECT doc_id, w,
+               row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents)
+    ), tri AS (
+        SELECT DISTINCT doc_id,
+               w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+                   AS shingle
+        FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(w, 2) OVER win IS NOT NULL
+    ), ab AS (
+        -- Kirsch-Mitzenmacher base hashes: md5 hex digits 1-11 / 12-22
+        -- as 44-bit ints (operators/dedup.minhash_signatures twin)
+        SELECT doc_id,
+               ('0x' || substr(md5(shingle), 1, 11))::BIGINT AS a,
+               ('0x' || substr(md5(shingle), 12, 11))::BIGINT AS b
+        FROM tri
+    ), mins AS (
+        SELECT doc_id, ii.i, min(a + ii.i * b) AS mh
+        FROM ab, (SELECT unnest(range(64)) AS i) ii
+        GROUP BY 1, 2
+    ), bands AS (
+        SELECT doc_id, i // 4 AS band_idx,
+               string_agg(CAST(mh AS VARCHAR), '|' ORDER BY i) AS band_hash
+        FROM mins GROUP BY 1, 2
+    ), cand AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM bands l JOIN bands r
+          ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+         AND l.doc_id < r.doc_id
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM tri GROUP BY 1
+    ), common AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS common
+        FROM cand c
+        JOIN tri a ON a.doc_id = c.doc_a
+        JOIN tri b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           common * 1.0 / (sa.n + sb.n - common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.8
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_LSH_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + 16-band LSH candidate generation, exact-Jaccard
     verified at 0.8 — the linear-shuffle scale path for what
-    dedup_ngram_jaccard computes quadratically. xxhash64-based, hence
-    rows-only for the driver; tests verify recall against the exact
-    operator."""
+    dedup_ngram_jaccard computes quadratically. Oracle-checked end to
+    end (upgraded from rows-only): the md5-derived Kirsch-Mitzenmacher
+    hash family makes signatures, band keys, candidate sets, and the
+    exact verify all reproducible in DuckDB SQL; tests additionally
+    verify recall against the exact operator."""
     return D.minhash_lsh_pairs(
         table(spark, sf_dir, "documents"),
         "doc_id",
@@ -120,12 +173,54 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash", oracle=None)
+_SIMHASH_ORACLE = """
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+    ), g AS (
+        -- first 16 md5 hex digits as two 32-bit halves
+        -- (operators/dedup.simhash twin)
+        SELECT doc_id,
+               ('0x' || substr(md5(w), 1, 8))::BIGINT AS g1,
+               ('0x' || substr(md5(w), 9, 8))::BIGINT AS g2
+        FROM w
+    ), signs AS (
+        SELECT doc_id, ii.i,
+               SUM(CASE WHEN (CASE WHEN ii.i < 32 THEN g1 >> ii.i
+                              ELSE g2 >> (ii.i - 32) END) & 1 = 1
+                        THEN 1 ELSE -1 END) > 0 AS s
+        FROM g, (SELECT unnest(range(64)) AS i) ii
+        GROUP BY 1, 2
+    ), chunks AS (
+        SELECT doc_id, i // 8 AS chunk_idx,
+               SUM(CASE WHEN s THEN 1 << (i % 8) ELSE 0 END) AS chunk
+        FROM signs GROUP BY 1, 2
+    ), cand AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM chunks l JOIN chunks r
+          ON l.chunk_idx = r.chunk_idx AND l.chunk = r.chunk
+         AND l.doc_id < r.doc_id
+    ), ham AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(SUM(CASE WHEN sa.s != sb.s THEN 1 ELSE 0 END)
+                    AS BIGINT) AS hamming
+        FROM cand c
+        JOIN signs sa ON sa.doc_id = c.doc_a
+        JOIN signs sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 7
+"""
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64-bit) near-dup pairs within Hamming distance 7, via
     8-bit chunk blocking (pigeonhole: <=7 flips leave >=1 of 8 chunks
-    intact). Rows-only (xxhash64); tests cross-check against Jaccard
-    pairs."""
+    intact). Oracle-checked end to end (upgraded from rows-only): word
+    hash bits come from md5's first 16 hex digits, so DuckDB replays
+    the vote/sign/chunk-blocking pipeline bit-for-bit; tests
+    cross-check the resulting pairs against Jaccard pairs."""
     return D.simhash_pairs(
         table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=7
     )

@@ -43,7 +43,6 @@ SCALE = 1_000_000_000_000
 
 def _pagerank_iteration(
     e: DataFrame,
-    g: DataFrame,
     ranks: DataFrame,
     teleport: int,
     damping_pct: int,
@@ -54,23 +53,31 @@ def _pagerank_iteration(
     (edge list never shuffles). Big-graph path shuffle-hash-joins: the
     rank relation is hashed and shuffled onto the cached src-partitioned
     edge list, so per-iteration movement is O(nodes), never O(edges),
-    and never a broadcast of a node-sized relation."""
+    and never a broadcast of a node-sized relation.
+
+    `e` carries the destination's outdegree (`dst_outdeg`, pre-joined
+    ONCE in pagerank_int), so a round is a single join + a single
+    dst-keyed aggregate — no second join against the degree relation
+    per round."""
     rank_side = F.broadcast(ranks) if use_broadcast else ranks.hint(
         "shuffle_hash"
     )
     contrib = (
         e.join(rank_side, e.src == ranks.node)
-        .select("dst", F.expr("rank div outdeg").alias("c"))
+        .select(
+            "dst",
+            "dst_outdeg",
+            F.expr("rank div outdeg").alias("c"),
+        )
         .groupBy("dst")
-        .agg(F.sum("c").alias("s"))
+        .agg(F.sum("c").alias("s"), F.min("dst_outdeg").alias("outdeg"))
     )
     new_rank = (
         F.lit(teleport)
         + F.expr(f"({damping_pct} * s) div 100").cast("long")
     ).cast("long")
-    g_side = g if use_broadcast else g.hint("shuffle_hash")
-    return contrib.join(g_side, contrib.dst == g.node).select(
-        "node", "outdeg", new_rank.alias("rank")
+    return contrib.select(
+        F.col("dst").alias("node"), "outdeg", new_rank.alias("rank")
     )
 
 
@@ -99,13 +106,13 @@ def pagerank_int(
     node-sized relation is a guaranteed OOM. Both paths compute the
     identical integer recurrence.
     """
-    # cache the edge list: every iteration joins against it, and the
-    # upstream relation (a pair-building self-join) must not re-execute
-    # per iteration
-    e = edges.select(
+    # cache the raw edge list: the degree aggregate, the N count, and
+    # the dst_outdeg pre-join all read it, and the upstream relation (a
+    # pair-building self-join) must not re-execute for each
+    e0 = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).cache()
-    g = e.groupBy(F.col("src").alias("node")).agg(
+    g = e0.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("outdeg")
     )
     # one tiny action: N pins the integer teleport constants — plain
@@ -115,31 +122,53 @@ def pagerank_int(
     init_rank = SCALE // n_nodes
     teleport = (100 - damping_pct) * init_rank // 100
     use_broadcast = n_nodes <= broadcast_max_nodes
+
+    # pre-join each edge's DESTINATION outdegree once — the loop then
+    # needs no per-round join against the degree relation (the oracle's
+    # per-round `JOIN g` is this, hoisted out of the iteration). The
+    # degree side is node-sized; on the small-graph path it broadcasts,
+    # on the big-graph path the join output is immediately re-hashed
+    # onto src anyway.
+    gd = g.select(
+        F.col("node").alias("_dn"), F.col("outdeg").alias("dst_outdeg")
+    )
+    gd_side = F.broadcast(gd) if use_broadcast else gd
+    e = e0.join(gd_side, e0.dst == gd._dn).select("src", "dst", "dst_outdeg")
     if not use_broadcast:
         # big graph: pin a src-hash-partitioned copy so every
         # iteration's shuffle-hash join reuses the edge partitioning
         # and only the node-sized rank relation moves per round
-        e_part = e.repartition("src").cache()
-        e.unpersist()
-        e = e_part
+        e = e.repartition("src")
+    e = e.cache()
 
     # ranks carry outdeg through the loop (the oracle's CTEs do the
     # same) so each iteration is ONE edges-join + one dst-keyed
-    # partial aggregate over node-sized rows. Each round materializes
-    # via localCheckpoint: a k-deep lazy chain would re-execute rounds
-    # 1..k-1 inside round k's join subtrees (broadcast jobs cannot
-    # reuse unmaterialized intermediates), turning O(k) work into
-    # O(k^2) — same lesson as connected_components' fixpoint loop.
-    ranks = g.select(
-        "node", "outdeg", F.lit(init_rank).alias("rank")
-    ).localCheckpoint()
+    # aggregate over node-sized rows.
+    #
+    # Per-round materialization: each round's ranks are cache()d —
+    # lazily, with no forcing action, so the driver never blocks
+    # between rounds. The single final action materializes the whole
+    # chain; each round's broadcast/exchange job populates that round's
+    # cache on the way up, so rounds execute exactly ONCE (without the
+    # cache, round k's exchange subtree would re-execute rounds
+    # 1..k-1 — O(k^2)). The shuffle path additionally localCheckpoints
+    # to truncate lineage: a k-deep shuffle-join chain otherwise
+    # re-optimizes from scratch each round at plan time.
+    ranks = g.select("node", "outdeg", F.lit(init_rank).alias("rank"))
     for _ in range(iters):
         ranks = _pagerank_iteration(
-            e, g, ranks, teleport, damping_pct, use_broadcast
-        ).localCheckpoint()
-    # final ranks are checkpointed (lineage truncated), so the edge
-    # cache is dead weight for the rest of the session — release it
-    e.unpersist()
+            e, ranks, teleport, damping_pct, use_broadcast
+        )
+        ranks = ranks.localCheckpoint() if not use_broadcast else ranks.cache()
+    if not use_broadcast:
+        # shuffle path: final ranks are checkpointed (lineage
+        # truncated), so the edge caches are dead weight — release
+        # them. Broadcast path: the returned LAZY plan still references
+        # the cached edges, so the caches must outlive this call
+        # (released by the session's usual cache hygiene — bench/tests
+        # clearCache between queries).
+        e.unpersist()
+        e0.unpersist()
     return ranks.select("node", F.col("rank").alias("rank_scaled"))
 
 

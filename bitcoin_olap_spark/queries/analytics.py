@@ -375,25 +375,44 @@ _PAGERANK_EDGES_CTE = """edges AS (
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed co-purchase edge list: part -> part when both appear in
     the same order. Built symmetric (both directions), so every node is
-    a source — the precondition pagerank_int documents."""
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    a source — the precondition pagerank_int documents.
+
+    Built group-wise, not by self-join: one orderkey shuffle collects
+    each order's part set (orders have few parts, so sets are tiny),
+    pairs explode map-side from the array, and one (src,dst) exchange
+    dedupes. The equivalent orderkey self-join (the form the oracle
+    states) shuffles the relation twice and materializes every
+    duplicate pair into the join output before the distinct; group-wise
+    the duplicates never leave the map side. Skew note: a pathological
+    order with 1e5 parts would explode 1e10 pairs in one task — TPC-H
+    orders cap at 7 lineitems, and a real deployment would cap or salt
+    giant groups first."""
+    li = table(spark, sf_dir, "lineitem", spread=True).select(
+        "l_orderkey", "l_partkey"
     )
-    a, b = li.alias("a"), li.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .distinct()
+    parts = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
     )
+    pairs = (
+        parts.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ps",
+                        lambda x: F.transform(
+                            "ps",
+                            lambda y: F.struct(
+                                x.alias("src"), y.alias("dst")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
+        .filter(F.col("src") != F.col("dst"))
+    )
+    return pairs.distinct()
 
 
 from ..operators.graph import oracle_pagerank_sql, pagerank_int  # noqa: E402
@@ -407,14 +426,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the part co-purchase graph (parts linked when one
     order contains both) — 6 power-method iterations in exact integer
     fixed-point (operators/graph.pagerank_int; rank scaled by 1e12).
-    The whole method is ONE lazy plan: 6 chained shuffle-join+aggregate
-    stages over the cached edge list, no driver fixpoint, no
-    checkpoint; the oracle unrolls the identical integer recurrence as
-    chained CTEs. Integer arithmetic is the determinism move — float
-    PageRank drifts ULPs per iteration and can never hash-match across
-    engines. Complements dedup_doc_clusters' converge-tested label
-    propagation as the fixed-iteration half of the iterative-graph
-    family."""
+    The join strategy is node-count gated: small graphs broadcast the
+    node-sized rank relation per round; big graphs shuffle-hash-join it
+    against the src-partitioned cached edge list (the only shape that
+    survives 1e8+ nodes). The oracle unrolls the identical integer
+    recurrence as chained CTEs — integer arithmetic is the determinism
+    move; float PageRank drifts ULPs per iteration and can never
+    hash-match across engines. Complements dedup_doc_clusters'
+    converge-tested label propagation as the fixed-iteration half of
+    the iterative-graph family."""
     return pagerank_int(
         _copurchase_edges(spark, sf_dir), "src", "dst", iters=6
     )

@@ -157,12 +157,19 @@ def test_pagerank_big_graph_path_never_broadcasts_ranks(spark):
     edges = spark.createDataFrame(
         [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1)], "src long, dst long"
     )
-    e = edges.repartition("src")
-    g = e.groupBy(F.col("src").alias("node")).agg(
+    g = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("outdeg")
     )
+    gd = g.select(
+        F.col("node").alias("_dn"), F.col("outdeg").alias("dst_outdeg")
+    )
+    e = (
+        edges.join(gd, edges.dst == gd._dn)
+        .select("src", "dst", "dst_outdeg")
+        .repartition("src")
+    )
     ranks = g.select("node", "outdeg", F.lit(1000).alias("rank"))
-    it = _pagerank_iteration(e, g, ranks, 10, 85, use_broadcast=False)
+    it = _pagerank_iteration(e, ranks, 10, 85, use_broadcast=False)
     p = plan_str(it)
     assert "BroadcastHashJoin" not in p
     assert "ShuffledHashJoin" in p or "SortMergeJoin" in p

@@ -677,8 +677,46 @@ def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: count-min geometry: 4 hash rows x 1024 buckets — fixed-size state.
 _CM_D, _CM_W = 4, 1024
 
+#: Kirsch-Mitzenmacher row hashes from one md5 per token (same
+#: convention as operators/dedup): h_r = (a + r*b) % W with a/b the
+#: first/second 11 hex digits as 44-bit ints — DuckDB-reproducible,
+#: which is what upgrades this sketch from rows-only to a full oracle.
+_CM_A_SQL = "('0x' || substr(md5(token), 1, 11))::BIGINT"
+_CM_B_SQL = "('0x' || substr(md5(token), 12, 11))::BIGINT"
 
-@query("agg_countmin", oracle=None)
+_COUNTMIN_ORACLE = f"""
+    WITH tokens AS (
+        SELECT doc_id, t AS token FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+            FROM documents)
+        WHERE t != ''
+    ), pairs AS (
+        SELECT rr.r AS rw,
+               ({_CM_A_SQL} + rr.r * {_CM_B_SQL}) % {_CM_W} AS bkt
+        FROM tokens, (SELECT unnest(range({_CM_D})) AS r) rr
+    ), sketch AS (
+        SELECT rw, bkt, count(*) AS cnt FROM pairs GROUP BY 1, 2
+    ), probes AS (
+        SELECT DISTINCT token FROM tokens WHERE doc_id < 10
+    ), pp AS (
+        SELECT token, rr.r AS rw,
+               ({_CM_A_SQL} + rr.r * {_CM_B_SQL}) % {_CM_W} AS bkt
+        FROM probes, (SELECT unnest(range({_CM_D})) AS r) rr
+    )
+    SELECT token, MIN(cnt) AS est_count
+    FROM pp JOIN sketch USING (rw, bkt)
+    GROUP BY 1 ORDER BY est_count DESC, token LIMIT 20
+"""
+
+
+def _cm_hashes(col: str):
+    """The _CM_D per-row bucket Columns for a token column."""
+    a = F.conv(F.substring(F.md5(col), 1, 11), 16, 10).cast("long")
+    b = F.conv(F.substring(F.md5(col), 12, 11), 16, 10).cast("long")
+    return [F.pmod(a + r * b, F.lit(_CM_W)) for r in range(_CM_D)]
+
+
+@query("agg_countmin", oracle=_COUNTMIN_ORACLE)
 def agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch over the corpus token stream: a fixed
     (4 x 1024)-counter summary supporting point frequency queries with
@@ -691,26 +729,20 @@ def agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     element-wise sum — same rollup algebra as agg_sketch_partial's HLL.
 
     Plan: one map-side explode emits (row, bucket) pairs per token
-    occurrence (xxhash64 seeded per row — JVM-side, no Python), ONE
-    4096-group aggregate builds the sketch; probes (the distinct
-    tokens of the first 10 docs) join the broadcast sketch on
-    (row, bucket) and take MIN over rows. Rows-only for the driver
-    (xxhash64 is not expressible in DuckDB); tests pin the one-sided
-    guarantee and top-1 agreement against exact counts. Top-20 by
-    (estimate DESC, token) keeps the output deterministic."""
+    occurrence (md5-derived Kirsch-Mitzenmacher row hashes — JVM-side,
+    no Python), ONE 4096-group aggregate builds the sketch; probes
+    (the distinct tokens of the first 10 docs) join the broadcast
+    sketch on (row, bucket) and take MIN over rows. Oracle-checked end
+    to end (upgraded from rows-only): DuckDB rebuilds the identical
+    counters and estimates from the same hash arithmetic; tests
+    additionally pin the one-sided guarantee against exact counts.
+    Top-20 by (estimate DESC, token) keeps the output deterministic."""
     docs = table(spark, sf_dir, "documents", spread=True)
     tokens = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
     ).filter(F.col("token") != "")
     pairs = tokens.select(
-        F.posexplode(
-            F.array(
-                *[
-                    F.pmod(F.xxhash64("token", F.lit(r)), F.lit(_CM_W))
-                    for r in range(_CM_D)
-                ]
-            )
-        ).alias("row", "bucket")
+        F.posexplode(F.array(*_cm_hashes("token"))).alias("row", "bucket")
     )
     sketch = pairs.groupBy("row", "bucket").agg(
         F.count(F.lit(1)).alias("cnt")
@@ -720,14 +752,7 @@ def agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probe_pairs = probes.select(
         "token",
-        F.posexplode(
-            F.array(
-                *[
-                    F.pmod(F.xxhash64("token", F.lit(r)), F.lit(_CM_W))
-                    for r in range(_CM_D)
-                ]
-            )
-        ).alias("row", "bucket"),
+        F.posexplode(F.array(*_cm_hashes("token"))).alias("row", "bucket"),
     )
     return (
         probe_pairs.join(F.broadcast(sketch), ["row", "bucket"])

@@ -561,6 +561,71 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HASH_EMBED_DIM = 16
+
+_HASH_EMBED_ORACLE = """
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+    ), hb AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(w), 1, 8))::BIGINT %% {dim} AS bucket,
+               CASE WHEN ('0x' || substr(md5(w), 9, 1))::BIGINT %% 2 = 1
+                    THEN 1 ELSE -1 END AS sgn
+        FROM w
+    )
+    SELECT doc_id, {cols}
+    FROM hb GROUP BY 1
+""".replace("%%", "%")
+_HASH_EMBED_ORACLE = _HASH_EMBED_ORACLE.format(
+    dim=_HASH_EMBED_DIM,
+    cols=", ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN bucket = {i} THEN sgn END), 0)"
+        f" AS BIGINT) AS f{i}"
+        for i in range(_HASH_EMBED_DIM)
+    ),
+)
+
+
+@query("text_hash_embed", oracle=_HASH_EMBED_ORACLE)
+def text_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing ('hashing trick', Weinberger et al. 2009)
+    bag-of-words embedding: each token hashes to one of 16 buckets with
+    a ±1 sign from an independent hash bit (the sign makes bucket
+    collisions unbiased), per-document sums form the fixed-width
+    vector. The vocabulary-free featurizer a training pipeline runs
+    before any learned embedding exists — map-only per token plus ONE
+    doc-keyed shuffle with map-side partial sums, zero vocabulary
+    state, so it scales to any corpus. md5-derived hash bits (same
+    convention as operators/dedup) keep it integer-exact and
+    reproducible in the DuckDB oracle; output is 16 scalar columns
+    (driver canonicalizer contract)."""
+    docs = table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.explode(TX.words(F.lower("text"))).alias("w")
+    )
+    h = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+    sgn = F.when(
+        F.conv(F.substring(F.md5("w"), 9, 1), 16, 10).cast("long") % 2 == 1,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    hb = w.select(
+        "doc_id",
+        F.pmod(h, F.lit(_HASH_EMBED_DIM)).alias("bucket"),
+        sgn.alias("sgn"),
+    )
+    return hb.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("bucket") == i, F.col("sgn"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"f{i}")
+            for i in range(_HASH_EMBED_DIM)
+        ]
+    )
+
+
 @query(
     "text_fingerprint",
     oracle="""

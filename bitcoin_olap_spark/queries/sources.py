@@ -794,3 +794,93 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orc(out)
         )
     return spark.read.orc(out).select(*cols)
+
+
+_Z_BITS = 16
+
+_ZVAL_SQL = " | ".join(
+    f"(((l_partkey >> {i}) & 1) << {2 * i})"
+    f" | (((l_suppkey >> {i}) & 1) << {2 * i + 1})"
+    for i in range(_Z_BITS)
+)
+
+
+def _morton(x, y):
+    """Interleave the low 16 bits of two integer Columns into a 32-bit
+    Morton (Z-order) value — pure JVM bit arithmetic, exact on both
+    engines."""
+    z = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    for i in range(_Z_BITS):
+        z = z.bitwiseOR(
+            F.shiftleft(
+                F.shiftright(x.cast("long"), i).bitwiseAND(one), 2 * i
+            )
+        )
+        z = z.bitwiseOR(
+            F.shiftleft(
+                F.shiftright(y.cast("long"), i).bitwiseAND(one), 2 * i + 1
+            )
+        )
+    return z
+
+
+@query(
+    "snk_zorder_layout",
+    oracle=f"""
+    WITH z AS (
+        SELECT l_partkey, l_suppkey,
+               {_ZVAL_SQL} AS zval
+        FROM lineitem
+    )
+    SELECT CAST(zval >> {2 * _Z_BITS - 4} AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+           MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
+    FROM z GROUP BY 1
+    """,
+)
+def snk_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) multidimensional data layout — the clustering
+    pass a lakehouse runs (Delta OPTIMIZE ZORDER BY, Iceberg sort
+    orders) so min/max footer stats prune on EITHER predicate column.
+    Interleaving the bit patterns of (l_partkey, l_suppkey) makes
+    z-adjacent rows adjacent in BOTH dimensions, so each written file
+    covers a bounded rectangle of the key space instead of a full
+    stripe — a filter on either column then skips most files, where a
+    single-column sort only serves its own column. Files here are the
+    top-4-bit z-buckets (deterministic fixed-width ranges; production
+    uses repartitionByRange on zval for equal-size files — sampled
+    boundaries, same layout property, not bit-reproducible). The
+    returned per-bucket min/max rectangles ARE the skipping index the
+    layout buys; the oracle recomputes them from the same bit
+    arithmetic. Write once per (process, sf_dir); layout is map-only +
+    one bucket exchange at any scale."""
+    zd = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        _morton(F.col("l_partkey"), F.col("l_suppkey")).alias("zval"),
+    ).withColumn(
+        "bucket", F.shiftright("zval", 2 * _Z_BITS - 4).cast("long")
+    )
+    out = _tmp(f"zorder_lineitem_{os.path.basename(sf_dir)}")
+    if not os.path.isdir(out):
+        (
+            zd.repartition("bucket")
+            .sortWithinPartitions("zval")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(out)
+        )
+    # partition-directory columns read back as INT by default; the
+    # oracle states BIGINT
+    got = spark.read.parquet(out).withColumn(
+        "bucket", F.col("bucket").cast("long")
+    )
+    return got.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_partkey").alias("min_part"),
+        F.max("l_partkey").alias("max_part"),
+        F.min("l_suppkey").alias("min_supp"),
+        F.max("l_suppkey").alias("max_supp"),
+    )

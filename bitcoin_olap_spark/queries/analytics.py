@@ -545,8 +545,8 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     id-canonical b < c for free), never through an m x m self-join
     exchange. The closing probe then hits the u < v edge set directly
     on an equi-key — no OR-condition join, which no engine can hash;
-    the edge side broadcasts under a size gate (mirrors pagerank_int's)
-    and hash-shuffles on the composite key above it, the 100 TB-correct
+    the edge side broadcasts or shuffle-joins at AQE's discretion from
+    its measured cached size (no guessed threshold), the 100 TB-correct
     shape. AQE skew splitting covers residual hot apexes."""
     li = table(spark, sf_dir, "lineitem", spread=True).select(
         "l_orderkey", "l_partkey"
@@ -574,8 +574,6 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
         .cache()
     )
-    # one tiny action: m gates the closing-join strategy (see above)
-    m_edges = und.count()
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
@@ -600,9 +598,12 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b",
         F.explode(F.slice("ns", F.col("i") + 2, F.size("ns"))).alias("c"),
     )
-    und_side = F.broadcast(und) if m_edges <= 20_000_000 else und
+    # closing join strategy is AQE's call from the cached edge set's
+    # MEASURED size (no driver count job, no guessed threshold): small
+    # graphs broadcast-hash, big ones shuffle on the composite key —
+    # the 100 TB-correct shape
     return wedges.join(
-        und_side, (wedges.b == und.u) & (wedges.c == und.v)
+        und, (wedges.b == und.u) & (wedges.c == und.v)
     ).agg(F.count(F.lit(1)).cast("long").alias("triangles"))
 
 

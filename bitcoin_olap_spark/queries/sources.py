@@ -884,3 +884,92 @@ def snk_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_suppkey").alias("min_supp"),
         F.max("l_suppkey").alias("max_supp"),
     )
+
+
+#: incremental-rollup split point: history strictly before, delta on or
+#: after. Mid-range of the events table's ~January span so both sides
+#: are non-trivial.
+_IVM_CUT = "2024-01-20 00:00:00"
+
+
+def _rollup_base(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the HISTORY side's daily rollup once per (process,
+    sf_dir) — the stored materialized view the incremental pass
+    maintains. Totals are stored as DECIMAL partials, not doubles:
+    decimal addition is exact and associative, so merging a stored
+    partial with a delta partial is bit-identical to aggregating the
+    raw union — the algebra incremental view maintenance rests on."""
+    from ..functions import day
+
+    suffix = os.path.basename(os.path.abspath(sf_dir))
+    out = _tmp(f"rollup_base_{suffix}")
+    if not os.path.isdir(out):
+        e = table(spark, sf_dir, "events")
+        (
+            e.filter(F.col("ts") < F.lit(_IVM_CUT).cast("timestamp"))
+            .groupBy(
+                day("ts").alias("day"), F.col("event_type")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,4)")).alias(
+                    "total_dec"
+                ),
+            )
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+    return out
+
+
+@query(
+    "snk_incremental_rollup",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+               AS day,
+           event_type,
+           COUNT(*) AS n,
+           {oracle_exact_sum('value', 'total')}
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def snk_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a stored daily rollup
+    (history side, written once — _rollup_base) is brought up to date
+    by aggregating ONLY the delta batch (events on/after the cut) and
+    merging partials — sum-of-counts and sum-of-decimal-partials are
+    associative, so the merge is bit-identical to the full recompute
+    the oracle states, while the incremental cost is O(delta) + O(view)
+    and NEVER rescans raw history. This is the aggregate-level sibling
+    of snk_cdc_apply's row-level upsert and the batch form of
+    stream_daily_agg's accumulating windows; at 100 TB it is the
+    difference between a nightly 5-minute delta merge and a full-table
+    re-aggregation. The merge shuffles on the same (day, event_type)
+    key as the view itself, so co-partitioning carries through."""
+    from ..functions import day
+
+    base = spark.read.parquet(_rollup_base(spark, sf_dir))
+    e = table(spark, sf_dir, "events")
+    delta = (
+        e.filter(F.col("ts") >= F.lit(_IVM_CUT).cast("timestamp"))
+        .groupBy(day("ts").alias("day"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("total_dec"),
+        )
+    )
+    merged = (
+        base.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("total_dec").alias("total_dec"),
+        )
+    )
+    return merged.select(
+        "day",
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("total_dec").cast("double").alias("total"),
+    )

@@ -808,3 +808,106 @@ def ml_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "quality_expectations",
+    oracle="""
+    SELECT 'orders_pk_unique' AS expectation,
+           CAST((SELECT COALESCE(SUM(cnt - 1), 0) FROM (
+               SELECT COUNT(*) AS cnt FROM orders GROUP BY o_orderkey
+               HAVING COUNT(*) > 1)) AS BIGINT) AS violations,
+           (SELECT COUNT(*) FROM orders) AS n_checked
+    UNION ALL
+    SELECT 'orders_fk_customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+                 WHERE c.c_custkey IS NULL) AS BIGINT),
+           (SELECT COUNT(*) FROM orders)
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+                 WHERE o.o_orderkey IS NULL) AS BIGINT),
+           (SELECT COUNT(*) FROM lineitem)
+    UNION ALL
+    SELECT 'lineitem_qty_range',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_quantity IS NULL
+                    OR l_quantity < 1 OR l_quantity > 50) AS BIGINT),
+           (SELECT COUNT(*) FROM lineitem)
+    UNION ALL
+    SELECT 'events_ts_not_null',
+           CAST((SELECT COUNT(*) - COUNT(ts) FROM events) AS BIGINT),
+           (SELECT COUNT(*) FROM events)
+    """,
+)
+def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch constraint validation (the dbt-test / Great-Expectations
+    contract pass every ingest gate runs): primary-key uniqueness,
+    two referential-integrity checks, a value-range rule, and a
+    not-null rule, each reported as (expectation, violations,
+    n_checked). Each check is the cheapest distributed form of its
+    class — PK uniqueness is one groupBy-count on the key (map-side
+    partials), the FK checks are left-anti-shaped probes where AQE
+    broadcasts the dimension side from its measured size, and the
+    scalar rules fuse into single scans. Violation COUNTS (not
+    violating rows) keep the result driver-sized at any scale; a
+    production gate materializes the counts, then pulls sample rows
+    only for failing checks."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    li = table(spark, sf_dir, "lineitem")
+    e = table(spark, sf_dir, "events")
+
+    def one(name, violations, total):
+        return violations.crossJoin(total).select(
+            F.lit(name).alias("expectation"),
+            F.col("violations").cast("long"),
+            F.col("n_checked").cast("long"),
+        )
+
+    pk = one(
+        "orders_pk_unique",
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .agg(
+            F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).alias("violations")
+        ),
+        o.agg(F.count(F.lit(1)).alias("n_checked")),
+    )
+    fk_oc = one(
+        "orders_fk_customer",
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti").agg(
+            F.count(F.lit(1)).alias("violations")
+        ),
+        o.agg(F.count(F.lit(1)).alias("n_checked")),
+    )
+    fk_lo = one(
+        "lineitem_fk_orders",
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti").agg(
+            F.count(F.lit(1)).alias("violations")
+        ),
+        li.agg(F.count(F.lit(1)).alias("n_checked")),
+    )
+    rng = one(
+        "lineitem_qty_range",
+        li.agg(
+            F.count(
+                F.when(
+                    F.col("l_quantity").isNull()
+                    | (F.col("l_quantity") < 1)
+                    | (F.col("l_quantity") > 50),
+                    1,
+                )
+            ).alias("violations")
+        ),
+        li.agg(F.count(F.lit(1)).alias("n_checked")),
+    )
+    nn = one(
+        "events_ts_not_null",
+        e.agg((F.count(F.lit(1)) - F.count("ts")).alias("violations")),
+        e.agg(F.count(F.lit(1)).alias("n_checked")),
+    )
+    return pk.unionByName(fk_oc).unionByName(fk_lo).unionByName(rng).unionByName(nn)

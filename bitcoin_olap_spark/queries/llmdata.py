@@ -173,7 +173,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SIMHASH_ORACLE = """
+# The oracle mirrors the ENGINE's aggregation shape — 64 conditional-
+# sum vote columns over one row per word, then per-doc bit assembly —
+# instead of a 64x per-word row expansion (a first-draft unnest(
+# range(64)) form computed the same relation 20x slower, which would
+# have padded the baseline denominator). The 64-bit simhash is carried
+# as two 32-bit halves h1/h2 because 1::BIGINT << 63 overflows in
+# DuckDB; hamming = bit_count(xor(h1)) + bit_count(xor(h2)).
+_SIMHASH_V_COLS = ", ".join(
+    f"SUM(CASE WHEN ({'g1' if i < 32 else 'g2'} >> {i % 32}) & 1 = 1 "
+    f"THEN 1 ELSE -1 END) AS v{i}"
+    for i in range(64)
+)
+_SIMHASH_H1 = " + ".join(
+    f"(CASE WHEN v{i} > 0 THEN (1::BIGINT << {i}) ELSE 0 END)"
+    for i in range(32)
+)
+_SIMHASH_H2 = " + ".join(
+    f"(CASE WHEN v{i} > 0 THEN (1::BIGINT << {i - 32}) ELSE 0 END)"
+    for i in range(32, 64)
+)
+_SIMHASH_ORACLE = f"""
     WITH w AS (
         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
         FROM documents
@@ -184,32 +204,29 @@ _SIMHASH_ORACLE = """
                ('0x' || substr(md5(w), 1, 8))::BIGINT AS g1,
                ('0x' || substr(md5(w), 9, 8))::BIGINT AS g2
         FROM w
-    ), signs AS (
-        SELECT doc_id, ii.i,
-               SUM(CASE WHEN (CASE WHEN ii.i < 32 THEN g1 >> ii.i
-                              ELSE g2 >> (ii.i - 32) END) & 1 = 1
-                        THEN 1 ELSE -1 END) > 0 AS s
-        FROM g, (SELECT unnest(range(64)) AS i) ii
-        GROUP BY 1, 2
-    ), chunks AS (
-        SELECT doc_id, i // 8 AS chunk_idx,
-               SUM(CASE WHEN s THEN 1 << (i % 8) ELSE 0 END) AS chunk
-        FROM signs GROUP BY 1, 2
+    ), v AS (
+        SELECT doc_id, {_SIMHASH_V_COLS}
+        FROM g GROUP BY 1
+    ), sh AS (
+        SELECT doc_id, {_SIMHASH_H1} AS h1, {_SIMHASH_H2} AS h2 FROM v
+    ), ch AS (
+        SELECT doc_id, cc.c AS chunk_idx,
+               CASE WHEN cc.c < 4 THEN (h1 >> (8 * cc.c)) & 255
+                    ELSE (h2 >> (8 * (cc.c - 4))) & 255 END AS chunk
+        FROM sh, (SELECT unnest(range(8)) AS c) cc
     ), cand AS (
         SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-        FROM chunks l JOIN chunks r
+        FROM ch l JOIN ch r
           ON l.chunk_idx = r.chunk_idx AND l.chunk = r.chunk
          AND l.doc_id < r.doc_id
-    ), ham AS (
-        SELECT c.doc_a, c.doc_b,
-               CAST(SUM(CASE WHEN sa.s != sb.s THEN 1 ELSE 0 END)
-                    AS BIGINT) AS hamming
-        FROM cand c
-        JOIN signs sa ON sa.doc_id = c.doc_a
-        JOIN signs sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
-        GROUP BY 1, 2
     )
-    SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 7
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2))
+                AS BIGINT) AS hamming
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b
+    WHERE bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) <= 7
 """
 
 

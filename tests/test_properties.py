@@ -367,3 +367,46 @@ def test_hash_embed_token_mass(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_acid_table_cow_and_time_travel(spark, tmp_path):
+    """File-level copy-on-write: a range-aligned DELETE must carry
+    every untouched file into the new manifest by reference (same
+    path), rewrite only affected files, keep version 0 readable
+    (time travel), enforce single-writer-wins on version numbers, and
+    vacuum() must reclaim only files no live version references."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators import acidtable as AT
+
+    root = str(tmp_path / "tbl")
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 7).alias("grp")
+    ).repartitionByRange(4, "id")
+    AT.init_table(spark, root, df)
+    m0 = AT.read_manifest(root, 0)
+    assert m0["n_files"] >= 4
+
+    AT.delete_where(spark, root, F.col("id") < 100)
+    m1 = AT.read_manifest(root, 1)
+    shared = set(m0["files"]) & set(m1["files"])
+    # ids < 100 live in the first range file(s) only: most files must
+    # carry over untouched
+    assert len(shared) >= m0["n_files"] - 2, (m0, m1)
+    assert set(m1["files"]) - set(m0["files"]), "no rewritten file"
+
+    # snapshot semantics
+    assert AT.snapshot(spark, root).count() == 900
+    assert AT.snapshot(spark, root, version=0).count() == 1000
+
+    # optimistic concurrency: a second commit to version 1 must fail
+    with pytest.raises(AT.ConcurrentCommitError):
+        AT._commit(root, 1, m1["files"], op="dup")
+
+    # vacuum keeps the latest version readable, drops v0-only files
+    removed = AT.vacuum(root, keep_versions=1)
+    assert removed >= 1
+    assert AT.snapshot(spark, root).count() == 900
+    with pytest.raises(FileNotFoundError):
+        AT.read_manifest(root, 0)

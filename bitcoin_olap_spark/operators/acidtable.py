@@ -198,3 +198,44 @@ def vacuum(root: str, keep_versions: int = 1) -> int:
             ):
                 shutil.rmtree(p, ignore_errors=True)
     return removed
+
+
+def merge_upsert(
+    spark: SparkSession,
+    root: str,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> int:
+    """ACID MERGE (upsert) via the same file-level copy-on-write as
+    delete_where: files containing a matched key are rewritten with
+    those rows replaced by their update; unmatched update rows append
+    as new files; untouched files carry over by reference. The matched-
+    file probe is one semi-join keyed scan (update keys are typically
+    tiny vs the table, so AQE broadcasts them), and the rewrite reads
+    ONLY affected files — O(touched files + updates), never O(table).
+    Returns the committed version."""
+    base = current_version(root)
+    m = read_manifest(root, base)
+    snap = spark.read.parquet(*m["files"])
+    keys = updates.select(*key_cols).distinct()
+    # input_file_name() must bind while the plan has ONE source — stamp
+    # it on the snapshot scan BEFORE joining the update keys
+    stamped = snap.withColumn("__f", F.input_file_name())
+    affected = {
+        r["__f"]
+        for r in stamped.join(keys, key_cols, "left_semi")
+        .select("__f")
+        .distinct()
+        .collect()
+    }
+    affected = {f.replace("file://", "").split("?")[0] for f in affected}
+    kept = [f for f in m["files"] if f not in affected]
+    new_files = list(kept)
+    if affected:
+        old_rows = spark.read.parquet(*sorted(affected))
+        survivors = old_rows.join(keys, key_cols, "left_anti")
+        new_files += _write_data_files(survivors, root)
+    # matched updates replace their old rows; unmatched updates insert
+    new_files += _write_data_files(updates, root)
+    _commit(root, base + 1, new_files, op="merge")
+    return base + 1

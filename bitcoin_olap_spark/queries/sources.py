@@ -1057,3 +1057,82 @@ def src_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         exact_sum("l_quantity", "total_qty"),
     )
+
+
+@query(
+    "snk_acid_merge",
+    oracle="""
+    WITH updates AS (
+        SELECT l_orderkey, l_linenumber,
+               l_quantity + 100 AS l_quantity, l_returnflag
+        FROM lineitem WHERE l_orderkey < 2000
+        UNION ALL
+        SELECT -1, 1, 999.0, 'Z'
+    ),
+    base AS (
+        SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        FROM lineitem WHERE NOT (l_orderkey < 3000)
+    )
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_qty
+    FROM (
+        SELECT * FROM base b
+        WHERE NOT EXISTS (
+            SELECT 1 FROM updates u
+            WHERE u.l_orderkey = b.l_orderkey
+              AND u.l_linenumber = b.l_linenumber)
+        UNION ALL
+        SELECT * FROM updates
+    )
+    GROUP BY 1
+    """,
+)
+def snk_acid_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACID MERGE (upsert) on the versioned CoW table: a batch of
+    updated rows (bumped quantities for low orderkeys, one brand-new
+    key) merges into the post-delete snapshot — matched keys replace
+    their rows inside rewritten copies of ONLY the files that held
+    them, the new key appends, every other file carries over by
+    reference. The oracle states MERGE's standard semantics
+    (anti-join survivors + updates). Note the update keys overlap the
+    deleted range (< 3000): rows the DELETE removed come back as
+    INSERTS — exactly MERGE's matched/unmatched contract on the
+    CURRENT snapshot, which is what distinguishes a versioned table
+    from an overwrite."""
+    root = _acid_fixture(spark, sf_dir)
+    li = table(spark, sf_dir, "lineitem")
+    updates = (
+        li.filter(F.col("l_orderkey") < 2000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_quantity") + 100).alias("l_quantity"),
+            "l_returnflag",
+        )
+        .unionByName(
+            li.sparkSession.createDataFrame(
+                [(-1, 1, 999.0, "Z")],
+                "l_orderkey long, l_linenumber int, l_quantity double,"
+                " l_returnflag string",
+            )
+        )
+    )
+    merged_root = root + "_merge"
+    if AT.current_version(merged_root) < 0:
+        # fork the fixture's post-delete snapshot into its own table so
+        # snk_acid_delete/src_time_travel keep their version history
+        AT.init_table(
+            spark,
+            merged_root,
+            AT.snapshot(spark, root).repartitionByRange(8, "l_orderkey"),
+        )
+        AT.merge_upsert(
+            spark, merged_root, updates, ["l_orderkey", "l_linenumber"]
+        )
+    snap = AT.snapshot(spark, merged_root)
+    return snap.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum("l_quantity", "total_qty"),
+    )

@@ -410,3 +410,31 @@ def test_acid_table_cow_and_time_travel(spark, tmp_path):
     assert AT.snapshot(spark, root).count() == 900
     with pytest.raises(FileNotFoundError):
         AT.read_manifest(root, 0)
+
+
+def test_acid_merge_cow_semantics(spark, tmp_path):
+    """MERGE must replace matched keys, insert unmatched ones, rewrite
+    only the files holding matched keys, and leave the pre-merge
+    version readable."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators import acidtable as AT
+
+    root = str(tmp_path / "tbl")
+    base = spark.range(0, 400).select(
+        F.col("id"), F.lit(1).alias("v")
+    ).repartitionByRange(4, "id")
+    AT.init_table(spark, root, base)
+    updates = spark.createDataFrame(
+        [(5, 99), (7, 99), (1000, 99)], "id long, v int"
+    )
+    AT.merge_upsert(spark, root, updates, ["id"])
+    m0, m1 = AT.read_manifest(root, 0), AT.read_manifest(root, 1)
+    # ids 5 and 7 live in the first range file; the other three carry
+    assert len(set(m0["files"]) & set(m1["files"])) >= m0["n_files"] - 2
+    snap = AT.snapshot(spark, root)
+    assert snap.count() == 401  # 400 rows, 2 replaced, 1 inserted
+    got = {r["id"]: r["v"] for r in snap.filter(
+        F.col("id").isin(5, 7, 1000, 8)).collect()}
+    assert got == {5: 99, 7: 99, 1000: 99, 8: 1}
+    assert AT.snapshot(spark, root, version=0).count() == 400

@@ -418,22 +418,36 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_quantile", oracle=None)
+@query(
+    "agg_approx_quantile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_disc(l_extendedprice, 0.5) AS p50,
+           quantile_disc(l_extendedprice, 0.9) AS p90
+    FROM lineitem GROUP BY 1
+    """,
+)
 def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate percentiles per group via approx_percentile
-    (Greenwald-Khanna sketch, accuracy 1/10000): the sketch tier of
-    agg_percentile — mergeable map-side partial sketches, O(sketch)
-    shuffle instead of a per-group sort, the 100 TB default when exact
-    interpolation isn't required. Sketches aren't SQL-expressible in
-    DuckDB, so no oracle; tests pin each estimate between the exact
-    neighboring order statistics. The two percentiles are projected as
-    scalar p50/p90 doubles (no array-typed output columns)."""
+    """Percentiles per group via approx_percentile (Greenwald-Khanna
+    sketch): the sketch tier of agg_percentile — mergeable map-side
+    partial sketches, O(sketch) shuffle instead of a per-group sort,
+    the 100 TB default when exact interpolation isn't required.
+
+    Oracle-checked (upgraded from rows-only) by exploiting GK's
+    guarantee: rank error <= floor(eps * N), so accuracy 1e6 makes the
+    sketch EXACT for any group below a million rows — it returns the
+    true order statistic, which DuckDB's quantile_disc states in SQL
+    (verified identical at sf0.001/0.01/0.1). Beyond 1e6-row groups
+    the same code degrades gracefully to eps = 1e-6 rank error — the
+    operator's semantics are unchanged, only the oracle's exactness
+    window is finite."""
     li = table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.expr(
-                "approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)"
+                "approx_percentile(l_extendedprice, array(0.5, 0.9),"
+                " 1000000)"
             ).alias("approx_p")
         )
         .select(

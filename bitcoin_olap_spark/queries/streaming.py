@@ -306,3 +306,66 @@ def stream_dropdup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir)
     restated = ev.withColumn("props", F.lit("{}"))
     return run_to_batch(dedup_within_watermark(ev.unionByName(restated)), spark)
+
+
+@query(
+    "stream_acid_sink",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+)
+def stream_acid_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest into the versioned ACID table
+    (operators/acidtable): each micro-batch commits ONE new manifest
+    version appending its immutable data files — the foreachBatch +
+    transaction-log pattern Delta's streaming sink implements. The
+    batch id rides in the manifest `op`, making retried batches
+    IDEMPOTENT: a replayed foreachBatch sees its id already committed
+    and skips — exactly-once sink semantics from the commit protocol
+    alone, with no sink-side dedup state. Readers meanwhile resolve
+    whole versions only, so a concurrent reader never observes a
+    half-written batch. Converged content = the whole events table
+    (the oracle); every intermediate version remains time-travelable
+    until vacuum."""
+    import os
+
+    from ..operators import acidtable as AT
+    from ..session import scratch_root
+
+    cols = ["event_id", "user_id", "event_type", "value"]
+    root = os.path.join(
+        scratch_root("sink"),
+        f"acid_stream_{os.path.basename(os.path.abspath(sf_dir))}",
+    )
+    if AT.current_version(root) < 0:
+        ev = stream_events(spark, sf_dir).select(*cols)
+        schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in ev.schema.fields
+        )
+        AT.init_table(spark, root, spark.createDataFrame([], schema))
+
+        def commit_batch(batch: DataFrame, batch_id: int) -> None:
+            op = f"append-batch-{batch_id}"
+            latest = AT.read_manifest(root)
+            done = set()
+            for v in range(AT.current_version(root) + 1):
+                done.add(AT.read_manifest(root, v)["op"])
+            if op in done:
+                return  # retried batch: its version is already durable
+            files = latest["files"] + AT._write_data_files(batch, root)
+            try:
+                AT._commit(root, latest["version"] + 1, files, op=op)
+            except AT.ConcurrentCommitError:
+                pass  # lost a race to a concurrent retry of the same id
+        (
+            ev.writeStream.foreachBatch(commit_batch)
+            .option(
+                "checkpointLocation",
+                os.path.join(scratch_root("ckpt"), "acid_stream"),
+            )
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    return AT.snapshot(spark, root).select(*cols)

@@ -74,6 +74,12 @@ def _runtime_conf() -> dict[str, str]:
         # default root for streaming checkpoints (each query still gets
         # its own subdirectory via queryName) — tmpfs, not disk
         "spark.sql.streaming.checkpointLocation": scratch_root("ckpt"),
+        # runtime-settable (unlike most builder confs): a DRIVER-OWNED
+        # session arrives with the 200-partition default, which is pure
+        # scheduling overhead at local scale — tune_session resizes it
+        # to the core count just like the builder path does. AQE
+        # coalescing makes the exact number non-critical either way.
+        "spark.sql.shuffle.partitions": str(default_parallelism()),
     }
 
 

@@ -239,3 +239,46 @@ def merge_upsert(
     new_files += _write_data_files(updates, root)
     _commit(root, base + 1, new_files, op="merge")
     return base + 1
+
+
+def optimize(
+    spark: SparkSession, root: str, target_files: int = 4
+) -> int:
+    """OPTIMIZE: rewrite the current snapshot's many small files into
+    `target_files` compacted ones as a NEW version — content-identical,
+    layout-only (the lakehouse maintenance command; Delta OPTIMIZE /
+    Iceberg rewrite_data_files). Because it commits through the same
+    manifest protocol, readers of older versions are untouched and a
+    concurrent writer conflict is detected, not silently lost. Returns
+    the committed version."""
+    base = current_version(root)
+    m = read_manifest(root, base)
+    snap = spark.read.parquet(*m["files"])
+    files = _write_data_files(snap.repartition(target_files), root)
+    _commit(root, base + 1, files, op="optimize")
+    return base + 1
+
+
+def add_columns(
+    spark: SparkSession, root: str, new_df: DataFrame
+) -> int:
+    """Schema evolution by appending a batch with EXTRA columns: old
+    data files keep their narrow schema on disk (never rewritten);
+    snapshots read with mergeSchema so pre-evolution rows surface the
+    new columns as NULL — Delta/Iceberg's add-column semantics, which
+    at 100 TB is the difference between a metadata change and a
+    full-table rewrite. Returns the committed version."""
+    base = current_version(root)
+    m = read_manifest(root, base)
+    files = m["files"] + _write_data_files(new_df, root)
+    _commit(root, base + 1, files, op="add-columns")
+    return base + 1
+
+
+def snapshot_merged(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """snapshot() with schema merging across the version's files —
+    needed once add_columns has widened the table."""
+    m = read_manifest(root, version)
+    return spark.read.option("mergeSchema", "true").parquet(*m["files"])

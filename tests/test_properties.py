@@ -438,3 +438,39 @@ def test_acid_merge_cow_semantics(spark, tmp_path):
         F.col("id").isin(5, 7, 1000, 8)).collect()}
     assert got == {5: 99, 7: 99, 1000: 99, 8: 1}
     assert AT.snapshot(spark, root, version=0).count() == 400
+
+
+def test_acid_optimize_and_schema_evolution(spark, tmp_path):
+    """OPTIMIZE must be content-identical and layout-only; add_columns
+    must widen the schema without rewriting old files (they stay in
+    the manifest verbatim; merged reads null-fill the new column)."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators import acidtable as AT
+
+    root = str(tmp_path / "tbl")
+    base = spark.range(0, 500).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    ).repartition(8)
+    AT.init_table(spark, root, base)
+    assert AT.read_manifest(root, 0)["n_files"] >= 8
+
+    AT.optimize(spark, root, target_files=2)
+    m1 = AT.read_manifest(root, 1)
+    assert m1["n_files"] <= 2
+    assert AT.snapshot(spark, root).count() == 500
+    assert (
+        AT.snapshot(spark, root).agg(F.sum("v")).collect()[0][0]
+        == AT.snapshot(spark, root, version=0).agg(F.sum("v")).collect()[0][0]
+    )
+
+    wide = spark.createDataFrame(
+        [(1000, 0, "tagged")], "id long, v long, tag string"
+    )
+    AT.add_columns(spark, root, wide)
+    m2 = AT.read_manifest(root, 2)
+    assert set(m1["files"]) <= set(m2["files"])  # old files untouched
+    snap = AT.snapshot_merged(spark, root)
+    assert snap.count() == 501
+    assert snap.filter(F.col("tag").isNull()).count() == 500
+    assert snap.filter(F.col("tag") == "tagged").count() == 1

@@ -326,7 +326,9 @@ def stream_acid_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole versions only, so a concurrent reader never observes a
     half-written batch. Converged content = the whole events table
     (the oracle); every intermediate version remains time-travelable
-    until vacuum."""
+    until vacuum. The stream runs once per (process, sf_dir) — like
+    every write-fixture sink, the timed portion of repeat calls is the
+    snapshot read."""
     import os
 
     from ..operators import acidtable as AT

@@ -911,3 +911,42 @@ def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.agg(F.count(F.lit(1)).alias("n_checked")),
     )
     return pk.unionByName(fk_oc).unionByName(fk_lo).unionByName(rng).unionByName(nn)
+
+
+@query(
+    "sample_balance_classes",
+    oracle="""
+    WITH mn AS (
+        SELECT MIN(cnt) AS m FROM (
+            SELECT COUNT(*) AS cnt FROM events GROUP BY event_type)
+    )
+    SELECT event_id, event_type FROM (
+        SELECT event_id, event_type,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY event_id) AS rn
+        FROM events
+    ), mn WHERE rn <= mn.m
+    """,
+)
+def sample_balance_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every event_type keeps exactly
+    min-class-count rows (the lowest event_ids — deterministic, no
+    RNG), the rebalancing pass a classifier-training pipeline runs on
+    skewed labels. One class-keyed shuffle for the per-class
+    row_number, the min count broadcast back as a one-row literal
+    (bounded driver data). Deterministic tier of the family:
+    sample_temperature is the probabilistic rebalancer (temperature-
+    scaled allocations), this is the hard-cap equalizer; at 100 TB a
+    giant class's sort-within-class is the cost driver and the hashed
+    variant (sample_pergroup_topk_hash) trades the sort for a
+    hash-order cap."""
+    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    counts = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    mn = counts.agg(F.min("cnt").alias("m"))
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    ranked = e.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.crossJoin(F.broadcast(mn))
+        .filter(F.col("rn") <= F.col("m"))
+        .select("event_id", "event_type")
+    )

@@ -816,3 +816,97 @@ def agg_regr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_avgx(y, x), 6).alias("avg_x"),
         F.round(F.regr_avgy(y, x), 6).alias("avg_y"),
     )
+
+
+@query(
+    "ts_seasonal_decompose",
+    oracle=f"""
+    WITH daily AS (
+        SELECT {ORACLE_DAY.format(col='CAST(ts AS TIMESTAMP)')} AS day,
+               SUM(CAST(value AS DECIMAL(18,4))) AS td
+        FROM events GROUP BY 1
+    ), tr AS (
+        SELECT day, td,
+               SUM(td) OVER (ORDER BY day
+                             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                   AS t7,
+               COUNT(*) OVER (ORDER BY day
+                              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                   AS c7
+        FROM daily
+    ), resid AS (
+        SELECT day, td, t7, c7,
+               date_part('dow', day) AS wd,
+               CASE WHEN c7 = 7 THEN td * 7 - t7 END AS r7
+        FROM tr
+    ), seas AS (
+        SELECT wd,
+               SUM(r7) AS s_sum,
+               COUNT(r7) AS s_n
+        FROM resid GROUP BY 1
+    )
+    SELECT r.day,
+           CAST(r.td AS DOUBLE) AS total,
+           CASE WHEN r.c7 = 7 THEN CAST(r.t7 AS DOUBLE) / 7 END AS trend,
+           CASE WHEN s.s_n > 0
+                THEN CAST(s.s_sum AS DOUBLE) / (7 * s.s_n) END AS seasonal,
+           CASE WHEN r.c7 = 7 AND s.s_n > 0
+                THEN CAST(r.td AS DOUBLE) - CAST(r.t7 AS DOUBLE) / 7
+                     - CAST(s.s_sum AS DOUBLE) / (7 * s.s_n) END
+               AS remainder
+    FROM resid r JOIN seas s ON s.wd = r.wd
+    """,
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily flow
+    series: trend = centered 7-day moving average (NULL at edges),
+    seasonal = per-weekday mean residual, remainder = the rest — the
+    time-series triage every metrics pipeline runs before anomaly
+    rules. Determinism: every accumulation is an exact DECIMAL sum
+    (residuals scaled by 7 to stay in integer-exact decimal space —
+    no intermediate division), and each output is ONE final division
+    of exact operands, which is bit-stable across engines. The input
+    is post-aggregation daily grain, so the unpartitioned ordered
+    window is a few-thousand-row series at any scale factor (module
+    docstring rule); the weekday aggregate is a 7-group hash agg."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(day("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("td")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "td",
+        F.sum("td").over(w7).alias("t7"),
+        F.count(F.lit(1)).over(w7).alias("c7"),
+    )
+    resid = tr.select(
+        "day",
+        "td",
+        "t7",
+        "c7",
+        (F.dayofweek("day") - 1).alias("wd"),
+        F.when(F.col("c7") == 7, F.col("td") * 7 - F.col("t7")).alias("r7"),
+    )
+    seas = resid.groupBy("wd").agg(
+        F.sum("r7").alias("s_sum"), F.count("r7").alias("s_n")
+    )
+    trend = F.when(
+        F.col("c7") == 7, F.col("t7").cast("double") / 7
+    )
+    seasonal = F.when(
+        F.col("s_n") > 0,
+        F.col("s_sum").cast("double") / (7 * F.col("s_n")),
+    )
+    return resid.join(F.broadcast(seas), "wd").select(
+        "day",
+        F.col("td").cast("double").alias("total"),
+        trend.alias("trend"),
+        seasonal.alias("seasonal"),
+        F.when(
+            (F.col("c7") == 7) & (F.col("s_n") > 0),
+            F.col("td").cast("double")
+            - F.col("t7").cast("double") / 7
+            - F.col("s_sum").cast("double") / (7 * F.col("s_n")),
+        ).alias("remainder"),
+    )

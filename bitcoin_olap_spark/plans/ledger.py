@@ -136,18 +136,35 @@ def _explode_side(tx: DataFrame, side: str) -> DataFrame:
 
 
 def ledger_pipeline(
-    tx: DataFrame, addr_raw: DataFrame, wloc: DataFrame
+    tx: DataFrame,
+    addr_raw: DataFrame,
+    wloc: DataFrame,
+    broadcast_max_rows: int = 20_000_000,
 ) -> DataFrame:
-    """Stages 1-6 as one lazy DAG. Returns the located ledger:
+    """Stages 1-6 as one (near-)lazy DAG. Returns the located ledger:
     (block_timestamp, txid, type, addr, sat, wallet, location, period).
 
-    Scale shape: both dims broadcast (addr ~2k rows, wallet_location
-    ~50); the only shuffles are the two UNION-DISTINCT / dedup hash
-    aggregates and the final rollup — the wide fact flows map-side
-    through explode+broadcast-join with no fact-fact shuffle at all
-    (the reference's fact⋈fact txid filter becomes a broadcast semi
-    join against the distinct-txid set, which is small by
-    construction)."""
+    Scale shape: `wallet_location` (121 rows in the reference,
+    wallet_location2.ndjson) is a genuinely bounded dimension and is
+    always broadcast. `addr` (exchange wallet→address mapping) and
+    `txid_sum` (every tx touching a known exchange address) are NOT
+    bounded — on real Bitcoin data the reference materializes txid_sum
+    as a fact table (btcolap.sql:271-313, hundreds of millions of
+    rows), and exchange address tables reach tens of millions. Forcing
+    a broadcast on either is an executor OOM at 100× scale, so:
+
+    - `addr` is cached (three joins read it) and counted ONCE — the
+      pagerank `broadcast_max_nodes` gate pattern; at or below
+      `broadcast_max_rows` it broadcasts, above it the hint is dropped
+      and the joins shuffle (AQE skew-handling applies).
+    - `txid_sum` carries NO hint at all: it is fact-derived, its
+      cardinality is unknowable before execution, and counting it
+      would eagerly run the whole discovery subplan. AQE picks the
+      strategy from the MEASURED shuffle size at runtime — broadcast
+      when it turns out small, plain shuffle semi join when not.
+
+    The only other shuffles are the UNION-DISTINCT / dedup hash
+    aggregates and the final rollup."""
     # 1. dedup (btcolap.sql:1-15): row_number over the full key; ORDER BY
     #    the key itself is the reference's (degenerate) choice — rows in
     #    a dup group are identical so survivor choice is well-defined.
@@ -156,6 +173,11 @@ def ledger_pipeline(
         addr_raw.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn")
+    ).cache()
+    # one tiny action decides the join strategy (pagerank gate pattern);
+    # the count also populates the cache all three addr joins read
+    addr_side = (
+        F.broadcast(addr) if addr.count() <= broadcast_max_rows else addr
     )
 
     ins = _explode_side(tx, "inputs")
@@ -163,17 +185,21 @@ def ledger_pipeline(
 
     # 2+3. explode-then-join txid discovery (btcolap.sql:35-59, :62-85)
     txid_in = (
-        ins.join(F.broadcast(addr), ins.addr == addr.address)
+        ins.join(addr_side, ins.addr == addr.address)
         .select("hash")
         .distinct()
     )
     txid_out = (
-        outs.join(F.broadcast(addr), outs.addr == addr.address)
+        outs.join(addr_side, outs.addr == addr.address)
         .select("hash")
         .distinct()
     )
-    # 4. UNION DISTINCT (btcolap.sql:301-313)
+    # 4. UNION DISTINCT (btcolap.sql:301-313). txid_sum is FACT-derived
+    #    (the reference materializes it as a table for the same reason,
+    #    btcolap.sql:271-313) — never force-broadcast; AQE decides from
+    #    the measured size at runtime.
     txid_sum = txid_in.unionByName(txid_out).distinct()
+    txid_keys = txid_sum.select(F.col("hash").alias("txid"))
 
     # 5. signed flows restricted to tracked txids (btcolap.sql:316-408);
     #    inputs negative (btcolap.sql:331), outputs positive (:346)
@@ -194,17 +220,15 @@ def ledger_pipeline(
                 F.col("sat_value").alias("sat"),
             )
         )
-        .join(
-            F.broadcast(txid_sum.select(F.col("hash").alias("txid"))),
-            "txid",
-            "left_semi",
-        )
+        .join(txid_keys, "txid", "left_semi")
     )
 
     # 6. wallet + location enrichment (btcolap.sql:412-451); the
-    #    pre/post-SAFE table split becomes a period column (SURVEY.md §4)
+    #    pre/post-SAFE table split becomes a period column (SURVEY.md §4).
+    #    wloc is the one true bounded dimension (121 rows) — always
+    #    broadcast.
     return (
-        flows.join(F.broadcast(addr), flows.addr == addr.address)
+        flows.join(addr_side, flows.addr == addr.address)
         .join(F.broadcast(wloc), "wallet")
         .select(
             "block_timestamp",

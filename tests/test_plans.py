@@ -64,14 +64,21 @@ def test_daily_agg_has_partial_aggregation(spark, q):
     assert "event_type" in pushed
 
 
-def test_ledger_pipeline_all_joins_broadcast(spark, q):
-    """The whole 6-stage DAG must contain no fact-fact shuffle join:
-    every join is broadcast (dims and the small txid set)."""
-    p = plan_str(q["pipeline_ledger_e2e"](spark, SF))
-    assert "SortMergeJoin" not in p
-    assert "ShuffledHashJoin" not in p
+def test_ledger_pipeline_join_shape(spark, q):
+    """The ledger DAG's join shape: dimension joins (addr under the
+    size gate, the 121-row wloc) are broadcast; the fact-derived txid
+    semi join carries NO hint (the r3 scale-killer) and is allowed to
+    be a plain shuffle join — on the fact side only the explode output
+    moves, which IS the 100 TB shape. No quadratic operator anywhere."""
+    df = q["pipeline_ledger_e2e"](spark, SF)
+    p = plan_str(df)
     assert "BroadcastHashJoin" in p
+    assert "NestedLoop" not in p
     assert "Generate" in p  # the lateral explodes survived into the plan
+    # the fact-derived txid set must not be broadcast by hint: the
+    # analyzed plan carries hints only for gated addr (3 joins) + wloc
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 4
 
 
 def test_cosine_scoring_is_arrow_batched(spark, q):
@@ -173,6 +180,62 @@ def test_pagerank_big_graph_path_never_broadcasts_ranks(spark):
     p = plan_str(it)
     assert "BroadcastHashJoin" not in p
     assert "ShuffledHashJoin" in p or "SortMergeJoin" in p
+
+
+def test_ledger_big_data_path_never_broadcasts_fact_sets(spark):
+    """Above broadcast_max_rows the ledger DAG must NOT broadcast the
+    fact-derived txid set or the unbounded exchange-address mapping
+    (the reference materializes txid_sum as a fact table for exactly
+    this reason, btcolap.sql:271-313) — only the 121-row
+    wallet_location dim keeps its hint. Mirrors the pagerank gate
+    test: forcing the gate to 0 must leave exactly one broadcast."""
+    from bitcoin_olap_spark.plans import bitcoin_fixtures, ledger_pipeline
+
+    tx, addr_raw, wloc = bitcoin_fixtures(spark, SF)
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # drop caches left by earlier ledger runs: an InMemoryRelation's
+    # stored child plan (planned under the default threshold) would
+    # otherwise embed stale BroadcastExchange nodes in this explain
+    spark.catalog.clearCache()
+    try:
+        led = ledger_pipeline(tx, addr_raw, wloc, broadcast_max_rows=0)
+        analyzed = led._jdf.queryExecution().analyzed().toString()
+        p = plan_str(led)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    # logical: the only broadcast hint left is the wloc dim join
+    assert analyzed.count("ResolvedHint") == 1
+    # physical: exactly one broadcast node (wloc); fact-side joins fall
+    # back to shuffle strategies (formatted explain prints each node
+    # twice — once in the tree, once in the details — so count headers)
+    import re
+
+    assert len(re.findall(r"^\(\d+\) BroadcastExchange", p, re.M)) == 1
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+
+
+def test_ledger_shuffle_path_matches_broadcast_path(spark):
+    """Both ledger join strategies must produce the identical rollup —
+    the gate changes the physical plan, never the answer."""
+    from bitcoin_olap_spark.plans import (
+        bitcoin_fixtures,
+        ledger_daily_rollup,
+        ledger_pipeline,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    tx, addr_raw, wloc = bitcoin_fixtures(spark, sf)
+    small = ledger_daily_rollup(
+        ledger_pipeline(tx, addr_raw, wloc, broadcast_max_rows=10**9)
+    )
+    big = ledger_daily_rollup(
+        ledger_pipeline(tx, addr_raw, wloc, broadcast_max_rows=0)
+    )
+    # location is nullable -> sort by repr (None vs str won't compare)
+    assert sorted(map(repr, small.collect())) == sorted(
+        map(repr, big.collect())
+    )
 
 
 def test_pagerank_shuffle_path_matches_broadcast_path(spark):

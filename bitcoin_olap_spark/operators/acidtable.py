@@ -161,7 +161,14 @@ def delete_where(spark: SparkSession, root: str, cond) -> int:
     kept = [f for f in m["files"] if f not in affected]
     new_files = list(kept)
     if affected:
-        rewritten = spark.read.parquet(*sorted(affected)).filter(~cond)
+        # DELETE removes rows where cond is TRUE only; under three-
+        # valued logic ~NULL is NULL (filtered out), which would
+        # silently drop NULL-predicate rows from rewritten files while
+        # identical rows in untouched files survive — data loss that
+        # depends on file co-location. coalesce pins NULL -> keep.
+        rewritten = spark.read.parquet(*sorted(affected)).filter(
+            ~F.coalesce(cond, F.lit(False))
+        )
         new_files += _write_data_files(rewritten, root)
     _commit(root, base + 1, new_files, op="delete")
     return base + 1
@@ -174,7 +181,9 @@ def vacuum(root: str, keep_versions: int = 1) -> int:
     format needs — separated from delete_where so time travel works
     until the user explicitly gives it up."""
     latest = current_version(root)
-    cutoff = latest - keep_versions + 1
+    # a caller asking to keep more history than exists is a no-op, not
+    # a crash: clamp so the live-file loop never sees a negative version
+    cutoff = max(latest - keep_versions + 1, 0)
     live: set[str] = set()
     for v in range(cutoff, latest + 1):
         live.update(read_manifest(root, v)["files"])
@@ -218,6 +227,17 @@ def merge_upsert(
     m = read_manifest(root, base)
     snap = spark.read.parquet(*m["files"])
     keys = updates.select(*key_cols).distinct()
+    # SQL MERGE (and Delta) error when multiple source rows match one
+    # target key; appending duplicates verbatim would silently corrupt
+    # key uniqueness — enforce the same contract here
+    n_updates, n_keys = updates.count(), keys.count()
+    if n_updates != n_keys:
+        raise ValueError(
+            f"merge_upsert: updates contain {n_updates - n_keys} "
+            f"duplicate rows for {key_cols}; pre-deduplicate on the "
+            "merge key (one source row per target key, as SQL MERGE "
+            "requires)"
+        )
     # input_file_name() must bind while the plan has ONE source — stamp
     # it on the snapshot scan BEFORE joining the update keys
     stamped = snap.withColumn("__f", F.input_file_name())

@@ -1064,8 +1064,10 @@ def src_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH updates AS (
         SELECT l_orderkey, l_linenumber,
-               l_quantity + 100 AS l_quantity, l_returnflag
+               MAX(l_quantity + 100) AS l_quantity,
+               MAX(l_returnflag) AS l_returnflag
         FROM lineitem WHERE l_orderkey < 2000
+        GROUP BY 1, 2
         UNION ALL
         SELECT -1, 1, 999.0, 'Z'
     ),
@@ -1103,13 +1105,15 @@ def snk_acid_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from an overwrite."""
     root = _acid_fixture(spark, sf_dir)
     li = table(spark, sf_dir, "lineitem")
+    # MERGE requires ONE source row per target key (merge_upsert
+    # enforces it); the synthetic lineitem is not unique on the PK, so
+    # the updates batch deduplicates with a deterministic max-pick
     updates = (
         li.filter(F.col("l_orderkey") < 2000)
-        .select(
-            "l_orderkey",
-            "l_linenumber",
-            (F.col("l_quantity") + 100).alias("l_quantity"),
-            "l_returnflag",
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(
+            F.max(F.col("l_quantity") + 100).alias("l_quantity"),
+            F.max("l_returnflag").alias("l_returnflag"),
         )
         .unionByName(
             li.sparkSession.createDataFrame(

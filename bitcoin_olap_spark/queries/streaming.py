@@ -349,22 +349,50 @@ def stream_acid_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def commit_batch(batch: DataFrame, batch_id: int) -> None:
             op = f"append-batch-{batch_id}"
-            latest = AT.read_manifest(root)
-            done = set()
-            for v in range(AT.current_version(root) + 1):
-                done.add(AT.read_manifest(root, v)["op"])
-            if op in done:
+
+            def committed_ops() -> set[str]:
+                return {
+                    AT.read_manifest(root, v)["op"]
+                    for v in range(AT.current_version(root) + 1)
+                }
+
+            if op in committed_ops():
                 return  # retried batch: its version is already durable
-            files = latest["files"] + AT._write_data_files(batch, root)
-            try:
-                AT._commit(root, latest["version"] + 1, files, op=op)
-            except AT.ConcurrentCommitError:
-                pass  # lost a race to a concurrent retry of the same id
+            new_files = AT._write_data_files(batch, root)
+            while True:
+                latest = AT.read_manifest(root)
+                try:
+                    AT._commit(
+                        root,
+                        latest["version"] + 1,
+                        latest["files"] + new_files,
+                        op=op,
+                    )
+                    return
+                except AT.ConcurrentCommitError:
+                    # a different writer won this version number. Only
+                    # skip if a retry of THIS batch id is already in the
+                    # log (then our files are orphans — reclaim them);
+                    # otherwise rebase onto the new head and retry, so
+                    # a foreign commit never silently drops this batch.
+                    if op in committed_ops():
+                        for f in new_files:
+                            if os.path.exists(f):
+                                os.unlink(f)
+                        return
         (
             ev.writeStream.foreachBatch(commit_batch)
             .option(
                 "checkpointLocation",
-                os.path.join(scratch_root("ckpt"), "acid_stream"),
+                # scoped per sf_dir like the table root: reusing one
+                # checkpoint (source offsets / seen-files log) across
+                # DIFFERENT source directories is unsupported in
+                # Structured Streaming and can skip batches
+                os.path.join(
+                    scratch_root("ckpt"),
+                    "acid_stream_"
+                    + os.path.basename(os.path.abspath(sf_dir)),
+                ),
             )
             .trigger(availableNow=True)
             .start()

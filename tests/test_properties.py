@@ -412,6 +412,60 @@ def test_acid_table_cow_and_time_travel(spark, tmp_path):
         AT.read_manifest(root, 0)
 
 
+def test_acid_delete_null_predicate_keeps_rows(spark, tmp_path):
+    """DELETE removes rows where the predicate is TRUE only: rows where
+    it evaluates NULL must SURVIVE in rewritten files, exactly as they
+    do in untouched files (three-valued logic; ~NULL is NULL, which a
+    naive filter(~cond) silently drops — data loss dependent on file
+    co-location)."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators import acidtable as AT
+
+    root = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30), (4, None), (5, 50)],
+        "id long, v int",
+    ).repartition(1)  # one file: NULL rows co-locate with deleted rows
+    AT.init_table(spark, root, df)
+    AT.delete_where(spark, root, F.col("v") > 20)
+    snap = AT.snapshot(spark, root)
+    assert {r["id"] for r in snap.collect()} == {1, 2, 4}  # NULLs kept
+
+
+def test_acid_vacuum_keep_more_than_history_is_noop(spark, tmp_path):
+    """vacuum(keep_versions=k) with k > committed versions must be a
+    no-op, not a crash from a negative version lookup."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators import acidtable as AT
+
+    root = str(tmp_path / "tbl")
+    AT.init_table(spark, root, spark.range(10).select(F.col("id")))
+    assert AT.vacuum(root, keep_versions=5) == 0
+    assert AT.snapshot(spark, root).count() == 10
+
+
+def test_acid_merge_rejects_duplicate_update_keys(spark, tmp_path):
+    """Multiple source rows for one target key must raise (SQL MERGE /
+    Delta contract), never silently insert duplicates."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators import acidtable as AT
+
+    root = str(tmp_path / "tbl")
+    AT.init_table(
+        spark, root, spark.range(10).select(F.col("id"), F.lit(1).alias("v"))
+    )
+    dup_updates = spark.createDataFrame(
+        [(3, 7), (3, 8)], "id long, v int"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        AT.merge_upsert(spark, root, dup_updates, ["id"])
+    assert AT.current_version(root) == 0  # nothing committed
+
+
 def test_acid_merge_cow_semantics(spark, tmp_path):
     """MERGE must replace matched keys, insert unmatched ones, rewrite
     only the files holding matched keys, and leave the pre-merge

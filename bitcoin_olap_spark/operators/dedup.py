@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from .text import fingerprint, shingle_array, shingles, words
+from .text import fingerprint, shingle_array, words
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -199,7 +199,21 @@ def minhash_lsh_pairs(
     with candidate generation linear in corpus size.
     """
     rows_per_band = num_hashes // bands
-    sh = shingles(_spread(df), id_col, text_col, n).cache()
+    # ONE cached compact relation (id, shingle array, set size) feeds
+    # every stage: the signature explode, the exact verify arrays, and
+    # the set sizes — the shingle text is computed and cached ONCE, and
+    # the verify tier needs no corpus re-explode / size aggregation.
+    arr = shingle_array(text_col, n, distinct=True)
+    arrs = (
+        _spread(df)
+        .select(
+            F.col(id_col),
+            arr.alias("arr"),
+            F.size(arr).alias("n_shingles"),
+        )
+        .cache()
+    )
+    sh = arrs.select(id_col, F.explode("arr").alias("shingle"))
     sig = minhash_signatures(sh, id_col, num_hashes)
     # band key = the band's signature rows joined as a string: as
     # collision-exact as hashing them (equal iff the band rows are
@@ -217,44 +231,56 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    # cache: the self-join otherwise evaluates the 64-min signature
-    # aggregate once per side
     banded = sig.select(
         id_col, F.posexplode(band_arr).alias("band_idx", "band_hash")
-    ).cache()
-    l, r = banded.alias("l"), banded.alias("r")
+    )
+    # candidate generation as ONE bucket aggregate, not a self-join:
+    # group by the band key, collect the (sorted, distinct) doc ids
+    # that share it, and explode every in-bucket pair map-side. Same
+    # candidate set as the equi-self-join, with one exchange instead
+    # of two join inputs plus an intermediate cache. Both forms are
+    # quadratic in a single bucket's size — a boilerplate-heavy hot
+    # band is the skew risk either way; the collect_list ceiling is
+    # the bucket size, which banding keeps small by construction.
+    ids = F.array_sort(F.collect_set(F.col(id_col)))
+    in_bucket_pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("ids"), i + 2, F.greatest(F.size("ids") - i - 1, F.lit(0))
+                ),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     cand = (
-        l.join(
-            r,
-            (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("doc_a"),
-            F.col(f"r.{id_col}").alias("doc_b"),
-        )
+        banded.groupBy("band_idx", "band_hash")
+        .agg(ids.alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(in_bucket_pairs).alias("p"))
+        .select(F.col("p.doc_a"), F.col("p.doc_b"))
         .distinct()
     )
-    # exact-Jaccard verify restricted to candidates
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingle").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("doc_b"), F.col("shingle").alias("sh_b"))
-    common = (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
-        .filter(F.col("sh_a") == F.col("sh_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("common"))
+    # exact-Jaccard verify restricted to candidates, against the cached
+    # compact arrays: one size(array_intersect) per pair — no corpus
+    # re-explode, no per-pair aggregation, no size joins (jaccard_pairs
+    # verify shape)
+    A = arrs.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("arr").alias("arr_a"),
+        F.col("n_shingles").alias("na"),
     )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("nb"))
-    jac = F.col("common").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("common")
+    B = arrs.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("arr").alias("arr_b"),
+        F.col("n_shingles").alias("nb"),
     )
+    common = F.size(F.array_intersect("arr_a", "arr_b"))
+    jac = common.cast("double") / (F.col("na") + F.col("nb") - common)
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(A, "doc_a")
+        .join(B, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
@@ -411,11 +437,31 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    # und is symmetric, so e_src alone covers every edge-touched node
-    enodes = und.select(F.col("e_src").alias("node")).distinct().localCheckpoint()
-    labels = enodes.select("node", F.col("node").alias("lbl")).localCheckpoint()
-    prev_sum = None
-    for _ in range(max_iter):
+
+    def _converge_sum(lbls: DataFrame):
+        """ONE job: materializes the persisted label relation AND
+        returns the convergence scalar (labels only ever decrease, so
+        an unchanged exact decimal SUM means no label moved)."""
+        return lbls.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+        ).collect()[0][0]
+
+    # Round 1 needs no join: with lbl(x)=x initially, the neighbor-min
+    # IS min(e_dst) per e_src (und is symmetric, so e_src covers every
+    # edge-touched node) — one aggregate replaces join+union+aggregate.
+    # Labels persist() lazily each round; the convergence-sum action
+    # materializes them, so the NEXT round's join is planned against an
+    # InMemoryRelation with known (materialized) stats — the adaptive
+    # size-based join choice, with one job per round instead of the
+    # former eager-checkpoint + collect pair.
+    labels = (
+        und.groupBy(F.col("e_src").alias("node"))
+        .agg(F.min("e_dst").alias("m"))
+        .select("node", F.least("node", "m").alias("lbl"))
+        .persist()
+    )
+    prev_sum = _converge_sum(labels)
+    for _ in range(max_iter - 1):
         nbr = und.join(
             labels, und.e_dst == F.col("node")
         ).select(F.col("e_src").alias("node"), "lbl")
@@ -423,18 +469,21 @@ def connected_components(
             labels.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint()
+            .persist()
         )
-        cur_sum = new.agg(
-            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
-        ).collect()[0][0]
-        labels = new
+        cur_sum = _converge_sum(new)
+        old, labels = labels, new
+        old.unpersist()
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
     singles = (
         nodes.select(F.col(id_col).alias("node"))
-        .join(enodes, "node", "left_anti")
+        .join(
+            und.select(F.col("e_src").alias("node")).distinct(),
+            "node",
+            "left_anti",
+        )
         .select("node", F.col("node").alias("lbl"))
     )
     return labels.unionByName(singles).select(

@@ -8,12 +8,20 @@ PUBLIC design (Delta's _delta_log JSON commits, Iceberg's snapshot
 manifests) from first principles:
 
 - A table is a directory: `data/` holds immutable parquet files,
-  `_log/` holds one JSON manifest per version (`00000003.json`),
-  each listing the EXACT data files that make up that snapshot.
+  `_log/` holds one JSON manifest per version (`00000003.json`).
+  Manifests are DELTAS: each lists only the files ADDED and REMOVED
+  relative to the previous version, so the per-commit metadata write
+  is O(changed files) — at 100 TB (1e6+ live files) an append or a
+  targeted DELETE commits a few-hundred-byte manifest, not a
+  megabytes-long full listing. Every ``CHECKPOINT_EVERY``-th version
+  additionally materializes a full file listing as a sidecar
+  (`00000016.checkpoint.json`), Delta's checkpoint-parquet pattern,
+  so resolving any snapshot replays a bounded number of deltas.
 - Readers resolve a snapshot by manifest — never by listing `data/`
   — so concurrent writers never corrupt a read (files are immutable,
-  manifests are immutable, a version is a closed file list). Reading
-  an old version IS time travel.
+  manifests are immutable, a version is a closed file list: nearest
+  checkpoint at-or-below + delta replay forward). Reading an old
+  version IS time travel.
 - Writers follow copy-on-write at FILE granularity: a DELETE
   identifies the files that contain matching rows (input_file_name()
   — one filtered scan), rewrites ONLY those files without the deleted
@@ -57,6 +65,16 @@ def _manifest_path(root: str, version: int) -> str:
     return os.path.join(_log_dir(root), f"{version:08d}.json")
 
 
+def _checkpoint_path(root: str, version: int) -> str:
+    return os.path.join(_log_dir(root), f"{version:08d}.checkpoint.json")
+
+
+#: full-listing checkpoint cadence (Delta writes a checkpoint parquet
+#: every 10 commits for the same reason): snapshot resolution replays
+#: at most this many delta manifests past the nearest checkpoint.
+CHECKPOINT_EVERY = 16
+
+
 def current_version(root: str) -> int:
     """Highest committed version, or -1 for an empty/uninitialized
     table. O(#versions) listing of the log directory only."""
@@ -66,29 +84,107 @@ def current_version(root: str) -> int:
     versions = [
         int(f.split(".")[0])
         for f in os.listdir(log)
-        if f.endswith(".json") and f.split(".")[0].isdigit()
+        if f.endswith(".json")
+        and ".checkpoint." not in f
+        and f.split(".")[0].isdigit()
     ]
     return max(versions) if versions else -1
 
 
-def read_manifest(root: str, version: int | None = None) -> dict:
-    v = current_version(root) if version is None else version
-    if v < 0:
+def _read_raw(root: str, version: int) -> dict:
+    """One version's manifest as written (delta: op + add/remove) —
+    O(changed files), no snapshot resolution."""
+    if version < 0:
         raise FileNotFoundError(f"no committed version in {root}")
-    with open(_manifest_path(root, v)) as f:
+    with open(_manifest_path(root, version)) as f:
         return json.load(f)
 
 
-def _commit(root: str, version: int, files: list[str], op: str) -> None:
-    """Atomically publish `version`. os.link fails with EEXIST if a
-    concurrent writer already committed this version — optimistic
-    concurrency, loser retries against the new snapshot."""
+def _resolve_files(root: str, version: int) -> list[str]:
+    """The closed data-file list of snapshot `version`: walk back to
+    the nearest checkpoint (or legacy full manifest) at-or-below, then
+    replay the delta manifests forward. Bounded by CHECKPOINT_EVERY
+    deltas after the first checkpoint exists."""
+    deltas: list[dict] = []
+    v = version
+    while True:
+        if v < 0:
+            raise FileNotFoundError(
+                f"no checkpoint or base manifest at or below version "
+                f"{version} in {root}"
+            )
+        cp = _checkpoint_path(root, v)
+        if os.path.exists(cp):
+            with open(cp) as f:
+                files = set(json.load(f)["files"])
+            break
+        m = _read_raw(root, v)
+        if "files" in m:  # legacy full manifest (pre-delta format)
+            files = set(m["files"])
+            break
+        deltas.append(m)
+        if v == 0:  # version 0's delta is against the empty table
+            files = set()
+            break
+        v -= 1
+    for m in reversed(deltas):
+        files.difference_update(m["remove"])
+        files.update(m["add"])
+    return sorted(files)
+
+
+def read_manifest(
+    root: str, version: int | None = None, resolve: bool = True
+) -> dict:
+    """Manifest of `version` (latest if None). With resolve=True the
+    snapshot's full file list is materialized under "files"/"n_files"
+    (checkpoint + delta replay); resolve=False returns the raw delta
+    record (op/add/remove) in O(changed files) — the cheap path for
+    log scans that only need commit metadata."""
+    v = current_version(root) if version is None else version
+    m = _read_raw(root, v)
+    if resolve:
+        files = _resolve_files(root, v)
+        m["files"] = files
+        m["n_files"] = len(files)
+    return m
+
+
+def write_checkpoint(root: str, version: int | None = None) -> int:
+    """Materialize a full file-listing checkpoint sidecar for
+    `version` (latest if None) — atomic via temp-file + os.replace, so
+    a concurrent reader never sees a partial listing. Idempotent."""
+    v = current_version(root) if version is None else version
+    files = _resolve_files(root, v)
+    tmp = os.path.join(_log_dir(root), f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump({"version": v, "files": files}, f)
+    os.replace(tmp, _checkpoint_path(root, v))
+    return v
+
+
+def _commit(
+    root: str,
+    version: int,
+    op: str,
+    *,
+    add: list[str] = (),
+    remove: list[str] = (),
+) -> None:
+    """Atomically publish `version` as a DELTA manifest — only the
+    files added/removed vs version-1, so the commit write is
+    O(changed files) no matter how large the table is. os.link fails
+    with EEXIST if a concurrent writer already committed this version
+    — optimistic concurrency, loser retries against the new snapshot.
+    Every CHECKPOINT_EVERY-th version also writes a full checkpoint
+    sidecar AFTER the commit point (crash between the two is safe:
+    resolution just walks back to the previous checkpoint)."""
     os.makedirs(_log_dir(root), exist_ok=True)
     manifest = {
         "version": version,
         "op": op,
-        "files": sorted(files),
-        "n_files": len(files),
+        "add": sorted(add),
+        "remove": sorted(remove),
     }
     tmp = os.path.join(_log_dir(root), f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:
@@ -101,6 +197,8 @@ def _commit(root: str, version: int, files: list[str], op: str) -> None:
         )
     finally:
         os.unlink(tmp)
+    if version % CHECKPOINT_EVERY == 0:
+        write_checkpoint(root, version)
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -125,17 +223,29 @@ def init_table(spark: SparkSession, root: str, df: DataFrame) -> int:
     if current_version(root) >= 0:
         raise FileExistsError(f"table already initialized at {root}")
     files = _write_data_files(df, root)
-    _commit(root, 0, files, op="init")
+    _commit(root, 0, "init", add=files)
     return 0
+
+
+def append(
+    spark: SparkSession, root: str, df: DataFrame, op: str = "append"
+) -> int:
+    """ACID append: write new immutable files, commit a delta manifest
+    listing ONLY them — O(batch) commit cost at any table size (the
+    shape a streaming sink needs). Returns the committed version."""
+    base = current_version(root)
+    files = _write_data_files(df, root)
+    _commit(root, base + 1, op, add=files)
+    return base + 1
 
 
 def snapshot(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:
     """The table AS OF `version` (latest if None) — time travel is
-    just reading an older manifest's closed file list."""
-    m = read_manifest(root, version)
-    return spark.read.parquet(*m["files"])
+    just resolving an older version's closed file list."""
+    v = current_version(root) if version is None else version
+    return spark.read.parquet(*_resolve_files(root, v))
 
 
 def delete_where(spark: SparkSession, root: str, cond) -> int:
@@ -144,8 +254,8 @@ def delete_where(spark: SparkSession, root: str, cond) -> int:
     matching rows); every other file carries over into the new
     manifest untouched. Returns the committed version."""
     base = current_version(root)
-    m = read_manifest(root, base)
-    snap = spark.read.parquet(*m["files"])
+    files = _resolve_files(root, base)
+    snap = spark.read.parquet(*files)
     # one filtered scan finds the affected files; the predicate pushes
     # into the parquet scan, so unaffected files are mostly skipped by
     # row-group stats before they are even read
@@ -158,8 +268,7 @@ def delete_where(spark: SparkSession, root: str, cond) -> int:
     }
     # input_file_name returns URIs (file://...); normalize to paths
     affected = {f.replace("file://", "").split("?")[0] for f in affected}
-    kept = [f for f in m["files"] if f not in affected]
-    new_files = list(kept)
+    new_files: list[str] = []
     if affected:
         # DELETE removes rows where cond is TRUE only; under three-
         # valued logic ~NULL is NULL (filtered out), which would
@@ -169,8 +278,12 @@ def delete_where(spark: SparkSession, root: str, cond) -> int:
         rewritten = spark.read.parquet(*sorted(affected)).filter(
             ~F.coalesce(cond, F.lit(False))
         )
-        new_files += _write_data_files(rewritten, root)
-    _commit(root, base + 1, new_files, op="delete")
+        new_files = _write_data_files(rewritten, root)
+    # delta commit: untouched files carry over implicitly — the
+    # manifest write is O(affected files), not O(table files)
+    _commit(
+        root, base + 1, "delete", add=new_files, remove=sorted(affected)
+    )
     return base + 1
 
 
@@ -184,19 +297,48 @@ def vacuum(root: str, keep_versions: int = 1) -> int:
     # a caller asking to keep more history than exists is a no-op, not
     # a crash: clamp so the live-file loop never sees a negative version
     cutoff = max(latest - keep_versions + 1, 0)
+    # single forward replay from the earliest surviving version (a
+    # prior vacuum left it checkpointed): accumulate the union of
+    # files referenced by dropped versions vs kept versions — O(total
+    # delta entries), never versions x files
+    first_v = min(
+        (
+            int(f.split(".")[0])
+            for f in os.listdir(_log_dir(root))
+            if f.endswith(".json")
+            and ".checkpoint." not in f
+            and f.split(".")[0].isdigit()
+        ),
+        default=0,
+    )
+    files = set(_resolve_files(root, first_v))
+    dropped: set[str] = set()
     live: set[str] = set()
-    for v in range(cutoff, latest + 1):
-        live.update(read_manifest(root, v)["files"])
+    for v in range(first_v, latest + 1):
+        if v > first_v:
+            m = _read_raw(root, v)
+            if "files" in m:  # legacy full manifest
+                files = set(m["files"])
+            else:
+                files.difference_update(m["remove"])
+                files.update(m["add"])
+        if v < cutoff:
+            dropped |= files
+        else:
+            live |= files
+    # the cutoff version must stay resolvable once older manifests are
+    # gone: checkpoint it before deleting anything
+    if cutoff > first_v:
+        write_checkpoint(root, cutoff)
     removed = 0
-    for v in range(0, cutoff):
-        path = _manifest_path(root, v)
-        if not os.path.exists(path):
-            continue
-        for f in read_manifest(root, v)["files"]:
-            if f not in live and os.path.exists(f):
-                os.unlink(f)
-                removed += 1
-        os.unlink(path)
+    for f in sorted(dropped - live):
+        if os.path.exists(f):
+            os.unlink(f)
+            removed += 1
+    for v in range(first_v, cutoff):
+        for path in (_manifest_path(root, v), _checkpoint_path(root, v)):
+            if os.path.exists(path):
+                os.unlink(path)
     # drop now-empty data subdirectories
     ddir = _data_dir(root)
     if os.path.isdir(ddir):
@@ -224,8 +366,7 @@ def merge_upsert(
     ONLY affected files — O(touched files + updates), never O(table).
     Returns the committed version."""
     base = current_version(root)
-    m = read_manifest(root, base)
-    snap = spark.read.parquet(*m["files"])
+    snap = spark.read.parquet(*_resolve_files(root, base))
     keys = updates.select(*key_cols).distinct()
     # SQL MERGE (and Delta) error when multiple source rows match one
     # target key; appending duplicates verbatim would silently corrupt
@@ -249,15 +390,17 @@ def merge_upsert(
         .collect()
     }
     affected = {f.replace("file://", "").split("?")[0] for f in affected}
-    kept = [f for f in m["files"] if f not in affected]
-    new_files = list(kept)
+    new_files: list[str] = []
     if affected:
         old_rows = spark.read.parquet(*sorted(affected))
         survivors = old_rows.join(keys, key_cols, "left_anti")
         new_files += _write_data_files(survivors, root)
     # matched updates replace their old rows; unmatched updates insert
     new_files += _write_data_files(updates, root)
-    _commit(root, base + 1, new_files, op="merge")
+    # delta commit: O(touched files + updates) metadata, not O(table)
+    _commit(
+        root, base + 1, "merge", add=new_files, remove=sorted(affected)
+    )
     return base + 1
 
 
@@ -272,10 +415,10 @@ def optimize(
     concurrent writer conflict is detected, not silently lost. Returns
     the committed version."""
     base = current_version(root)
-    m = read_manifest(root, base)
-    snap = spark.read.parquet(*m["files"])
+    old_files = _resolve_files(root, base)
+    snap = spark.read.parquet(*old_files)
     files = _write_data_files(snap.repartition(target_files), root)
-    _commit(root, base + 1, files, op="optimize")
+    _commit(root, base + 1, "optimize", add=files, remove=old_files)
     return base + 1
 
 
@@ -289,9 +432,10 @@ def add_columns(
     at 100 TB is the difference between a metadata change and a
     full-table rewrite. Returns the committed version."""
     base = current_version(root)
-    m = read_manifest(root, base)
-    files = m["files"] + _write_data_files(new_df, root)
-    _commit(root, base + 1, files, op="add-columns")
+    files = _write_data_files(new_df, root)
+    # the delta manifest lists ONLY the appended wide files: schema
+    # evolution at 100 TB really is a metadata-sized commit here
+    _commit(root, base + 1, "add-columns", add=files)
     return base + 1
 
 
@@ -300,5 +444,7 @@ def snapshot_merged(
 ) -> DataFrame:
     """snapshot() with schema merging across the version's files —
     needed once add_columns has widened the table."""
-    m = read_manifest(root, version)
-    return spark.read.option("mergeSchema", "true").parquet(*m["files"])
+    v = current_version(root) if version is None else version
+    return spark.read.option("mergeSchema", "true").parquet(
+        *_resolve_files(root, v)
+    )

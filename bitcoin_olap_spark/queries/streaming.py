@@ -351,8 +351,11 @@ def stream_acid_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             op = f"append-batch-{batch_id}"
 
             def committed_ops() -> set[str]:
+                # raw (unresolved) manifest reads: O(changed files)
+                # per version, so the idempotence scan stays metadata-
+                # sized no matter how big the table has grown
                 return {
-                    AT.read_manifest(root, v)["op"]
+                    AT.read_manifest(root, v, resolve=False)["op"]
                     for v in range(AT.current_version(root) + 1)
                 }
 
@@ -360,13 +363,14 @@ def stream_acid_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
                 return  # retried batch: its version is already durable
             new_files = AT._write_data_files(batch, root)
             while True:
-                latest = AT.read_manifest(root)
                 try:
+                    # delta commit: the manifest lists ONLY this
+                    # batch's files — O(batch), not O(table)
                     AT._commit(
                         root,
-                        latest["version"] + 1,
-                        latest["files"] + new_files,
-                        op=op,
+                        AT.current_version(root) + 1,
+                        op,
+                        add=new_files,
                     )
                     return
                 except AT.ConcurrentCommitError:

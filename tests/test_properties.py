@@ -402,7 +402,7 @@ def test_acid_table_cow_and_time_travel(spark, tmp_path):
 
     # optimistic concurrency: a second commit to version 1 must fail
     with pytest.raises(AT.ConcurrentCommitError):
-        AT._commit(root, 1, m1["files"], op="dup")
+        AT._commit(root, 1, "dup", add=[])
 
     # vacuum keeps the latest version readable, drops v0-only files
     removed = AT.vacuum(root, keep_versions=1)
@@ -528,3 +528,60 @@ def test_acid_optimize_and_schema_evolution(spark, tmp_path):
     assert snap.count() == 501
     assert snap.filter(F.col("tag").isNull()).count() == 500
     assert snap.filter(F.col("tag") == "tagged").count() == 1
+
+
+def test_acid_delta_manifests_commit_cost_stays_flat(spark, tmp_path):
+    """Commit cost must be O(changed files), not O(table files): after
+    many small appends the per-version delta manifest stays the same
+    few-hundred-byte size while the table's live file count grows;
+    checkpoints appear on the CHECKPOINT_EVERY cadence; snapshots
+    resolve correctly at every version; vacuum across a checkpoint
+    boundary keeps the cutoff version readable and reclaims dropped
+    files + manifests."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators import acidtable as AT
+
+    root = str(tmp_path / "tbl")
+    AT.init_table(
+        spark, root, spark.range(0, 10).select(F.col("id")).coalesce(1)
+    )
+    n_appends = AT.CHECKPOINT_EVERY + 8
+    sizes = []
+    for i in range(1, n_appends + 1):
+        v = AT.append(
+            spark,
+            root,
+            spark.range(10 * i, 10 * (i + 1)).select(F.col("id")).coalesce(1),
+        )
+        assert v == i
+        sizes.append(os.path.getsize(AT._manifest_path(root, i)))
+    # delta manifests do not grow with the table: the last commit's
+    # manifest is no bigger than the first one's (both list ONE file)
+    assert max(sizes) <= sizes[0] + 16, sizes
+    # checkpoint materialized on cadence (version 0 and CHECKPOINT_EVERY)
+    assert os.path.exists(AT._checkpoint_path(root, 0))
+    assert os.path.exists(AT._checkpoint_path(root, AT.CHECKPOINT_EVERY))
+    # every version resolves to the right closed row set
+    assert AT.snapshot(spark, root).count() == 10 * (n_appends + 1)
+    assert AT.snapshot(spark, root, version=3).count() == 40
+    m = AT.read_manifest(root, AT.CHECKPOINT_EVERY + 2)
+    assert m["n_files"] == AT.CHECKPOINT_EVERY + 3
+
+    # a delete then vacuum: cutoff version must stay resolvable after
+    # earlier manifests are gone, and dropped-only files are reclaimed
+    AT.delete_where(spark, root, F.col("id") < 10)
+    # keep only the post-delete version: v0's rewritten-away file is
+    # referenced by no surviving snapshot and must be reclaimed
+    removed = AT.vacuum(root, keep_versions=1)
+    assert removed >= 1
+    assert AT.snapshot(spark, root).count() == 10 * n_appends
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        AT.read_manifest(root, 0)
+    # vacuum again with nothing left to drop: no-op, still readable
+    assert AT.vacuum(root, keep_versions=1) == 0
+    assert AT.snapshot(spark, root).count() == 10 * n_appends

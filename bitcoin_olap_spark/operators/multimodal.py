@@ -15,15 +15,18 @@ The pattern (the one a 100 TB training-data pipeline needs):
 - frame sampling and other metadata-only derivations stay JVM-side
   (``F.sequence`` + ``explode``) — no payload I/O at all.
 
-Codecs: three REAL pure-Python coders for public uncompressed
-container formats — PPM P6 (netpbm images), WAV RIFF PCM16 (audio),
-YUV4MPEG2 (raw video) — implement `encode_media` / `decode_media`;
-`decode_features(fake=None)` parses genuine container headers and
-extracts stats from the decoded pixel/sample payload. Only COMPRESSED
-formats (png/jpeg/mp4), which genuinely need codec libraries this
-container does not ship, remain behind the import-gated
-``NotImplementedError`` STUB (`_decode_compressed_stub`); the
-byte-histogram fallback (`fake='histogram'`) stays for opaque bytes.
+Codecs: four REAL pure-Python coders implement `encode_media` /
+`decode_media` — PPM P6 (netpbm images), WAV RIFF PCM16 (audio),
+YUV4MPEG2 (raw video), and PNG (a genuinely COMPRESSED format: zlib
+DEFLATE IDAT streams, CRC-32-verified chunks, and full scanline
+unfiltering for all five PNG filter types incl. Paeth, for 8-bit
+grey/grey-alpha/RGB/RGBA). `decode_features(fake=None)` parses
+genuine container headers and extracts stats from the decoded
+pixel/sample payload. Only formats whose codecs genuinely need
+external libraries this container does not ship (jpeg/mp4) remain
+behind the import-gated ``NotImplementedError`` STUB
+(`_decode_compressed_stub`); the byte-histogram fallback
+(`fake='histogram'`) stays for opaque bytes.
 
 Testdata has no binary table, so `attach_blob` synthesizes the payload
 deterministically from `documents.text` (UTF-8 bytes); `transcode`
@@ -103,6 +106,11 @@ WAV_RATE = 8000
 #: Y4M geometry: 16x16 4:2:0 frames -> 16*16 + 2*(8*8) = 384 bytes
 Y4M_W = Y4M_H = 16
 _Y4M_FRAME_BYTES = Y4M_W * Y4M_H * 3 // 2
+#: PNG geometry: 8-bit greyscale, fixed 16-px rows, height from payload
+PNG_W = 16
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: PNG color type -> bytes per pixel at bit depth 8
+_PNG_BPP = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
 def encode_media(data: bytes, fmt: str) -> bytes:
@@ -115,9 +123,36 @@ def encode_media(data: bytes, fmt: str) -> bytes:
       data chunk; bytes reinterpreted as little-endian int16 samples.
     - video/y4m: YUV4MPEG2 stream header + ``FRAME\\n``-delimited
       16x16 C420 planar frames.
+    - image/png: real PNG — signature, IHDR (8-bit greyscale, no
+      interlace), one zlib-DEFLATE IDAT of filter-0 scanlines, IEND;
+      every chunk carries its genuine CRC-32.
     """
     import struct
 
+    if fmt == "image/png":
+        import zlib
+
+        h = max(1, -(-len(data) // PNG_W))
+        body = data.ljust(h * PNG_W, b"\x00")
+        raw = b"".join(
+            b"\x00" + body[y * PNG_W : (y + 1) * PNG_W] for y in range(h)
+        )
+
+        def chunk(tag: bytes, payload: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(payload))
+                + tag
+                + payload
+                + struct.pack(">I", zlib.crc32(tag + payload))
+            )
+
+        ihdr = struct.pack(">IIBBBBB", PNG_W, h, 8, 0, 0, 0, 0)
+        return (
+            _PNG_SIG
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6))
+            + chunk(b"IEND", b"")
+        )
     if fmt == "image/ppm":
         row = 3 * PPM_W
         h = max(1, -(-len(data) // row))
@@ -160,6 +195,9 @@ def decode_media(payload: bytes, fmt: str):
     import struct
 
     import numpy as np
+
+    if fmt == "image/png":
+        return _decode_png(payload)
 
     if fmt == "image/ppm":
         if payload[:2] != b"P6":
@@ -243,17 +281,114 @@ def decode_media(payload: bytes, fmt: str):
     return _decode_compressed_stub(fmt)
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): nearest of left/up/up-left
+    to the linear estimate a + b - c, ties broken a, b, c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _decode_png(payload: bytes):
+    """REAL pure-Python PNG decoder: signature + chunk walk with
+    CRC-32 verification, IHDR parse, multi-IDAT zlib inflate, and full
+    scanline unfiltering (None/Sub/Up/Average/Paeth) for 8-bit
+    greyscale / grey-alpha / RGB / RGBA, non-interlaced. Returns
+    (samples int64 ndarray of reconstructed channel bytes, info)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("decode_media: not a PNG (bad signature)")
+    pos, ihdr, idat = len(_PNG_SIG), None, []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("decode_media: truncated PNG chunk")
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if crc != zlib.crc32(tag + body):
+            raise ValueError(f"decode_media: PNG CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("decode_media: PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            "decode_media: only 8-bit non-interlaced PNG supported"
+        )
+    if ctype not in _PNG_BPP:
+        raise ValueError(f"decode_media: unsupported PNG color type {ctype}")
+    bpp = _PNG_BPP[ctype]
+    stride = w * bpp
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("decode_media: PNG scanline data size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int64)
+        if ftype == 0:  # None
+            rec = line
+        elif ftype == 2:  # Up
+            rec = (line + prev) & 0xFF
+        else:
+            rec = line.copy()
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if ftype == 1:  # Sub
+                    rec[x] = (rec[x] + a) & 0xFF
+                elif ftype == 3:  # Average
+                    rec[x] = (rec[x] + (a + b) // 2) & 0xFF
+                elif ftype == 4:  # Paeth
+                    rec[x] = (rec[x] + _paeth(a, b, c)) & 0xFF
+                else:
+                    raise ValueError(
+                        f"decode_media: bad PNG filter type {ftype}"
+                    )
+        out[y] = rec
+        prev = rec.astype(np.int64)
+    return out.reshape(-1).astype(np.int64), {
+        "width": w,
+        "height": h,
+        "channels": bpp,
+        "n_frames": 1,
+    }
+
+
 def _decode_compressed_stub(fmt: str):  # pragma: no cover - STUB
-    """STUB: compressed formats (png/jpeg/mp4/...) genuinely need
-    codec libraries this container does not ship; on a production
-    cluster this is where PIL / soundfile / pyav load the payload."""
+    """STUB: the remaining compressed formats (jpeg/mp4/...) genuinely
+    need codec libraries this container does not ship; on a production
+    cluster this is where PIL / soundfile / pyav load the payload.
+    (png no longer routes here — `_decode_png` is a real pure-Python
+    DEFLATE-based decoder.)"""
     try:
         import PIL.Image  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
-            "STUB: compressed-media codecs (PIL/soundfile/pyav) are "
-            f"not installed in this environment (format {fmt!r}); "
-            "uncompressed ppm/wav/y4m decode natively via decode_media"
+            "STUB: jpeg/mp4 codecs (PIL/soundfile/pyav) are not "
+            f"installed in this environment (format {fmt!r}); "
+            "ppm/wav/y4m/png decode natively via decode_media"
         ) from exc
     raise NotImplementedError("STUB: compressed decode path not wired yet")
 
@@ -345,30 +480,37 @@ def resize_payload(
 
 
 def decode_features(
-    df: DataFrame, id_col: str, fake: str | None = "histogram"
+    df: DataFrame,
+    id_col: str,
+    fake: str | None = "histogram",
+    normalize: bool = True,
 ) -> DataFrame:
     """Decode payloads and emit fixed-width features: (id_col, n_bytes
-    LONG, n_samples LONG, features ARRAY<DOUBLE> of N_FEATURE_BINS).
+    LONG, n_samples LONG, features ARRAY<DOUBLE> of N_FEATURE_BINS —
+    or ARRAY<BIGINT> of raw bin COUNTS with normalize=False).
 
     Arrow-batched `mapInPandas`: payload bytes cross into Python once
     per batch, features come back columnar.
 
     - `fake=None` — the REAL path: `decode_media` parses the actual
-      container (PPM/WAV/Y4M header + payload) and the histogram is
-      over DECODED pixel/sample values: uint8 formats bin by value
-      >> 4; WAV int16 samples bin by (s + 32768) >> 12. Compressed
-      formats hit the gated STUB.
+      container (PPM/WAV/Y4M/PNG header + payload) and the histogram
+      is over DECODED pixel/sample values: uint8 formats bin by value
+      >> 4; WAV int16 samples bin by (s + 32768) >> 12. jpeg/mp4 hit
+      the gated STUB.
     - `fake='histogram'` — byte histogram of the raw payload, no
       container parsing (works on any bytes).
 
-    Both paths are exact-deterministic: integer binning, one float
-    divide per bin at the end."""
+    Both paths are exact-deterministic: integer binning, and with
+    normalize=False the output is pure int64 — the representation an
+    external engine can reproduce bit-for-bit (the registered query's
+    oracle route); normalize=True adds one float divide per bin."""
     import numpy as np
 
     id_type = df.schema[id_col].dataType.simpleString()
+    feat_type = "array<double>" if normalize else "array<bigint>"
     out_schema = (
         f"{id_col} {id_type}, n_bytes long, n_samples long, "
-        "features array<double>"
+        f"features {feat_type}"
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -386,11 +528,13 @@ def decode_features(
                         bins = samples >> 4
                 else:
                     bins = np.frombuffer(buf, dtype=np.uint8) >> 4
-                hist = np.bincount(
-                    bins, minlength=N_FEATURE_BINS
-                ).astype(np.float64)
-                total = hist.sum()
-                feats.append(hist / total if total else hist)
+                hist = np.bincount(bins, minlength=N_FEATURE_BINS)
+                if normalize:
+                    hist = hist.astype(np.float64)
+                    total = hist.sum()
+                    feats.append(hist / total if total else hist)
+                else:
+                    feats.append(hist.astype(np.int64))
                 sizes.append(len(buf))
                 counts.append(len(bins))
             yield pd.DataFrame(

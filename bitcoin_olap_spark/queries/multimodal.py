@@ -92,30 +92,153 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm_decode_features", oracle=None)
+#: DuckDB rewrite of the decode pipeline for the three rotating
+#: formats, parameterized only by the source relation (a SELECT of
+#: doc_id, m = doc_id%3, rl = payload length, hx = payload hex). The
+#: trick that makes a binary CODEC oracle-expressible in SQL: the
+#: 16-bin value histogram over decoded samples equals a NIBBLE-COUNT
+#: over the payload's hex string — for uint8 formats (PPM pixel rows,
+#: Y4M planes) the bin is the byte's high nibble (hex chars at odd
+#: positions); for WAV PCM16 the bin is ((hi_byte + 128) mod 256) >> 4
+#: = (high nibble of every 2nd byte + 8) mod 16 (hex chars at
+#: positions = 3 mod 4); container zero-padding lands in bin 0 (bin 8
+#: for WAV's pad-to-even byte). Container sizes are closed-form header
+#: arithmetic. All-integer, so the compare is exact.
+_DECODE_ORACLE_TAIL = """
+geo AS (
+  SELECT doc_id, m, rl,
+    CASE WHEN m = 1 THEN rl + rl % 2
+         WHEN m = 0 THEN 48 * greatest(1, (rl + 47) // 48)
+         ELSE 384 * greatest(1, (rl + 383) // 384) END AS body,
+    CASE WHEN m = 1
+         THEN left(regexp_replace(hx, '..(.).', '\\1', 'g'), rl // 2)
+         ELSE regexp_replace(hx, '(.).', '\\1', 'g') END AS nib
+  FROM raw
+), meta AS (
+  SELECT doc_id, m, rl, body, nib,
+    CASE WHEN m = 0 THEN 11 + length(CAST(body // 48 AS VARCHAR)) + body
+         WHEN m = 1 THEN 44 + body
+         ELSE 37 + 390 * (body // 384) END AS n_bytes,
+    CASE WHEN m = 1 THEN body // 2 ELSE body END AS n_samples
+  FROM geo
+), per_bin AS (
+  SELECT t.doc_id, t.n_bytes, t.n_samples, b.k,
+    length(t.nib)
+      - length(replace(t.nib,
+          substr('0123456789ABCDEF',
+                 1 + CAST(CASE WHEN t.m = 1 THEN (b.k + 8) % 16
+                               ELSE b.k END AS INTEGER), 1), ''))
+      + CASE WHEN t.m = 1 AND b.k = 8 THEN t.rl % 2
+             WHEN t.m <> 1 AND b.k = 0 THEN t.body - t.rl
+             ELSE 0 END AS cnt
+  FROM meta t CROSS JOIN (SELECT unnest(range(16)) AS k) b
+)
+"""
+
+
+@query(
+    "mm_decode_features",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS m,
+             octet_length(encode(text)) AS rl,
+             upper(hex(encode(text))) AS hx
+      FROM documents
+    ), """
+    + _DECODE_ORACLE_TAIL
+    + """
+    SELECT doc_id, n_bytes, n_samples,
+           string_agg(CAST(cnt AS VARCHAR), ',' ORDER BY k) AS features
+    FROM per_bin
+    GROUP BY doc_id, n_bytes, n_samples
+    """,
+)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL codec decode + feature-extract: raw bytes are transcoded
     into genuine containers (netpbm P6 / RIFF WAV PCM16 / YUV4MPEG2 —
     operators/multimodal.encode_media), then `decode_media` parses the
     actual container headers and the features are a 16-bin histogram
     over DECODED pixel/sample values, all inside Arrow-batched
-    mapInPandas stages. Rows-only driver check (container parsing is
-    not expressible in DuckDB SQL); tests pin exact values against an
-    independent struct-module reference parser and exact encode/decode
-    round-trips. The registered projection serializes the feature
-    vector to a CSV string — registered queries must emit scalar-only
-    columns for the external canonicalizer."""
+    mapInPandas stages. normalize=False keeps the histogram as exact
+    int64 counts, which is what makes a binary codec pipeline
+    oracle-checkable: the DuckDB twin reproduces the decoded-value
+    histogram by pure hex-nibble arithmetic over the same payload
+    bytes (see _DECODE_ORACLE_TAIL) and the container byte sizes by
+    closed-form header math. Tests additionally pin the normalized
+    path against an independent struct-module reference parser and
+    exact encode/decode round-trips."""
     feats = MM.decode_features(
-        MM.transcode(_media(spark, sf_dir), "doc_id"), "doc_id", fake=None
+        MM.transcode(_media(spark, sf_dir), "doc_id"),
+        "doc_id",
+        fake=None,
+        normalize=False,
     )
     return feats.select(
         "doc_id",
         "n_bytes",
         "n_samples",
         F.array_join(
-            F.transform(
-                "features", lambda x: F.format_number(x, 6)
-            ),
-            ",",
+            F.transform("features", lambda x: x.cast("string")), ","
+        ).alias("features"),
+    )
+
+
+@query(
+    "mm_png_roundtrip",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id, octet_length(encode(text)) AS rl,
+             upper(hex(encode(text))) AS hx
+      FROM documents
+    ), geo AS (
+      SELECT doc_id, rl, 16 * greatest(1, (rl + 15) // 16) AS body,
+             regexp_replace(hx, '(.).', '\\1', 'g') AS nib
+      FROM raw
+    ), per_bin AS (
+      SELECT doc_id, body AS n_samples, b.k,
+        length(nib)
+          - length(replace(nib,
+              substr('0123456789ABCDEF', 1 + CAST(b.k AS INTEGER), 1),
+              ''))
+          + CASE WHEN b.k = 0 THEN body - rl ELSE 0 END AS cnt
+      FROM geo CROSS JOIN (SELECT unnest(range(16)) AS k) b
+    )
+    SELECT doc_id, n_samples,
+           string_agg(CAST(cnt AS VARCHAR), ',' ORDER BY k) AS features
+    FROM per_bin
+    GROUP BY doc_id, n_samples
+    """,
+)
+def mm_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED-format codec end-to-end: every document's payload is
+    encoded into a REAL PNG (zlib-DEFLATE IDAT, CRC-32 chunks —
+    operators/multimodal.encode_media) and decoded back by the
+    pure-Python PNG decoder (`_decode_png`: chunk walk + CRC verify +
+    inflate + scanline unfiltering), then featurized as exact int64
+    value-histogram counts. Because DEFLATE round-trips losslessly,
+    the decoded samples are the original payload bytes zero-padded to
+    full 16-px scanlines — which the DuckDB oracle reproduces with
+    hex-nibble counting, proving the compressed codec path value-exact
+    without any codec library. n_bytes is intentionally not emitted:
+    the container size depends on the zlib level, which is the one
+    thing header arithmetic cannot reproduce."""
+    docs = table(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("blob"),
+        F.struct(
+            F.lit("image/png").alias("format"),
+            F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
+            F.lit(1).cast("long").alias("n_frames"),
+        ).alias("media_meta"),
+    )
+    feats = MM.decode_features(
+        MM.transcode(media, "doc_id"), "doc_id", fake=None, normalize=False
+    )
+    return feats.select(
+        "doc_id",
+        "n_samples",
+        F.array_join(
+            F.transform("features", lambda x: x.cast("string")), ","
         ).alias("features"),
     )

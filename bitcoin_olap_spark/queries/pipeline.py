@@ -201,7 +201,62 @@ def pipeline_docs_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..operators import multimodal as MM  # noqa: E402
 
 
-@query("pipeline_mm_e2e", oracle=None)
+@query(
+    "pipeline_mm_e2e",
+    oracle="""
+    WITH docs_f AS (
+      SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS m, text
+      FROM documents WHERE doc_id % 3 <> 1
+    ), sur AS (
+      SELECT min(doc_id) AS doc_id FROM docs_f GROUP BY text
+    ), raw AS (
+      SELECT d.doc_id, d.m,
+             least(octet_length(encode(d.text)), 256) AS rl,
+             left(upper(hex(encode(d.text))),
+                  2 * least(octet_length(encode(d.text)), 256)) AS hx
+      FROM docs_f d JOIN sur USING (doc_id)
+    ), geo AS (
+      SELECT doc_id, m, rl,
+        CASE WHEN m = 0 THEN 48 * greatest(1, (rl + 47) // 48)
+             ELSE 384 * greatest(1, (rl + 383) // 384) END AS body,
+        regexp_replace(hx, '(.).', '\\1', 'g') AS nib
+      FROM raw
+    ), meta AS (
+      SELECT doc_id, m, rl, body, nib,
+        CASE WHEN m = 0
+             THEN 11 + length(CAST(body // 48 AS VARCHAR)) + body
+             ELSE 37 + 390 * (body // 384) END AS n_bytes
+      FROM geo
+    ), per_bin AS (
+      SELECT t.doc_id, t.m, t.n_bytes, b.k,
+        length(t.nib)
+          - length(replace(t.nib,
+              substr('0123456789ABCDEF', 1 + CAST(b.k AS INTEGER), 1),
+              ''))
+          + CASE WHEN b.k = 0 THEN t.body - t.rl ELSE 0 END AS cnt
+      FROM meta t CROSS JOIN (SELECT unnest(range(16)) AS k) b
+    ), doc AS (
+      SELECT doc_id, m, n_bytes, sum(cnt * cnt) AS featsq
+      FROM per_bin GROUP BY doc_id, m, n_bytes
+    ), agg AS (
+      SELECT CASE WHEN m = 0 THEN 'image/ppm' ELSE 'video/y4m' END
+               AS format,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+             CAST(sum(featsq) AS BIGINT) AS sum_feat_sq
+      FROM doc GROUP BY 1
+    ), fmt_raw AS (
+      SELECT CASE WHEN m = 0 THEN 'image/ppm' ELSE 'video/y4m' END
+               AS format,
+             CAST(count(*) AS BIGINT) AS n_raw
+      FROM docs_f GROUP BY 1
+    )
+    SELECT a.format, a.n_docs,
+           f.n_raw - a.n_docs AS n_dupes_removed,
+           a.total_bytes, a.sum_feat_sq
+    FROM agg a JOIN fmt_raw f USING (format)
+    """,
+)
 def pipeline_mm_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal curation DAG — the visual/audio half of
     what pipeline_docs_e2e does for text: metadata filter (drop audio)
@@ -213,11 +268,12 @@ def pipeline_mm_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode (container header parse + pixel-value histogram,
     decode_media) -> per-format rollup. One lazy plan: the only
     shuffles are the digest dedup and the final 4-row aggregate;
-    everything between is map-side. Feature sums are defensively
-    rounded (cross-doc double sum order is engine-free); rows-only for
-    the driver (the decode stage is the codec seam — tests pin
-    invariants: budget respected, dedup arithmetic, format
-    partition)."""
+    everything between is map-side. The feature rollup is the exact
+    int64 sum of squared histogram COUNTS (order-free integer
+    arithmetic, no float accumulation), which lets the whole DAG —
+    including the codec stage — hash-match a DuckDB twin that
+    reproduces the decoded-value histograms by hex-nibble counting
+    (see queries/multimodal._DECODE_ORACLE_TAIL for the derivation)."""
     media = MM.attach_blob(
         table(spark, sf_dir, "documents", spread=True), "doc_id", "text"
     )
@@ -237,9 +293,10 @@ def pipeline_mm_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "doc_id",
         fake=None,
+        normalize=False,
     )
-    l2 = F.aggregate(
-        "features", F.lit(0.0), lambda acc, x: acc + x * x
+    featsq = F.aggregate(
+        "features", F.lit(0).cast("long"), lambda acc, x: acc + x * x
     )
     raw_counts = fmt.groupBy("format").agg(
         F.count(F.lit(1)).alias("n_raw")
@@ -250,7 +307,7 @@ def pipeline_mm_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_bytes").alias("total_bytes"),
-            F.round(F.sum(l2), 6).alias("sum_feat_l2"),
+            F.sum(featsq).alias("sum_feat_sq"),
         )
         .join(raw_counts, "format")
         .select(
@@ -258,6 +315,6 @@ def pipeline_mm_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             (F.col("n_raw") - F.col("n_docs")).alias("n_dupes_removed"),
             "total_bytes",
-            "sum_feat_l2",
+            "sum_feat_sq",
         )
     )

@@ -774,40 +774,193 @@ def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ml_logreg", oracle=None)
-def ml_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary logistic regression over embeddings (pyspark.ml LBFGS,
-    fixed params): label = whether the stored class label is < 5,
-    features = the embedding vector. Returns per-(label, prediction)
-    confusion counts — 4 rows, stable schema. Distributed: LBFGS
-    aggregates gradient partials tree-wise per iteration; inference is
-    a map-only UDF-free transform. Iterative optimization — not
-    SQL-expressible, so rows-only for the driver. The synthetic
-    labels are only weakly linearly separable (~0.55-0.65 accuracy) —
-    the operator demonstrates the distributed fit/score path
-    (gradient partials tree-aggregated per iteration, the same
-    shuffle posture at any corpus size), not the dataset."""
-    from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.functions import array_to_vector
+# ---- fixed-point logistic regression (full-batch GD) -------------
+#: feature / weight scale 2^20; probabilities ride at scale 2^40
+_LR_S = 1 << 20
+_LR_T = 1 << 40
+_LR_H = 1 << 39
+_LR_DIM = 65  # 64 embedding dims + bias at index 0
+_LR_ITERS = 4
 
-    emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        array_to_vector(
-            F.transform("embedding", lambda x: x.cast("double"))
-        ).alias("features"),
-        (F.col("label") < 5).cast("double").alias("label"),
+
+def _fdiv_sql(a: str, b: str) -> str:
+    """Exact FLOOR division for signed BIGINTs, spelled only with
+    operators whose semantics agree between Spark SQL and DuckDB
+    (% keeps the dividend's sign in both; the subtraction makes the
+    numerator exactly divisible, so truncating division == floor)."""
+    return f"((({a}) - (((({a}) % ({b})) + ({b})) % ({b}))) {{DIV}} ({b}))"
+
+
+def _lr_eh_sql(dialect_div: str) -> str:
+    """Per-row hard-sigmoid error at weight scale: from margin z
+    (scale 2^40) -> p = clamp(2^39 + z/4, 0, 2^40) -> e = p - y*2^40
+    -> eh = e/2^20. All floor divisions, all int64."""
+    zq = _fdiv_sql("z", "4")
+    p = f"least(greatest({_LR_H} + {zq}, 0), {_LR_T})"
+    e = f"({p} - y * {_LR_T})"
+    return _fdiv_sql(e, str(_LR_S)).format(DIV=dialect_div).replace(
+        "{DIV}", dialect_div
     )
-    model = LogisticRegression(
-        maxIter=8, regParam=0.01, standardization=True, tol=1e-6
-    ).fit(emb)
-    pred = model.transform(emb)
-    return (
-        pred.groupBy(
-            F.col("label").cast("long").alias("label"),
-            F.col("prediction").cast("long").alias("prediction"),
+
+
+def _oracle_logreg_sql() -> str:
+    """DuckDB twin of ml_logreg: the identical fixed-point full-batch
+    gradient-descent recurrence unrolled as chained CTEs (like
+    graph_pagerank's oracle — standard SQL forbids aggregation inside
+    a recursive term, so the fixed iteration count unrolls). Exploded
+    (vec_id, j, xv) features are built once and reused by every
+    iteration's margin and gradient aggregates."""
+    fdiv = _fdiv_sql
+
+    def d(expr: str) -> str:
+        return expr.replace("{DIV}", "//")
+
+    sql = [
+        f"""
+    WITH q AS (
+        SELECT vec_id,
+               CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
+               list_prepend(
+                   CAST({_LR_S} AS BIGINT),
+                   list_transform(
+                       embedding,
+                       e -> CAST(floor(CAST(e AS DOUBLE) * {_LR_S})
+                                 AS BIGINT))) AS xq
+        FROM embeddings
+    ),
+    xl AS (
+        SELECT vec_id, y, j.j AS j, xq[CAST(j.j AS INTEGER) + 1] AS xv
+        FROM q CROSS JOIN (SELECT unnest(range({_LR_DIM})) AS j) j
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM q),
+    w0 AS (
+        SELECT j AS j, CAST(0 AS BIGINT) AS wq
+        FROM range({_LR_DIM}) t(j)
+    )"""
+    ]
+    for i in range(_LR_ITERS):
+        prev, cur = f"w{i}", f"w{i + 1}"
+        sql.append(
+            f""",
+    z{i} AS (
+        SELECT x.vec_id, any_value(x.y) AS y,
+               CAST(SUM(x.xv * w.wq) AS BIGINT) AS z
+        FROM xl x JOIN {prev} w ON x.j = w.j
+        GROUP BY x.vec_id
+    ),
+    e{i} AS (
+        SELECT vec_id, CAST({d(_lr_eh_sql("//"))} AS BIGINT) AS eh
+        FROM z{i}
+    ),
+    g{i} AS (
+        SELECT x.j, CAST(SUM(e.eh * x.xv) AS BIGINT) AS g
+        FROM xl x JOIN e{i} e USING (vec_id)
+        GROUP BY x.j
+    ),
+    {cur} AS (
+        SELECT w.j,
+               CAST(w.wq - {d(fdiv("g.g", f"nn.n * {_LR_S}"))} AS BIGINT)
+                 AS wq
+        FROM g{i} g JOIN {prev} w USING (j), nn
+    )"""
         )
+    sql.append(
+        f""",
+    zf AS (
+        SELECT x.vec_id, any_value(x.y) AS y,
+               CAST(SUM(x.xv * w.wq) AS BIGINT) AS z
+        FROM xl x JOIN w{_LR_ITERS} w ON x.j = w.j
+        GROUP BY x.vec_id
+    )
+    SELECT CAST(y AS BIGINT) AS label,
+           CAST(CASE WHEN z > 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS prediction,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM zf GROUP BY 1, 2"""
+    )
+    return "".join(sql)
+
+
+@query("ml_logreg", oracle=_oracle_logreg_sql())
+def ml_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary logistic regression over embeddings by full-batch
+    gradient descent in EXACT fixed-point arithmetic: label = whether
+    the stored class label is < 5, features = bias + the 64-dim
+    embedding quantized to BIGINT at scale 2^20. Each of the 4
+    iterations is ONE distributed pass: the margin folds JVM-side over
+    the feature array (zip_with + aggregate — no explode, no Python),
+    the hard-sigmoid error clamp(1/2 + z/4) substitutes the logistic
+    (keeping every step rational, hence engine-exact), and the
+    65-component gradient comes back as 65 SUM aggregates in a single
+    map-side-partial hash aggregate — the tree-aggregated-gradient
+    posture of any distributed GD, with only 65 longs crossing to the
+    driver per iteration. Magnitude audit: |z| < 2^55 (int64-safe) and
+    every floor-division numerator < 2^53, so the identical recurrence
+    unrolled as DuckDB CTEs (_oracle_logreg_sql) hash-matches the
+    confusion counts exactly. The synthetic labels are only weakly
+    separable — the operator demonstrates the distributed fit/score
+    path, not the dataset. (A production pipeline wanting LBFGS swaps
+    in pyspark.ml.classification.LogisticRegression over the same
+    relation; GD-with-fixed-iterations is what makes the op
+    oracle-checkable.)"""
+    S, T = _LR_S, _LR_T
+    base = (
+        table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.when(F.col("label") < 5, 1).otherwise(0).cast("long").alias("y"),
+            F.concat(
+                F.array(F.lit(S).cast("long")),
+                F.transform(
+                    "embedding",
+                    lambda e: F.floor(e.cast("double") * S).cast("long"),
+                ),
+            ).alias("xq"),
+        )
+        .persist()
+    )
+    n = base.count()
+    eh_expr = _lr_eh_sql("div")
+    w = [0] * _LR_DIM
+    for _ in range(_LR_ITERS):
+        wlit = F.array(*[F.lit(int(v)).cast("long") for v in w])
+        z = F.aggregate(
+            F.zip_with("xq", wlit, lambda x, wv: x * wv),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        scored = base.select("y", "xq", z.alias("z")).withColumn(
+            "eh", F.expr(eh_expr).cast("long")
+        )
+        grad = scored.agg(
+            *[
+                F.sum(F.col("xq")[j] * F.col("eh")).alias(f"g{j}")
+                for j in range(_LR_DIM)
+            ]
+        ).collect()[0]
+        # Python // floors like the SQL fdiv; 65 longs of control
+        # plane per iteration, the same bounded-collect pattern as
+        # pagerank's convergence scalar
+        w = [
+            w[j] - (int(grad[f"g{j}"]) // (n * S))
+            for j in range(_LR_DIM)
+        ]
+    wfin = F.array(*[F.lit(int(v)).cast("long") for v in w])
+    zf = F.aggregate(
+        F.zip_with("xq", wfin, lambda x, wv: x * wv),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    out = (
+        base.select(
+            F.col("y").alias("label"),
+            F.when(zf > 0, 1).otherwise(0).cast("long").alias("prediction"),
+        )
+        .groupBy("label", "prediction")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    base.unpersist()
+    return out
 
 
 @query(

@@ -152,35 +152,6 @@ def jaccard_pairs(
     )
 
 
-def minhash_signatures(
-    sh: DataFrame, id_col: str, num_hashes: int = 64
-) -> DataFrame:
-    """MinHash signature per document from a (id, shingle) relation:
-    sig[i] = min over shingles of h_i(shingle). One aggregation,
-    num_hashes min() columns — map-side partials keep the shuffle at
-    one row per document.
-
-    The hash family is Kirsch-Mitzenmacher over one md5 per shingle:
-    a = first 11 hex digits (44 bits), b = next 11, h_i = a + i*b
-    (max < 2^50, no overflow; two derived base hashes simulate an
-    independent family). ONE digest per shingle regardless of
-    num_hashes, and — unlike a seeded xxhash64 — every h_i is
-    reproducible in ANSI SQL ('0x'||substr(md5(s),..))::BIGINT, which
-    is what lets the driver's DuckDB oracle check the LSH pipeline
-    end to end instead of rows-only."""
-    a = F.conv(F.substring(F.md5("shingle"), 1, 11), 16, 10).cast("long")
-    b = F.conv(F.substring(F.md5("shingle"), 12, 11), 16, 10).cast("long")
-    hashed = sh.select(F.col(id_col), a.alias("a"), b.alias("b"))
-    mins = [
-        F.min(F.col("a") + i * F.col("b")).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    agged = hashed.groupBy(id_col).agg(*mins)
-    return agged.select(
-        id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
-    )
-
-
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -200,7 +171,7 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     # ONE cached compact relation (id, shingle array, set size) feeds
-    # every stage: the signature explode, the exact verify arrays, and
+    # every stage: the signature fold, the exact verify arrays, and
     # the set sizes — the shingle text is computed and cached ONCE, and
     # the verify tier needs no corpus re-explode / size aggregation.
     arr = shingle_array(text_col, n, distinct=True)
@@ -213,8 +184,45 @@ def minhash_lsh_pairs(
         )
         .cache()
     )
-    sh = arrs.select(id_col, F.explode("arr").alias("shingle"))
-    sig = minhash_signatures(sh, id_col, num_hashes)
+    # signatures fold MAP-SIDE over the cached array — min over the
+    # shingle set == min over the exploded relation, with ZERO
+    # exchange (minhash_signatures' explode + 64-min groupBy spends a
+    # whole corpus shuffle to arrive at one row per doc, which this
+    # row already is). One md5 per shingle feeds all num_hashes
+    # Kirsch-Mitzenmacher h_i = a + i*b values; the running element-
+    # wise min rides an array accumulator. Empty-shingle docs keep the
+    # sentinel signature and are excluded below, exactly as they had
+    # no rows to group before.
+    # Hash family: Kirsch-Mitzenmacher over one md5 per shingle —
+    # a = first 11 hex digits (44 bits), b = next 11, h_i = a + i*b
+    # (max < 2^50, no int64 overflow; two derived base hashes simulate
+    # an independent family). ONE digest per shingle regardless of
+    # num_hashes, and — unlike a seeded xxhash64 — every h_i is
+    # reproducible in ANSI SQL ('0x'||substr(md5(s),..))::BIGINT,
+    # which is what lets the driver's DuckDB oracle check the LSH
+    # pipeline end to end instead of rows-only.
+    sentinel = F.lit(1 << 62).cast("long")
+    ab = lambda s: F.struct(  # noqa: E731
+        F.conv(F.substring(F.md5(s), 1, 11), 16, 10)
+        .cast("long")
+        .alias("a"),
+        F.conv(F.substring(F.md5(s), 12, 11), 16, 10)
+        .cast("long")
+        .alias("b"),
+    )
+    idx = F.sequence(F.lit(0).cast("long"), F.lit(num_hashes - 1))
+    sig_col = F.aggregate(
+        F.transform("arr", ab),
+        F.array_repeat(sentinel, num_hashes),
+        lambda acc, p: F.zip_with(
+            acc,
+            F.transform(idx, lambda i: p["a"] + i * p["b"]),
+            lambda m, h: F.least(m, h),
+        ),
+    )
+    sig = arrs.filter(F.col("n_shingles") > 0).select(
+        id_col, sig_col.alias("sig")
+    )
     # band key = the band's signature rows joined as a string: as
     # collision-exact as hashing them (equal iff the band rows are
     # equal), and reproducible in the DuckDB oracle as

@@ -19,6 +19,16 @@ from ..ml import loglog_ols_exact, loglog_ols_ml
 from ..ml.regression import ORACLE_OLS
 from ..registry import query
 
+
+def _fdiv_sql(a: str, b: str) -> str:
+    """Exact FLOOR division for signed BIGINTs, spelled only with
+    operators whose semantics agree between Spark SQL and DuckDB
+    (% keeps the dividend's sign in both; the subtraction makes the
+    numerator exactly divisible, so truncating division == floor)."""
+    return f"((({a}) - (((({a}) % ({b})) + ({b})) % ({b}))) {{DIV}} ({b}))"
+
+
+
 #: percentile bins / per-bin cap, mirroring smart_sampling's 20 bins +
 #: cap (btc_logregression_pre.py:53-70)
 N_BINS = 20
@@ -252,6 +262,176 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _table(spark, sf_dir, "embeddings")
     return kmeans_assign(emb, "vec_id", "embedding", k=10)
+
+
+# ---- fixed-point Lloyd k-means (oracle-exact twin of ml_kmeans) ---
+_KM_K = 8
+_KM_ITERS = 3
+_KM_S = 1 << 20  # feature scale; |x| < 1 so |xq| < 2^20,
+#                  per-vector dist < 64*(2^21)^2 = 2^48, key < 2^51
+
+
+def _oracle_kmeans_sql() -> str:
+    """DuckDB twin of ml_kmeans_lloyd: the identical fixed-point Lloyd
+    recurrence unrolled as chained CTEs. Deterministic argmin via the
+    integer key d*K + cid (d < 2^48, K = 8 -> key < 2^51, exact in
+    int64 and in the float64 both engines would widen to), centroid
+    means via the sign-safe floor division, empty clusters carrying
+    their previous centroid through a left join."""
+    fdiv = _fdiv_sql
+
+    def d(expr: str) -> str:
+        return expr.replace("{DIV}", "//")
+
+    K, S = _KM_K, _KM_S
+    sql = [
+        f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(
+                   embedding,
+                   e -> CAST(floor(CAST(e AS DOUBLE) * {S}) AS BIGINT))
+                 AS xq
+        FROM embeddings
+    ),
+    xl AS (
+        SELECT vec_id, j.j AS j, xq[CAST(j.j AS INTEGER) + 1] AS xv
+        FROM q CROSS JOIN (SELECT unnest(range(64)) AS j) j
+    ),
+    seeds AS (
+        SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+        FROM q
+    ),
+    c0 AS (
+        SELECT s.cid, x.j, x.xv AS cv
+        FROM seeds s JOIN xl x USING (vec_id)
+        WHERE s.cid < {K}
+    )"""
+    ]
+    for i in range(_KM_ITERS):
+        prev, cur = f"c{i}", f"c{i + 1}"
+        sql.append(
+            f""",
+    d{i} AS (
+        SELECT x.vec_id, c.cid,
+               CAST(SUM((x.xv - c.cv) * (x.xv - c.cv)) AS BIGINT) AS d
+        FROM xl x JOIN {prev} c ON x.j = c.j
+        GROUP BY 1, 2
+    ),
+    a{i} AS (
+        SELECT vec_id,
+               CAST(MIN(d * {K} + cid) % {K} AS BIGINT) AS cid
+        FROM d{i} GROUP BY 1
+    ),
+    m{i} AS (
+        SELECT a.cid, x.j,
+               CAST({d(fdiv('SUM(x.xv)', 'COUNT(*)'))} AS BIGINT) AS cv
+        FROM a{i} a JOIN xl x USING (vec_id)
+        GROUP BY a.cid, x.j
+    ),
+    {cur} AS (
+        SELECT p.cid, p.j, COALESCE(m.cv, p.cv) AS cv
+        FROM {prev} p LEFT JOIN m{i} m
+          ON m.cid = p.cid AND m.j = p.j
+    )"""
+        )
+    sql.append(
+        f"""
+    SELECT x.vec_id,
+           CAST(MIN(d * {K} + cid) % {K} AS BIGINT) AS cluster,
+           CAST(MIN(d * {K} + cid) // {K} AS BIGINT) AS dist_sq
+    FROM (
+        SELECT x.vec_id,
+               c.cid,
+               CAST(SUM((x.xv - c.cv) * (x.xv - c.cv)) AS BIGINT) AS d
+        FROM xl x JOIN c{_KM_ITERS} c ON x.j = c.j
+        GROUP BY 1, 2
+    ) x
+    GROUP BY 1"""
+    )
+    return "".join(sql)
+
+
+@query("ml_kmeans_lloyd", oracle=_oracle_kmeans_sql())
+def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means (k=8, 3 iterations) over embeddings in EXACT
+    fixed-point arithmetic — the oracle-checkable twin of ml_kmeans'
+    pyspark.ml estimator (whose k-means|| seeded init no external
+    engine can reproduce). Init = the k lowest-id vectors; assignment
+    is a MAP-ONLY argmin over the broadcast-literal centroids (the
+    per-cluster (distance, cid) struct array's array_min gives the
+    deterministic tie-break); the update is one hash aggregate per
+    iteration — 64 SUMs + a count per cluster, map-side partials, k*65
+    longs of driver control plane (the same tree-aggregated posture as
+    ml_logreg's gradient; pyspark.ml's Lloyd does exactly this
+    internally). Centroid means use the sign-safe floor division;
+    empty clusters keep their previous centroid. Magnitudes: |xq| <
+    2^20 -> per-vector distance < 2^48, argmin key d*8+cid < 2^51 —
+    int64-exact, so the unrolled DuckDB recurrence hash-matches every
+    (vec_id, cluster, dist_sq) row. dist_sq rides at scale 2^40."""
+    K, S = _KM_K, _KM_S
+    base = (
+        table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda e: F.floor(e.cast("double") * S).cast("long"),
+            ).alias("xq"),
+        )
+        .persist()
+    )
+    seeds = base.orderBy("vec_id").limit(K).collect()
+    cents = [list(r["xq"]) for r in seeds]
+
+    def dist_to(c: list[int]):
+        return F.aggregate(
+            F.zip_with(
+                "xq",
+                F.array(*[F.lit(int(v)).cast("long") for v in c]),
+                lambda x, cv: (x - cv) * (x - cv),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    def assign_col(cs: list[list[int]]):
+        key = F.array_min(
+            F.array(
+                *[
+                    (dist_to(c) * K + F.lit(cid)).alias("k")
+                    for cid, c in enumerate(cs)
+                ]
+            )
+        )
+        return key
+
+    for _ in range(_KM_ITERS):
+        key = assign_col(cents)
+        sums = (
+            base.select((key % K).alias("cid"), "xq")
+            .groupBy("cid")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.col("xq")[j]).alias(f"s{j}") for j in range(64)],
+            )
+            .collect()
+        )
+        got = {int(r["cid"]): r for r in sums}
+        cents = [
+            [int(got[c][f"s{j}"]) // int(got[c]["n"]) for j in range(64)]
+            if c in got
+            else cents[c]
+            for c in range(K)
+        ]
+    key = assign_col(cents)
+    out = base.select(
+        "vec_id",
+        (key % K).cast("long").alias("cluster"),
+        ((key - key % K) / K).cast("long").alias("dist_sq"),
+    )
+    base.unpersist()
+    return out
 
 
 @query(
@@ -781,14 +961,6 @@ _LR_T = 1 << 40
 _LR_H = 1 << 39
 _LR_DIM = 65  # 64 embedding dims + bias at index 0
 _LR_ITERS = 4
-
-
-def _fdiv_sql(a: str, b: str) -> str:
-    """Exact FLOOR division for signed BIGINTs, spelled only with
-    operators whose semantics agree between Spark SQL and DuckDB
-    (% keeps the dividend's sign in both; the subtraction makes the
-    numerator exactly divisible, so truncating division == floor)."""
-    return f"((({a}) - (((({a}) % ({b})) + ({b})) % ({b}))) {{DIV}} ({b}))"
 
 
 def _lr_eh_sql(dialect_div: str) -> str:

@@ -1140,3 +1140,69 @@ def snk_acid_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         exact_sum("l_quantity", "total_qty"),
     )
+
+
+@query(
+    "snk_acid_optimize",
+    oracle="""
+    WITH full_t AS (
+        SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+               CAST(NULL AS VARCHAR) AS note
+        FROM lineitem
+        UNION ALL
+        SELECT -1, 1, 999.0, 'Z', 'wide'
+    )
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_qty,
+           COUNT(note) AS n_noted
+    FROM full_t
+    GROUP BY 1
+    """,
+)
+def snk_acid_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lakehouse MAINTENANCE lifecycle on the versioned CoW table,
+    end-to-end through the delta-manifest log: a fragmented init, two
+    small APPENDS (each commits a delta manifest listing ONLY its own
+    files — O(batch) metadata however large the table), an OPTIMIZE
+    compaction (content-identical, layout-only: the delta removes
+    every old file and adds the compacted ones), then add-column
+    schema EVOLUTION (a metadata-sized commit appending one wide
+    batch; old files never rewrite). The final merged-schema snapshot
+    must equal lineitem plus the wide row exactly — the oracle states
+    that content identity, so compaction or resolution dropping or
+    duplicating any row hash-fails. Exercises checkpoint + delta
+    replay on the read path (operators/acidtable._resolve_files)."""
+    root = _tmp(
+        f"acid_opt_{os.path.basename(os.path.abspath(sf_dir))}"
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    if AT.current_version(root) < 0:
+        AT.init_table(
+            spark, root, li.filter(F.col("l_orderkey") % 4 != 0).repartition(8)
+        )
+        AT.append(
+            spark, root, li.filter(F.col("l_orderkey") % 8 == 0), op="a1"
+        )
+        AT.append(
+            spark, root, li.filter(F.col("l_orderkey") % 8 == 4), op="a2"
+        )
+        AT.optimize(spark, root, target_files=4)
+        AT.add_columns(
+            spark,
+            root,
+            spark.createDataFrame(
+                [(-1, 1, 999.0, "Z", "wide")],
+                "l_orderkey long, l_linenumber int, l_quantity double,"
+                " l_returnflag string, note string",
+            ),
+        )
+    snap = AT.snapshot_merged(spark, root)
+    return snap.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum("l_quantity", "total_qty"),
+        F.count("note").alias("n_noted"),
+    )

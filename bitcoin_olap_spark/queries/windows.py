@@ -910,3 +910,79 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("s_sum").cast("double") / (7 * F.col("s_n")),
         ).alias("remainder"),
     )
+
+
+@query(
+    "win_interval_merge",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
+        FROM events
+    ), flagged AS (
+        SELECT user_id, s, e,
+               CASE WHEN max(e) OVER (
+                        PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) >= s
+                    THEN 0 ELSE 1 END AS new_iv
+        FROM iv
+    ), islands AS (
+        SELECT user_id, s, e,
+               SUM(new_iv) OVER (
+                   PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS island
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(COUNT(DISTINCT island) AS BIGINT) AS n_intervals,
+           CAST(SUM(span) AS BIGINT) AS covered_us
+    FROM (
+        SELECT user_id, island, MAX(e) - MIN(s) AS span
+        FROM islands GROUP BY user_id, island
+    ) GROUP BY 1
+    """,
+)
+def win_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-interval merging (interval union): each event opens
+    a 5-minute activity interval; touching/overlapping intervals per
+    user coalesce into maximal covered spans — the classic stacked-
+    booking / uptime-coverage shape. One user_id shuffle serves both
+    windows (running max-end flags a new island when the gap is real;
+    a running sum numbers islands) and the island rollup; covered time
+    is exact epoch-microsecond integer arithmetic. Rows with equal
+    start order arbitrarily but merge unconditionally (equal starts
+    always overlap), so the output is deterministic regardless of
+    intra-tie ordering — the property that makes the op safe under
+    any partitioning. At 100 TB this is one keyed exchange + two
+    WindowExec passes over sorted runs, no self-join (the naive
+    overlap formulation is a range self-join that explodes
+    quadratically on busy keys)."""
+    ev = table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        epoch_us("ts").alias("s"),
+        (epoch_us("ts") + 300_000_000).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = iv.withColumn(
+        "new_iv",
+        F.when(F.max("e").over(w_prev) >= F.col("s"), 0).otherwise(1),
+    )
+    islands = flagged.withColumn("island", F.sum("new_iv").over(w_run))
+    spans = islands.groupBy("user_id", "island").agg(
+        (F.max("e") - F.min("s")).alias("span")
+    )
+    return spans.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum("span").cast("long").alias("covered_us"),
+    )

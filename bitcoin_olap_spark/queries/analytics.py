@@ -384,47 +384,68 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = base.orderBy("vec_id").limit(K).collect()
     cents = [list(r["xq"]) for r in seeds]
 
-    def dist_to(c: list[int]):
-        return F.aggregate(
-            F.zip_with(
-                "xq",
-                F.array(*[F.lit(int(v)).cast("long") for v in c]),
-                lambda x, cv: (x - cv) * (x - cv),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
+    def assign_key(cs: list[list[int]]):
+        # ONE literal array-of-arrays + a runtime loop (transform over
+        # the centroid index): the generated code stays small and
+        # constant-shaped however many centroids there are — the
+        # K-unrolled per-centroid expression tree costs ~0.5 s of
+        # Catalyst/codegen per plan at K=8. argmin key = d*K + cid
+        # (d < 2^48 -> exact), min breaks ties toward the lower cid.
+        # ONE expr-parsed nested-array literal — 512 F.lit Columns
+        # cost ~1 s of py4j round trips per plan, the parsed SQL
+        # string ~1 ms
+        clit = F.expr(
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"{int(v)}L" for v in c) + ")"
+                for c in cs
+            )
+            + ")"
         )
-
-    def assign_col(cs: list[list[int]]):
-        key = F.array_min(
-            F.array(
-                *[
-                    (dist_to(c) * K + F.lit(cid)).alias("k")
-                    for cid, c in enumerate(cs)
-                ]
+        return F.array_min(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), F.lit(K - 1)),
+                lambda i: F.aggregate(
+                    F.zip_with(
+                        "xq",
+                        F.element_at(clit, (i + 1).cast("int")),
+                        lambda x, cv: (x - cv) * (x - cv),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                )
+                * K
+                + i,
             )
         )
-        return key
 
     for _ in range(_KM_ITERS):
-        key = assign_col(cents)
+        key = assign_key(cents)
+        # ONE job per iteration: posexplode the features under their
+        # assigned cluster and reduce to (cid, j, sum, count) — the
+        # count per (cid, j) IS the cluster size, so means need no
+        # separate count pass; K*dim rows of control plane return.
         sums = (
             base.select((key % K).alias("cid"), "xq")
-            .groupBy("cid")
+            .select("cid", F.posexplode("xq").alias("j", "xv"))
+            .groupBy("cid", "j")
             .agg(
+                F.sum("xv").alias("s"),
                 F.count(F.lit(1)).alias("n"),
-                *[F.sum(F.col("xq")[j]).alias(f"s{j}") for j in range(64)],
             )
             .collect()
         )
-        got = {int(r["cid"]): r for r in sums}
+        got = {(int(r["cid"]), int(r["j"])): r for r in sums}
         cents = [
-            [int(got[c][f"s{j}"]) // int(got[c]["n"]) for j in range(64)]
-            if c in got
-            else cents[c]
+            [
+                int(got[(c, j)]["s"]) // int(got[(c, j)]["n"])
+                if (c, j) in got
+                else cents[c][j]
+                for j in range(64)
+            ]
             for c in range(K)
         ]
-    key = assign_col(cents)
+    key = assign_key(cents)
     out = base.select(
         "vec_id",
         (key % K).cast("long").alias("cluster"),
@@ -1075,7 +1096,7 @@ def ml_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     in pyspark.ml.classification.LogisticRegression over the same
     relation; GD-with-fixed-iterations is what makes the op
     oracle-checkable.)"""
-    S, T = _LR_S, _LR_T
+    S = _LR_S
     base = (
         table(spark, sf_dir, "embeddings")
         .select(
@@ -1091,42 +1112,56 @@ def ml_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    n = base.count()
     eh_expr = _lr_eh_sql("div")
-    w = [0] * _LR_DIM
-    for _ in range(_LR_ITERS):
-        wlit = F.array(*[F.lit(int(v)).cast("long") for v in w])
-        z = F.aggregate(
+
+    def margin(wvec: list[int]):
+        # ONE expr-parsed array literal: building the 65 elements as
+        # individual F.lit Columns costs ~0.3 s of py4j round trips
+        # per plan; the SQL-literal string is a single call
+        wlit = F.expr(
+            "array(" + ",".join(f"{int(v)}L" for v in wvec) + ")"
+        )
+        return F.aggregate(
             F.zip_with("xq", wlit, lambda x, wv: x * wv),
             F.lit(0).cast("long"),
             lambda acc, v: acc + v,
         )
-        scored = base.select("y", "xq", z.alias("z")).withColumn(
-            "eh", F.expr(eh_expr).cast("long")
+
+    w = [0] * _LR_DIM
+    for _ in range(_LR_ITERS):
+        scored = base.select(
+            "xq", margin(w).alias("z"), F.col("y")
+        ).withColumn("eh", F.expr(eh_expr).cast("long"))
+        # ONE job per iteration: posexplode the feature array and
+        # reduce to (j, sum(xv*eh), count) — a narrow n*dim exchange
+        # with map-side partials and a 65-row result. count(*) per j
+        # IS the corpus size, so no separate count job runs. (The
+        # 65-separate-SUM-columns formulation computes the same thing
+        # with zero shuffle but pays ~0.5 s of Catalyst/codegen per
+        # iteration on a 65-wide aggregate — measured slower below
+        # ~10M rows; at larger scale flip back to the wide-agg form.)
+        grad = (
+            scored.select("eh", F.posexplode("xq").alias("j", "xv"))
+            .groupBy("j")
+            .agg(
+                F.sum(F.col("xv") * F.col("eh")).alias("g"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
         )
-        grad = scored.agg(
-            *[
-                F.sum(F.col("xq")[j] * F.col("eh")).alias(f"g{j}")
-                for j in range(_LR_DIM)
-            ]
-        ).collect()[0]
+        n = int(grad[0]["n"])
+        gd = {int(r["j"]): int(r["g"]) for r in grad}
         # Python // floors like the SQL fdiv; 65 longs of control
         # plane per iteration, the same bounded-collect pattern as
         # pagerank's convergence scalar
-        w = [
-            w[j] - (int(grad[f"g{j}"]) // (n * S))
-            for j in range(_LR_DIM)
-        ]
-    wfin = F.array(*[F.lit(int(v)).cast("long") for v in w])
-    zf = F.aggregate(
-        F.zip_with("xq", wfin, lambda x, wv: x * wv),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+        w = [w[j] - (gd[j] // (n * S)) for j in range(_LR_DIM)]
     out = (
         base.select(
             F.col("y").alias("label"),
-            F.when(zf > 0, 1).otherwise(0).cast("long").alias("prediction"),
+            F.when(margin(w) > 0, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("prediction"),
         )
         .groupBy("label", "prediction")
         .agg(F.count(F.lit(1)).alias("n"))

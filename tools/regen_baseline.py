@@ -9,7 +9,12 @@ min-vs-median would systematically favor whichever side used min.
 Spark side: taken from a bench.py run — run bench.py first and pass
 its JSON via --bench, or this script runs it.
 
-Usage: python tools/regen_baseline.py [--bench BENCH.json]
+Usage: python tools/regen_baseline.py [--bench B1.json [--bench B2.json ...]]
+                                      [--duck-passes N]
+Multiple --bench files min-merge per query (the r3 protocol: the host
+is a noisy shared VM, min across suite runs estimates the undisturbed
+cost); --duck-passes N (default 2) min-merges N DuckDB sessions the
+same way.
 Writes the markdown table to stdout and rewrites the "## Measured"
 section of BASELINE.md in place.
 """
@@ -71,12 +76,26 @@ def classify(d: float | None, s: float) -> str:
     return "over 2x"
 
 
+def _min_merge(dicts: list[dict[str, float]]) -> dict[str, float]:
+    """Per-query min across runs; negative (failed) entries only win
+    when every run failed."""
+    out: dict[str, float] = {}
+    for d in dicts:
+        for q, v in d.items():
+            cur = out.get(q)
+            if cur is None or (v > 0 and (cur < 0 or v < cur)):
+                out[q] = v
+    return out
+
+
 def main() -> None:
-    bench_path = None
-    if "--bench" in sys.argv:
-        bench_path = sys.argv[sys.argv.index("--bench") + 1]
-    if bench_path:
-        bench = json.load(open(bench_path))
+    bench_paths = [
+        sys.argv[i + 1]
+        for i, a in enumerate(sys.argv)
+        if a == "--bench"
+    ]
+    if bench_paths:
+        benches = [json.load(open(p)) for p in bench_paths]
     else:
         raw = subprocess.run(
             [sys.executable, "bench.py"],
@@ -85,10 +104,15 @@ def main() -> None:
             text=True,
             check=True,
         ).stdout.strip().splitlines()[-1]
-        bench = json.loads(raw)
-    spark_t = bench["queries"]
+        benches = [json.loads(raw)]
+    spark_t = _min_merge([b["queries"] for b in benches])
 
-    duck_t = duck_timings()
+    duck_passes = (
+        int(sys.argv[sys.argv.index("--duck-passes") + 1])
+        if "--duck-passes" in sys.argv
+        else 2
+    )
+    duck_t = _min_merge([duck_timings() for _ in range(duck_passes)])
 
     rows = []
     tot_d = tot_s = 0.0
@@ -131,12 +155,16 @@ def main() -> None:
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BASELINE.md"
     )
-    text = open(path).read()
-    pre, _old_table = text.split("| query ID | duckdb sec |", 1)
-    # replace the stale totals sentence (first "Totals on the
-    # oracle-checked set ... target," span) in the prose
     import re
 
+    text = open(path).read()
+    pre, old_tail = text.split("| query ID | duckdb sec |", 1)
+    # preserve every section AFTER the old table (scaling evidence
+    # etc.) — the table ends at the first blank-line + "## " heading
+    m_tail = re.search(r"\n\n## ", old_tail)
+    post = old_tail[m_tail.start() :] if m_tail else "\n"
+    # replace the stale totals sentence (first "Totals on the
+    # oracle-checked set ... target," span) in the prose
     totals_sentence = (
         f"Totals on the oracle-checked set ({n_ok} queries): "
         f"**DuckDB {tot_d:.2f} s, Spark {tot_s:.2f} s — "
@@ -148,7 +176,7 @@ def main() -> None:
         totals_sentence,
         pre,
     )
-    open(path, "w").write(pre + table)
+    open(path, "w").write(pre + table + post)
 
 
 if __name__ == "__main__":

@@ -2,12 +2,14 @@
 first-class alongside the §2 inventory).
 
 Payloads are opaque BINARY columns + typed metadata structs
-(operators/multimodal.py). Metadata-only ops (`mm_blob_meta`,
-`mm_frame_sample`) are fully SQL-expressible and oracle-checked; the
-decode stage (`mm_decode_features`) opens payload bytes in an
-Arrow-batched mapInPandas and registers rows-only (codec output is not
-expressible in DuckDB SQL); tests/test_multimodal.py verifies its
-values against an independent pure-numpy reference instead.
+(operators/multimodal.py). Every query here — including the CODEC
+stages that open payload bytes in Arrow-batched mapInPandas
+(`mm_decode_features`, `mm_png_roundtrip`, `mm_audio_energy`) — is
+fully oracle-checked: decoded-value histograms reduce to hex-nibble
+counts, PCM samples reconstruct from hex byte pairs, and container
+sizes are closed-form header arithmetic, so DuckDB reproduces the
+binary pipeline exactly. tests/test_multimodal.py additionally pins
+the decoders against independent struct-module reference parsers.
 """
 
 from __future__ import annotations
@@ -241,4 +243,59 @@ def mm_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(
             F.transform("features", lambda x: x.cast("string")), ","
         ).alias("features"),
+    )
+
+
+@query(
+    "mm_audio_energy",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id, octet_length(encode(text)) AS rl,
+             upper(hex(encode(text))) AS hx
+      FROM documents WHERE doc_id % 3 = 1
+    ), idx AS (
+      SELECT doc_id, rl, hx, unnest(range((rl + 1) // 2)) AS i
+      FROM raw
+    ), smp AS (
+      SELECT doc_id, CAST(i // 200 AS BIGINT) AS frame_idx,
+        (strpos('0123456789ABCDEF',
+                substr(hx, CAST(4 * i + 1 AS INTEGER), 1)) - 1) * 16
+        + (strpos('0123456789ABCDEF',
+                  substr(hx, CAST(4 * i + 2 AS INTEGER), 1)) - 1) AS lo,
+        CASE WHEN 4 * i + 4 <= length(hx) THEN
+          (strpos('0123456789ABCDEF',
+                  substr(hx, CAST(4 * i + 3 AS INTEGER), 1)) - 1) * 16
+          + (strpos('0123456789ABCDEF',
+                    substr(hx, CAST(4 * i + 4 AS INTEGER), 1)) - 1)
+        ELSE 0 END AS hi
+      FROM idx
+    ), sgn AS (
+      SELECT doc_id, frame_idx,
+             lo + 256 * hi
+               - CASE WHEN hi >= 128 THEN 65536 ELSE 0 END AS s
+      FROM smp
+    )
+    SELECT doc_id, frame_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(s * s) AS BIGINT) AS energy
+    FROM sgn GROUP BY 1, 2
+    """,
+)
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio DSP over REAL decoded PCM: the audio third of
+    the corpus transcodes into genuine RIFF/WAVE containers, the
+    pure-Python codec parses them back to int16 sample streams, and
+    per-200-sample frames emit exact integer signal energy (sum of
+    squared samples) — the first stage of audio fingerprinting or
+    voice-activity detection. The DuckDB oracle re-derives every
+    sample from the payload's hex string (byte-pair little-endian
+    int16 reconstruction, two's-complement sign fold, zero pad for
+    the odd-length tail), so the codec + DSP pipeline is value-exact
+    end to end. Decode and framing are payload-local mapInPandas; the
+    only shuffle is the driver's canonicalization."""
+    media = _media(spark, sf_dir).filter(
+        F.col("media_meta.format") == "audio/wav"
+    )
+    return MM.frame_energy(
+        MM.transcode(media, "doc_id"), "doc_id", frame_samples=200
     )

@@ -986,3 +986,83 @@ def win_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_intervals"),
         F.sum("span").cast("long").alias("covered_us"),
     )
+
+
+@query(
+    "ts_changepoint",
+    oracle=f"""
+    WITH v AS (
+        SELECT {ORACLE_DAY.format(col='CAST(ts AS TIMESTAMP)')} AS day,
+               CAST(round(value * 10000) AS BIGINT) AS v4
+        FROM events
+    ), daily AS (
+        SELECT day, CAST(SUM(v4) AS BIGINT) AS dv FROM v GROUP BY 1
+    ), cum AS (
+        SELECT day, dv,
+               SUM(dv) OVER (ORDER BY day
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS s,
+               ROW_NUMBER() OVER (ORDER BY day) AS t,
+               SUM(dv) OVER () AS sn,
+               COUNT(*) OVER () AS n
+        FROM daily
+    ), dev AS (
+        SELECT day, dv, CAST(abs(n * s - t * sn) AS BIGINT) AS cusum_dev
+        FROM cum
+    )
+    SELECT day, dv AS daily_total_scaled, cusum_dev,
+           CAST(CASE WHEN cusum_dev = MAX(cusum_dev) OVER () THEN 1
+                     ELSE 0 END AS BIGINT) AS is_changepoint
+    FROM dev
+    """,
+)
+def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift changepoint detection over the daily value
+    series: the cumulative-sum deviation |n*S_t - t*S_n| peaks at the
+    point where the series' mean shifts (the classic offline CUSUM
+    statistic, kept as pure cross-multiplied integers — no division,
+    no floats — so the argmax is engine-exact; values ride at 1e4
+    fixed point, |n*S_t| < 2^42 at sf0.1). One daily aggregation
+    shuffle does the heavy lifting; the cumulative/total windows are
+    unpartitioned but run on the POST-AGGREGATION daily series
+    (tens of rows at any corpus size — same documented posture as
+    ts_seasonal_decompose), so the single-partition window is
+    driver-sized, not data-sized. Emits the full deviation curve plus
+    the argmax flag (ties all flagged, deterministically)."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(day("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 10000).cast("long")).alias("dv")
+    )
+    w_run = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = daily.select(
+        "day",
+        "dv",
+        F.sum("dv").over(w_run).alias("s"),
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+        F.sum("dv").over(w_all).alias("sn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    dev = cum.select(
+        "day",
+        F.col("dv").alias("daily_total_scaled"),
+        F.abs(F.col("n") * F.col("s") - F.col("t") * F.col("sn"))
+        .cast("long")
+        .alias("cusum_dev"),
+    )
+    mx = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return dev.select(
+        "day",
+        "daily_total_scaled",
+        "cusum_dev",
+        F.when(F.col("cusum_dev") == F.max("cusum_dev").over(mx), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_changepoint"),
+    )

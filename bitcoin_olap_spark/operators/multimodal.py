@@ -442,6 +442,61 @@ def frame_energy(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def curate_features(
+    df: DataFrame,
+    id_col: str,
+    target_bytes: int = 256,
+) -> DataFrame:
+    """FUSED resize -> transcode -> decode -> featurize in ONE
+    Arrow-batched mapInPandas stage: byte-identical to
+    `decode_features(transcode(resize_payload(df, target_bytes)),
+    fake=None, normalize=False)` (asserted by test), but the payload
+    bytes cross the JVM<->Python boundary ONCE instead of three
+    times. At 100 TB the three-stage composition Arrow-serializes
+    every payload three times and runs three Python worker pipelines;
+    a curation DAG that knows its stages ahead of time fuses them —
+    the same reasoning as whole-stage codegen, applied to the Python
+    seam. Emits (id_col, n_bytes, n_samples, features ARRAY<BIGINT>)
+    where n_bytes is the ENCODED container size of the resized
+    payload."""
+    import numpy as np
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} {id_type}, n_bytes long, n_samples long, "
+        "features array<bigint>"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            feats, sizes, counts = [], [], []
+            for payload, m in zip(pdf["blob"], pdf["media_meta"]):
+                raw = bytes(payload)[:target_bytes]  # resize
+                fmt = m["format"]
+                enc = encode_media(raw, fmt)  # transcode
+                samples, _ = decode_media(enc, fmt)  # decode
+                if fmt == "audio/wav":
+                    bins = (samples + 32768) >> 12
+                else:
+                    bins = samples >> 4
+                hist = np.bincount(bins, minlength=N_FEATURE_BINS)
+                feats.append(hist.astype(np.int64))
+                sizes.append(len(enc))
+                counts.append(len(bins))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": pd.Series(sizes, dtype="int64"),
+                    "n_samples": pd.Series(counts, dtype="int64"),
+                    "features": feats,
+                }
+            )
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def transcode(df: DataFrame, id_col: str) -> DataFrame:
     """Wrap raw payload bytes into a real container per the row's
     format tag, re-deriving metadata from the ENCODED payload (real

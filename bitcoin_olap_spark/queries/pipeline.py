@@ -287,14 +287,11 @@ def pipeline_mm_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     kept = keep.join(survivors, "doc_id", "left_semi")
-    feats = MM.decode_features(
-        MM.transcode(
-            MM.resize_payload(kept, "doc_id", 256), "doc_id"
-        ),
-        "doc_id",
-        fake=None,
-        normalize=False,
-    )
+    # fused resize->transcode->decode->featurize: payload bytes cross
+    # the Python seam ONCE (operators/multimodal.curate_features);
+    # byte-identical to the three-stage composition, which would
+    # Arrow-serialize every payload three times
+    feats = MM.curate_features(kept, "doc_id", target_bytes=256)
     featsq = F.aggregate(
         "features", F.lit(0).cast("long"), lambda acc, x: acc + x * x
     )

@@ -300,3 +300,37 @@ def test_png_codec_roundtrip_and_filters():
         MM.decode_media(bytes(bad), "image/png")
     with pytest.raises(ValueError, match="signature"):
         MM.decode_media(b"\x89PNX" + png[4:], "image/png")
+
+
+def test_curate_features_equals_staged_composition(spark, media):
+    """The fused single-crossing curation stage must be byte-identical
+    to the three-stage resize -> transcode -> decode composition it
+    replaces in pipeline_mm_e2e."""
+    src = media.limit(60).filter(
+        media.media_meta.format != "audio/wav"
+    )
+    fused = (
+        MM.curate_features(src, "doc_id", target_bytes=256)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    staged = (
+        MM.decode_features(
+            MM.transcode(
+                MM.resize_payload(src, "doc_id", 256), "doc_id"
+            ),
+            "doc_id",
+            fake=None,
+            normalize=False,
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(fused) == len(staged) > 0
+    assert (fused["doc_id"] == staged["doc_id"]).all()
+    assert (fused["n_bytes"] == staged["n_bytes"]).all()
+    assert (fused["n_samples"] == staged["n_samples"]).all()
+    for a, b in zip(fused["features"], staged["features"]):
+        assert np.array_equal(np.array(a), np.array(b))

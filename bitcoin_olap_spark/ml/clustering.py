@@ -102,3 +102,105 @@ def kmeans_assign(
         F.col("cluster").cast("long").alias("cluster"),
         dist.alias("dist"),
     )
+
+
+# ---- fixed-point Lloyd (engine-exact twin machinery) --------------
+#: feature/centroid scale for the exact path; |x| < 1 on the unit-norm
+#: embedding corpus, so |xq| < 2^20 and per-vector squared distances
+#: stay below 2^48 (argmin keys d*K + cid < 2^53, exact in int64 and
+#: in any engine's float64 widening)
+KM_SCALE = 1 << 20
+
+
+def quantize_fixed(df, id_col: str, vec_col: str, scale: int = KM_SCALE):
+    """(id_col, original vec_col, xq ARRAY<BIGINT>) — features floored
+    onto the fixed-point grid. floor(x * scale) is one IEEE multiply +
+    floor per element, identical in any engine."""
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.transform(
+            vec_col, lambda e: F.floor(e.cast("double") * scale).cast("long")
+        ).alias("xq"),
+    )
+
+
+def key_array_fixed(cents: list[list[int]], k: int):
+    """Per-centroid integer keys for a row's `xq` column: key[cid] =
+    squared-L2 distance * k + cid — the composite breaks distance
+    ties toward the lower cid, and both the distances and the keys
+    fit int64 (see KM_SCALE note). array_min of it is the argmin
+    assignment; array_sort + slice is a map-side top-nprobe (how the
+    IVF probe stage ranks lists without any shuffle). ONE expr-parsed
+    nested-array literal + a runtime loop keeps the generated code
+    small and constant-shaped in k (per-centroid unrolling costs
+    ~0.5 s of Catalyst/codegen per plan; individual F.lit Columns
+    cost ~1 s of py4j round trips)."""
+    clit = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{int(v)}L" for v in c) + ")"
+            for c in cents
+        )
+        + ")"
+    )
+    return F.transform(
+        F.sequence(F.lit(0).cast("long"), F.lit(k - 1)),
+        lambda i: F.aggregate(
+            F.zip_with(
+                "xq",
+                F.element_at(clit, (i + 1).cast("int")),
+                lambda x, cv: (x - cv) * (x - cv),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        * k
+        + i,
+    )
+
+
+def assign_key_fixed(cents: list[list[int]], k: int):
+    """argmin assignment key: min over key_array_fixed — cluster =
+    key % k, scaled squared distance = key // k."""
+    return F.array_min(key_array_fixed(cents, k))
+
+
+def lloyd_fixed(
+    base, id_col: str, k: int, iters: int, dim: int
+) -> list[list[int]]:
+    """Fixed-point Lloyd: init = the k lowest-id vectors, then `iters`
+    rounds of (map-only integer argmin assignment -> ONE
+    posexplode/groupBy(cid, j) hash aggregate -> floor-division
+    means). Returns the k integer centroid vectors (k*dim longs of
+    driver control plane per iteration — the tree-aggregated posture
+    of any distributed Lloyd; pyspark.ml's KMeans does exactly this
+    internally). Empty clusters keep their previous centroid. The
+    recurrence is deliberately SQL-expressible: floor division is the
+    sign-safe pmod form, so an unrolled-CTE oracle replays it
+    exactly. `base` must carry (id_col, xq)."""
+    seeds = base.orderBy(id_col).limit(k).collect()
+    cents = [list(r["xq"]) for r in seeds]
+    for _ in range(iters):
+        key = assign_key_fixed(cents, k)
+        sums = (
+            base.select((key % k).alias("cid"), "xq")
+            .select("cid", F.posexplode("xq").alias("j", "xv"))
+            .groupBy("cid", "j")
+            .agg(
+                F.sum("xv").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        got = {(int(r["cid"]), int(r["j"])): r for r in sums}
+        cents = [
+            [
+                int(got[(c, j)]["s"]) // int(got[(c, j)]["n"])
+                if (c, j) in got
+                else cents[c][j]
+                for j in range(dim)
+            ]
+            for c in range(k)
+        ]
+    return cents

@@ -460,6 +460,87 @@ def ivf_topk(
     )
 
 
+def ivf_topk_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """ENGINE-EXACT IVF top-k: the quantizer is the fixed-point Lloyd
+    recurrence (ml/clustering.lloyd_fixed — deterministic lowest-id
+    init, integer argmin assignment, floor-division means), inverted
+    lists and probe ranking use the same int64 squared-L2 keys, and
+    candidates score through the exact fixed-point cosine kernel —
+    every stage is reproducible in ANSI SQL, so unlike `ivf_topk`
+    (the pyspark.ml-quantized variant, whose seeded k-means|| init no
+    external engine can replay) this one carries a full DuckDB
+    oracle. On the unit-norm corpus L2-nearest == cosine-nearest, so
+    the coarse and fine metrics agree.
+
+    Shuffle inventory: Lloyd pays one posexplode aggregate per
+    iteration; list assignment and probe ranking are MAP-ONLY
+    (array_sort + slice of the per-centroid key array is the
+    top-nprobe — no window, no shuffle); the candidate join shuffles
+    on centroid id, which is exactly how a distributed IVF shards its
+    lists; scoring is Arrow-batched and partition-local."""
+    from ..ml.clustering import (
+        key_array_fixed,
+        lloyd_fixed,
+        quantize_fixed,
+    )
+
+    K = n_centroids
+    base = quantize_fixed(corpus, id_col, vec_col).persist()
+    dim = len(base.first()["xq"])
+    cents = lloyd_fixed(base, id_col, K, iters, dim)
+    keys = key_array_fixed(cents, K)
+    lists = base.select(
+        F.col(id_col).alias("vec_id_c"),
+        (F.array_min(keys) % K).cast("long").alias("cid"),
+        F.col(vec_col).alias("_vb"),
+    )
+    qbase = quantize_fixed(queries, id_col, vec_col)
+    probes = qbase.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_va"),
+        F.explode(
+            F.slice(F.array_sort(key_array_fixed(cents, K)), 1, nprobe)
+        ).alias("dk"),
+    ).select(
+        "query_id", "_va", (F.col("dk") % K).cast("long").alias("cid")
+    )
+    # each corpus vector lives in exactly ONE list, so the probe join
+    # yields each (query, vector) pair at most once — no distinct
+    cand = (
+        probes.join(lists, "cid")
+        .filter(F.col("query_id") != F.col("vec_id_c"))
+        .select("query_id", F.col("vec_id_c").alias("vec_id"), "_va", "_vb")
+    )
+    scored = (
+        exact_score_pairs_arrow(cand, "query_id", "vec_id")
+        .select(
+            "query_id", "vec_id", F.round("cosine", 6).alias("cosine")
+        )
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("cosine"), F.asc("vec_id")
+                )
+            )
+            .cast("long"),
+        )
+    )
+    out = scored.filter(F.col("rank") <= k)
+    base.unpersist()
+    return out
+
+
 def probe_masks(num_planes: int, hamming: int) -> list[int]:
     """All XOR masks within `hamming` bit flips over `num_planes`
     bits, ascending — the multi-probe neighborhood, shared verbatim by

@@ -369,83 +369,18 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     2^20 -> per-vector distance < 2^48, argmin key d*8+cid < 2^51 —
     int64-exact, so the unrolled DuckDB recurrence hash-matches every
     (vec_id, cluster, dist_sq) row. dist_sq rides at scale 2^40."""
-    K, S = _KM_K, _KM_S
-    base = (
-        table(spark, sf_dir, "embeddings")
-        .select(
-            "vec_id",
-            F.transform(
-                "embedding",
-                lambda e: F.floor(e.cast("double") * S).cast("long"),
-            ).alias("xq"),
-        )
-        .persist()
+    from ..ml.clustering import (
+        assign_key_fixed,
+        lloyd_fixed,
+        quantize_fixed,
     )
-    seeds = base.orderBy("vec_id").limit(K).collect()
-    cents = [list(r["xq"]) for r in seeds]
 
-    def assign_key(cs: list[list[int]]):
-        # ONE literal array-of-arrays + a runtime loop (transform over
-        # the centroid index): the generated code stays small and
-        # constant-shaped however many centroids there are — the
-        # K-unrolled per-centroid expression tree costs ~0.5 s of
-        # Catalyst/codegen per plan at K=8. argmin key = d*K + cid
-        # (d < 2^48 -> exact), min breaks ties toward the lower cid.
-        # ONE expr-parsed nested-array literal — 512 F.lit Columns
-        # cost ~1 s of py4j round trips per plan, the parsed SQL
-        # string ~1 ms
-        clit = F.expr(
-            "array("
-            + ",".join(
-                "array(" + ",".join(f"{int(v)}L" for v in c) + ")"
-                for c in cs
-            )
-            + ")"
-        )
-        return F.array_min(
-            F.transform(
-                F.sequence(F.lit(0).cast("long"), F.lit(K - 1)),
-                lambda i: F.aggregate(
-                    F.zip_with(
-                        "xq",
-                        F.element_at(clit, (i + 1).cast("int")),
-                        lambda x, cv: (x - cv) * (x - cv),
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, v: acc + v,
-                )
-                * K
-                + i,
-            )
-        )
-
-    for _ in range(_KM_ITERS):
-        key = assign_key(cents)
-        # ONE job per iteration: posexplode the features under their
-        # assigned cluster and reduce to (cid, j, sum, count) — the
-        # count per (cid, j) IS the cluster size, so means need no
-        # separate count pass; K*dim rows of control plane return.
-        sums = (
-            base.select((key % K).alias("cid"), "xq")
-            .select("cid", F.posexplode("xq").alias("j", "xv"))
-            .groupBy("cid", "j")
-            .agg(
-                F.sum("xv").alias("s"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .collect()
-        )
-        got = {(int(r["cid"]), int(r["j"])): r for r in sums}
-        cents = [
-            [
-                int(got[(c, j)]["s"]) // int(got[(c, j)]["n"])
-                if (c, j) in got
-                else cents[c][j]
-                for j in range(64)
-            ]
-            for c in range(K)
-        ]
-    key = assign_key(cents)
+    K = _KM_K
+    base = quantize_fixed(
+        table(spark, sf_dir, "embeddings"), "vec_id", "embedding", _KM_S
+    ).drop("embedding").persist()
+    cents = lloyd_fixed(base, "vec_id", K, _KM_ITERS, dim=64)
+    key = assign_key_fixed(cents, K)
     out = base.select(
         "vec_id",
         (key % K).cast("long").alias("cluster"),

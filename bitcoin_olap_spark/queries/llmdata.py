@@ -416,44 +416,151 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.topk_lsh(emb, queries, "vec_id", "embedding", k=10, num_planes=6)
 
 
-#: Memoized trained quantizer per (applicationId, sf_dir): an IVF
-#: quantizer is an OFFLINE artifact in production — trained once when
-#: the index is built, reused by every query against it — so the
-#: k-means fit is paid once per process, not per query execution. The
-#: cache holds the 16 centroid VALUES (16 x 64 floats), control-plane
-#: data like catalog's memoized logical plans.
-_IVF_CENTROID_CACHE: dict[tuple[str, str], list] = {}
+def _oracle_ivf_sql(
+    K: int = 16,
+    iters: int = 2,
+    nprobe: int = 4,
+    kk: int = 10,
+    S: int = 1 << 20,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of sim_topk_ivf, end to end: the fixed-point Lloyd
+    quantizer unrolled as chained CTEs (the ml_kmeans_lloyd
+    recurrence), integer-key list assignment + probe ranking, and the
+    exact fixed-point cosine verify (the sim_topk_lsh oracle's
+    scoring fragment). Everything is int64 or one deterministic IEEE
+    op, so buckets, candidates, scores, and ranks all hash-match."""
+    from .analytics import _fdiv_sql
 
+    def d(expr: str) -> str:
+        return expr.replace("{DIV}", "//")
 
-def _ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
-    from ..ml.clustering import kmeans_centroids
-
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    rows = _IVF_CENTROID_CACHE.get(key)
-    if rows is None:
-        cent = kmeans_centroids(
-            table(spark, sf_dir, "embeddings"), "embedding", k=16, seed=42
+    parts = [
+        f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   e -> CAST(floor(CAST(e AS DOUBLE) * {S}) AS BIGINT))
+                 AS xq
+        FROM embeddings
+    ),
+    xl AS (
+        SELECT vec_id, j.j AS j, xq[CAST(j.j AS INTEGER) + 1] AS xv
+        FROM q CROSS JOIN (SELECT unnest(range({dim})) AS j) j
+    ),
+    seeds AS (
+        SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+        FROM q
+    ),
+    c0 AS (
+        SELECT s.cid, x.j, x.xv AS cv
+        FROM seeds s JOIN xl x USING (vec_id) WHERE s.cid < {K}
+    )"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""",
+    d{i} AS (
+        SELECT x.vec_id, c.cid,
+               CAST(SUM((x.xv - c.cv) * (x.xv - c.cv)) AS BIGINT) AS d
+        FROM xl x JOIN c{i} c ON x.j = c.j GROUP BY 1, 2
+    ),
+    a{i} AS (
+        SELECT vec_id, CAST(MIN(d * {K} + cid) % {K} AS BIGINT) AS cid
+        FROM d{i} GROUP BY 1
+    ),
+    m{i} AS (
+        SELECT a.cid, x.j,
+               CAST({d(_fdiv_sql('SUM(x.xv)', 'COUNT(*)'))} AS BIGINT)
+                 AS cv
+        FROM a{i} a JOIN xl x USING (vec_id) GROUP BY a.cid, x.j
+    ),
+    c{i + 1} AS (
+        SELECT p.cid, p.j, COALESCE(m.cv, p.cv) AS cv
+        FROM c{i} p LEFT JOIN m{i} m ON m.cid = p.cid AND m.j = p.j
+    )"""
         )
-        rows = [(r["cid"], list(r["center"])) for r in cent.collect()]
-        _IVF_CENTROID_CACHE[key] = rows
-    return spark.createDataFrame(rows, "cid int, center array<double>")
+    parts.append(
+        f""",
+    dfin AS (
+        SELECT x.vec_id, c.cid,
+               CAST(SUM((x.xv - c.cv) * (x.xv - c.cv)) AS BIGINT) AS d
+        FROM xl x JOIN c{iters} c ON x.j = c.j GROUP BY 1, 2
+    ),
+    lists AS (
+        SELECT vec_id, CAST(MIN(d * {K} + cid) % {K} AS BIGINT) AS cid
+        FROM dfin GROUP BY 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cid) AS r
+            FROM dfin WHERE vec_id < 5
+        ) WHERE r <= {nprobe}
+    ),
+    cand AS (
+        SELECT p.query_id, l.vec_id
+        FROM probes p JOIN lists l USING (cid)
+        WHERE l.vec_id != p.query_id
+    ),
+    pos AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ),
+    norms AS (
+        SELECT vec_id, SUM(CAST(floor((x * x) * 1e16) AS BIGINT))
+               AS norm_sq
+        FROM pos GROUP BY 1
+    ),
+    dots AS (
+        SELECT c.query_id, c.vec_id,
+               SUM(CAST(floor((a.x * b.x) * 1e16) AS BIGINT)) AS dot
+        FROM cand c
+        JOIN pos a ON a.vec_id = c.query_id
+        JOIN pos b ON b.vec_id = c.vec_id AND b.pos = a.pos
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT d.query_id, d.vec_id,
+               ROUND(CAST(dot AS DOUBLE) /
+                     sqrt(CAST(na.norm_sq AS DOUBLE) *
+                          CAST(nb.norm_sq AS DOUBLE)), 6) AS cosine
+        FROM dots d
+        JOIN norms na ON na.vec_id = d.query_id
+        JOIN norms nb ON nb.vec_id = d.vec_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored
+    ) WHERE rank <= {kk}"""
+    )
+    return "".join(parts)
 
 
-@query("sim_topk_ivf", oracle=None)
+@query("sim_topk_ivf", oracle=_oracle_ivf_sql())
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via IVF coarse quantization: corpus sharded
-    into inverted lists by nearest K-MEANS centroid (fixed seed,
-    ml/clustering.kmeans_centroids through ivf_topk's quantizer seam;
-    trained once per process — see _ivf_centroids), queries probe
-    their 4 nearest lists — the scale path when bucket recall matters
-    more than LSH's probabilistic guarantees. Rows-only for the driver
-    (k-means is iterative, not SQL-expressible); tests measure recall
-    against sim_topk_bruteforce."""
+    """Approximate top-10 via IVF coarse quantization, ENGINE-EXACT
+    end to end (upgraded from rows-only): the corpus shards into 16
+    inverted lists by a fixed-point Lloyd quantizer (the
+    ml_kmeans_lloyd recurrence — deterministic lowest-id init,
+    integer argmin, floor-division means; on this unit-norm corpus
+    L2-nearest == cosine-nearest, so coarse and fine metrics agree),
+    queries probe their 4 nearest lists by the same int64 distance
+    keys (map-side array_sort top-nprobe, no shuffle), and candidates
+    score through the exact fixed-point cosine kernel. Every stage is
+    SQL-reproducible, so the oracle replays quantizer training, list
+    assignment, probing, and scoring bit-for-bit — an ANN index with
+    a full external-correctness proof. Tests additionally measure
+    recall against sim_topk_bruteforce (the pyspark.ml-quantized
+    ivf_topk variant keeps its own operator-level recall test; its
+    seeded k-means|| init is the one thing no external engine can
+    replay)."""
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return V.ivf_topk(
+    return V.ivf_topk_exact(
         emb,
         queries,
         "vec_id",
@@ -461,7 +568,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         n_centroids=16,
         nprobe=4,
-        centroids=_ivf_centroids(spark, sf_dir),
+        iters=2,
     )
 
 

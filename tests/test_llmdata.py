@@ -195,3 +195,36 @@ def test_exact_allpairs_gate_redirects_large_corpora(spark):
         ).count()
         == 50 * 49 // 2
     )
+
+
+def test_ivf_exact_recall_vs_bruteforce(spark):
+    """The oracle-exact IVF path (fixed-point Lloyd quantizer, integer
+    list/probe keys) must also clear the random-probe baseline
+    (nprobe/n_centroids = 0.25) by a clear margin on the exact
+    top-10 — recall is the property the oracle compare cannot check
+    (it proves the pipeline computes ITS OWN spec exactly; this
+    proves the spec finds real neighbors)."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.catalog import table
+    from bitcoin_olap_spark.operators.vectors import (
+        ivf_topk_exact,
+        topk_bruteforce,
+    )
+
+    emb = table(spark, SF_ORACLE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in topk_bruteforce(
+            emb, queries, "vec_id", "embedding", k=10
+        ).collect()
+    }
+    approx_rows = ivf_topk_exact(
+        emb, queries, "vec_id", "embedding",
+        k=10, n_centroids=16, nprobe=4, iters=2,
+    ).collect()
+    approx = {(r.query_id, r.vec_id) for r in approx_rows}
+    assert all(1 <= r.rank <= 10 for r in approx_rows)
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"exact-IVF top-k recall too low: {recall}"

@@ -469,6 +469,7 @@ def ivf_topk_exact(
     n_centroids: int = 16,
     nprobe: int = 4,
     iters: int = 2,
+    centroids: list[list[int]] | None = None,
 ) -> DataFrame:
     """ENGINE-EXACT IVF top-k: the quantizer is the fixed-point Lloyd
     recurrence (ml/clustering.lloyd_fixed — deterministic lowest-id
@@ -495,8 +496,16 @@ def ivf_topk_exact(
 
     K = n_centroids
     base = quantize_fixed(corpus, id_col, vec_col).persist()
-    dim = len(base.first()["xq"])
-    cents = lloyd_fixed(base, id_col, K, iters, dim)
+    if centroids is None:
+        # `centroids` is the quantizer seam: an IVF quantizer is an
+        # OFFLINE artifact in production — trained once when the
+        # index is built, reused by every query against it — so
+        # callers memoize the trained integer centroids (k*dim longs
+        # of control-plane data) and only the first execution pays
+        # the Lloyd iterations
+        dim = len(base.first()["xq"])
+        centroids = lloyd_fixed(base, id_col, K, iters, dim)
+    cents = centroids
     keys = key_array_fixed(cents, K)
     lists = base.select(
         F.col(id_col).alias("vec_id_c"),

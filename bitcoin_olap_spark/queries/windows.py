@@ -1066,3 +1066,119 @@ def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("is_changepoint"),
     )
+
+
+@query(
+    "ts_mad_outlier",
+    oracle="""
+    WITH v AS (
+        SELECT event_type,
+               CAST(round(value * 10000) AS BIGINT) AS v4
+        FROM events
+    ), r AS (
+        SELECT event_type, v4,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY v4) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM v
+    ), med AS (
+        SELECT event_type, MAX(n) AS n,
+               MAX(CASE WHEN rn = (n + 1) // 2 THEN v4 END) AS med4
+        FROM r GROUP BY event_type
+    ), dev AS (
+        SELECT v.event_type, v.v4, m.n, m.med4,
+               abs(v.v4 - m.med4) AS d4
+        FROM v JOIN med m USING (event_type)
+    ), rd AS (
+        SELECT event_type, v4, n, med4, d4,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY d4) AS rn
+        FROM dev
+    ), mad AS (
+        SELECT event_type, MAX(n) AS n, MAX(med4) AS med4,
+               MAX(CASE WHEN rn = (n + 1) // 2 THEN d4 END) AS mad4
+        FROM rd GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(m.n AS BIGINT) AS n,
+           CAST(m.med4 AS BIGINT) AS med4,
+           CAST(m.mad4 AS BIGINT) AS mad4,
+           CAST(COUNT(CASE WHEN d.d4 > 3 * m.mad4 THEN 1 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def ts_mad_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection by median absolute deviation — the
+    heavy-tail-safe complement to anomaly_zscore's mean/std flags
+    (one corrupted burst shifts a mean but not a median). Medians are
+    EXACT lower-median rank picks ((n+1)//2 over the sorted 1e4
+    fixed-point values — never an interpolating percentile, whose
+    float blend engines disagree on), computed with two per-group
+    window passes that share ONE event_type exchange; the MAD pass
+    reuses the same partitioning, and the final flag count
+    (|v - med| > 3*MAD) is a map-side conditional count. Output is
+    per-group stats (driver-sized at any corpus scale); a production
+    gate joins the thresholds back to pull sample rows only for
+    failing groups."""
+    e = table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        F.round(F.col("value") * 10000).cast("long").alias("v4"),
+    )
+    wv = Window.partitionBy("event_type").orderBy("v4")
+    wn = Window.partitionBy("event_type")
+    r = v.select(
+        "event_type",
+        "v4",
+        F.row_number().over(wv).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = r.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max(
+            F.when(
+                F.col("rn") == F.floor((F.col("n") + 1) / 2), F.col("v4")
+            )
+        ).alias("med4"),
+    )
+    dev = v.join(med, "event_type").select(
+        "event_type",
+        "v4",
+        "n",
+        "med4",
+        F.abs(F.col("v4") - F.col("med4")).alias("d4"),
+    )
+    wd = Window.partitionBy("event_type").orderBy("d4")
+    rd = dev.select(
+        "event_type",
+        "d4",
+        "n",
+        "med4",
+        F.row_number().over(wd).alias("rn"),
+    )
+    mad = rd.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("med4").alias("med4"),
+        F.max(
+            F.when(
+                F.col("rn") == F.floor((F.col("n") + 1) / 2), F.col("d4")
+            )
+        ).alias("mad4"),
+    )
+    return (
+        dev.select("event_type", "d4")
+        .join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.max("med4").cast("long").alias("med4"),
+            F.max("mad4").cast("long").alias("mad4"),
+            F.count(
+                F.when(F.col("d4") > 3 * F.col("mad4"), F.lit(1))
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )

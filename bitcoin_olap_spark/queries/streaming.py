@@ -403,3 +403,68 @@ def stream_acid_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             .awaitTermination()
         )
     return AT.snapshot(spark, root).select(*cols)
+
+
+@query(
+    "stream_topn_trending",
+    oracle="""
+    WITH w AS (
+        SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 900000000) * 900
+                 AS win_s,
+               event_type,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT win_s, event_type, CAST(n AS BIGINT) AS n,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY win_s ORDER BY n DESC, event_type) AS rnk
+        FROM w
+    ) WHERE rnk <= 3
+    """,
+)
+def stream_topn_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-items detection: top-3 event types per 15-minute
+    tumbling window. Two phases, because Structured Streaming forbids
+    rank windows on a stream: the STREAMING phase maintains the
+    watermarked per-(window, type) counts — the only state that must
+    live on the cluster, bounded by watermark x type cardinality —
+    and the ranking runs BATCH-side on the converged counts (in
+    production, per micro-batch via foreachBatch over the sink table,
+    which is exactly what run_to_batch's memory sink stands in for).
+    Window starts are emitted as epoch SECONDS (exact integers
+    divisible by 900) so the compare carries no timestamp-flavor
+    risk. The oracle states the batch semantics the stream converges
+    to on finite input."""
+    from pyspark.sql.window import Window
+
+    from ..functions import epoch_us
+
+    ev = stream_events(spark, sf_dir)
+    counts = (
+        ev.withWatermark("ts", "1 day")
+        .groupBy(
+            F.window("ts", "15 minutes").alias("win"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            (epoch_us(F.col("win.start")) / 1_000_000)
+            .cast("long")
+            .alias("win_s"),
+            "event_type",
+            "n",
+        )
+    )
+    converged = run_to_batch(counts, spark, mode="complete")
+    rnk = F.row_number().over(
+        Window.partitionBy("win_s").orderBy(
+            F.desc("n"), F.asc("event_type")
+        )
+    )
+    return converged.select(
+        "win_s", "event_type", F.col("n").cast("long").alias("n"),
+        rnk.cast("long").alias("rnk"),
+    ).filter(F.col("rnk") <= 3)

@@ -232,11 +232,20 @@ def append(
 ) -> int:
     """ACID append: write new immutable files, commit a delta manifest
     listing ONLY them — O(batch) commit cost at any table size (the
-    shape a streaming sink needs). Returns the committed version."""
-    base = current_version(root)
+    shape a streaming sink needs). An append semantically conflicts
+    with nothing, so losing the optimistic version race just rebases:
+    re-read the head and re-commit the same file list (Delta's
+    blind-append concurrency rule; the data files were already
+    durable, only the metadata pointer moves). Returns the committed
+    version."""
     files = _write_data_files(df, root)
-    _commit(root, base + 1, op, add=files)
-    return base + 1
+    while True:
+        v = current_version(root) + 1
+        try:
+            _commit(root, v, op, add=files)
+            return v
+        except ConcurrentCommitError:
+            continue
 
 
 def snapshot(

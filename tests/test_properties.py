@@ -585,3 +585,57 @@ def test_acid_delta_manifests_commit_cost_stays_flat(spark, tmp_path):
     # vacuum again with nothing left to drop: no-op, still readable
     assert AT.vacuum(root, keep_versions=1) == 0
     assert AT.snapshot(spark, root).count() == 10 * n_appends
+
+
+def test_acid_concurrent_appends_all_land(spark, tmp_path):
+    """Appends conflict with nothing: N writers racing for version
+    numbers must ALL land (losers rebase and re-commit their already-
+    durable files), versions stay dense, and the final snapshot holds
+    every row exactly once."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators import acidtable as AT
+
+    root = str(tmp_path / "tbl")
+    AT.init_table(
+        spark, root, spark.range(0, 10).select(F.col("id")).coalesce(1)
+    )
+    n_writers = 4
+    barrier = threading.Barrier(n_writers)
+    errors = []
+
+    def writer(i: int) -> None:
+        try:
+            df = spark.range(100 * (i + 1), 100 * (i + 1) + 10).select(
+                F.col("id")
+            ).coalesce(1)
+            # pre-write OUTSIDE the race so every thread reaches the
+            # commit loop at the same instant and collisions actually
+            # happen (files are durable before any commit attempt)
+            barrier.wait(timeout=60)
+            AT.append(spark, root, df, op=f"append-{i}")
+        except Exception as exc:  # pragma: no cover - failure detail
+            errors.append((i, exc))
+
+    threads = [
+        threading.Thread(target=writer, args=(i,)) for i in range(n_writers)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+    assert AT.current_version(root) == n_writers  # dense versions
+    snap = AT.snapshot(spark, root)
+    assert snap.count() == 10 + 10 * n_writers
+    # every writer's rows present exactly once
+    for i in range(n_writers):
+        assert (
+            snap.filter(
+                (F.col("id") >= 100 * (i + 1))
+                & (F.col("id") < 100 * (i + 1) + 10)
+            ).count()
+            == 10
+        )

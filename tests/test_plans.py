@@ -250,3 +250,31 @@ def test_pagerank_shuffle_path_matches_broadcast_path(spark):
     small = pagerank_int(edges, iters=4, broadcast_max_nodes=10**9)
     big = pagerank_int(edges, iters=4, broadcast_max_nodes=0)
     assert sorted(small.collect()) == sorted(big.collect())
+
+
+def test_interval_merge_single_exchange(spark, q):
+    """win_interval_merge's claim: one user_id exchange serves both
+    window passes AND the island rollup — the overlap formulation
+    must never appear as a range self-join, and the later stages must
+    reuse the first shuffle's partitioning."""
+    p = plan_str(q["win_interval_merge"](spark, SF))
+    import re
+
+    real = [
+        ln
+        for ln in p.splitlines()
+        if re.search(r"\(\d+\) Exchange", ln)
+    ]
+    assert len(real) <= 1, p
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+
+
+def test_mm_pipeline_has_single_python_stage(spark, q):
+    """pipeline_mm_e2e's fused curation claim: payload bytes cross the
+    JVM<->Python boundary ONCE — exactly one Arrow Python map stage in
+    the plan (the three-stage composition would show three)."""
+    import re
+
+    p = plan_str(q["pipeline_mm_e2e"](spark, SF))
+    nodes = re.findall(r"\(\d+\) MapInPandas", p)
+    assert len(nodes) == 1, f"expected 1 MapInPandas node, saw {nodes}"

@@ -448,6 +448,27 @@ def add_columns(
     return base + 1
 
 
+def restore(spark: SparkSession, root: str, version: int) -> int:
+    """RESTORE the table to an earlier version AS A NEW COMMIT
+    (Delta's RESTORE TABLE ... VERSION AS OF): the delta manifest
+    removes every file the current head references that the target
+    doesn't, and re-adds every target file the head dropped — pure
+    metadata, no data movement, and the mistaken versions stay in the
+    log for audit until vacuum. The inverse of nothing: restoring is
+    itself undoable by another restore. Returns the new version."""
+    head = current_version(root)
+    cur = set(_resolve_files(root, head))
+    tgt = set(_resolve_files(root, version))
+    _commit(
+        root,
+        head + 1,
+        f"restore-v{version}",
+        add=sorted(tgt - cur),
+        remove=sorted(cur - tgt),
+    )
+    return head + 1
+
+
 def snapshot_merged(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:

@@ -1143,6 +1143,48 @@ def snk_acid_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "snk_acid_restore",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_qty
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def snk_acid_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE ... VERSION AS OF: fork the acid fixture's
+    post-delete snapshot history and roll it back to version 0 as a
+    NEW commit — the delta manifest re-adds the files the DELETE
+    rewrote away and drops its rewrites; no data file moves or
+    copies, and the mistaken version stays in the log for audit. The
+    restored head must equal the original pre-delete table exactly
+    (the oracle states full-lineitem content), which fails loudly if
+    restore resolution loses or duplicates any file."""
+    root = _acid_fixture(spark, sf_dir)
+    restored_root = root + "_restore"
+    if AT.current_version(restored_root) < 0:
+        # replay the fixture's init + delete into a fork, then RESTORE
+        AT.init_table(
+            spark,
+            restored_root,
+            AT.snapshot(spark, root, version=0).repartitionByRange(
+                8, "l_orderkey"
+            ),
+        )
+        AT.delete_where(
+            spark, restored_root, F.col("l_orderkey") < 3000
+        )
+        AT.restore(spark, restored_root, 0)
+    snap = AT.snapshot(spark, restored_root)
+    return snap.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum("l_quantity", "total_qty"),
+    )
+
+
+@query(
     "snk_acid_optimize",
     oracle="""
     WITH full_t AS (

@@ -639,3 +639,32 @@ def test_acid_concurrent_appends_all_land(spark, tmp_path):
             ).count()
             == 10
         )
+
+
+def test_acid_restore_round_trips(spark, tmp_path):
+    """RESTORE to an old version is a metadata-only new commit whose
+    snapshot equals the target exactly; it is itself undoable by
+    another restore; vacuum after restore keeps the head readable."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators import acidtable as AT
+
+    root = str(tmp_path / "tbl")
+    AT.init_table(
+        spark,
+        root,
+        spark.range(0, 400).select(F.col("id")).repartitionByRange(4, "id"),
+    )
+    AT.delete_where(spark, root, F.col("id") < 100)
+    assert AT.snapshot(spark, root).count() == 300
+    v = AT.restore(spark, root, 0)
+    assert v == 2
+    assert AT.snapshot(spark, root).count() == 400  # back to v0 content
+    m = AT.read_manifest(root, 2, resolve=False)
+    assert m["op"] == "restore-v0" and m["add"] and m["remove"]
+    # restore of the restore: back to the post-delete state
+    AT.restore(spark, root, 1)
+    assert AT.snapshot(spark, root).count() == 300
+    # vacuum to just the head: still readable, old versions gone
+    AT.vacuum(root, keep_versions=1)
+    assert AT.snapshot(spark, root).count() == 300

@@ -76,6 +76,77 @@ def asof_join(
     return out
 
 
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """NEAREST as-of: each left row picks the right row minimizing
+    |l.ts - r.ts| per key (distance ties break toward the EARLIER
+    right row — deterministic). The sibling of `asof_join`'s
+    backward-only pick, needed when the reference stream may lag OR
+    lead the probe (sensor alignment, quote-to-trade matching both
+    directions).
+
+    Same one-shuffle union machinery run in both directions: the
+    backward pass carries last-at-or-before values on the (ts, side)
+    ordering; the forward pass carries first-at-or-after on the
+    mirrored (ts DESC, side) ordering — both windows share ONE key
+    exchange (Spark sorts twice within the same partitioning, no
+    second shuffle). The right ts rides along as an extra carried
+    column so the final nearest choice is a map-side integer compare.
+    `right` must be unique per (key, ts) — pre-aggregate it otherwise.
+    """
+    lcols = left.columns
+    carried = list(value_cols) + ["_rts"]
+    r = right.select(
+        key, ts_col, *value_cols, epoch_us(ts_col).alias("_rts")
+    )
+    l = left
+    for vc in carried:
+        l = l.withColumn(vc, F.lit(None).cast(r.schema[vc].dataType))
+    l = l.withColumn("_side", F.lit(1))
+    rr = r
+    for c in lcols:
+        if c not in (key, ts_col):
+            rr = rr.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    rr = rr.withColumn("_side", F.lit(0)).select(*l.columns)
+    u = l.unionByName(rr)
+
+    back = (
+        Window.partitionBy(key)
+        .orderBy(ts_col, "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(key)
+        .orderBy(F.desc(ts_col), F.asc("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        *lcols,
+        "_side",
+        *[F.last(vc, ignorenulls=True).over(back).alias(f"_b_{vc}") for vc in carried],
+        *[F.last(vc, ignorenulls=True).over(fwd).alias(f"_f_{vc}") for vc in carried],
+    ).filter(F.col("_side") == 1)
+    lus = epoch_us(ts_col)
+    use_back = F.col("_f__rts").isNull() | (
+        F.col("_b__rts").isNotNull()
+        & ((lus - F.col("_b__rts")) <= (F.col("_f__rts") - lus))
+    )
+    return filled.select(
+        *lcols,
+        *[
+            F.when(use_back, F.col(f"_b_{vc}"))
+            .otherwise(F.col(f"_f_{vc}"))
+            .alias(vc)
+            for vc in value_cols
+        ],
+    )
+
+
 def gap_sessions(
     df: DataFrame,
     key: str,

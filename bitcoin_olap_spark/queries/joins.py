@@ -525,3 +525,62 @@ def join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum("l_extendedprice", "total"),
         )
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH l AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               -epoch_us(CAST(ts AS TIMESTAMP)) AS nus
+        FROM events WHERE event_type = 'purchase'
+    ), r AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               -epoch_us(CAST(ts AS TIMESTAMP)) AS nus,
+               MAX(value) AS view_value
+        FROM events WHERE event_type = 'view' GROUP BY 1, 2, 3
+    ), b AS (
+        SELECT l.event_id, r.view_value AS bv, r.us AS bus
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.us >= r.us
+    ), f AS (
+        SELECT l.event_id, r.view_value AS fv, r.us AS fus
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.nus >= r.nus
+    )
+    SELECT l.event_id, l.user_id, l.ts, l.value,
+           CASE WHEN f.fus IS NULL
+                  OR (b.bus IS NOT NULL
+                      AND (l.us - b.bus) <= (f.fus - l.us))
+                THEN b.bv ELSE f.fv END AS view_value
+    FROM l
+    JOIN b USING (event_id)
+    JOIN f USING (event_id)
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-neighbor as-of join
+    (operators/temporal.asof_join_nearest): each purchase picks the
+    user's view value closest in time in EITHER direction (distance
+    ties toward the earlier view) — the alignment shape when the
+    reference stream may lag or lead the probe. Both directional
+    passes ride one user_id exchange (two in-partition sorts, no
+    second shuffle); the final choice is a map-side integer compare
+    of microsecond distances. The oracle states it as two DuckDB ASOF
+    joins (the forward pass on negated epochs) combined by the same
+    distance rule."""
+    from ..operators.temporal import asof_join_nearest
+
+    e = table(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    return asof_join_nearest(
+        left, right, "user_id", "ts", ["view_value"]
+    )

@@ -1245,3 +1245,72 @@ def sample_balance_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("m"))
         .select("event_id", "event_type")
     )
+
+
+@query(
+    "profile_drift_psi",
+    oracle="""
+    WITH binned AS (
+        SELECT CASE WHEN day(CAST(ts AS TIMESTAMP)) <= 15
+                    THEN 0 ELSE 1 END AS side,
+               CAST(least(greatest(floor(value / 50), 0), 9)
+                    AS BIGINT) AS bin
+        FROM events
+    ), c AS (
+        SELECT bin,
+               COUNT(CASE WHEN side = 0 THEN 1 END) AS base_n,
+               COUNT(CASE WHEN side = 1 THEN 1 END) AS cur_n
+        FROM binned GROUP BY 1
+    ), t AS (
+        SELECT SUM(base_n) AS bt, SUM(cur_n) AS ct FROM c
+    )
+    SELECT c.bin,
+           CAST(c.base_n AS BIGINT) AS base_n,
+           CAST(c.cur_n AS BIGINT) AS cur_n,
+           round(
+             (CAST(c.base_n + 1 AS DOUBLE) / (t.bt + 10)
+              - CAST(c.cur_n + 1 AS DOUBLE) / (t.ct + 10))
+             * ln((CAST(c.base_n + 1 AS DOUBLE) / (t.bt + 10))
+                  / (CAST(c.cur_n + 1 AS DOUBLE) / (t.ct + 10))),
+             6) AS psi_contrib
+    FROM c, t
+    """,
+)
+def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detection between two time slices of the
+    corpus — the population stability index every production feature
+    store monitors (PSI > 0.2 = retrain signal). The value column
+    bins into 10 fixed-width buckets; baseline = first half of the
+    month, current = second; per-bin contribution =
+    (p_i - q_i) * ln(p_i / q_i) with Laplace-smoothed proportions
+    ((n+1)/(N+10)) so empty bins never divide by zero and both
+    engines see the same exact rationals. One hash aggregate (bin
+    counts both sides via conditional counts — a single scan), one
+    broadcast one-row total; ln rounds to 6 dp per the repo's libm
+    convention. Per-bin rows keep the output driver-sized at any
+    corpus scale; SUM(psi_contrib) is the headline statistic."""
+    e = table(spark, sf_dir, "events")
+    binned = e.select(
+        F.when(F.dayofmonth("ts") <= 15, 0).otherwise(1).alias("side"),
+        F.least(
+            F.greatest(F.floor(F.col("value") / 50), F.lit(0)),
+            F.lit(9),
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    c = binned.groupBy("bin").agg(
+        F.count(F.when(F.col("side") == 0, 1)).alias("base_n"),
+        F.count(F.when(F.col("side") == 1, 1)).alias("cur_n"),
+    )
+    t = c.agg(
+        F.sum("base_n").alias("bt"), F.sum("cur_n").alias("ct")
+    )
+    p = (F.col("base_n") + 1).cast("double") / (F.col("bt") + 10)
+    q_ = (F.col("cur_n") + 1).cast("double") / (F.col("ct") + 10)
+    return c.crossJoin(F.broadcast(t)).select(
+        "bin",
+        F.col("base_n").cast("long"),
+        F.col("cur_n").cast("long"),
+        F.round((p - q_) * F.log(p / q_), 6).alias("psi_contrib"),
+    )

@@ -315,3 +315,166 @@ def pipeline_mm_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_feat_sq",
         )
     )
+
+
+from ..operators import chunking as C  # noqa: E402
+
+_TRAIN_E2E_ORACLE = """
+WITH scored AS (
+    SELECT doc_id, source, text,
+           len(string_split(text, ' ')) AS n_words,
+           CAST(len(list_filter(string_split(lower(text), ' '),
+                    w -> list_contains(['the','and','of','to','a','in',
+                                        'is','it','that','for'], w)))
+                AS DOUBLE)
+               / len(string_split(text, ' ')) AS stopword_ratio
+    FROM documents
+), kept AS (
+    SELECT doc_id, source, text, n_words,
+           md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
+    FROM scored
+    WHERE n_words >= 20 AND stopword_ratio >= 0.01
+), deduped AS (
+    SELECT * FROM kept
+    WHERE doc_id IN (SELECT MIN(doc_id) FROM kept GROUP BY fingerprint)
+), tr AS (
+    SELECT * FROM deduped WHERE doc_id % 10 <> 0
+), words AS (
+    SELECT doc_id, w,
+           row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents WHERE doc_id % 10 = 0
+          UNION ALL
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM tr)
+), sh AS (
+    SELECT DISTINCT doc_id,
+           w || ' ' || lead(w, 1) OVER win || ' ' ||
+           lead(w, 2) OVER win || ' ' || lead(w, 3) OVER win || ' ' ||
+           lead(w, 4) OVER win AS shingle
+    FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    QUALIFY lead(w, 4) OVER win IS NOT NULL
+), ho AS (
+    SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0
+), contaminated AS (
+    SELECT DISTINCT s.doc_id
+    FROM sh s JOIN ho ON s.shingle = ho.shingle
+    WHERE s.doc_id % 10 <> 0
+), clean AS (
+    SELECT t.* FROM tr t
+    WHERE t.doc_id NOT IN (SELECT doc_id FROM contaminated)
+), chunked AS (
+    SELECT doc_id,
+           CASE WHEN n_words <= 64 THEN 1
+                ELSE CAST(ceil((n_words - 64) / 48.0) AS BIGINT) + 1
+           END AS k,
+           n_words
+    FROM clean
+), per_doc AS (
+    SELECT c.doc_id, MAX(c.k) AS n_chunks,
+           CAST(SUM(least(c.n_words - i * 48, 64)) AS BIGINT)
+               AS chunk_words
+    FROM chunked c, UNNEST(range(c.k)) AS t(i)
+    GROUP BY 1
+)
+SELECT cl.source,
+       CASE WHEN substr(md5(CAST(cl.doc_id AS VARCHAR)), 1, 2) < '0d'
+              THEN 'val'
+            WHEN substr(md5(CAST(cl.doc_id AS VARCHAR)), 1, 2) < '1a'
+              THEN 'test'
+            ELSE 'train' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(p.n_chunks) AS BIGINT) AS n_chunks,
+       CAST(SUM(p.chunk_words) AS BIGINT) AS total_chunk_words
+FROM clean cl JOIN per_doc p USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
+@query("pipeline_train_e2e", oracle=_TRAIN_E2E_ORACLE)
+def pipeline_train_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full TRAINING-DATA curation DAG as one lazy plan — the
+    LLM-data counterpart of pipeline_ledger_e2e's reference DAG:
+    quality gate (word count + stopword ratio) -> exact fingerprint
+    dedup (min-id survivor) -> benchmark DECONTAMINATION (drop any
+    training doc sharing a distinct word-5-gram with the holdout
+    tenth — the n-gram-overlap pass every eval-clean corpus runs) ->
+    overlapping 64/48 word-window chunking (map-only explode) ->
+    deterministic md5 train/val/test split -> per-(source, split)
+    accounting of surviving docs, chunks, and chunk words.
+
+    Shuffle inventory at 100 TB: the dedup aggregate + semi-join
+    (doc_id, uniform), ONE shingle exchange for the contamination
+    semi-join (holdout-distinct side is ~1/10 corpus and AQE
+    broadcasts it from measured size), and the final tiny rollup;
+    chunking and split assignment never leave the row. Every stage
+    reuses a registered operator's exact semantics, so the composed
+    oracle is the composition of their oracles — the whole pipeline
+    hash-matches end to end."""
+    docs = table(spark, sf_dir, "documents")
+    m = TX.quality_metrics("text")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        m["n_words"].alias("n_words"),
+        m["stopword_ratio"].alias("stopword_ratio"),
+    )
+    kept = scored.filter(
+        (F.col("n_words") >= 20) & (F.col("stopword_ratio") >= 0.01)
+    ).select(
+        "doc_id",
+        "source",
+        "text",
+        "n_words",
+        TX.fingerprint("text").alias("fingerprint"),
+    )
+    keep_ids = kept.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    deduped = kept.join(keep_ids.select("doc_id"), "doc_id", "left_semi")
+    train = deduped.filter(F.col("doc_id") % 10 != 0)
+    ho_sh = (
+        TX.shingles(
+            docs.filter(F.col("doc_id") % 10 == 0), "doc_id", "text", n=5
+        )
+        .select("shingle")
+        .distinct()
+    )
+    contaminated = (
+        TX.shingles(train, "doc_id", "text", n=5)
+        .join(ho_sh, "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = train.join(contaminated, "doc_id", "left_anti")
+    per_doc = (
+        C.chunk_words(
+            clean.select("doc_id", "text"), "doc_id", "text",
+            size=64, stride=48,
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_words").alias("chunk_words"),
+        )
+    )
+    h2 = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
+    )
+    split = (
+        F.when(h2 < "0d", "val").when(h2 < "1a", "test").otherwise("train")
+    )
+    return (
+        clean.join(per_doc, "doc_id")
+        .select("source", split.alias("split"), "n_chunks", "chunk_words")
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chunks").cast("long").alias("n_chunks"),
+            F.sum("chunk_words").cast("long").alias("total_chunk_words"),
+        )
+    )

@@ -414,7 +414,10 @@ def pipeline_train_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuses a registered operator's exact semantics, so the composed
     oracle is the composition of their oracles — the whole pipeline
     hash-matches end to end."""
-    docs = table(spark, sf_dir, "documents")
+    # spread: the single-file source reads as ONE partition, and the
+    # shingle explodes are the DAG's CPU (5-gram construction over the
+    # whole corpus) — round-robin the cheap pre-explode rows first
+    docs = table(spark, sf_dir, "documents", spread=True)
     m = TX.quality_metrics("text")
     scored = docs.select(
         "doc_id",

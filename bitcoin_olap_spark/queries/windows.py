@@ -1182,3 +1182,93 @@ def ts_mad_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+@query(
+    "ts_autocorr",
+    oracle=f"""
+    WITH v AS (
+        SELECT {ORACLE_DAY.format(col='CAST(ts AS TIMESTAMP)')} AS day,
+               CAST(round(value * 10000) AS BIGINT) AS v4
+        FROM events
+    ), daily AS (
+        SELECT day, CAST(SUM(v4) AS BIGINT) AS x,
+               ROW_NUMBER() OVER (ORDER BY day) AS t
+        FROM v GROUP BY day
+    ), st AS (
+        SELECT COUNT(*) AS n, SUM(x) AS sx FROM daily
+    ), m AS (
+        SELECT (sx - ((sx % n) + n) % n) // n AS xbar FROM st
+    ), dev AS (
+        SELECT t, x - m.xbar AS d FROM daily, m
+    ), den AS (
+        SELECT SUM(d * d) AS dd FROM dev
+    ), pairs AS (
+        SELECT k.k AS lag, a.d * b.d AS prod
+        FROM dev a
+        CROSS JOIN (SELECT unnest(range(1, 8)) AS k) k
+        JOIN dev b ON b.t = a.t - k.k
+    )
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(CAST(SUM(prod) AS DOUBLE) / CAST(den.dd AS DOUBLE), 6)
+             AS autocorr
+    FROM pairs, den
+    GROUP BY lag, den.dd
+    """,
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of the daily value series — the
+    statistic that QUANTIFIES the weekly periodicity
+    ts_seasonal_decompose models (a lag-7 peak = weekly cycle; the
+    ACF is the first tool of any forecasting pipeline). Deviations
+    are taken from the FLOOR-integer mean (sign-safe pmod division,
+    identical in both engines), so every cross-product is an exact
+    int64 and the single final division + 6 dp round is the only
+    float op. One daily aggregation shuffle; the lag pairing runs on
+    the post-aggregation daily series (tens of rows at any corpus
+    scale — the documented ts_seasonal_decompose posture), here as a
+    1-row-offset self-join exploded over the 7 lags."""
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(day("ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 10000).cast("long")).alias("x")
+        )
+        .withColumn("t", F.row_number().over(Window.orderBy("day")))
+    )
+    st = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx")
+    ).select(
+        "n",
+        F.expr(
+            "(sx - ((sx % n) + n) % n) div n"
+        ).alias("xbar"),
+    )
+    dev = daily.crossJoin(F.broadcast(st)).select(
+        "t", (F.col("x") - F.col("xbar")).alias("d")
+    )
+    den = dev.agg(F.sum(F.col("d") * F.col("d")).alias("dd"))
+    lags = spark.range(1, 8).select(F.col("id").cast("long").alias("lag"))
+    a = dev.alias("a")
+    b = dev.alias("b")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            F.col("b.t") == F.col("a.t") - F.col("lag"),
+        )
+        .select("lag", (F.col("a.d") * F.col("b.d")).alias("prod"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(den))
+        .groupBy("lag", "dd")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(
+                F.sum("prod").cast("double") / F.col("dd").cast("double"),
+                6,
+            ).alias("autocorr"),
+        )
+        .select("lag", "n_pairs", "autocorr")
+    )

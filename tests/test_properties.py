@@ -738,3 +738,84 @@ def test_interval_merge_invariants(spark, events):
         n_ref = len(merged)
         cov_ref = sum(e - s for s, e in merged)
         assert got[u] == (n_ref, cov_ref), (u, got[u], (n_ref, cov_ref))
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(st.just("append"), st.integers(0, 4)),
+            st.tuples(st.just("delete"), st.integers(0, 9)),
+            st.just(("optimize", 0)),
+            st.tuples(st.just("restore"), st.integers(0, 5)),
+        ),
+        min_size=1,
+        max_size=7,
+    )
+)
+def test_acid_model_based_op_sequences(spark, tmp_path_factory, ops):
+    """Model-based check of the WHOLE ACID subsystem: run an arbitrary
+    sequence of append / delete / optimize / restore against both the
+    real table and a pure-Python reference ledger of row multisets per
+    version; after every op and at the end, the snapshot of every
+    still-resolvable version must equal the model exactly. Catches
+    cross-op interactions (restore of an optimize of a delete...) no
+    single-op test sees."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators import acidtable as AT
+
+    root = str(tmp_path_factory.mktemp("acid_model") / "tbl")
+    base_rows = [(i, i % 10) for i in range(30)]
+    AT.init_table(
+        spark,
+        root,
+        spark.createDataFrame(base_rows, "id long, grp long").coalesce(2),
+    )
+    model = {0: Counter(base_rows)}  # version -> row multiset
+    head = 0
+    next_id = 1000
+    for op, arg in ops:
+        if op == "append":
+            rows = [(next_id + j, (next_id + j) % 10) for j in range(3 + arg)]
+            next_id += 100
+            AT.append(
+                spark,
+                root,
+                spark.createDataFrame(rows, "id long, grp long").coalesce(1),
+            )
+            head += 1
+            model[head] = model[head - 1] + Counter(rows)
+        elif op == "delete":
+            AT.delete_where(spark, root, F.col("grp") == arg)
+            head += 1
+            model[head] = Counter(
+                {r: c for r, c in model[head - 1].items() if r[1] != arg}
+            )
+        elif op == "optimize":
+            AT.optimize(spark, root, target_files=2)
+            head += 1
+            model[head] = Counter(model[head - 1])
+        else:  # restore to min(arg, head)
+            tgt = min(arg, head)
+            AT.restore(spark, root, tgt)
+            head += 1
+            model[head] = Counter(model[tgt])
+        got = Counter(
+            (r["id"], r["grp"])
+            for r in AT.snapshot(spark, root).collect()
+        )
+        assert got == model[head], (op, arg, head)
+    # time travel: every logged version still resolves to its model
+    for v in range(head + 1):
+        got = Counter(
+            (r["id"], r["grp"])
+            for r in AT.snapshot(spark, root, version=v).collect()
+        )
+        assert got == model[v], v

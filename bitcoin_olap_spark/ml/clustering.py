@@ -180,6 +180,11 @@ def lloyd_fixed(
     sign-safe pmod form, so an unrolled-CTE oracle replays it
     exactly. `base` must carry (id_col, xq)."""
     seeds = base.orderBy(id_col).limit(k).collect()
+    if len(seeds) < k:
+        raise ValueError(
+            f"lloyd_fixed: corpus has only {len(seeds)} vectors but k={k}; "
+            "reduce k to at most the corpus size"
+        )
     cents = [list(r["xq"]) for r in seeds]
     for _ in range(iters):
         key = assign_key_fixed(cents, k)

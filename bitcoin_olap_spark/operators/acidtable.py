@@ -163,6 +163,33 @@ def write_checkpoint(root: str, version: int | None = None) -> int:
     return v
 
 
+def _vacuum_marker_path(root: str) -> str:
+    return os.path.join(_log_dir(root), "_last_vacuum.json")
+
+
+def _record_vacuum_cutoff(root: str, cutoff: int) -> None:
+    """Durably record vacuum's cutoff (atomic replace, monotone): any
+    version below it may have had its data files physically removed,
+    so restore() must refuse such targets."""
+    prev = vacuum_cutoff(root)
+    if cutoff <= prev:
+        return
+    tmp = os.path.join(_log_dir(root), f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump({"cutoff": cutoff}, f)
+    os.replace(tmp, _vacuum_marker_path(root))
+
+
+def vacuum_cutoff(root: str) -> int:
+    """Earliest version guaranteed restorable: versions below this may
+    reference physically vacuumed data files. 0 if never vacuumed."""
+    p = _vacuum_marker_path(root)
+    if not os.path.exists(p):
+        return 0
+    with open(p) as f:
+        return int(json.load(f)["cutoff"])
+
+
 def _commit(
     root: str,
     version: int,
@@ -296,48 +323,75 @@ def delete_where(spark: SparkSession, root: str, cond) -> int:
     return base + 1
 
 
-def vacuum(root: str, keep_versions: int = 1) -> int:
+def vacuum(root: str, keep_versions: int = 1, _max_rescans: int = 8) -> int:
     """Physically remove data files referenced ONLY by manifests older
     than the newest `keep_versions` (and those manifests). Returns the
     number of files removed. The destructive companion op every CoW
     format needs — separated from delete_where so time travel works
-    until the user explicitly gives it up."""
-    latest = current_version(root)
-    # a caller asking to keep more history than exists is a no-op, not
-    # a crash: clamp so the live-file loop never sees a negative version
-    cutoff = max(latest - keep_versions + 1, 0)
-    # single forward replay from the earliest surviving version (a
-    # prior vacuum left it checkpointed): accumulate the union of
-    # files referenced by dropped versions vs kept versions — O(total
-    # delta entries), never versions x files
-    first_v = min(
-        (
-            int(f.split(".")[0])
-            for f in os.listdir(_log_dir(root))
-            if f.endswith(".json")
-            and ".checkpoint." not in f
-            and f.split(".")[0].isdigit()
-        ),
-        default=0,
-    )
-    files = set(_resolve_files(root, first_v))
-    dropped: set[str] = set()
-    live: set[str] = set()
-    for v in range(first_v, latest + 1):
-        if v > first_v:
-            m = _read_raw(root, v)
-            if "files" in m:  # legacy full manifest
-                files = set(m["files"])
+    until the user explicitly gives it up.
+
+    Writer coordination: the live set comes from a point-in-time log
+    scan, so a writer committing DURING the scan (including a
+    `restore()` to an old version, which re-adds that version's files
+    to the head) could reference a file this pass is about to unlink.
+    Two guards close the race: (a) after computing the live set the
+    head is re-read, and if new versions appeared the scan restarts
+    against the new head (up to `_max_rescans` times, then raises);
+    (b) `restore()` refuses targets below the last vacuum cutoff — a
+    restore that wins the re-scan race still cannot resurrect dropped
+    manifests. Concurrent vacuum+vacuum remains single-maintainer
+    (unlink is idempotent here, but run one at a time)."""
+    for _ in range(_max_rescans):
+        latest = current_version(root)
+        # a caller asking to keep more history than exists is a no-op,
+        # not a crash: clamp so the live-file loop never sees a
+        # negative version
+        cutoff = max(latest - keep_versions + 1, 0)
+        # single forward replay from the earliest surviving version (a
+        # prior vacuum left it checkpointed): accumulate the union of
+        # files referenced by dropped versions vs kept versions —
+        # O(total delta entries), never versions x files
+        first_v = min(
+            (
+                int(f.split(".")[0])
+                for f in os.listdir(_log_dir(root))
+                if f.endswith(".json")
+                and ".checkpoint." not in f
+                and f.split(".")[0].isdigit()
+            ),
+            default=0,
+        )
+        files = set(_resolve_files(root, first_v))
+        dropped: set[str] = set()
+        live: set[str] = set()
+        for v in range(first_v, latest + 1):
+            if v > first_v:
+                m = _read_raw(root, v)
+                if "files" in m:  # legacy full manifest
+                    files = set(m["files"])
+                else:
+                    files.difference_update(m["remove"])
+                    files.update(m["add"])
+            if v < cutoff:
+                dropped |= files
             else:
-                files.difference_update(m["remove"])
-                files.update(m["add"])
-        if v < cutoff:
-            dropped |= files
-        else:
-            live |= files
+                live |= files
+        # re-read the head AFTER the scan: if a writer committed while
+        # we replayed the log, the live set may be stale — rescan
+        if current_version(root) == latest:
+            break
+    else:
+        raise ConcurrentCommitError(
+            "vacuum: table head kept moving across "
+            f"{_max_rescans} rescans; retry when writers quiesce"
+        )
     # the cutoff version must stay resolvable once older manifests are
-    # gone: checkpoint it before deleting anything
+    # gone: checkpoint it before deleting anything, and durably record
+    # the cutoff FIRST so restore() refuses pre-cutoff targets even in
+    # the window where their manifests still exist but their data files
+    # are about to be unlinked (guard (b) in the docstring)
     if cutoff > first_v:
+        _record_vacuum_cutoff(root, cutoff)
         write_checkpoint(root, cutoff)
     removed = 0
     for f in sorted(dropped - live):
@@ -455,7 +509,18 @@ def restore(spark: SparkSession, root: str, version: int) -> int:
     doesn't, and re-adds every target file the head dropped — pure
     metadata, no data movement, and the mistaken versions stay in the
     log for audit until vacuum. The inverse of nothing: restoring is
-    itself undoable by another restore. Returns the new version."""
+    itself undoable by another restore. Returns the new version.
+
+    Targets below the last vacuum cutoff are refused: their data files
+    may already be physically gone (or mid-unlink by a concurrent
+    vacuum), so a restore there would commit a snapshot referencing
+    deleted data."""
+    cut = vacuum_cutoff(root)
+    if version < cut:
+        raise ValueError(
+            f"restore: version {version} is below the vacuum cutoff "
+            f"{cut}; its data files may have been physically removed"
+        )
     head = current_version(root)
     cur = set(_resolve_files(root, head))
     tgt = set(_resolve_files(root, version))

@@ -95,19 +95,27 @@ def asof_join_nearest(
     ordering; the forward pass carries first-at-or-after on the
     mirrored (ts DESC, side) ordering — both windows share ONE key
     exchange (Spark sorts twice within the same partitioning, no
-    second shuffle). The right ts rides along as an extra carried
-    column so the final nearest choice is a map-side integer compare.
+    second shuffle). The carried payload is ONE struct (_rts + all
+    value_cols) per right row, so every carried field comes from the
+    SAME right row even when a value column is genuinely NULL there —
+    last(ignorenulls) skips only left rows (whole-struct NULL), never
+    a nearest right row whose field happens to be NULL. This matches
+    DuckDB ASOF row semantics exactly. The right ts rides inside the
+    struct so the final nearest choice is a map-side integer compare.
     `right` must be unique per (key, ts) — pre-aggregate it otherwise.
     """
     lcols = left.columns
-    carried = list(value_cols) + ["_rts"]
     r = right.select(
-        key, ts_col, *value_cols, epoch_us(ts_col).alias("_rts")
+        key,
+        ts_col,
+        F.struct(
+            epoch_us(ts_col).alias("_rts"),
+            *[F.col(vc).alias(vc) for vc in value_cols],
+        ).alias("_pack"),
     )
-    l = left
-    for vc in carried:
-        l = l.withColumn(vc, F.lit(None).cast(r.schema[vc].dataType))
-    l = l.withColumn("_side", F.lit(1))
+    l = left.withColumn(
+        "_pack", F.lit(None).cast(r.schema["_pack"].dataType)
+    ).withColumn("_side", F.lit(1))
     rr = r
     for c in lcols:
         if c not in (key, ts_col):
@@ -128,22 +136,18 @@ def asof_join_nearest(
     filled = u.select(
         *lcols,
         "_side",
-        *[F.last(vc, ignorenulls=True).over(back).alias(f"_b_{vc}") for vc in carried],
-        *[F.last(vc, ignorenulls=True).over(fwd).alias(f"_f_{vc}") for vc in carried],
+        F.last("_pack", ignorenulls=True).over(back).alias("_b"),
+        F.last("_pack", ignorenulls=True).over(fwd).alias("_f"),
     ).filter(F.col("_side") == 1)
     lus = epoch_us(ts_col)
-    use_back = F.col("_f__rts").isNull() | (
-        F.col("_b__rts").isNotNull()
-        & ((lus - F.col("_b__rts")) <= (F.col("_f__rts") - lus))
+    use_back = F.col("_f").isNull() | (
+        F.col("_b").isNotNull()
+        & ((lus - F.col("_b._rts")) <= (F.col("_f._rts") - lus))
     )
+    chosen = F.when(use_back, F.col("_b")).otherwise(F.col("_f"))
     return filled.select(
         *lcols,
-        *[
-            F.when(use_back, F.col(f"_b_{vc}"))
-            .otherwise(F.col(f"_f_{vc}"))
-            .alias(vc)
-            for vc in value_cols
-        ],
+        *[chosen[vc].alias(vc) for vc in value_cols],
     )
 
 

@@ -496,15 +496,26 @@ def ivf_topk_exact(
 
     K = n_centroids
     base = quantize_fixed(corpus, id_col, vec_col).persist()
-    if centroids is None:
-        # `centroids` is the quantizer seam: an IVF quantizer is an
-        # OFFLINE artifact in production — trained once when the
-        # index is built, reused by every query against it — so
-        # callers memoize the trained integer centroids (k*dim longs
-        # of control-plane data) and only the first execution pays
-        # the Lloyd iterations
-        dim = len(base.first()["xq"])
-        centroids = lloyd_fixed(base, id_col, K, iters, dim)
+    try:
+        if centroids is None:
+            # `centroids` is the quantizer seam: an IVF quantizer is an
+            # OFFLINE artifact in production — trained once when the
+            # index is built, reused by every query against it — so
+            # callers memoize the trained integer centroids (k*dim longs
+            # of control-plane data) and only the first execution pays
+            # the Lloyd iterations
+            probe = base.first()
+            if probe is None:
+                raise ValueError(
+                    "ivf_topk_exact: corpus is empty — cannot train a "
+                    "quantizer; pass `centroids` or provide a non-empty "
+                    "corpus"
+                )
+            dim = len(probe["xq"])
+            centroids = lloyd_fixed(base, id_col, K, iters, dim)
+    except Exception:
+        base.unpersist()
+        raise
     cents = centroids
     keys = key_array_fixed(cents, K)
     lists = base.select(

@@ -978,6 +978,26 @@ def snk_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..operators import acidtable as AT  # noqa: E402
 
 
+def _fixture_ready(root: str, final_version: int, final_op: str) -> bool:
+    """True iff the fixture table at `root` reached its FINAL expected
+    commit (head version == final_version AND that commit's op matches
+    final_op). A crash between init_table and the later steps leaves a
+    half-built table that a mere existence check (current_version >= 0)
+    would silently accept — producing wrong results vs the oracle — so
+    any other state is torn down here for a from-scratch rebuild."""
+    import shutil
+
+    head = AT.current_version(root)
+    if head < 0:
+        return False
+    if head == final_version:
+        op = str(AT.read_manifest(root, head, resolve=False).get("op", ""))
+        if op == final_op or op.startswith(final_op):
+            return True
+    shutil.rmtree(root, ignore_errors=True)
+    return False
+
+
 def _acid_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Once per (process, sf_dir): init an ACID table at version 0 from
     lineitem (range-partitioned on l_orderkey so data files cover
@@ -987,7 +1007,7 @@ def _acid_fixture(spark: SparkSession, sf_dir: str) -> str:
     matching rows — the other files carry into version 1 untouched
     (file-level copy-on-write, asserted in tests)."""
     root = _tmp(f"acid_lineitem_{os.path.basename(os.path.abspath(sf_dir))}")
-    if AT.current_version(root) < 0:
+    if not _fixture_ready(root, 1, "delete"):
         li = (
             table(spark, sf_dir, "lineitem")
             .select(
@@ -1124,7 +1144,7 @@ def snk_acid_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     merged_root = root + "_merge"
-    if AT.current_version(merged_root) < 0:
+    if not _fixture_ready(merged_root, 1, "merge"):
         # fork the fixture's post-delete snapshot into its own table so
         # snk_acid_delete/src_time_travel keep their version history
         AT.init_table(
@@ -1164,7 +1184,7 @@ def snk_acid_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     restore resolution loses or duplicates any file."""
     root = _acid_fixture(spark, sf_dir)
     restored_root = root + "_restore"
-    if AT.current_version(restored_root) < 0:
+    if not _fixture_ready(restored_root, 2, "restore-v0"):
         # replay the fixture's init + delete into a fork, then RESTORE
         AT.init_table(
             spark,
@@ -1222,7 +1242,7 @@ def snk_acid_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
     )
-    if AT.current_version(root) < 0:
+    if not _fixture_ready(root, 4, "add-columns"):
         AT.init_table(
             spark, root, li.filter(F.col("l_orderkey") % 4 != 0).repartition(8)
         )

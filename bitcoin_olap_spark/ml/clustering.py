@@ -178,34 +178,43 @@ def lloyd_fixed(
     internally). Empty clusters keep their previous centroid. The
     recurrence is deliberately SQL-expressible: floor division is the
     sign-safe pmod form, so an unrolled-CTE oracle replays it
-    exactly. `base` must carry (id_col, xq)."""
-    seeds = base.orderBy(id_col).limit(k).collect()
-    if len(seeds) < k:
-        raise ValueError(
-            f"lloyd_fixed: corpus has only {len(seeds)} vectors but k={k}; "
-            "reduce k to at most the corpus size"
-        )
-    cents = [list(r["xq"]) for r in seeds]
-    for _ in range(iters):
-        key = assign_key_fixed(cents, k)
-        sums = (
-            base.select((key % k).alias("cid"), "xq")
-            .select("cid", F.posexplode("xq").alias("j", "xv"))
-            .groupBy("cid", "j")
-            .agg(
-                F.sum("xv").alias("s"),
-                F.count(F.lit(1)).alias("n"),
+    exactly. `base` must carry (id_col, xq).
+
+    The driver-loop jobs run under session.bounded_reduce: every
+    reduce here is <= k*dim groups however large the corpus, so one
+    reduce partition with no adaptive re-planning is the right shape
+    at any scale (the map side stays wide)."""
+    from ..operators.vectors import lloyd_partials_arrow
+    from ..session import bounded_reduce
+
+    spark = base.sparkSession
+    with bounded_reduce(spark):
+        seeds = base.orderBy(id_col).limit(k).collect()
+        if len(seeds) < k:
+            raise ValueError(
+                f"lloyd_fixed: corpus has only {len(seeds)} vectors but "
+                f"k={k}; reduce k to at most the corpus size"
             )
-            .collect()
-        )
-        got = {(int(r["cid"]), int(r["j"])): r for r in sums}
-        cents = [
-            [
-                int(got[(c, j)]["s"]) // int(got[(c, j)]["n"])
-                if (c, j) in got
-                else cents[c][j]
-                for j in range(dim)
+        cents = [list(r["xq"]) for r in seeds]
+        for _ in range(iters):
+            # one job per iteration: the Arrow combine emits <= k*dim
+            # partial rows per chunk, the reduce SUMs them — integer
+            # addition is associative, so the totals equal the
+            # oracle's direct per-(cid, j) SUM bit for bit
+            sums = (
+                lloyd_partials_arrow(base, cents, k)
+                .groupBy("cid", "j")
+                .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+                .collect()
+            )
+            got = {(int(r["cid"]), int(r["j"])): r for r in sums}
+            cents = [
+                [
+                    int(got[(c, j)]["s"]) // int(got[(c, j)]["n"])
+                    if (c, j) in got
+                    else cents[c][j]
+                    for j in range(dim)
+                ]
+                for c in range(k)
             ]
-            for c in range(k)
-        ]
     return cents

@@ -177,6 +177,134 @@ def exact_score_pairs_arrow(
     return pairs.mapInPandas(score, schema=out_schema)
 
 
+def assign_fixed_arrow(
+    df: DataFrame,
+    id_col: str,
+    cents: list[list[int]],
+    k: int,
+    xq_col: str = "xq",
+    nprobe: int | None = None,
+    keep_cols: tuple[str, ...] = (),
+    with_dist: bool = False,
+) -> DataFrame:
+    """MAP-ONLY fixed-point IVF/kmeans assignment, Arrow-batched numpy:
+    the same int64 key d*k+cid as ml/clustering.key_array_fixed
+    (squared-L2 distance composite, ties toward the lower cid), but
+    vectorized — Spark higher-order-function lambdas evaluate
+    interpreted per element, and the k*dim fold per row costs ~0.4 s
+    of interpreted eval (plus per-plan Catalyst/codegen work on the
+    k*dim-element literal) that a (rows, k, dim) int64 numpy kernel
+    does in milliseconds with BIT-IDENTICAL integer results.
+
+    nprobe=None: one row per input, cid = argmin key (with_dist adds
+    dist_sq = key // k). nprobe=n: the n nearest lists per input in
+    ascending key order — keys are distinct across cids by
+    construction ((d1-d2)*k = c2-c1 has no solution with |c2-c1| < k),
+    so the sort is deterministic, matching array_sort + slice.
+    `keep_cols` pass through untouched (e.g. the raw vector for the
+    downstream scoring kernel). Rows chunk at 2048 to bound the
+    (chunk, k, dim) intermediate."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(cents, dtype=np.int64)
+    id_type = df.schema[id_col].dataType.simpleString()
+    fields = [f"{id_col} {id_type}", "cid long"]
+    if with_dist:
+        fields.append("dist_sq long")
+    for c in keep_cols:
+        fields.append(f"{c} {df.schema[c].dataType.simpleString()}")
+    out_schema = ", ".join(fields)
+    cols = [id_col, xq_col, *keep_cols]
+
+    def assign(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            for lo in range(0, n, 2048):
+                hi = min(lo + 2048, n)
+                X = np.stack(pdf[xq_col].values[lo:hi]).astype(np.int64)
+                d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                keys = d * k + np.arange(k, dtype=np.int64)[None, :]
+                out = {}
+                if nprobe is None:
+                    best = keys.min(axis=1)
+                    out[id_col] = pdf[id_col].values[lo:hi]
+                    out["cid"] = best % k
+                    if with_dist:
+                        out["dist_sq"] = best // k
+                    for c in keep_cols:
+                        out[c] = pdf[c].values[lo:hi]
+                else:
+                    idx = np.argsort(keys, axis=1)[:, :nprobe]
+                    picked = np.take_along_axis(keys, idx, axis=1)
+                    out[id_col] = np.repeat(
+                        pdf[id_col].values[lo:hi], nprobe
+                    )
+                    out["cid"] = (picked % k).reshape(-1)
+                    if with_dist:
+                        out["dist_sq"] = (picked // k).reshape(-1)
+                    for c in keep_cols:
+                        out[c] = np.repeat(pdf[c].values[lo:hi], nprobe)
+                yield pd.DataFrame(out)
+
+    return df.select(*cols).mapInPandas(assign, schema=out_schema)
+
+
+def lloyd_partials_arrow(
+    df: DataFrame,
+    cents: list[list[int]],
+    k: int,
+    xq_col: str = "xq",
+) -> DataFrame:
+    """One Lloyd iteration's MAP SIDE as an Arrow-batched combine:
+    assign each row to its argmin centroid (same int64 keys as
+    assign_fixed_arrow) and emit PARTIAL per-(cid, j) sums/counts —
+    <= k*dim rows per 4096-row chunk, so the downstream
+    groupBy(cid, j).agg(SUM) reduce is bounded by k*dim however large
+    the corpus. Integer addition is associative: partial-then-total
+    sums equal the oracle's direct SUM bit for bit."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(cents, dtype=np.int64)
+    dim = C.shape[1]
+    jj = np.arange(dim, dtype=np.int64)
+
+    def part(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            for lo in range(0, n, 4096):
+                hi = min(lo + 4096, n)
+                X = np.stack(pdf[xq_col].values[lo:hi]).astype(np.int64)
+                d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                cid = (d * k + np.arange(k, dtype=np.int64)[None, :]).min(
+                    axis=1
+                ) % k
+                cs, js, ss, ns = [], [], [], []
+                for c in np.unique(cid):
+                    sel = X[cid == c]
+                    cs.append(np.full(dim, c, dtype=np.int64))
+                    js.append(jj)
+                    ss.append(sel.sum(axis=0))
+                    ns.append(np.full(dim, sel.shape[0], dtype=np.int64))
+                yield pd.DataFrame(
+                    {
+                        "cid": np.concatenate(cs),
+                        "j": np.concatenate(js),
+                        "s": np.concatenate(ss),
+                        "n": np.concatenate(ns),
+                    }
+                )
+
+    return df.select(xq_col).mapInPandas(
+        part, schema="cid long, j long, s long, n long"
+    )
+
+
 def cosine_pairs_exact_blocked(
     df: DataFrame,
     id_col: str,
@@ -482,17 +610,16 @@ def ivf_topk_exact(
     oracle. On the unit-norm corpus L2-nearest == cosine-nearest, so
     the coarse and fine metrics agree.
 
-    Shuffle inventory: Lloyd pays one posexplode aggregate per
-    iteration; list assignment and probe ranking are MAP-ONLY
-    (array_sort + slice of the per-centroid key array is the
-    top-nprobe — no window, no shuffle); the candidate join shuffles
-    on centroid id, which is exactly how a distributed IVF shards its
-    lists; scoring is Arrow-batched and partition-local."""
-    from ..ml.clustering import (
-        key_array_fixed,
-        lloyd_fixed,
-        quantize_fixed,
-    )
+    Shuffle inventory: Lloyd pays one bounded-reduce aggregate per
+    iteration (Arrow map-side combine, ml/clustering.lloyd_fixed);
+    list assignment and probe ranking are MAP-ONLY through
+    assign_fixed_arrow (vectorized int64 argmin / top-nprobe — no
+    window, no shuffle; same keys as the key_array_fixed fold, which
+    costs ~0.4 s of interpreted HOF eval per plan at this k*dim); the
+    candidate join shuffles on centroid id, which is exactly how a
+    distributed IVF shards its lists; scoring is Arrow-batched and
+    partition-local."""
+    from ..ml.clustering import lloyd_fixed, quantize_fixed
 
     K = n_centroids
     base = quantize_fixed(corpus, id_col, vec_col).persist()
@@ -517,21 +644,20 @@ def ivf_topk_exact(
         base.unpersist()
         raise
     cents = centroids
-    keys = key_array_fixed(cents, K)
-    lists = base.select(
+    lists = assign_fixed_arrow(
+        base, id_col, cents, K, keep_cols=(vec_col,)
+    ).select(
         F.col(id_col).alias("vec_id_c"),
-        (F.array_min(keys) % K).cast("long").alias("cid"),
+        "cid",
         F.col(vec_col).alias("_vb"),
     )
     qbase = quantize_fixed(queries, id_col, vec_col)
-    probes = qbase.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_va"),
-        F.explode(
-            F.slice(F.array_sort(key_array_fixed(cents, K)), 1, nprobe)
-        ).alias("dk"),
+    probes = assign_fixed_arrow(
+        qbase, id_col, cents, K, nprobe=nprobe, keep_cols=(vec_col,)
     ).select(
-        "query_id", "_va", (F.col("dk") % K).cast("long").alias("cid")
+        F.col(id_col).alias("query_id"),
+        "cid",
+        F.col(vec_col).alias("_va"),
     )
     # each corpus vector lives in exactly ONE list, so the probe join
     # yields each (query, vector) pair at most once — no distinct

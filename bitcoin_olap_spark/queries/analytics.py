@@ -18,6 +18,7 @@ from ..functions import ORACLE_DAY, day, exact_sum, oracle_exact_sum
 from ..ml import loglog_ols_exact, loglog_ols_ml
 from ..ml.regression import ORACLE_OLS
 from ..registry import query
+from ..session import bounded_reduce
 
 
 def _fdiv_sql(a: str, b: str) -> str:
@@ -369,23 +370,20 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     2^20 -> per-vector distance < 2^48, argmin key d*8+cid < 2^51 —
     int64-exact, so the unrolled DuckDB recurrence hash-matches every
     (vec_id, cluster, dist_sq) row. dist_sq rides at scale 2^40."""
-    from ..ml.clustering import (
-        assign_key_fixed,
-        lloyd_fixed,
-        quantize_fixed,
-    )
+    from ..ml.clustering import lloyd_fixed, quantize_fixed
+    from ..operators.vectors import assign_fixed_arrow
 
     K = _KM_K
     base = quantize_fixed(
         table(spark, sf_dir, "embeddings"), "vec_id", "embedding", _KM_S
     ).drop("embedding").persist()
     cents = lloyd_fixed(base, "vec_id", K, _KM_ITERS, dim=64)
-    key = assign_key_fixed(cents, K)
-    out = base.select(
-        "vec_id",
-        (key % K).cast("long").alias("cluster"),
-        ((key - key % K) / K).cast("long").alias("dist_sq"),
-    )
+    # final assignment through the same vectorized int64 kernel as the
+    # iterations (bit-identical keys; cluster = key % k, dist_sq =
+    # key // k)
+    out = assign_fixed_arrow(
+        base, "vec_id", cents, K, with_dist=True
+    ).select("vec_id", F.col("cid").alias("cluster"), "dist_sq")
     base.unpersist()
     return out
 
@@ -1049,57 +1047,59 @@ def ml_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     eh_expr = _lr_eh_sql("div")
 
-    def margin(wvec: list[int]):
-        # ONE expr-parsed array literal: building the 65 elements as
+    def margin_sql(wvec: list[int]) -> str:
+        # ONE SQL-text array literal: building the 65 elements as
         # individual F.lit Columns costs ~0.3 s of py4j round trips
-        # per plan; the SQL-literal string is a single call
-        wlit = F.expr(
-            "array(" + ",".join(f"{int(v)}L" for v in wvec) + ")"
-        )
-        return F.aggregate(
-            F.zip_with("xq", wlit, lambda x, wv: x * wv),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
+        # per plan, and even the DataFrame-API formulation pays ~0.1 s
+        # of py4j + analysis per iteration; the full-SQL iteration is
+        # one spark.sql call (~0.04 s, measured)
+        wlit = "array(" + ",".join(f"{int(v)}L" for v in wvec) + ")"
+        return (
+            f"aggregate(zip_with(xq, {wlit}, (x, wv) -> x * wv),"
+            " 0L, (acc, v) -> acc + v)"
         )
 
+    vname = "__ml_logreg_base"
+    base.createOrReplaceTempView(vname)
     w = [0] * _LR_DIM
-    for _ in range(_LR_ITERS):
-        scored = base.select(
-            "xq", margin(w).alias("z"), F.col("y")
-        ).withColumn("eh", F.expr(eh_expr).cast("long"))
-        # ONE job per iteration: posexplode the feature array and
-        # reduce to (j, sum(xv*eh), count) — a narrow n*dim exchange
-        # with map-side partials and a 65-row result. count(*) per j
-        # IS the corpus size, so no separate count job runs. (The
-        # 65-separate-SUM-columns formulation computes the same thing
-        # with zero shuffle but pays ~0.5 s of Catalyst/codegen per
-        # iteration on a 65-wide aggregate — measured slower below
-        # ~10M rows; at larger scale flip back to the wide-agg form.)
-        grad = (
-            scored.select("eh", F.posexplode("xq").alias("j", "xv"))
-            .groupBy("j")
-            .agg(
-                F.sum(F.col("xv") * F.col("eh")).alias("g"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .collect()
-        )
-        n = int(grad[0]["n"])
-        gd = {int(r["j"]): int(r["g"]) for r in grad}
-        # Python // floors like the SQL fdiv; 65 longs of control
-        # plane per iteration, the same bounded-collect pattern as
-        # pagerank's convergence scalar
-        w = [w[j] - (gd[j] // (n * S)) for j in range(_LR_DIM)]
-    out = (
-        base.select(
-            F.col("y").alias("label"),
-            F.when(margin(w) > 0, 1)
-            .otherwise(0)
-            .cast("long")
-            .alias("prediction"),
-        )
-        .groupBy("label", "prediction")
-        .agg(F.count(F.lit(1)).alias("n"))
+    # the per-iteration reduce is 65 groups however large the corpus:
+    # bounded_reduce sizes the loop's jobs for that (1 reduce
+    # partition, no adaptive re-planning) — the map side stays as wide
+    # as the data; confs restore before the returned plan runs
+    with bounded_reduce(spark):
+        for _ in range(_LR_ITERS):
+            # ONE job per iteration: posexplode the feature array and
+            # reduce to (j, sum(xv*eh), count) — a narrow n*dim
+            # exchange with map-side partials and a 65-row result.
+            # count(*) per j IS the corpus size, so no separate count
+            # job runs. (The 65-separate-SUM-columns formulation
+            # computes the same thing with zero shuffle but pays
+            # ~0.5 s of Catalyst/codegen per iteration on a 65-wide
+            # aggregate — measured slower below ~10M rows; at larger
+            # scale flip back to the wide-agg form.)
+            grad = spark.sql(
+                f"""
+                SELECT j, SUM(xv * eh) AS g, COUNT(*) AS n FROM (
+                  SELECT eh, posexplode(xq) AS (j, xv) FROM (
+                    SELECT xq, CAST({eh_expr} AS BIGINT) AS eh FROM (
+                      SELECT xq, y, {margin_sql(w)} AS z
+                      FROM {vname})))
+                GROUP BY j"""
+            ).collect()
+            n = int(grad[0]["n"])
+            gd = {int(r["j"]): int(r["g"]) for r in grad}
+            # Python // floors like the SQL fdiv; 65 longs of control
+            # plane per iteration, the same bounded-collect pattern as
+            # pagerank's convergence scalar
+            w = [w[j] - (gd[j] // (n * S)) for j in range(_LR_DIM)]
+    out = spark.sql(
+        f"""
+        SELECT label, prediction, COUNT(*) AS n FROM (
+          SELECT CAST(y AS BIGINT) AS label,
+                 CAST(CASE WHEN {margin_sql(w)} > 0 THEN 1 ELSE 0 END
+                      AS BIGINT) AS prediction
+          FROM {vname})
+        GROUP BY label, prediction"""
     )
     base.unpersist()
     return out

@@ -128,6 +128,32 @@ def get_spark(
     return spark
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def bounded_reduce(spark: SparkSession, partitions: int = 1):
+    """Scope for an iterative op's driver-loop jobs whose reduce side
+    has BOUNDED cardinality (a gradient of 65 longs, k*dim centroid
+    sums): one reduce partition is the correct shape at ANY corpus
+    size — the map side stays as wide as the data, only the final
+    merge of a few dozen groups is single-task — and adaptive
+    re-planning has nothing to adapt on a fixed two-stage aggregate,
+    it only adds per-stage scheduling (measured: ml_logreg's 4-job
+    loop 1.19 s -> 0.73 s with AQE off + 1 reduce partition at
+    sf0.1). Restores both confs on exit, so the surrounding query
+    plans (joins, wide shuffles) keep AQE."""
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to any session, best-effort.
 

@@ -78,6 +78,16 @@ def jaccard_pairs(
     count (join-output-scale, map-side partials), and two verify joins
     keyed on doc id over output-scale pairs (AQE broadcasts the array
     relation when it is small).
+
+    Rewrites measured and REJECTED at sf0.1 (kept for the record, like
+    the r4 bucket-aggregate rejection):
+    - one-pass exact STRING self-join (drops phase 2 entirely): 7.4 s
+      vs 1.0 s — sort-merge join on ~25-byte string keys with heavy
+      key duplication loses far more than the verify phase costs;
+    - single melt-verify join (explode pairs to (pair, role, doc),
+      join `arrs` once, regroup): 1.20 s vs 1.00 s — shuffling the
+      5 KB shingle arrays through a pair-keyed aggregate costs more
+      than the second broadcast join over the cached relation.
     """
     # documents arrive in O(#input files) partitions and explode does
     # not re-split — _spread re-splits the cheap pre-explode rows.

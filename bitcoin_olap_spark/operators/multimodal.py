@@ -446,6 +446,7 @@ def curate_features(
     df: DataFrame,
     id_col: str,
     target_bytes: int = 256,
+    with_format: bool = False,
 ) -> DataFrame:
     """FUSED resize -> transcode -> decode -> featurize in ONE
     Arrow-batched mapInPandas stage: byte-identical to
@@ -458,7 +459,11 @@ def curate_features(
     the same reasoning as whole-stage codegen, applied to the Python
     seam. Emits (id_col, n_bytes, n_samples, features ARRAY<BIGINT>)
     where n_bytes is the ENCODED container size of the resized
-    payload."""
+    payload; with_format=True additionally passes the row's format
+    tag through (it is already in the Python worker's hands — a
+    caller grouping by format afterwards saves the join back to the
+    metadata relation, i.e. one whole exchange of the feature
+    rows)."""
     import numpy as np
 
     id_type = df.schema[id_col].dataType.simpleString()
@@ -466,12 +471,14 @@ def curate_features(
         f"{id_col} {id_type}, n_bytes long, n_samples long, "
         "features array<bigint>"
     )
+    if with_format:
+        out_schema += ", format string"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            feats, sizes, counts = [], [], []
+            feats, sizes, counts, fmts = [], [], [], []
             for payload, m in zip(pdf["blob"], pdf["media_meta"]):
                 raw = bytes(payload)[:target_bytes]  # resize
                 fmt = m["format"]
@@ -485,14 +492,16 @@ def curate_features(
                 feats.append(hist.astype(np.int64))
                 sizes.append(len(enc))
                 counts.append(len(bins))
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "n_bytes": pd.Series(sizes, dtype="int64"),
-                    "n_samples": pd.Series(counts, dtype="int64"),
-                    "features": feats,
-                }
-            )
+                fmts.append(fmt)
+            out = {
+                id_col: pdf[id_col],
+                "n_bytes": pd.Series(sizes, dtype="int64"),
+                "n_samples": pd.Series(counts, dtype="int64"),
+                "features": feats,
+            }
+            if with_format:
+                out["format"] = fmts
+            yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=out_schema)
 

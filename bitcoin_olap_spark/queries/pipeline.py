@@ -278,10 +278,13 @@ def pipeline_mm_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents", spread=True), "doc_id", "text"
     )
     keep = media.filter(F.col("media_meta.format") != "audio/wav")
+    # the digest relation is consumed twice (dedup survivors and the
+    # per-format raw counts): cache it so the payload-md5 map pass
+    # runs once — 24 bytes/row cached, never the blobs
     fmt = keep.select(
         "doc_id", F.md5("blob").alias("digest"),
         F.col("media_meta.format").alias("format"),
-    )
+    ).cache()
     survivors = (
         fmt.groupBy("digest").agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
@@ -290,8 +293,13 @@ def pipeline_mm_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fused resize->transcode->decode->featurize: payload bytes cross
     # the Python seam ONCE (operators/multimodal.curate_features);
     # byte-identical to the three-stage composition, which would
-    # Arrow-serialize every payload three times
-    feats = MM.curate_features(kept, "doc_id", target_bytes=256)
+    # Arrow-serialize every payload three times. with_format passes
+    # the format tag out of the Python stage, so the per-format
+    # rollup groups directly — no join back to the metadata relation,
+    # one fewer exchange of the feature rows (r4 verdict item 7)
+    feats = MM.curate_features(
+        kept, "doc_id", target_bytes=256, with_format=True
+    )
     featsq = F.aggregate(
         "features", F.lit(0).cast("long"), lambda acc, x: acc + x * x
     )
@@ -299,8 +307,7 @@ def pipeline_mm_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_raw")
     )
     return (
-        feats.join(fmt.select("doc_id", "format"), "doc_id")
-        .groupBy("format")
+        feats.groupBy("format")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_bytes").alias("total_bytes"),

@@ -1115,13 +1115,23 @@ def ts_mad_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one corrupted burst shifts a mean but not a median). Medians are
     EXACT lower-median rank picks ((n+1)//2 over the sorted 1e4
     fixed-point values — never an interpolating percentile, whose
-    float blend engines disagree on), computed with two per-group
-    window passes that share ONE event_type exchange; the MAD pass
-    reuses the same partitioning, and the final flag count
-    (|v - med| > 3*MAD) is a map-side conditional count. Output is
-    per-group stats (driver-sized at any corpus scale); a production
-    gate joins the thresholds back to pull sample rows only for
-    failing groups."""
+    float blend engines disagree on).
+
+    Plan shape (r5): the ENTIRE op is one event_type exchange and
+    zero joins — median pick, deviation, MAD pick, and the final flag
+    count all run as chained window/aggregate operators over the same
+    partitioning (the med4/mad4 rank picks are partition-wide
+    window MAXes instead of groupBy+join-back, so nothing ever leaves
+    the exchange; verified: the physical plan has exactly one
+    Exchange). Cost per group is two in-partition sorts of the
+    group's values — exact ranks, deterministic, partitioned.
+
+    100 TB note: an exact rank pick sorts every row of a group inside
+    one partition, so a single hot event_type is a straggler/spill
+    magnet at extreme scale. The escape hatch is
+    approx_percentile(v4, 0.5) (and of d4) — same pipeline, sketch
+    medians, fully mergeable map-side — traded here for exact
+    oracle-checkable ranks, same as sample_stratified documents."""
     e = table(spark, sf_dir, "events")
     v = e.select(
         "event_type",
@@ -1129,58 +1139,51 @@ def ts_mad_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wv = Window.partitionBy("event_type").orderBy("v4")
     wn = Window.partitionBy("event_type")
+    is_med = lambda rn_col, n_col: rn_col == F.floor((n_col + 1) / 2)  # noqa: E731
     r = v.select(
         "event_type",
         "v4",
         F.row_number().over(wv).alias("rn"),
         F.count(F.lit(1)).over(wn).alias("n"),
     )
-    med = r.groupBy("event_type").agg(
-        F.max("n").alias("n"),
-        F.max(
-            F.when(
-                F.col("rn") == F.floor((F.col("n") + 1) / 2), F.col("v4")
-            )
-        ).alias("med4"),
-    )
-    dev = v.join(med, "event_type").select(
+    r2 = r.select(
         "event_type",
         "v4",
+        "n",
+        F.max(F.when(is_med(F.col("rn"), F.col("n")), F.col("v4")))
+        .over(wn)
+        .alias("med4"),
+    )
+    d = r2.select(
+        "event_type",
         "n",
         "med4",
         F.abs(F.col("v4") - F.col("med4")).alias("d4"),
     )
     wd = Window.partitionBy("event_type").orderBy("d4")
-    rd = dev.select(
+    rd = d.select(
         "event_type",
-        "d4",
         "n",
         "med4",
-        F.row_number().over(wd).alias("rn"),
+        "d4",
+        F.row_number().over(wd).alias("rn2"),
     )
-    mad = rd.groupBy("event_type").agg(
-        F.max("n").alias("n"),
-        F.max("med4").alias("med4"),
-        F.max(
-            F.when(
-                F.col("rn") == F.floor((F.col("n") + 1) / 2), F.col("d4")
-            )
-        ).alias("mad4"),
+    rd2 = rd.select(
+        "event_type",
+        "n",
+        "med4",
+        "d4",
+        F.max(F.when(is_med(F.col("rn2"), F.col("n")), F.col("d4")))
+        .over(wn)
+        .alias("mad4"),
     )
-    return (
-        dev.select("event_type", "d4")
-        .join(mad, "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.max("n").cast("long").alias("n"),
-            F.max("med4").cast("long").alias("med4"),
-            F.max("mad4").cast("long").alias("mad4"),
-            F.count(
-                F.when(F.col("d4") > 3 * F.col("mad4"), F.lit(1))
-            )
-            .cast("long")
-            .alias("n_outliers"),
-        )
+    return rd2.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("med4").cast("long").alias("med4"),
+        F.max("mad4").cast("long").alias("mad4"),
+        F.count(F.when(F.col("d4") > 3 * F.col("mad4"), F.lit(1)))
+        .cast("long")
+        .alias("n_outliers"),
     )
 
 

@@ -112,6 +112,83 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 #: PNG color type -> bytes per pixel at bit depth 8
 _PNG_BPP = {0: 1, 2: 3, 4: 2, 6: 4}
 
+# ---- baseline JPEG (ITU T.81 Annex K tables, greyscale) -----------
+#: JPEG geometry: 8-bit greyscale, fixed 16-px rows, height from payload
+JPEG_W = 16
+#: Annex K luminance quantization table, row-major 8x8
+_JPEG_QTAB = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+#: zigzag scan order: position k holds the row-major index it reads
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+#: Annex K luminance DC Huffman spec: (#codes per length 1..16, symbols)
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+#: Annex K luminance AC Huffman spec
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _jpeg_canonical_codes(bits: list, vals: list) -> dict:
+    """Canonical Huffman assignment (T.81 C.2): symbol -> (code, size)."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_dct_matrix():
+    """8x8 DCT-II basis T with T @ X @ T.T the forward transform and
+    T.T @ Y @ T the inverse (orthonormal), float64 — deterministic."""
+    import math
+
+    import numpy as np
+
+    T = np.zeros((8, 8), dtype=np.float64)
+    for u in range(8):
+        cu = math.sqrt(0.5) if u == 0 else 1.0
+        for x in range(8):
+            T[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+    return T
+
 
 def encode_media(data: bytes, fmt: str) -> bytes:
     """Wrap raw bytes into a REAL container of the tagged format —
@@ -126,8 +203,17 @@ def encode_media(data: bytes, fmt: str) -> bytes:
     - image/png: real PNG — signature, IHDR (8-bit greyscale, no
       interlace), one zlib-DEFLATE IDAT of filter-0 scanlines, IEND;
       every chunk carries its genuine CRC-32.
+    - image/jpeg: real BASELINE SEQUENTIAL JPEG (ITU T.81) — greyscale
+      8-bit, Annex K luminance quantization + Huffman tables carried
+      in DQT/DHT, 8x8 DCT blocks, byte-stuffed entropy stream. Lossy
+      (quantized DCT), like every real JPEG.
     """
     import struct
+
+    if fmt == "image/jpeg":
+        h = max(1, -(-len(data) // JPEG_W))
+        body = data.ljust(h * JPEG_W, b"\x00")
+        return _encode_jpeg(body, JPEG_W, h)
 
     if fmt == "image/png":
         import zlib
@@ -198,6 +284,9 @@ def decode_media(payload: bytes, fmt: str):
 
     if fmt == "image/png":
         return _decode_png(payload)
+
+    if fmt == "image/jpeg":
+        return _decode_jpeg(payload)
 
     if fmt == "image/ppm":
         if payload[:2] != b"P6":
@@ -376,21 +465,327 @@ def _decode_png(payload: bytes):
     }
 
 
+def _encode_jpeg(body: bytes, w: int, h: int) -> bytes:
+    """REAL baseline-sequential JPEG encoder (pure Python + numpy):
+    greyscale pixels -> level shift -> 8x8 DCT -> Annex K quantization
+    -> zigzag -> DC-difference + run-length AC -> canonical Huffman ->
+    byte-stuffed entropy stream, wrapped in SOI/DQT/SOF0/DHT/SOS/EOI
+    with the tables embedded, so any conformant decoder reads it."""
+    import struct
+
+    import numpy as np
+
+    T = _jpeg_dct_matrix()
+    q = np.asarray(_JPEG_QTAB, dtype=np.float64).reshape(8, 8)
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    bw_bits: list = []  # (value, nbits) accumulator
+
+    def put(code: int, nbits: int) -> None:
+        bw_bits.append((code, nbits))
+
+    def category(v: int) -> int:
+        return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+    px = (
+        np.frombuffer(body, dtype=np.uint8)
+        .reshape(h, w)
+        .astype(np.float64)
+    )
+    # pad to full 8x8 blocks by edge replication (T.81 suggestion)
+    H8, W8 = -(-h // 8) * 8, -(-w // 8) * 8
+    img = np.zeros((H8, W8), dtype=np.float64)
+    img[:h, :w] = px
+    img[h:, :w] = px[h - 1 : h, :]
+    img[:, w:] = img[:, w - 1 : w]
+
+    prev_dc = 0
+    for by in range(H8 // 8):
+        for bx in range(W8 // 8):
+            blk = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = T @ blk @ T.T
+            # round-to-nearest, half away from zero (deterministic)
+            zq = np.sign(coef) * np.floor(np.abs(coef) / q + 0.5)
+            zz = [int(zq.reshape(-1)[i]) for i in _JPEG_ZIGZAG]
+            diff = zz[0] - prev_dc
+            prev_dc = zz[0]
+            s = category(diff)
+            code, n = dc_codes[s]
+            put(code, n)
+            if s:
+                put(diff if diff > 0 else diff + (1 << s) - 1, s)
+            run = 0
+            last_nz = max(
+                (k for k in range(1, 64) if zz[k] != 0), default=0
+            )
+            for k in range(1, last_nz + 1):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, n = ac_codes[0xF0]  # ZRL
+                    put(code, n)
+                    run -= 16
+                s = category(zz[k])
+                code, n = ac_codes[(run << 4) | s]
+                put(code, n)
+                put(zz[k] if zz[k] > 0 else zz[k] + (1 << s) - 1, s)
+                run = 0
+            if last_nz < 63:
+                code, n = ac_codes[0x00]  # EOB
+                put(code, n)
+
+    # flush bit stream, pad with 1s, byte-stuff 0xFF -> 0xFF 0x00
+    out, acc, nacc = bytearray(), 0, 0
+    for v, n in bw_bits:
+        acc = (acc << n) | (v & ((1 << n) - 1))
+        nacc += n
+        while nacc >= 8:
+            byte = (acc >> (nacc - 8)) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+            nacc -= 8
+            acc &= (1 << nacc) - 1
+    if nacc:
+        byte = ((acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1)) & 0xFF
+        out.append(byte)
+        if byte == 0xFF:
+            out.append(0x00)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    dqt = seg(0xFFDB, b"\x00" + bytes(_JPEG_QTAB[i] for i in _JPEG_ZIGZAG))
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 1) + bytes((1, 0x11, 0)),
+    )
+    dht = seg(
+        0xFFC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+    ) + seg(0xFFC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    sos = seg(0xFFDA, b"\x01" + bytes((1, 0x00)) + b"\x00\x3f\x00")
+    return (
+        b"\xff\xd8" + dqt + sof + dht + sos + bytes(out) + b"\xff\xd9"
+    )
+
+
+def _decode_jpeg(payload: bytes):
+    """REAL pure-Python baseline JPEG decoder: marker walk, DQT/SOF0/
+    DHT/SOS parse (tables read FROM THE FILE, not assumed), canonical
+    Huffman entropy decode with byte-unstuffing and restart-marker
+    handling, dequantization, inverse zigzag, float64 IDCT, level
+    shift + clamp. Greyscale (single component) baseline sequential
+    only — progressive/chroma raise, like the other decoders raise on
+    unsupported container variants. Returns (samples int64 of the
+    w*h reconstructed pixels, info)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("decode_media: not a JPEG (bad SOI)")
+    pos = 2
+    qtabs: dict = {}
+    huff: dict = {}  # (class, id) -> {(code, size): symbol}
+    w = h = None
+    dc_id = ac_id = 0
+    restart_interval = 0
+    entropy_start = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("decode_media: bad JPEG marker sync")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            break
+        (ln,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + ln]
+        if len(body) != ln - 2:
+            raise ValueError("decode_media: truncated JPEG segment")
+        if marker == 0xDB:  # DQT (may hold several tables)
+            bp = 0
+            while bp < len(body):
+                if bp + 65 > len(body):
+                    raise ValueError("decode_media: truncated JPEG DQT")
+                pq, tq = body[bp] >> 4, body[bp] & 0xF
+                if pq != 0:
+                    raise ValueError(
+                        "decode_media: only 8-bit JPEG quant tables"
+                    )
+                tab = np.zeros(64, dtype=np.int64)
+                for k in range(64):
+                    tab[_JPEG_ZIGZAG[k]] = body[bp + 1 + k]
+                qtabs[tq] = tab.reshape(8, 8)
+                bp += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or ncomp != 1:
+                raise ValueError(
+                    "decode_media: only 8-bit greyscale baseline JPEG"
+                )
+            if body[7] != 0x11:
+                raise ValueError("decode_media: subsampled JPEG unsupported")
+            quant_id = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "decode_media: only baseline sequential JPEG (SOF0)"
+            )
+        elif marker == 0xC4:  # DHT (may hold several tables)
+            bp = 0
+            while bp < len(body):
+                tc, th = body[bp] >> 4, body[bp] & 0xF
+                bits = list(body[bp + 1 : bp + 17])
+                nvals = sum(bits)
+                if len(bits) < 16 or bp + 17 + nvals > len(body):
+                    raise ValueError("decode_media: truncated JPEG DHT")
+                vals = list(body[bp + 17 : bp + 17 + nvals])
+                codes = _jpeg_canonical_codes(bits, vals)
+                huff[(tc, th)] = {
+                    (code, size): sym for sym, (code, size) in codes.items()
+                }
+                bp += 17 + nvals
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+            if restart_interval:
+                raise ValueError(
+                    "decode_media: JPEG restart intervals unsupported"
+                )
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            if ns != 1:
+                raise ValueError("decode_media: multi-component scan")
+            dc_id, ac_id = body[2] >> 4, body[2] & 0xF
+            entropy_start = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if w is None or entropy_start is None:
+        raise ValueError("decode_media: JPEG missing SOF0/SOS")
+    if quant_id not in qtabs:
+        raise ValueError("decode_media: JPEG missing quant table")
+    q = qtabs[quant_id]
+    dct = huff.get((0, dc_id))
+    act = huff.get((1, ac_id))
+    if dct is None or act is None:
+        raise ValueError("decode_media: JPEG missing Huffman tables")
+
+    data = payload[entropy_start:]
+
+    class _Bits:
+        def __init__(self) -> None:
+            self.pos = 0
+            self.acc = 0
+            self.n = 0
+
+        def _fill(self) -> None:
+            while self.n <= 24:
+                if self.pos >= len(data):
+                    raise ValueError("decode_media: truncated JPEG scan")
+                b = data[self.pos]
+                if b == 0xFF:
+                    nxt = data[self.pos + 1] if self.pos + 1 < len(data) else 0
+                    if nxt == 0x00:
+                        self.pos += 2
+                    elif 0xD0 <= nxt <= 0xD7:
+                        # RSTn needs a DC-predictor reset at MCU
+                        # granularity; this encoder never emits DRI,
+                        # so refuse rather than half-support
+                        raise ValueError(
+                            "decode_media: JPEG restart markers "
+                            "unsupported"
+                        )
+                    else:  # EOI or next segment: pad with 1s
+                        self.acc = (self.acc << 8) | 0xFF
+                        self.n += 8
+                        continue
+                else:
+                    self.pos += 1
+                self.acc = (self.acc << 8) | b
+                self.n += 8
+
+        def take(self, k: int) -> int:
+            if k == 0:
+                return 0
+            self._fill()
+            v = (self.acc >> (self.n - k)) & ((1 << k) - 1)
+            self.n -= k
+            self.acc &= (1 << self.n) - 1
+            return v
+
+        def huffman(self, table: dict) -> int:
+            code = 0
+            for size in range(1, 17):
+                code = (code << 1) | self.take(1)
+                sym = table.get((code, size))
+                if sym is not None:
+                    return sym
+            raise ValueError("decode_media: invalid JPEG Huffman code")
+
+    def extend(v: int, s: int) -> int:
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    T = _jpeg_dct_matrix()
+    bx_n, by_n = -(-w // 8), -(-h // 8)
+    img = np.zeros((by_n * 8, bx_n * 8), dtype=np.int64)
+    bits = _Bits()
+    prev_dc = 0
+    for by in range(by_n):
+        for bx in range(bx_n):
+            s = bits.huffman(dct)
+            diff = extend(bits.take(s), s) if s else 0
+            dc = prev_dc + diff
+            prev_dc = dc
+            zz = np.zeros(64, dtype=np.int64)
+            zz[0] = dc
+            k = 1
+            while k < 64:
+                sym = bits.huffman(act)
+                if sym == 0x00:  # EOB
+                    break
+                run, size = sym >> 4, sym & 0xF
+                if size == 0:
+                    if run != 15:
+                        raise ValueError(
+                            "decode_media: bad JPEG AC symbol"
+                        )
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("decode_media: JPEG AC overrun")
+                zz[k] = extend(bits.take(size), size)
+                k += 1
+            blk = np.zeros(64, dtype=np.int64)
+            blk[_JPEG_ZIGZAG] = zz
+            coef = blk.reshape(8, 8).astype(np.float64) * q
+            pix = T.T @ coef @ T + 128.0
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                np.floor(pix + 0.5), 0, 255
+            ).astype(np.int64)
+    return img[:h, :w].reshape(-1), {
+        "width": int(w),
+        "height": int(h),
+        "n_frames": 1,
+    }
+
+
 def _decode_compressed_stub(fmt: str):  # pragma: no cover - STUB
-    """STUB: the remaining compressed formats (jpeg/mp4/...) genuinely
-    need codec libraries this container does not ship; on a production
-    cluster this is where PIL / soundfile / pyav load the payload.
-    (png no longer routes here — `_decode_png` is a real pure-Python
-    DEFLATE-based decoder.)"""
+    """STUB: the remaining VIDEO codecs (mp4/h264/...) genuinely need
+    codec libraries this container does not ship; on a production
+    cluster this is where pyav loads the payload. (png and jpeg no
+    longer route here — `_decode_png` is a real pure-Python
+    DEFLATE-based decoder and `_decode_jpeg` a real baseline
+    Huffman+IDCT decoder.)"""
     try:
-        import PIL.Image  # noqa: F401
+        import av  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
-            "STUB: jpeg/mp4 codecs (PIL/soundfile/pyav) are not "
-            f"installed in this environment (format {fmt!r}); "
-            "ppm/wav/y4m/png decode natively via decode_media"
+            "STUB: video codecs (pyav/ffmpeg) are not installed in "
+            f"this environment (format {fmt!r}); ppm/wav/y4m/png/jpeg "
+            "decode natively via decode_media"
         ) from exc
-    raise NotImplementedError("STUB: compressed decode path not wired yet")
+    raise NotImplementedError("STUB: video decode path not wired yet")
 
 
 def frame_energy(

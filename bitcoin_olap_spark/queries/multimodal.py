@@ -247,6 +247,82 @@ def mm_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_jpeg_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 AS BIGINT) AS width,
+           CAST(greatest(1, (octet_length(encode(text)) + 15) // 16)
+                AS BIGINT) AS height,
+           CAST(16 * greatest(1, (octet_length(encode(text)) + 15) // 16)
+                AS BIGINT) AS n_samples
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+)
+def mm_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSY-compressed codec end-to-end: every payload encodes into a
+    REAL baseline sequential JPEG (8x8 DCT, Annex K quantization +
+    Huffman tables, byte-stuffed entropy stream —
+    operators/multimodal._encode_jpeg) and decodes back through the
+    pure-Python decoder (_decode_jpeg: marker walk, DHT tables read
+    from the file, canonical Huffman, dequant, IDCT). The oracle
+    checks the parsed geometry (SOF dimensions and decoded sample
+    count are closed-form header arithmetic); the decoded VALUES are
+    deliberately not oracle columns — quantized-DCT reconstruction is
+    the one thing SQL cannot replay, the same honesty note as
+    mm_png_roundtrip's omitted n_bytes — and are pinned instead by
+    known-value and reconstruction-error tests
+    (tests/test_multimodal.py). Decode is payload-local Arrow-batched
+    mapInPandas; the geometry compare still fails loudly if header
+    emit/parse, block layout, or crop break. Runs on a 1-in-10
+    deterministic slice of the corpus: a pure-Python entropy coder is
+    the demonstration tier (a production cluster links a native
+    codec at this seam), and the slice keeps the suite honest about
+    that while still exercising every code path end to end."""
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents", spread=True).filter(
+        F.col("doc_id") % 10 == 0
+    )
+    media = docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("blob"),
+        F.struct(
+            F.lit("image/jpeg").alias("format"),
+            F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
+            F.lit(1).cast("long").alias("n_frames"),
+        ).alias("media_meta"),
+    )
+    enc = MM.transcode(media, "doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, ws, hs, ns = [], [], [], []
+            for rid, payload in zip(pdf["doc_id"], pdf["blob"]):
+                samples, info = MM.decode_media(
+                    bytes(payload), "image/jpeg"
+                )
+                ids.append(rid)
+                ws.append(info["width"])
+                hs.append(info["height"])
+                ns.append(len(samples))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids),
+                    "width": pd.Series(ws, dtype="int64"),
+                    "height": pd.Series(hs, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                }
+            )
+
+    return enc.mapInPandas(
+        run,
+        schema="doc_id long, width long, height long, n_samples long",
+    )
+
+
+@query(
     "mm_audio_energy",
     oracle="""
     WITH raw AS (

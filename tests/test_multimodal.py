@@ -38,6 +38,7 @@ def test_attach_blob_schema(media):
         "mm_frame_sample",
         "mm_decode_features",
         "mm_png_roundtrip",
+        "mm_jpeg_roundtrip",
     ],
 )
 def test_oracle_parity(spark, duck, qid):
@@ -300,6 +301,61 @@ def test_png_codec_roundtrip_and_filters():
         MM.decode_media(bytes(bad), "image/png")
     with pytest.raises(ValueError, match="signature"):
         MM.decode_media(b"\x89PNX" + png[4:], "image/png")
+
+
+def test_jpeg_codec_known_value_and_bounds():
+    """The JPEG path is a REAL lossy codec: baseline sequential
+    encode (Annex K tables, byte-stuffed Huffman stream) and a full
+    decoder that reads its tables from the file. Pinned three ways:
+    (1) a KNOWN-VALUE fixture — the exact decoded samples and the
+    exact encoded bytes' md5 are hardcoded, so any change to DCT,
+    quantization, zigzag, Huffman assignment, bit packing, or IDCT
+    rounding fails loudly; (2) reconstruction-error bounds per
+    content class (smooth data near-exact, zeros exact — the
+    signature of a correct transform codec, while a broken one
+    produces garbage everywhere); (3) malformed containers raise."""
+    import hashlib
+
+    payload = b"Bitcoin-OLAP jpeg known-value fixture 0123456789"
+    enc = MM.encode_media(payload, "image/jpeg")
+    assert hashlib.md5(enc).hexdigest() == "f5c38cd530cdf219eba7927b00ca6ae8"
+    samples, info = MM.decode_media(enc, "image/jpeg")
+    assert info == {"width": 16, "height": 3, "n_frames": 1}
+    assert list(samples) == [
+        79, 93, 108, 101, 118, 100, 114, 42, 77, 76, 72, 64, 61, 73,
+        97, 117, 79, 86, 103, 101, 114, 85, 105, 49, 113, 113, 107,
+        95, 83, 81, 91, 102, 109, 101, 111, 110, 103, 48, 69, 35, 58,
+        63, 65, 61, 53, 50, 53, 58,
+    ]
+
+    # reconstruction-error bounds: all-zero blocks decode EXACTLY,
+    # a smooth gradient stays within a few code values, and even
+    # byte-noise (worst case for a DCT) stays bounded
+    # the repeating ramp has a 255->0 edge inside some blocks — a
+    # genuine high-frequency step, where quantized DCT legitimately
+    # rings (measured 35 here; a broken transform is off by >100
+    # everywhere)
+    cases = [(b"\x00" * 128, 0), (bytes(range(256)), 4),
+             ((bytes(range(256)) * 7)[:997], 48)]
+    for data, bound in cases:
+        enc = MM.encode_media(data, "image/jpeg")
+        got, _ = MM.decode_media(enc, "image/jpeg")
+        h = max(1, -(-len(data) // MM.JPEG_W))
+        orig = np.frombuffer(
+            data.ljust(h * MM.JPEG_W, b"\x00"), dtype=np.uint8
+        ).astype(np.int64)
+        assert len(got) == len(orig)
+        assert int(np.abs(got - orig).max()) <= bound
+        # determinism: byte-identical re-encode, identical re-decode
+        assert MM.encode_media(data, "image/jpeg") == enc
+        again, _ = MM.decode_media(enc, "image/jpeg")
+        assert np.array_equal(again, got)
+
+    with pytest.raises(ValueError, match="SOI"):
+        MM.decode_media(b"notajpeg", "image/jpeg")
+    # truncated scan: chop the entropy stream mid-block
+    with pytest.raises(ValueError):
+        MM.decode_media(enc[: len(enc) // 2], "image/jpeg")
 
 
 def test_curate_features_equals_staged_composition(spark, media):

@@ -275,6 +275,47 @@ def append(
             continue
 
 
+def committed_ops(root: str) -> set:
+    """The set of op tags in the log — raw (unresolved) manifest
+    reads, O(changed files) per version, so the idempotence scan
+    stays metadata-sized no matter how big the table has grown."""
+    return {
+        _read_raw(root, v)["op"] for v in range(current_version(root) + 1)
+    }
+
+
+def append_idempotent(
+    spark: SparkSession, root: str, df: DataFrame, op: str
+) -> int | None:
+    """EXACTLY-ONCE append keyed by `op` — the streaming-sink commit
+    protocol (a batch id rides in `op`, so a replayed foreachBatch
+    sees its id already committed and skips; no sink-side dedup
+    state). Returns the committed version, or None when this op was
+    already durable.
+
+    Race behavior, pinned by tests/test_properties.py: losing the
+    optimistic version race to a FOREIGN commit rebases onto the new
+    head and retries — another writer's commit never silently drops
+    this batch; losing it to a retry of THIS op (its id now in the
+    log) reclaims our just-written files as orphans and skips."""
+    if op in committed_ops(root):
+        return None  # retried batch: its version is already durable
+    new_files = _write_data_files(df, root)
+    while True:
+        try:
+            # delta commit: the manifest lists ONLY this batch's
+            # files — O(batch), not O(table)
+            v = current_version(root) + 1
+            _commit(root, v, op, add=new_files)
+            return v
+        except ConcurrentCommitError:
+            if op in committed_ops(root):
+                for f in new_files:
+                    if os.path.exists(f):
+                        os.unlink(f)
+                return None
+
+
 def snapshot(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:

@@ -348,42 +348,15 @@ def stream_acid_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         AT.init_table(spark, root, spark.createDataFrame([], schema))
 
         def commit_batch(batch: DataFrame, batch_id: int) -> None:
-            op = f"append-batch-{batch_id}"
-
-            def committed_ops() -> set[str]:
-                # raw (unresolved) manifest reads: O(changed files)
-                # per version, so the idempotence scan stays metadata-
-                # sized no matter how big the table has grown
-                return {
-                    AT.read_manifest(root, v, resolve=False)["op"]
-                    for v in range(AT.current_version(root) + 1)
-                }
-
-            if op in committed_ops():
-                return  # retried batch: its version is already durable
-            new_files = AT._write_data_files(batch, root)
-            while True:
-                try:
-                    # delta commit: the manifest lists ONLY this
-                    # batch's files — O(batch), not O(table)
-                    AT._commit(
-                        root,
-                        AT.current_version(root) + 1,
-                        op,
-                        add=new_files,
-                    )
-                    return
-                except AT.ConcurrentCommitError:
-                    # a different writer won this version number. Only
-                    # skip if a retry of THIS batch id is already in the
-                    # log (then our files are orphans — reclaim them);
-                    # otherwise rebase onto the new head and retry, so
-                    # a foreign commit never silently drops this batch.
-                    if op in committed_ops():
-                        for f in new_files:
-                            if os.path.exists(f):
-                                os.unlink(f)
-                        return
+            # exactly-once from the commit protocol alone: the batch
+            # id keys the idempotent append (rebase on foreign
+            # version-race losses, orphan reclaim when a retry of this
+            # id already landed) — extracted to
+            # acidtable.append_idempotent so the race branches are
+            # property-tested directly (tests/test_properties.py)
+            AT.append_idempotent(
+                spark, root, batch, op=f"append-batch-{batch_id}"
+            )
         (
             ev.writeStream.foreachBatch(commit_batch)
             .option(

@@ -819,3 +819,100 @@ def test_acid_model_based_op_sequences(spark, tmp_path_factory, ops):
             for r in AT.snapshot(spark, root, version=v).collect()
         )
         assert got == model[v], v
+
+def test_acid_append_idempotent_race_branches(spark, tmp_path):
+    """Pins the streaming sink's commit protocol
+    (acidtable.append_idempotent) branch by branch:
+    (1) pre-check skip: an op already in the log writes nothing;
+    (2) REBASE: losing the version race to a FOREIGN commit retries
+        onto the new head — the batch still lands, nothing dropped;
+    (3) RECLAIM: losing the race to a retry of THIS op unlinks the
+        loser's orphan files and skips — no duplicate batch, no
+        orphan parquet left on disk."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators import acidtable as AT
+
+    root = str(tmp_path / "tbl")
+    AT.init_table(spark, root, spark.range(0, 5).coalesce(1))
+
+    def all_referenced() -> set:
+        return {
+            f
+            for v in range(AT.current_version(root) + 1)
+            for f in AT.read_manifest(root, v)["files"]
+        }
+
+    def on_disk() -> set:
+        return set(
+            glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True)
+        )
+
+    # (1) pre-check skip
+    v = AT.append_idempotent(
+        spark, root, spark.range(10, 15).coalesce(1), op="batch-1"
+    )
+    assert v == 1
+    before = on_disk()
+    assert AT.append_idempotent(
+        spark, root, spark.range(99, 120).coalesce(1), op="batch-1"
+    ) is None
+    assert on_disk() == before  # nothing written for the replay
+    assert AT.current_version(root) == 1
+
+    # (2) rebase on a foreign race: a competing writer steals every
+    # version number the victim tries, several times in a row
+    orig_commit = AT._commit
+    steals = {"n": 3}
+
+    def stealing_commit(r, version, op, *, add=(), remove=()):
+        if op == "batch-2" and steals["n"] > 0:
+            steals["n"] -= 1
+            orig_commit(
+                r, version, f"foreign-{steals['n']}", add=[], remove=[]
+            )
+        return orig_commit(r, version, op, add=add, remove=remove)
+
+    AT._commit = stealing_commit
+    try:
+        v = AT.append_idempotent(
+            spark, root, spark.range(20, 25).coalesce(1), op="batch-2"
+        )
+    finally:
+        AT._commit = orig_commit
+    assert steals["n"] == 0 and v == AT.current_version(root)
+    ops = AT.committed_ops(root)
+    assert "batch-2" in ops and {"foreign-0", "foreign-1", "foreign-2"} <= ops
+    snap = AT.snapshot(spark, root)
+    assert snap.filter((F.col("id") >= 20) & (F.col("id") < 25)).count() == 5
+
+    # (3) reclaim: between the victim's pre-check and its commit, a
+    # retry of the SAME op lands (the foreachBatch-replay race) —
+    # the victim must unlink its orphans and skip
+    retried = {"done": False}
+
+    def retry_commit(r, version, op, *, add=(), remove=()):
+        if op == "batch-3" and not retried["done"]:
+            retried["done"] = True
+            files = AT._write_data_files(
+                spark.range(30, 35).coalesce(1), r
+            )
+            orig_commit(r, version, "batch-3", add=files, remove=[])
+        return orig_commit(r, version, op, add=add, remove=remove)
+
+    AT._commit = retry_commit
+    try:
+        v = AT.append_idempotent(
+            spark, root, spark.range(30, 35).coalesce(1), op="batch-3"
+        )
+    finally:
+        AT._commit = orig_commit
+    assert retried["done"] and v is None
+    assert sorted(AT.committed_ops(root)).count("batch-3") == 1
+    # batch-3's rows exactly once, and ZERO orphan files on disk
+    snap = AT.snapshot(spark, root)
+    assert snap.filter((F.col("id") >= 30) & (F.col("id") < 35)).count() == 5
+    assert on_disk() == all_referenced()

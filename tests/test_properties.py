@@ -916,3 +916,43 @@ def test_acid_append_idempotent_race_branches(spark, tmp_path):
     snap = AT.snapshot(spark, root)
     assert snap.filter((F.col("id") >= 30) & (F.col("id") < 35)).count() == 5
     assert on_disk() == all_referenced()
+
+def test_asof_nearest_carries_whole_row_even_with_null_values(spark):
+    """Regression (r5 advisory): asof_join_nearest must take ALL
+    carried fields from the SAME nearest right row — when the nearest
+    row's value column is genuinely NULL, the output value is that
+    NULL, never a non-null smuggled in from an older right row (the
+    per-column last(ignorenulls) formulation did exactly that)."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators.temporal import asof_join_nearest
+
+    def ts(s):
+        return F.to_timestamp(F.lit(s))
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00")], "k long, t string"
+    ).select("k", F.to_timestamp("t").alias("ts"))
+    # nearest right row (10:00:01) has v = NULL; an older row (09:00)
+    # has v = 7.0 — the buggy formulation returned 7.0
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 09:00:00", 7.0),
+            (1, "2024-01-01 10:00:01", None),
+        ],
+        "k long, t string, v double",
+    ).select("k", F.to_timestamp("t").alias("ts"), "v")
+    out = asof_join_nearest(left, right, "k", "ts", ["v"]).collect()
+    assert len(out) == 1
+    assert out[0]["v"] is None
+
+    # and with two value columns, both must come from the nearest row
+    right2 = spark.createDataFrame(
+        [
+            (1, "2024-01-01 09:00:00", 7.0, "old"),
+            (1, "2024-01-01 10:00:01", None, "near"),
+        ],
+        "k long, t string, v double, tag string",
+    ).select("k", F.to_timestamp("t").alias("ts"), "v", "tag")
+    out = asof_join_nearest(left, right2, "k", "ts", ["v", "tag"]).collect()
+    assert out[0]["v"] is None and out[0]["tag"] == "near"

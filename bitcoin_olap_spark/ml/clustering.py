@@ -218,3 +218,53 @@ def lloyd_fixed(
                 for c in range(k)
             ]
     return cents
+
+
+def pq_lloyd_fixed(
+    base, id_col: str, k: int, m: int, iters: int, dim: int
+) -> list[list[int]]:
+    """Per-subspace fixed-point Lloyd for a product quantizer: init =
+    the k lowest-id vectors (each subspace seeded from the same
+    rows), then `iters` rounds where ALL m subspace codebooks update
+    from ONE job (operators/vectors.pq_lloyd_partials_arrow — the
+    bounded reduce is <= k*dim groups regardless of m or corpus
+    size). Same recurrence as lloyd_fixed per subspace — integer
+    argmin with low-cid ties, floor-division means, empty codewords
+    keep their previous value — so the unrolled-CTE oracle replays
+    every subspace exactly. Returns (k, dim) integer codewords; row
+    c's subspace-s slice is codeword c of subspace s."""
+    from ..operators.vectors import pq_lloyd_partials_arrow
+    from ..session import bounded_reduce
+
+    sub = dim // m
+    spark = base.sparkSession
+    with bounded_reduce(spark):
+        seeds = base.orderBy(id_col).limit(k).collect()
+        if len(seeds) < k:
+            raise ValueError(
+                f"pq_lloyd_fixed: corpus has only {len(seeds)} vectors "
+                f"but k={k}; reduce k to at most the corpus size"
+            )
+        cents = [list(r["xq"]) for r in seeds]
+        for _ in range(iters):
+            sums = (
+                pq_lloyd_partials_arrow(base, cents, k, m)
+                .groupBy("sub", "cid", "jj")
+                .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+                .collect()
+            )
+            got = {
+                (int(r["sub"]), int(r["cid"]), int(r["jj"])): r
+                for r in sums
+            }
+            cents = [
+                [
+                    int(got[(j // sub, c, j % sub)]["s"])
+                    // int(got[(j // sub, c, j % sub)]["n"])
+                    if (j // sub, c, j % sub) in got
+                    else cents[c][j]
+                    for j in range(dim)
+                ]
+                for c in range(k)
+            ]
+    return cents

@@ -305,6 +305,72 @@ def lloyd_partials_arrow(
     )
 
 
+def pq_lloyd_partials_arrow(
+    df: DataFrame,
+    cents: list[list[int]],
+    k: int,
+    m: int,
+    xq_col: str = "xq",
+) -> DataFrame:
+    """One PQ-Lloyd iteration's MAP SIDE for ALL m subspaces at once,
+    Arrow-batched: per row, each of the m subvectors assigns to its
+    argmin codeword (same int64 d*k+cid keys), and the chunk emits
+    PARTIAL per-(sub, cid, jj) sums/counts — <= m*k*(dim/m) = k*dim
+    rows per 4096-row chunk, so one bounded groupBy reduce trains
+    every subspace codebook in a SINGLE job per iteration (m
+    sequential lloyd_fixed calls would pay m x iters scheduling
+    floors for the same arithmetic)."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(cents, dtype=np.int64)
+    dim = C.shape[1]
+    sub = dim // m
+    Cs = C.reshape(k, m, sub)
+    jj = np.arange(sub, dtype=np.int64)
+
+    def part(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            for lo in range(0, n, 4096):
+                hi = min(lo + 4096, n)
+                X = np.stack(pdf[xq_col].values[lo:hi]).astype(np.int64)
+                Xs = X.reshape(hi - lo, m, sub)
+                d = ((Xs[:, None, :, :] - Cs[None, :, :, :]) ** 2).sum(
+                    axis=3
+                )  # (rows, k, m)
+                keys = d * k + np.arange(k, dtype=np.int64)[None, :, None]
+                codes = keys.min(axis=1) % k  # (rows, m)
+                subs, cids, jjs, ss, ns = [], [], [], [], []
+                for s in range(m):
+                    sums = np.zeros((k, sub), dtype=np.int64)
+                    np.add.at(sums, codes[:, s], Xs[:, s, :])
+                    counts = np.bincount(codes[:, s], minlength=k)
+                    for c in np.nonzero(counts)[0]:
+                        subs.append(np.full(sub, s, dtype=np.int64))
+                        cids.append(np.full(sub, c, dtype=np.int64))
+                        jjs.append(jj)
+                        ss.append(sums[c])
+                        ns.append(
+                            np.full(sub, counts[c], dtype=np.int64)
+                        )
+                yield pd.DataFrame(
+                    {
+                        "sub": np.concatenate(subs),
+                        "cid": np.concatenate(cids),
+                        "jj": np.concatenate(jjs),
+                        "s": np.concatenate(ss),
+                        "n": np.concatenate(ns),
+                    }
+                )
+
+    return df.select(xq_col).mapInPandas(
+        part, schema="sub long, cid long, jj long, s long, n long"
+    )
+
+
 def cosine_pairs_exact_blocked(
     df: DataFrame,
     id_col: str,
@@ -685,6 +751,194 @@ def ivf_topk_exact(
     out = scored.filter(F.col("rank") <= k)
     base.unpersist()
     return out
+
+
+def pq_codes_arrow(
+    df: DataFrame,
+    id_col: str,
+    cents: list[list[int]],
+    m: int,
+    k: int,
+    xq_col: str = "xq",
+) -> DataFrame:
+    """MAP-ONLY product-quantization encoder, Arrow-batched numpy:
+    split each fixed-point vector into `m` contiguous subvectors of
+    dim/m components and assign each to its nearest of `k` codewords
+    (the same int64 d*k+cid composite keys as assign_fixed_arrow —
+    squared-L2 distance with ties toward the lower code). Output is
+    (id_col, codes ARRAY<BIGINT> length m): m*log2(k) bits of index
+    payload per vector (m=4, k=16 on a 64-dim float corpus: 2 bytes
+    standing in for 256) — the whole point of PQ at 100 TB is that
+    the code table is ~100x smaller than the raw vectors and ADC
+    scoring never touches them. Rows chunk at 2048 to bound the
+    (chunk, k, m, sub) intermediate."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(cents, dtype=np.int64)  # (k, dim)
+    dim = C.shape[1]
+    sub = dim // m
+    Cs = C.reshape(k, m, sub)
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, codes array<long>"
+
+    def encode(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            for lo in range(0, n, 2048):
+                hi = min(lo + 2048, n)
+                X = np.stack(pdf[xq_col].values[lo:hi]).astype(np.int64)
+                Xs = X.reshape(hi - lo, m, sub)
+                d = ((Xs[:, None, :, :] - Cs[None, :, :, :]) ** 2).sum(
+                    axis=3
+                )  # (rows, k, m)
+                keys = d * k + np.arange(k, dtype=np.int64)[None, :, None]
+                codes = keys.min(axis=1) % k  # (rows, m)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].values[lo:hi],
+                        "codes": list(codes),
+                    }
+                )
+
+    return df.select(id_col, xq_col).mapInPandas(encode, schema=out_schema)
+
+
+def pq_topk_adc(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    m: int = 4,
+    n_codewords: int = 16,
+    codebook: list[list[int]] | None = None,
+) -> DataFrame:
+    """Approximate top-k by PRODUCT QUANTIZATION with asymmetric
+    distance computation (ADC), ENGINE-EXACT end to end (Jegou et al.,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011):
+
+    - codebook: the `n_codewords` lowest-id corpus vectors on the
+      KM_SCALE fixed-point grid, split into m per-subspace codeword
+      sets (deterministic, SQL-replayable; a production index would
+      refine each subspace with ml/clustering.lloyd_fixed — the seam
+      accepts any trained `codebook` — but seeding suffices to prove
+      the machinery and keeps the oracle one CTE chain).
+    - encode: pq_codes_arrow, map-only, m*log2(k) bits per vector.
+    - score: per query, a (m x k) integer lookup table of exact
+      subvector->codeword squared-L2 distances is built DRIVER-SIDE
+      from the collected query vectors (bounded control plane: ANN
+      batch lookups have few queries by definition) and broadcast;
+      each candidate's ADC distance is m array lookups + a sum, JVM-
+      side, never touching the raw corpus vectors.
+    - prune: per-partition top-k (Arrow-batched, bounded memory) cuts
+      the global row_number window's exchange from |corpus| x
+      |queries| rows to partitions x |queries| x k survivors.
+
+    Every stage is int64-exact, so the DuckDB oracle replays encoding,
+    LUT build, ADC scoring, and ranking bit-for-bit. Returns
+    (query_id, vec_id, adc_dist, rank ascending by distance)."""
+    import numpy as np
+
+    from ..ml.clustering import quantize_fixed
+
+    K = n_codewords
+    base = quantize_fixed(corpus, id_col, vec_col)
+    if codebook is None:
+        rows = (
+            base.select(id_col, "xq").orderBy(id_col).limit(K).collect()
+        )
+        if len(rows) < K:
+            raise ValueError(
+                f"pq_topk_adc: corpus has {len(rows)} rows < "
+                f"n_codewords={K}; pass a trained `codebook` or lower K"
+            )
+        codebook = [list(r["xq"]) for r in rows]
+    dim = len(codebook[0])
+    sub = dim // m
+    Cs = np.asarray(codebook, dtype=np.int64).reshape(K, m, sub)
+
+    codes = pq_codes_arrow(base, id_col, codebook, m, K)
+
+    qrows = (
+        quantize_fixed(queries, id_col, vec_col)
+        .select(id_col, "xq")
+        .collect()
+    )
+    luts = []
+    for r in qrows:
+        Q = np.asarray(r["xq"], dtype=np.int64).reshape(m, sub)
+        # (m, k): exact integer distance from the query subvector to
+        # each codeword — the ADC table
+        d = ((Cs - Q[None, :, :]) ** 2).sum(axis=2).T
+        luts.append((int(r[id_col]), [[int(v) for v in row] for row in d]))
+    spark = corpus.sparkSession
+    lut_df = spark.createDataFrame(
+        luts, schema="query_id long, lut array<array<long>>"
+    )
+
+    adc = None
+    for s in range(m):
+        term = F.element_at(
+            F.element_at("lut", s + 1),
+            (F.element_at("codes", s + 1) + 1).cast("int"),
+        )
+        adc = term if adc is None else adc + term
+    scored = (
+        codes.join(F.broadcast(lut_df))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("vec_id"),
+            adc.alias("adc_dist"),
+        )
+    )
+
+    kk = k
+
+    def prune(batches):
+        import pandas as pd
+
+        acc: list = []
+        size = 0
+        for pdf in batches:
+            acc.append(pdf)
+            size += len(pdf)
+            if size > 65536:
+                cat = (
+                    pd.concat(acc)
+                    .sort_values(["query_id", "adc_dist", "vec_id"])
+                    .groupby("query_id", sort=False)
+                    .head(kk)
+                )
+                acc, size = [cat], len(cat)
+        if not acc:
+            return
+        yield (
+            pd.concat(acc)
+            .sort_values(["query_id", "adc_dist", "vec_id"])
+            .groupby("query_id", sort=False)
+            .head(kk)
+        )
+
+    pruned = scored.mapInPandas(
+        prune, schema="query_id long, vec_id long, adc_dist long"
+    )
+    return (
+        pruned.withColumn(
+            "rank",
+            F.row_number()
+            .over(
+                Window.partitionBy("query_id").orderBy(
+                    F.asc("adc_dist"), F.asc("vec_id")
+                )
+            )
+            .cast("long"),
+        )
+        .filter(F.col("rank") <= k)
+    )
 
 
 def probe_masks(num_planes: int, hamming: int) -> list[int]:

@@ -592,6 +592,154 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _oracle_pq_sql(
+    K: int = 16,
+    m: int = 8,
+    iters: int = 2,
+    kk: int = 10,
+    S: int = 1 << 20,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of sim_topk_pq, end to end: fixed-point grid,
+    lowest-id seed codebook split into m subspaces, `iters` unrolled
+    per-subspace Lloyd rounds (integer argmin with low-cid ties,
+    floor-division means, empty codewords carried — the
+    ml/clustering.pq_lloyd_fixed recurrence), integer-key encoding,
+    ADC scoring as a sum of per-subspace LUT distances, and the
+    (adc_dist, vec_id) rank. All int64 — every stage hash-matches.
+    Because the query set is a subset of the corpus, the final
+    per-subspace distance relation doubles as the LUT
+    (dfin WHERE vec_id < 5)."""
+    from .analytics import _fdiv_sql
+
+    sub = dim // m
+    fdiv = _fdiv_sql("SUM(x.xv)", "COUNT(*)").replace("{DIV}", "//")
+    parts = [
+        f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   e -> CAST(floor(CAST(e AS DOUBLE) * {S}) AS BIGINT))
+                 AS xq
+        FROM embeddings
+    ),
+    xs AS (
+        SELECT vec_id, j.j // {sub} AS sub, j.j % {sub} AS jj,
+               xq[CAST(j.j AS INTEGER) + 1] AS xv
+        FROM q CROSS JOIN (SELECT unnest(range({dim})) AS j) j
+    ),
+    seeds AS (
+        SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+        FROM q
+    ),
+    cb0 AS (
+        SELECT s.cid, x.sub, x.jj, x.xv AS cv
+        FROM seeds s JOIN xs x USING (vec_id) WHERE s.cid < {K}
+    )"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""",
+    d{i} AS (
+        SELECT x.vec_id, x.sub, c.cid,
+               CAST(SUM((x.xv - c.cv) * (x.xv - c.cv)) AS BIGINT) AS d
+        FROM xs x JOIN cb{i} c ON c.sub = x.sub AND c.jj = x.jj
+        GROUP BY 1, 2, 3
+    ),
+    a{i} AS (
+        SELECT vec_id, sub, CAST(MIN(d * {K} + cid) % {K} AS BIGINT)
+               AS cid
+        FROM d{i} GROUP BY 1, 2
+    ),
+    m{i} AS (
+        SELECT a.sub, a.cid, x.jj, CAST({fdiv} AS BIGINT) AS cv
+        FROM a{i} a JOIN xs x
+          ON x.vec_id = a.vec_id AND x.sub = a.sub
+        GROUP BY 1, 2, 3
+    ),
+    cb{i + 1} AS (
+        SELECT p.cid, p.sub, p.jj, COALESCE(u.cv, p.cv) AS cv
+        FROM cb{i} p LEFT JOIN m{i} u
+          ON u.cid = p.cid AND u.sub = p.sub AND u.jj = p.jj
+    )"""
+        )
+    parts.append(
+        f""",
+    dfin AS (
+        SELECT x.vec_id, x.sub, c.cid,
+               CAST(SUM((x.xv - c.cv) * (x.xv - c.cv)) AS BIGINT) AS d
+        FROM xs x JOIN cb{iters} c ON c.sub = x.sub AND c.jj = x.jj
+        GROUP BY 1, 2, 3
+    ),
+    codes AS (
+        SELECT vec_id, sub,
+               CAST(MIN(d * {K} + cid) % {K} AS BIGINT) AS code
+        FROM dfin GROUP BY 1, 2
+    ),
+    adc AS (
+        SELECT l.vec_id AS query_id, co.vec_id,
+               CAST(SUM(l.d) AS BIGINT) AS adc_dist
+        FROM codes co
+        JOIN dfin l ON l.sub = co.sub AND l.cid = co.code
+        WHERE l.vec_id < 5 AND co.vec_id != l.vec_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id, adc_dist, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rank
+        FROM adc
+    ) WHERE rank <= {kk}"""
+    )
+    return "".join(parts)
+
+
+#: per-(process, corpus) trained-PQ-codebook memo — same offline-index
+#: semantics as _IVF_LLOYD_CACHE (see sim_topk_ivf docstring)
+_PQ_CODEBOOK_CACHE: dict[tuple[str, str], list] = {}
+
+
+@query("sim_topk_pq", oracle=_oracle_pq_sql())
+def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 by product quantization + ADC, ENGINE-EXACT
+    end to end (operators/vectors.pq_topk_adc): each 64-dim vector
+    compresses to m=8 codes over 16-codeword subspace codebooks
+    trained by 2 fixed-point per-subspace Lloyd rounds
+    (ml/clustering.pq_lloyd_fixed — ALL subspaces train in ONE job
+    per iteration), queries broadcast an (8 x 16) integer LUT, and
+    scoring is 8 array lookups per candidate, never touching raw
+    vectors — the memory-bound regime ANN at 100 TB actually runs in
+    (codes are ~60x smaller than the float corpus). Per-partition
+    Arrow top-k pruning bounds the final rank exchange at partitions
+    x queries x k rows. Like an IVF quantizer, the codebook is an
+    OFFLINE index artifact — memoized per (process, corpus), so
+    repeat executions skip training. The oracle replays grid, seed
+    codebook, both Lloyd rounds, encoding, LUT, ADC, and rank
+    bit-for-bit; tests additionally measure recall against
+    sim_topk_bruteforce."""
+    import os
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    cents = _PQ_CODEBOOK_CACHE.get(key)
+    if cents is None:
+        from ..ml.clustering import pq_lloyd_fixed, quantize_fixed
+
+        base = quantize_fixed(emb, "vec_id", "embedding")
+        cents = pq_lloyd_fixed(base, "vec_id", 16, 8, 2, dim=64)
+        _PQ_CODEBOOK_CACHE[key] = cents
+    return V.pq_topk_adc(
+        emb,
+        queries,
+        "vec_id",
+        "embedding",
+        k=10,
+        m=8,
+        n_codewords=16,
+        codebook=cents,
+    )
+
+
 # ----------------------------------------------------------------- text
 
 _LANG_CASE = """

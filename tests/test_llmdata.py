@@ -228,3 +228,81 @@ def test_ivf_exact_recall_vs_bruteforce(spark):
     assert all(1 <= r.rank <= 10 for r in approx_rows)
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.4, f"exact-IVF top-k recall too low: {recall}"
+
+
+def test_pq_topk_recall_and_training(spark):
+    """PQ/ADC over 16-codeword x 8-subspace trained codebooks. Two
+    claims: (1) recall@10 vs exact brute force clears 0.2 on this
+    near-random unit-norm corpus (the hardest regime for PQ — no
+    cluster structure for codewords to exploit; sim_topk_lsh's
+    multi-probe scores ~0.3 here for the same reason), and (2) the
+    2-round pq_lloyd_fixed codebook strictly reduces total
+    quantization error vs the lowest-id seed codebook — training
+    does real work even when recall saturates."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.catalog import table
+    from bitcoin_olap_spark.ml.clustering import (
+        pq_lloyd_fixed,
+        quantize_fixed,
+    )
+    from bitcoin_olap_spark.operators.vectors import (
+        pq_topk_adc,
+        topk_bruteforce,
+    )
+
+    emb = table(spark, SF_ORACLE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    base = quantize_fixed(emb, "vec_id", "embedding")
+    seeds = [
+        list(r["xq"])
+        for r in base.orderBy("vec_id").limit(16).collect()
+    ]
+    trained = pq_lloyd_fixed(base, "vec_id", 16, 8, 2, dim=64)
+
+    X = np.stack(
+        [np.asarray(r["xq"]) for r in base.select("xq").collect()]
+    ).astype(np.int64)
+
+    def qerr(cents):
+        C = np.asarray(cents, dtype=np.int64).reshape(16, 8, 8)
+        Xs = X.reshape(len(X), 8, 8)
+        d = ((Xs[:, None, :, :] - C[None, :, :, :]) ** 2).sum(axis=3)
+        return int(d.min(axis=1).sum())
+
+    assert qerr(trained) < qerr(seeds), "training did not reduce error"
+
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in topk_bruteforce(
+            emb, queries, "vec_id", "embedding", k=10
+        ).collect()
+    }
+    approx_rows = pq_topk_adc(
+        emb, queries, "vec_id", "embedding",
+        k=10, m=8, n_codewords=16, codebook=trained,
+    ).collect()
+    approx = {(r.query_id, r.vec_id) for r in approx_rows}
+    assert all(1 <= r.rank <= 10 for r in approx_rows)
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"PQ/ADC top-k recall too low: {recall}"
+
+
+def test_pq_lloyd_rejects_small_corpus(spark):
+    """k > corpus rows raises a clear error, not an IndexError."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.catalog import table
+    from bitcoin_olap_spark.ml.clustering import (
+        pq_lloyd_fixed,
+        quantize_fixed,
+    )
+
+    emb = table(spark, SF_ORACLE, "embeddings").filter(
+        F.col("vec_id") < 3
+    )
+    base = quantize_fixed(emb, "vec_id", "embedding")
+    with pytest.raises(ValueError, match="corpus has only"):
+        pq_lloyd_fixed(base, "vec_id", 16, 8, 1, dim=64)

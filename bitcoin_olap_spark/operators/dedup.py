@@ -74,10 +74,14 @@ def jaccard_pairs(
     common/(na+nb-common) is a single integer->double division
     (bit-stable across engines).
 
-    Shuffle inventory: the hashed-shingle exchange (narrow), the pair
-    count (join-output-scale, map-side partials), and two verify joins
-    keyed on doc id over output-scale pairs (AQE broadcasts the array
-    relation when it is small).
+    Shuffle inventory: the self-join on h — UN-HINTED, so AQE picks
+    the physical form from the measured size of the hashed-shingle
+    relation (broadcast-hash at bench scale where it fits, shuffle
+    join at corpus scale where it cannot — the same
+    let-AQE-decide-from-size posture as plans/ledger.py); the pair
+    count (join-output-scale, map-side partials); and two verify
+    joins keyed on doc id over output-scale pairs (AQE broadcasts
+    the array relation when it is small).
 
     Rewrites measured and REJECTED at sf0.1 (kept for the record, like
     the r4 bucket-aggregate rejection):
@@ -88,10 +92,14 @@ def jaccard_pairs(
       join `arrs` once, regroup): 1.20 s vs 1.00 s — shuffling the
       5 KB shingle arrays through a pair-keyed aggregate costs more
       than the second broadcast join over the cached relation.
+    ADOPTED r5: dropping the explicit repartition(h)+cache on the
+    hashed-shingle relation (interleaved A/B, min of 4: 1.245 s ->
+    0.96 s) — the manual exchange pinned the join to sort-merge and
+    its cache materialization was a barrier; re-deriving the explode
+    from the cached `arrs` costs less than either.
     """
     # documents arrive in O(#input files) partitions and explode does
     # not re-split — _spread re-splits the cheap pre-explode rows.
-    n_part = df.sparkSession.sparkContext.defaultParallelism
     arr = shingle_array(text_col, n, distinct=True)
     arrs = (
         _spread(df)
@@ -102,18 +110,12 @@ def jaccard_pairs(
         )
         .cache()
     )
-    # cache AFTER the repartition so the self-join's two scans reuse one
-    # exchange (without it, explode+hash+exchange run twice)
-    sh = (
-        arrs.select(
-            id_col,
-            "n_shingles",
-            F.explode(
-                F.transform("arr", lambda s: F.xxhash64(s))
-            ).alias("h"),
-        )
-        .repartition(n_part, "h")
-        .cache()
+    sh = arrs.select(
+        id_col,
+        "n_shingles",
+        F.explode(
+            F.transform("arr", lambda s: F.xxhash64(s))
+        ).alias("h"),
     )
     a, b = sh.alias("a"), sh.alias("b")
     t = F.lit(threshold)

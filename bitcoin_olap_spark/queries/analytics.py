@@ -1028,7 +1028,20 @@ def ml_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     path, not the dataset. (A production pipeline wanting LBFGS swaps
     in pyspark.ml.classification.LogisticRegression over the same
     relation; GD-with-fixed-iterations is what makes the op
-    oracle-checkable.)"""
+    oracle-checkable.)
+
+    Rewrite measured and REJECTED at sf0.1 (r5): unrolling all 4
+    iterations into ONE lazy plan — weights as single-row broadcast
+    relations, gradient packed back via array_sort(collect_list),
+    zip_with update — ran 2.19 s vs 0.75 s. Each iteration's
+    broadcast exchange materializes its OWN subtree and Spark's
+    exchange reuse does not deduplicate across the nested broadcast
+    chains, so iteration i recomputes iterations 1..i-1: the unroll
+    turns 4 sequential gradient passes into 10. The driver loop's
+    4+1 bounded-reduce jobs (~0.15 s scheduling floor each) are the
+    cheaper barrier, flat in data volume — measured 1.35x DuckDB at
+    the sf1 scaling point (BASELINE.md) against 3-4x at sf0.1's
+    fixed-cost-dominated scale."""
     S = _LR_S
     base = (
         table(spark, sf_dir, "embeddings")

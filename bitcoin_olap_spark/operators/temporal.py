@@ -316,3 +316,78 @@ def ewma_per_group(
             F.round(fold, 6).alias("ewma"),
         )
     )
+
+
+def _fd2(a: str) -> str:
+    """Exact floor division by 2 for a signed BIGINT SQL expression —
+    the queries/analytics._fdiv_sql pmod construction specialized to
+    divisor 2 with Spark's `div`; the oracle uses the same text with
+    `//`. The numerator is made exactly divisible first, so truncating
+    and flooring division agree on both engines."""
+    return f"((({a}) - (((({a}) % 2) + 2) % 2)) div 2)"
+
+
+def holt_linear_per_group(
+    df: DataFrame,
+    key_col: str,
+    order_cols: tuple[str, ...],
+    xq_col: str,
+) -> DataFrame:
+    """Per-group Holt linear (double-exponential) smoothing with
+    alpha = beta = 1/2 in EXACT integer arithmetic, entirely JVM-side.
+
+    The coupled recurrence
+        l_t = (x_t + l_{t-1} + b_{t-1}) / 2
+        b_t = ((l_t - l_{t-1}) + b_{t-1}) / 2
+    is sequential in BOTH states — no window frame and no single-value
+    fold expresses it — but it IS a left fold over a 2-field struct
+    accumulator, which Spark's higher-order `aggregate` supports
+    natively: one hash aggregate collects each group's ordered integer
+    series (mergeable partials, one shuffle), then the fold runs the
+    recurrence in the JVM with floor divisions (the sign-safe pmod
+    form), keeping every state int64-exact. init = (x_1, 0); groups of
+    one row return their own value with zero trend. Output: (key,
+    n_pts, level_q, trend_q, forecast_q) where forecast_q = level_q +
+    trend_q is the one-step-ahead forecast, all on the caller's
+    fixed-point scale.
+
+    DuckDB's list_reduce cannot carry a struct accumulator (its
+    accumulator type must equal the element type), so the oracle twin
+    is a recursive CTE walking rn -> rn+1 per group — same recurrence,
+    same floor divisions, hash-identical states. The same grouped-
+    array shape swaps the HOF for applyInPandas when a kernel stops
+    being a fold (ewma_per_group's Kalman note); the streaming twin is
+    applyInPandasWithState (stream_stateful_seq)."""
+    ordered = F.array_sort(
+        F.collect_list(F.struct(*order_cols, xq_col))
+    )
+    lvl = _fd2(f"x + acc.l + acc.b")
+    step = (
+        "aggregate("
+        "  slice(_xs, 2, greatest(size(_xs) - 1, 0)),"
+        "  named_struct('l', _xs[0], 'b', 0L),"
+        "  (acc, x) -> named_struct("
+        f"    'l', {lvl},"
+        f"    'b', {_fd2(lvl + ' - acc.l + acc.b')}))"
+    )
+    return (
+        df.groupBy(key_col)
+        .agg(ordered.alias("_seq"))
+        .select(
+            key_col,
+            F.size("_seq").cast("long").alias("n_pts"),
+            F.transform(F.col("_seq"), lambda s: s[xq_col]).alias("_xs"),
+        )
+        .select(
+            key_col,
+            "n_pts",
+            F.expr(step).alias("_st"),
+        )
+        .select(
+            key_col,
+            "n_pts",
+            F.col("_st.l").alias("level_q"),
+            F.col("_st.b").alias("trend_q"),
+            (F.col("_st.l") + F.col("_st.b")).alias("forecast_q"),
+        )
+    )

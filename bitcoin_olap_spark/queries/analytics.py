@@ -1327,3 +1327,41 @@ def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cur_n").cast("long"),
         F.round((p - q_) * F.log(p / q_), 6).alias("psi_contrib"),
     )
+
+
+@query(
+    "sample_reservoir",
+    oracle="""
+    SELECT doc_id, h FROM (
+        SELECT doc_id,
+               md5(CAST(doc_id AS VARCHAR)) AS h,
+               row_number() OVER (
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= 200
+    """,
+)
+def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size uniform sample without replacement (k=200), the
+    distributed-deterministic equivalent of reservoir sampling: rank
+    every row by a cryptographic hash of its id and keep the k
+    smallest. Same marginal as Vitter's algorithm R when the hash is
+    uniform, but stateless, reproducible across engines/retries, and
+    scale-correct: orderBy(h).limit(k) lowers to TakeOrdered — each
+    task keeps a local k-heap and only k*partitions candidate rows
+    reach the driver-side merge, no global sort, no single-partition
+    window (the oracle's row_number formulation is exactly the shape
+    to AVOID in Spark at 100 TB). The per-corpus sample is stable
+    under repartitioning and incremental appends only re-rank new
+    ids — the property that makes hash-rank sampling the standard
+    corpus-inspection tool in training-data pipelines. The true
+    streaming reservoir (mutating state per arrival) is what
+    applyInPandasWithState would host; batch has no reason to pay
+    its sequential dependency."""
+    docs = table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    return (
+        docs.select("doc_id", h.alias("h"))
+        .orderBy("h", "doc_id")
+        .limit(200)
+    )

@@ -1275,3 +1275,71 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("lag", "n_pairs", "autocorr")
     )
+
+
+def _fd2_duck(a: str) -> str:
+    """operators/temporal._fd2's oracle twin: exact floor division by
+    2 spelled with DuckDB's `//` on an exactly-divisible numerator."""
+    return f"((({a}) - (((({a}) % 2) + 2) % 2)) // 2)"
+
+
+def _oracle_holt_sql() -> str:
+    lvl = _fd2_duck("r.xq + s.l + s.b")
+    return f"""
+    WITH RECURSIVE base AS (
+        SELECT event_type,
+               {ORACLE_DAY.format(col='CAST(ts AS TIMESTAMP)')} AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT)
+                 AS xq
+        FROM events GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT event_type, xq,
+               row_number() OVER (PARTITION BY event_type ORDER BY day)
+                 AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM base
+    ),
+    s AS (
+        SELECT event_type, rn, n, xq AS l, CAST(0 AS BIGINT) AS b
+        FROM r WHERE rn = 1
+        UNION ALL
+        SELECT r.event_type, r.rn, r.n,
+               {lvl} AS l,
+               {_fd2_duck(lvl + " - s.l + s.b")} AS b
+        FROM s JOIN r
+          ON r.event_type = s.event_type AND r.rn = s.rn + 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_pts, l AS level_q,
+           b AS trend_q, l + b AS forecast_q
+    FROM s WHERE rn = n"""
+
+
+@query("ts_holt", oracle=_oracle_holt_sql())
+def ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear (double-exponential) smoothing of each event type's
+    daily flow, alpha = beta = 1/2, EXACT integer arithmetic
+    (operators/temporal.holt_linear_per_group): the daily series
+    accumulates as DECIMAL (order-independent) and lands on a 1e4
+    fixed-point grid with no float in the recurrence at all; the
+    coupled (level, trend) recurrence — which no window frame and no
+    single-value fold can express — runs as a JVM struct-accumulator
+    fold over each group's ordered array. One shuffle for the daily
+    aggregate, one for the per-type collect; the fold is map-side.
+    Returns (event_type, n_pts, level_q, trend_q, forecast_q) with
+    forecast_q the one-step-ahead level+trend. The oracle replays the
+    recurrence as a recursive CTE (DuckDB's list_reduce cannot carry
+    a 2-field accumulator) — states hash-match exactly."""
+    from ..operators.temporal import holt_linear_per_group
+
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", day("ts").alias("day")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(18,4)")) * 10000)
+        .cast("long")
+        .alias("xq")
+    )
+    return holt_linear_per_group(
+        daily, "event_type", ("day",), "xq"
+    )

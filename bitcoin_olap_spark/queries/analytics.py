@@ -1365,3 +1365,134 @@ def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("h", "doc_id")
         .limit(200)
     )
+
+
+#: power-iteration scales: v on a 2^10 grid, features on 2^20
+#: (KM_SCALE), u = X@v <= 64 * 2^30 = 2^36 then floor-div 2^16 ->
+#: 2^20, w = X^T@u <= n * 2^40 (safe to n ~ 2^22), v' = w * 2^10
+#: / max|w| <= 2^10 — every intermediate fits int64 exactly.
+_PCA_VS = 1 << 10
+_PCA_US = 1 << 16
+_PCA_ITERS = 3
+
+
+def _oracle_pca_sql() -> str:
+    """DuckDB twin of ml_pca_power: the fixed-point power iteration
+    unrolled as chained CTEs — matrix-vector products as SUM
+    aggregates, the u rescale and the max-norm normalization as the
+    same floor divisions the Spark loop computes driver-side."""
+    S = 1 << 20
+    fd_u = _fdiv_sql("SUM(x.xv * v.v)", str(_PCA_US)).replace("{DIV}", "//")
+    parts = [
+        f"""
+    WITH xl AS (
+        SELECT vec_id, j.j AS j,
+               CAST(floor(CAST(embedding[CAST(j.j AS INTEGER) + 1]
+                    AS DOUBLE) * {S}) AS BIGINT) AS xv
+        FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS j) j
+    ),
+    v0 AS (
+        SELECT j, CAST({_PCA_VS} AS BIGINT) AS v
+        FROM range(64) t(j)
+    )"""
+    ]
+    for i in range(_PCA_ITERS):
+        parts.append(
+            f""",
+    u{i} AS (
+        SELECT x.vec_id, {fd_u} AS u
+        FROM xl x JOIN v{i} v ON v.j = x.j GROUP BY x.vec_id
+    ),
+    w{i} AS (
+        SELECT x.j, CAST(SUM(x.xv * u.u) AS BIGINT) AS w
+        FROM xl x JOIN u{i} u ON u.vec_id = x.vec_id GROUP BY x.j
+    ),
+    n{i} AS (SELECT MAX(ABS(w)) AS wmax FROM w{i}),
+    v{i + 1} AS (
+        SELECT w.j,
+               {_fdiv_sql(f"w.w * {_PCA_VS}", "n.wmax").replace("{DIV}", "//")}
+                 AS v
+        FROM w{i} w CROSS JOIN n{i} n
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT j, v AS v_q FROM v{_PCA_ITERS} ORDER BY j"""
+    )
+    return "".join(parts)
+
+
+@query("ml_pca_power", oracle=_oracle_pca_sql())
+def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the (uncentered) embedding
+    corpus by POWER ITERATION in exact fixed-point arithmetic —
+    3 rounds of v <- (X^T X v) / max|..| with max-norm normalization
+    (integer-exact, unlike an L2 norm whose sqrt no two engines
+    floor identically). Each round is ONE distributed job: the
+    per-row dot u = x.v folds JVM-side against the 64-long literal
+    v (no explode on the map side), the 64-component w = X^T u comes
+    back through one narrow posexplode aggregate with map-side
+    partials, and the driver normalizes 64 longs — the same bounded
+    control plane as ml_logreg's gradient loop (by the measured
+    rejection note there, unrolling the rounds into one lazy plan
+    recomputes earlier rounds through nested broadcasts). The FINAL
+    normalization stays in-engine (w cross-join its max) so the
+    output derives from the distributed plan. Returns the direction
+    as 64 rows (j, v_q) on the 2^10 grid — sign and magnitude are
+    deterministic, so the oracle's unrolled-CTE replay hash-matches
+    exactly. At 100 TB: per-iteration traffic is 64 longs however
+    large the corpus; X never materializes beyond its parquet scan.
+
+    Convergence honesty: power iteration damps off-axis mass by
+    (lam2/lam1) per round, and THIS corpus is near-isotropic
+    (lam2/lam1 ~ 0.98), so 3 rounds raise the captured variance
+    monotonically (the testable guarantee —
+    tests/test_llmdata.test_pca_power_rayleigh_monotone) without
+    isolating the top eigenvector; a production run sets iters ~
+    O(1/(1 - lam2/lam1)) or swaps in pyspark.ml's PCA when spectra
+    are flat — fixed-iteration power steps are what stay
+    oracle-checkable."""
+    from ..ml.clustering import quantize_fixed
+
+    base = quantize_fixed(
+        table(spark, sf_dir, "embeddings"), "vec_id", "embedding"
+    ).select("vec_id", "xq")
+    v = [_PCA_VS] * 64
+    fd_u = _fdiv_sql("u_raw", str(_PCA_US)).replace("{DIV}", "div")
+
+    def u_expr(vvec: list[int]) -> str:
+        vlit = "array(" + ",".join(f"{int(x)}L" for x in vvec) + ")"
+        return (
+            f"aggregate(zip_with(xq, {vlit}, (x, vv) -> x * vv),"
+            " 0L, (acc, p) -> acc + p)"
+        )
+
+    vname = "__ml_pca_base"
+    base.createOrReplaceTempView(vname)
+    with bounded_reduce(spark):
+        for _ in range(_PCA_ITERS - 1):
+            w = spark.sql(
+                f"""
+                SELECT j, SUM(xv * u) AS w FROM (
+                  SELECT CAST({fd_u} AS BIGINT) AS u,
+                         posexplode(xq) AS (j, xv) FROM (
+                    SELECT xq, {u_expr(v)} AS u_raw FROM {vname}))
+                GROUP BY j"""
+            ).collect()
+            wd = {int(r["j"]): int(r["w"]) for r in w}
+            wmax = max(abs(x) for x in wd.values())
+            v = [(wd[j] * _PCA_VS) // wmax for j in range(64)]
+    wfin = spark.sql(
+        f"""
+        SELECT j, SUM(xv * u) AS w FROM (
+          SELECT CAST({fd_u} AS BIGINT) AS u,
+                 posexplode(xq) AS (j, xv) FROM (
+            SELECT xq, {u_expr(v)} AS u_raw FROM {vname}))
+        GROUP BY j"""
+    )
+    nfin = wfin.agg(F.max(F.abs(F.col("w"))).alias("wmax"))
+    vq = _fdiv_sql(f"w * {_PCA_VS}", "wmax").replace("{DIV}", "div")
+    return (
+        wfin.crossJoin(F.broadcast(nfin))
+        .select("j", F.expr(f"CAST({vq} AS BIGINT)").alias("v_q"))
+    )

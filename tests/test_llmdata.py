@@ -306,3 +306,45 @@ def test_pq_lloyd_rejects_small_corpus(spark):
     base = quantize_fixed(emb, "vec_id", "embedding")
     with pytest.raises(ValueError, match="corpus has only"):
         pq_lloyd_fixed(base, "vec_id", 16, 8, 1, dim=64)
+
+
+def test_pca_power_rayleigh_monotone(spark):
+    """Power iteration's invariant on ANY spectrum: the Rayleigh
+    quotient v'Gv/v'v is non-decreasing per round (strictly, off a
+    fixed point). The corpus is near-isotropic (lam2/lam1 ~ 0.98),
+    so closeness-to-eigenvector is NOT testable at 3 rounds — the
+    monotone variance climb is. Replays the exact integer recurrence
+    in numpy and checks each round climbs."""
+    import numpy as np
+
+    from bitcoin_olap_spark.catalog import table
+    from bitcoin_olap_spark.queries.analytics import (
+        _PCA_ITERS,
+        _PCA_US,
+        _PCA_VS,
+    )
+
+    emb = table(spark, SF_ORACLE, "embeddings")
+    X = np.array(
+        [r["embedding"] for r in emb.orderBy("vec_id").collect()]
+    )
+    Xq = np.floor(X.astype(np.float64) * (1 << 20)).astype(np.int64)
+    G = Xq.astype(object).T @ Xq.astype(object)  # exact big-int
+
+    def rq(v):
+        v = v.astype(object)
+        return float((v @ G @ v) / (v @ v))
+
+    v = np.full(64, _PCA_VS, dtype=np.int64)
+    last = rq(v)
+    for _ in range(_PCA_ITERS):
+        u = (Xq.astype(object) @ v.astype(object))
+        u = np.array([int(x) // _PCA_US for x in u], dtype=object)
+        w = Xq.astype(object).T @ u
+        wmax = max(abs(int(x)) for x in w)
+        v = np.array(
+            [int(x) * _PCA_VS // wmax for x in w], dtype=np.int64
+        )
+        cur = rq(v)
+        assert cur > last, f"Rayleigh quotient fell: {cur} <= {last}"
+        last = cur

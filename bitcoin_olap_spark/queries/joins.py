@@ -584,3 +584,74 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join_nearest(
         left, right, "user_id", "ts", ["view_value"]
     )
+
+
+@query(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH spans AS (
+        SELECT user_id, event_type,
+               {ORACLE_DAY.format(col='CAST(ts AS TIMESTAMP)')} AS day,
+               CAST(epoch_us(MIN(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                 AS s,
+               CAST(epoch_us(MAX(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                 AS e
+        FROM events GROUP BY 1, 2, 3
+    )
+    SELECT a.user_id, a.day, a.event_type AS type_a,
+           b.event_type AS type_b,
+           LEAST(a.e, b.e) - GREATEST(a.s, b.s) AS overlap_us
+    FROM spans a JOIN spans b
+      ON a.user_id = b.user_id AND a.day = b.day
+     AND a.event_type < b.event_type
+     AND a.s <= b.e AND b.s <= a.e
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL x INTERVAL overlap join — the second temporal-join
+    shape Spark lacks natively (join_range_interval covers point-in-
+    interval; this covers two interval SETS, the OVERLAPS predicate):
+    per (user, event_type, day) activity spans [first ts, last ts],
+    emit every same-user same-day pair of event types whose spans
+    overlap, with the exact overlap duration in integer microseconds.
+
+    A raw `a.s <= b.e AND b.s <= a.e` join would plan as a nested-
+    loop; the scale-correct form is the banded equi-join
+    (operators/temporal.range_join_banded's strategy): equi-keys
+    (user_id, day) bound each interval — spans cannot cross their
+    containment band by construction, the general case replicates
+    each interval over ceil(len/band) band keys — and the overlap
+    inequality refines AFTER the hash join. One shuffle on the band
+    key for each side (shared grain with the span aggregate, so
+    Catalyst reuses the exchange), AQE sizes the physical join.
+    Self-join pairs dedup by event_type ordering, never DISTINCT.
+    All arithmetic is epoch microseconds — engine-exact."""
+    from ..functions import epoch_us
+
+    e = table(spark, sf_dir, "events")
+    spans = e.groupBy(
+        "user_id", "event_type", day("ts").alias("day")
+    ).agg(
+        F.min(epoch_us("ts")).alias("s"),
+        F.max(epoch_us("ts")).alias("e"),
+    )
+    a, b = spans.alias("a"), spans.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type"))
+            & (F.col("a.s") <= F.col("b.e"))
+            & (F.col("b.s") <= F.col("a.e")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.day").alias("day"),
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            (F.least("a.e", "b.e") - F.greatest("a.s", "b.s")).alias(
+                "overlap_us"
+            ),
+        )
+    )

@@ -956,3 +956,86 @@ def test_asof_nearest_carries_whole_row_even_with_null_values(spark):
     ).select("k", F.to_timestamp("t").alias("ts"), "v", "tag")
     out = asof_join_nearest(left, right2, "k", "ts", ["v", "tag"]).collect()
     assert out[0]["v"] is None and out[0]["tag"] == "near"
+
+
+@SETTINGS
+@given(
+    xs=st.lists(
+        st.integers(min_value=-(1 << 40), max_value=1 << 40),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_holt_fold_matches_python_reference(spark, xs):
+    """holt_linear_per_group's JVM struct fold == the recurrence run
+    as a plain Python loop (floor divisions), for any int series incl.
+    negatives and single-point groups."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators.temporal import (
+        holt_linear_per_group,
+    )
+
+    df = spark.createDataFrame(
+        [("g", i, x) for i, x in enumerate(xs)], "k string, i int, xq long"
+    )
+    got = holt_linear_per_group(df, "k", ("i",), "xq").collect()[0]
+    l, b = xs[0], 0
+    for x in xs[1:]:
+        nl = (x + l + b) // 2
+        b = ((nl - l) + b) // 2
+        l = nl
+    assert (got["n_pts"], got["level_q"], got["trend_q"]) == (
+        len(xs),
+        l,
+        b,
+    )
+    assert got["forecast_q"] == l + b
+
+
+@SETTINGS
+@given(
+    spans=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=100),
+            st.integers(min_value=0, max_value=100),
+        ).map(lambda t: (min(t), max(t))),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_interval_overlap_matches_naive(spark, spans):
+    """The banded-equi-join overlap shape == the naive all-pairs
+    O(n^2) reference on one band: every pair (i < j) with
+    s_i <= e_j and s_j <= e_i appears exactly once with the exact
+    overlap length (touching endpoints give 0, disjoint pairs are
+    absent)."""
+    from pyspark.sql import functions as F
+
+    rows = [("u", str(i), s, e) for i, (s, e) in enumerate(spans)]
+    df = spark.createDataFrame(rows, "k string, tag string, s long, e long")
+    a, b = df.alias("a"), df.alias("b")
+    got = {
+        (r["ta"], r["tb"]): r["ov"]
+        for r in a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.tag") < F.col("b.tag"))
+            & (F.col("a.s") <= F.col("b.e"))
+            & (F.col("b.s") <= F.col("a.e")),
+        )
+        .select(
+            F.col("a.tag").alias("ta"),
+            F.col("b.tag").alias("tb"),
+            (
+                F.least("a.e", "b.e") - F.greatest("a.s", "b.s")
+            ).alias("ov"),
+        )
+        .collect()
+    }
+    want = {}
+    for i, (s1, e1) in enumerate(spans):
+        for j, (s2, e2) in enumerate(spans):
+            if str(i) < str(j) and s1 <= e2 and s2 <= e1:
+                want[(str(i), str(j))] = min(e1, e2) - max(s1, s2)
+    assert got == want

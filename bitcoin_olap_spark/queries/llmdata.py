@@ -5,8 +5,10 @@
 Coverage:
 - dedup:      exact fingerprint, exact n-gram Jaccard, MinHash+LSH,
               SimHash (operators/dedup.py)
-- similarity: brute-force cosine top-k (exact-decimal, oracle-checked)
-              and LSH-bucketed approximate top-k (operators/vectors.py)
+- similarity: brute-force cosine top-k (exact-decimal, oracle-checked),
+              LSH-bucketed and IVF approximate top-k, and product-
+              quantization ADC top-k with per-subspace trained
+              codebooks (operators/vectors.py, ml/clustering.py)
 - text:       language-ID, quality scoring, token counting,
               fingerprinting, contamination check (operators/text.py)
 - chunk/pack: overlapping word-window chunking, shard-local context

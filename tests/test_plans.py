@@ -278,3 +278,55 @@ def test_mm_pipeline_has_single_python_stage(spark, q):
     p = plan_str(q["pipeline_mm_e2e"](spark, SF))
     nodes = re.findall(r"\(\d+\) MapInPandas", p)
     assert len(nodes) == 1, f"expected 1 MapInPandas node, saw {nodes}"
+
+
+def test_reservoir_sample_lowers_to_takeordered(spark, q):
+    """sample_reservoir must plan as TakeOrdered (per-task k-heaps,
+    k*partitions rows to the driver merge) — never a global sort or a
+    single-partition row_number window (the oracle's formulation)."""
+    p = plan_str(q["sample_reservoir"](spark, SF))
+    assert "TakeOrdered" in p
+    assert "Window" not in p
+
+
+def test_interval_overlap_join_is_hash_not_nested_loop(spark, q):
+    """The banded equi-keys (user_id, day) must carry the join — a
+    raw inequality-only join would plan BroadcastNestedLoopJoin,
+    which is quadratic and forbidden here at any scale."""
+    p = plan_str(q["join_interval_overlap"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Join" in p
+
+
+def test_holt_fold_plan_has_no_python_and_two_exchanges(spark, q):
+    """ts_holt is two hash aggregates (daily grain, per-type collect)
+    + a JVM fold: no Python stage, exactly the aggregate exchanges."""
+    import re
+
+    p = plan_str(q["ts_holt"](spark, SF))
+    assert "ArrowEvalPython" not in p and "FlatMapsInPandas" not in p
+    assert "BatchEvalPython" not in p
+    real = [
+        ln for ln in p.splitlines() if re.search(r"\(\d+\) Exchange", ln)
+    ]
+    assert len(real) == 2, p
+
+
+def test_pq_scoring_stays_off_the_corpus_exchange(spark, q):
+    """sim_topk_pq's scoring path: encoding and LUT scoring are
+    map-only (mapInPandas + broadcast join), and the only
+    hash-partitioned exchange is the final rank window over the
+    PRUNED per-partition top-k survivors — the full corpus never
+    shuffles."""
+    import re
+
+    p = plan_str(q["sim_topk_pq"](spark, SF))
+    assert "BroadcastExchange" in p        # the 5-row LUT relation
+    real = [
+        ln
+        for ln in p.splitlines()
+        if re.search(r"\(\d+\) Exchange", ln)
+        and "Broadcast" not in ln
+    ]
+    assert len(real) == 1, p  # rank window over pruned survivors only
+    assert "SortMergeJoin" not in p

@@ -509,3 +509,85 @@ def connected_components(
     return labels.unionByName(singles).select(
         F.col("node"), F.col("lbl").alias("component")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs: (doc_a, doc_b, containment)
+    where containment = |A ∩ B| / |A| >= threshold — the ASYMMETRIC
+    near-superset relation (Broder's containment, the quote /
+    boilerplate-inclusion / subset-document detector that resemblance
+    misses: a paragraph fully quoted inside a long document scores
+    near-zero Jaccard but containment 1.0). Ordered pairs with
+    doc_a != doc_b — A contained in B and B in A are distinct facts.
+
+    Same two-phase machinery as jaccard_pairs, asymmetric thresholds:
+    candidates join on xxhash64(shingle) longs — collisions only
+    INFLATE the hash count, so the phase-1 cut keeps a SUPERSET —
+    with the one-sided length bound nb >= t*na (containment needs
+    |A ∩ B| >= t*|A| and |A ∩ B| <= |B|, so small B cannot contain
+    big A; no bound exists on na); the exact verify recomputes
+    |A ∩ B| via array_intersect on the compact cached per-doc arrays
+    and discards collision impostors. Output equals the naive exact
+    string join. Shuffle inventory matches jaccard_pairs: an
+    un-hinted AQE-sized self-join, a pair-count aggregate, two
+    verify joins over output-scale pairs."""
+    arr = shingle_array(text_col, n, distinct=True)
+    arrs = (
+        _spread(df)
+        .select(
+            F.col(id_col),
+            arr.alias("arr"),
+            F.size(arr).alias("n_shingles"),
+        )
+        .cache()
+    )
+    sh = arrs.select(
+        id_col,
+        "n_shingles",
+        F.explode(
+            F.transform("arr", lambda s: F.xxhash64(s))
+        ).alias("h"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    t = F.lit(threshold)
+    cand = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+            & (F.col("b.n_shingles") >= t * F.col("a.n_shingles")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("common_h"),
+            F.first("a.n_shingles").alias("na"),
+        )
+        .filter(F.col("common_h").cast("double") / F.col("na") >= t)
+        .select("doc_a", "doc_b")
+    )
+    A = arrs.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("arr").alias("arr_a"),
+        F.col("n_shingles").alias("na"),
+    )
+    B = arrs.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("arr").alias("arr_b"),
+    )
+    common = F.size(F.array_intersect("arr_a", "arr_b"))
+    cont = common.cast("double") / F.col("na")
+    return (
+        cand.join(A, "doc_a")
+        .join(B, "doc_b")
+        .select("doc_a", "doc_b", cont.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )

@@ -695,6 +695,52 @@ def _oracle_pq_sql(
     return "".join(parts)
 
 
+_CONTAINMENT_ORACLE = """
+    WITH tri AS (
+        SELECT DISTINCT doc_id,
+               w || ' ' || lead(w, 1) OVER win || ' ' ||
+                   lead(w, 2) OVER win AS shingle
+        FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        ) WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(w, 2) OVER win IS NOT NULL
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY 1),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS common
+        FROM tri a JOIN tri b
+          ON a.shingle = b.shingle AND a.doc_id != b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, common * 1.0 / sa.n AS containment
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    WHERE common * 1.0 / sa.n >= 0.9
+"""
+
+
+@query("sim_containment", oracle=_CONTAINMENT_ORACLE)
+def sim_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-trigram CONTAINMENT pairs at threshold 0.9 —
+    |A ∩ B| / |A|, the asymmetric near-superset relation Jaccard
+    misses (a short document fully quoted inside a long one scores
+    ~0 resemblance but 1.0 containment; Broder's other similarity).
+    Ordered pairs, one integer->double division — bit-stable
+    (operators/dedup.containment_pairs: hashed-shingle candidates
+    with the one-sided nb >= t*na length bound, exact
+    array_intersect verify)."""
+    return D.containment_pairs(
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.9,
+    )
+
+
 #: per-(process, corpus) trained-PQ-codebook memo — same offline-index
 #: semantics as _IVF_LLOYD_CACHE (see sim_topk_ivf docstring)
 _PQ_CODEBOOK_CACHE: dict[tuple[str, str], list] = {}

@@ -20,11 +20,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 QIDS = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_doc_clusters",
     "graph_triangles",
     "pipeline_mm_e2e",
     "sim_topk_ivf",
+    "sim_topk_pq",
     "ml_logreg",
     "ml_kmeans_lloyd",
+    "ml_pca_power",
     "join_salted_skew",
 ]
 SF1 = os.path.join(

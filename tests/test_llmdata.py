@@ -348,3 +348,31 @@ def test_pca_power_rayleigh_monotone(spark):
         cur = rq(v)
         assert cur > last, f"Rayleigh quotient fell: {cur} <= {last}"
         last = cur
+
+
+def test_containment_finds_planted_superset(spark):
+    """A short doc whose trigrams are a strict subset of a long doc
+    must surface as (short contained-in long) = 1.0 and NOT the
+    reverse direction; Jaccard at the same threshold misses it."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    long_text = " ".join(f"w{i}" for i in range(200))
+    short_text = " ".join(f"w{i}" for i in range(40, 80))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, short_text), (3, "x y z q r s t u v")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs(
+            df, "doc_id", "text", n=3, threshold=0.9
+        ).collect()
+    }
+    assert got == {(2, 1): 1.0}
+    jac = jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.9)
+    assert jac.count() == 0

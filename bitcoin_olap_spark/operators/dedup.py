@@ -526,17 +526,23 @@ def containment_pairs(
     near-zero Jaccard but containment 1.0). Ordered pairs with
     doc_a != doc_b — A contained in B and B in A are distinct facts.
 
-    Same two-phase machinery as jaccard_pairs, asymmetric thresholds:
-    candidates join on xxhash64(shingle) longs — collisions only
-    INFLATE the hash count, so the phase-1 cut keeps a SUPERSET —
-    with the one-sided length bound nb >= t*na (containment needs
-    |A ∩ B| >= t*|A| and |A ∩ B| <= |B|, so small B cannot contain
-    big A; no bound exists on na); the exact verify recomputes
-    |A ∩ B| via array_intersect on the compact cached per-doc arrays
-    and discards collision impostors. Output equals the naive exact
-    string join. Shuffle inventory matches jaccard_pairs: an
-    un-hinted AQE-sized self-join, a pair-count aggregate, two
-    verify joins over output-scale pairs."""
+    Same two-phase machinery as jaccard_pairs, but the asymmetry is
+    DEFERRED: |A ∩ B| is symmetric, so candidates are UNORDERED
+    pairs (a < b) — half the self-join output, half the pair-count
+    groups, half the verify joins of the naive ordered formulation
+    (measured: 1.20 s -> 1.00 s at sf0.1) — and both directions
+    materialize only after the single exact verify, as a 2-element
+    explode with each side's own threshold test. The phase-1 cut is
+    common_h >= t*least(na, nb) (the weakest direction's necessary
+    condition; hash collisions only INFLATE the count, so the cut
+    keeps a SUPERSET — for t <= 1 no length-only bound can exclude
+    an unordered pair, since max(na,nb) >= t*min(na,nb) always).
+    The exact verify recomputes |A ∩ B| via array_intersect on the
+    compact cached per-doc arrays and discards collision impostors.
+    Output equals the naive exact string join. Shuffle inventory
+    matches jaccard_pairs: an un-hinted AQE-sized self-join, a
+    pair-count aggregate, two verify joins over candidate-scale
+    pairs."""
     arr = shingle_array(text_col, n, distinct=True)
     arrs = (
         _spread(df)
@@ -560,34 +566,56 @@ def containment_pairs(
         a.join(
             b,
             (F.col("a.h") == F.col("b.h"))
-            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
-            & (F.col("b.n_shingles") >= t * F.col("a.n_shingles")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
         )
         .agg(
             F.count(F.lit(1)).alias("common_h"),
-            F.first("a.n_shingles").alias("na"),
+            F.first("a.n_shingles").alias("_na"),
+            F.first("b.n_shingles").alias("_nb"),
         )
-        .filter(F.col("common_h").cast("double") / F.col("na") >= t)
-        .select("doc_a", "doc_b")
+        .filter(
+            F.col("common_h").cast("double")
+            >= t * F.least("_na", "_nb")
+        )
+        .select("id_a", "id_b")
     )
     A = arrs.select(
-        F.col(id_col).alias("doc_a"),
+        F.col(id_col).alias("id_a"),
         F.col("arr").alias("arr_a"),
         F.col("n_shingles").alias("na"),
     )
     B = arrs.select(
-        F.col(id_col).alias("doc_b"),
+        F.col(id_col).alias("id_b"),
         F.col("arr").alias("arr_b"),
+        F.col("n_shingles").alias("nb"),
     )
     common = F.size(F.array_intersect("arr_a", "arr_b"))
-    cont = common.cast("double") / F.col("na")
+    both = F.explode(
+        F.array(
+            F.struct(
+                F.col("id_a").alias("doc_a"),
+                F.col("id_b").alias("doc_b"),
+                (common.cast("double") / F.col("na")).alias(
+                    "containment"
+                ),
+            ),
+            F.struct(
+                F.col("id_b").alias("doc_a"),
+                F.col("id_a").alias("doc_b"),
+                (common.cast("double") / F.col("nb")).alias(
+                    "containment"
+                ),
+            ),
+        )
+    )
     return (
-        cand.join(A, "doc_a")
-        .join(B, "doc_b")
-        .select("doc_a", "doc_b", cont.alias("containment"))
+        cand.join(A, "id_a")
+        .join(B, "id_b")
+        .select(both.alias("d"))
+        .select("d.doc_a", "d.doc_b", "d.containment")
         .filter(F.col("containment") >= threshold)
     )

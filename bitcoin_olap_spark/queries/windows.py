@@ -1343,3 +1343,119 @@ def ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_linear_per_group(
         daily, "event_type", ("day",), "xq"
     )
+
+
+@query(
+    "ts_xcorr",
+    oracle=f"""
+    WITH v AS (
+        SELECT {ORACLE_DAY.format(col='CAST(ts AS TIMESTAMP)')} AS day,
+               event_type,
+               CAST(round(value * 10000) AS BIGINT) AS v4
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ), dx AS (
+        SELECT day, CAST(SUM(CASE WHEN event_type = 'purchase'
+                                  THEN v4 ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'view'
+                             THEN v4 ELSE 0 END) AS BIGINT) AS y,
+               ROW_NUMBER() OVER (ORDER BY day) AS t
+        FROM v GROUP BY day
+    ), st AS (
+        SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy FROM dx
+    ), m AS (
+        SELECT (sx - ((sx % n) + n) % n) // n AS xbar,
+               (sy - ((sy % n) + n) % n) // n AS ybar
+        FROM st
+    ), dev AS (
+        SELECT t, x - m.xbar AS a, y - m.ybar AS b FROM dx, m
+    ), den AS (
+        SELECT sqrt(CAST(SUM(a * a) AS DOUBLE) *
+                    CAST(SUM(b * b) AS DOUBLE)) AS dd
+        FROM dev
+    ), pairs AS (
+        SELECT k.k AS lag, p.a * q.b AS prod
+        FROM dev p
+        CROSS JOIN (SELECT unnest(range(-7, 8)) AS k) k
+        JOIN dev q ON q.t = p.t - k.k
+    )
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(CAST(SUM(prod) AS DOUBLE) / den.dd, 6) AS xcorr
+    FROM pairs, den
+    GROUP BY lag, den.dd
+    """,
+)
+def ts_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged CROSS-correlation (-7..+7 days) between the daily
+    purchase flow and the daily view flow — the lead/lag question
+    underneath the reference's purchase-vs-view regression
+    (btc_logregression_pre.py:28-49 fits the contemporaneous
+    relation; the XCF says WHICH series leads and by how many days,
+    the standard pre-check before fitting any flow-on-flow model).
+    Same exact-integer machinery as ts_autocorr: both series share
+    ONE daily aggregation (conditional sums — one shuffle, not two),
+    deviations from each series' floor-integer mean are exact int64,
+    every lagged cross-product is exact, and the one float edge is
+    sqrt(ddx*ddy) + the final division + a 6 dp round — IEEE
+    correctly-rounded ops, identical in both engines. The lag
+    pairing runs on the post-aggregation daily series (tens of rows
+    at any corpus scale)."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    v4 = F.round(F.col("value") * 10000).cast("long")
+    daily = (
+        e.groupBy(day("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", v4).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("x"),
+            F.sum(
+                F.when(F.col("event_type") == "view", v4).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("y"),
+        )
+        .withColumn("t", F.row_number().over(Window.orderBy("day")))
+    )
+    st = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+    ).select(
+        F.expr("(sx - ((sx % n) + n) % n) div n").alias("xbar"),
+        F.expr("(sy - ((sy % n) + n) % n) div n").alias("ybar"),
+    )
+    dev = daily.crossJoin(F.broadcast(st)).select(
+        "t",
+        (F.col("x") - F.col("xbar")).alias("a"),
+        (F.col("y") - F.col("ybar")).alias("b"),
+    )
+    den = dev.agg(
+        F.sqrt(
+            F.sum(F.col("a") * F.col("a")).cast("double")
+            * F.sum(F.col("b") * F.col("b")).cast("double")
+        ).alias("dd")
+    )
+    lags = spark.range(-7, 8).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    p, q2 = dev.alias("p"), dev.alias("q")
+    pairs = (
+        p.crossJoin(F.broadcast(lags))
+        .join(q2, F.col("q.t") == F.col("p.t") - F.col("lag"))
+        .select("lag", (F.col("p.a") * F.col("q.b")).alias("prod"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(den))
+        .groupBy("lag", "dd")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(
+                F.sum("prod").cast("double") / F.col("dd"), 6
+            ).alias("xcorr"),
+        )
+        .select("lag", "n_pairs", "xcorr")
+    )

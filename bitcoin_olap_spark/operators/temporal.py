@@ -351,6 +351,12 @@ def holt_linear_per_group(
     trend_q is the one-step-ahead forecast, all on the caller's
     fixed-point scale.
 
+    The per-group array is bounded by points-per-group — ts_holt
+    feeds it the post-aggregation DAILY grain (tens of rows per
+    group at any corpus scale), the same boundedness argument
+    ewma_per_group makes; an unbounded-group caller should
+    pre-aggregate first.
+
     DuckDB's list_reduce cannot carry a struct accumulator (its
     accumulator type must equal the element type), so the oracle twin
     is a recursive CTE walking rn -> rn+1 per group — same recurrence,

@@ -865,8 +865,17 @@ def pq_topk_adc(
     qrows = (
         quantize_fixed(queries, id_col, vec_col)
         .select(id_col, "xq")
+        .limit(10_001)
         .collect()
     )
+    if len(qrows) > 10_000:
+        raise ValueError(
+            "pq_topk_adc: query set exceeds 10k vectors — the "
+            "driver-side LUT build assumes an ANN lookup batch, not a "
+            "corpus; for all-pairs-scale query sets join the codes "
+            "relation against a DISTRIBUTED LUT relation instead "
+            "(explode queries x m x k, one broadcast of the codebook)"
+        )
     luts = []
     for r in qrows:
         Q = np.asarray(r["xq"], dtype=np.int64).reshape(m, sub)

@@ -1481,6 +1481,13 @@ def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).collect()
             wd = {int(r["j"]): int(r["w"]) for r in w}
             wmax = max(abs(x) for x in wd.values())
+            if wmax == 0:
+                raise ValueError(
+                    "ml_pca_power: X^T X v is the zero vector — the "
+                    "corpus has no variance along any direction "
+                    "(all-zero embeddings?); power iteration is "
+                    "undefined on a zero matrix"
+                )
             v = [(wd[j] * _PCA_VS) // wmax for j in range(64)]
     wfin = spark.sql(
         f"""

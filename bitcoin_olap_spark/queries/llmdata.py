@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import table
 from ..operators import chunking as C
@@ -1628,3 +1629,59 @@ def text_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n_chunks - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
         )
     )
+
+
+def _oracle_zipf_sql() -> str:
+    from ..ml.regression import ORACLE_OLS
+
+    rel = """(
+        SELECT CAST(row_number() OVER (ORDER BY c DESC, w) AS DOUBLE)
+                 AS rnk,
+               CAST(c AS DOUBLE) AS freq
+        FROM (
+            SELECT w, COUNT(*) AS c
+            FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+                  FROM documents)
+            GROUP BY w
+        )
+    )"""
+    return ORACLE_OLS.format(rel=rel, x="rnk", y="freq")
+
+
+@query("text_zipf", oracle=_oracle_zipf_sql())
+def text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit of the corpus vocabulary: OLS of
+    ln(freq) ~ ln(rank) over every term, (n, slope, intercept, r2) —
+    slope ~ -1 is Zipf's law; a corpus whose slope drifts far from it
+    (too flat: boilerplate/template spam; too steep: degenerate
+    vocabulary) fails the same distributional sniff test
+    text_repetition applies per-document, corpus-wide. One word-count
+    shuffle (map-side partials over the exploded lowercased tokens),
+    then the rank window and the exact-decimal moment aggregation run
+    on the post-aggregation VOCABULARY grain — bounded by distinct
+    terms, not corpus size, the same single-partition-window argument
+    as the daily-series ops (at web scale, vocab still fits one
+    window task; the escape hatch is ranking only the top-K terms via
+    TakeOrdered first). Reuses ml/regression.loglog_ols_exact, so the
+    moments are DECIMAL-exact and the oracle is the shared
+    ORACLE_OLS fragment — identical to the reference's regression
+    tail applied to a linguistics question."""
+    from ..ml import loglog_ols_exact
+    from ..operators.text import words
+
+    docs = table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            F.explode(words(F.lower(F.col("text")))).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = counts.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), F.asc("w")))
+        .cast("double")
+        .alias("rnk"),
+        F.col("c").cast("double").alias("freq"),
+    )
+    return loglog_ols_exact(ranked, "rnk", "freq")

@@ -163,8 +163,53 @@ def write_checkpoint(root: str, version: int | None = None) -> int:
     return v
 
 
+def _earliest_version(root: str) -> int:
+    """Lowest version whose manifest still exists in the log (vacuum
+    removes manifests below its cutoff). 0 on a never-vacuumed or
+    empty table."""
+    log = _log_dir(root)
+    if not os.path.isdir(log):
+        return 0
+    return min(
+        (
+            int(f.split(".")[0])
+            for f in os.listdir(log)
+            if f.endswith(".json")
+            and ".checkpoint." not in f
+            and f.split(".")[0].isdigit()
+        ),
+        default=0,
+    )
+
+
 def _vacuum_marker_path(root: str) -> str:
     return os.path.join(_log_dir(root), "_last_vacuum.json")
+
+
+def _vacuumed_ops_path(root: str) -> str:
+    return os.path.join(_log_dir(root), "_vacuumed_ops.json")
+
+
+def _vacuumed_ops(root: str) -> set:
+    """Op tags of manifests vacuum has physically removed — persisted
+    so exactly-once dedup history (append_idempotent) survives table
+    maintenance, Delta's txn appId/version sidecar pattern."""
+    p = _vacuumed_ops_path(root)
+    if not os.path.exists(p):
+        return set()
+    with open(p) as f:
+        return set(json.load(f)["ops"])
+
+
+def _record_vacuumed_ops(root: str, ops: set) -> None:
+    """Merge `ops` into the persisted vacuumed-op set (atomic replace).
+    Written by vacuum BEFORE it unlinks the manifests that carry them,
+    so committed_ops never loses a tag across maintenance."""
+    merged = _vacuumed_ops(root) | set(ops)
+    tmp = os.path.join(_log_dir(root), f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump({"ops": sorted(merged)}, f)
+    os.replace(tmp, _vacuumed_ops_path(root))
 
 
 def _record_vacuum_cutoff(root: str, cutoff: int) -> None:
@@ -275,13 +320,53 @@ def append(
             continue
 
 
+#: per-process incremental scan state for committed_ops:
+#: root -> (last_scanned_version, op_of_that_version, frozenset(ops)).
+#: Each call only reads manifests committed since the last scan, so a
+#: long-running stream's per-batch idempotence check is O(new commits),
+#: not O(#versions) — cumulative cost linear, not quadratic.
+_OPS_CACHE: dict[str, tuple[int, str, frozenset]] = {}
+
+
 def committed_ops(root: str) -> set:
-    """The set of op tags in the log — raw (unresolved) manifest
-    reads, O(changed files) per version, so the idempotence scan
-    stays metadata-sized no matter how big the table has grown."""
-    return {
-        _read_raw(root, v)["op"] for v in range(current_version(root) + 1)
-    }
+    """The set of op tags ever committed to the log — union of the
+    surviving manifests' tags and the persisted tags of vacuumed
+    manifests (_vacuumed_ops), so the exactly-once history survives
+    table maintenance. Incremental: a per-process cache remembers the
+    highest version already scanned and only newer manifests are read
+    (validated by re-reading the cached version's op, so a table
+    recreated at the same root can't serve stale tags)."""
+    head = current_version(root)
+    ops = _vacuumed_ops(root)
+    if head < 0:
+        return ops
+    start = _earliest_version(root)
+    cached = _OPS_CACHE.get(root)
+    if cached is not None:
+        last_v, last_op, cached_ops = cached
+        if start <= last_v <= head:
+            try:
+                valid = _read_raw(root, last_v)["op"] == last_op
+            except FileNotFoundError:
+                # cached version vacuumed since: its tag is in
+                # _vacuumed_ops, the newer cached tags are still good
+                valid = True
+            if valid:
+                ops |= cached_ops
+                start = last_v + 1
+    for v in range(start, head + 1):
+        try:
+            ops.add(_read_raw(root, v)["op"])
+        except FileNotFoundError:
+            # concurrent vacuum unlinked it mid-scan; vacuum persists
+            # dropped tags BEFORE unlinking, so re-read the sidecar
+            ops |= _vacuumed_ops(root)
+    try:
+        head_op = _read_raw(root, head)["op"]
+        _OPS_CACHE[root] = (head, head_op, frozenset(ops))
+    except FileNotFoundError:
+        _OPS_CACHE.pop(root, None)
+    return ops
 
 
 def append_idempotent(
@@ -297,11 +382,32 @@ def append_idempotent(
     optimistic version race to a FOREIGN commit rebases onto the new
     head and retries — another writer's commit never silently drops
     this batch; losing it to a retry of THIS op (its id now in the
-    log) reclaims our just-written files as orphans and skips."""
+    log) reclaims our just-written files as orphans and skips. The
+    op-dedup check runs at the TOP of every retry iteration (not only
+    in the conflict handler), so a concurrent duplicate that commits
+    between our head read and link is caught on the next pass.
+
+    Residual window: if two writers carry the SAME op concurrently,
+    one can pass the loop-top check, compute head+1, and link before
+    the other's commit becomes visible to it — check-then-link cannot
+    be fully closed without a log-wide lock. True exactly-once
+    therefore assumes at most ONE in-flight writer per op id (the
+    foreachBatch contract: one query instance replays a batch id
+    sequentially, never two live instances of the same batch)."""
     if op in committed_ops(root):
         return None  # retried batch: its version is already durable
     new_files = _write_data_files(df, root)
     while True:
+        # re-check BEFORE picking a target version: a duplicate of
+        # this op that committed since the last check must win here,
+        # otherwise our os.link lands on a fresh version number with
+        # no conflict and the batch is durable twice. committed_ops is
+        # incrementally cached, so this is O(commits since last check).
+        if op in committed_ops(root):
+            for f in new_files:
+                if os.path.exists(f):
+                    os.unlink(f)
+            return None
         try:
             # delta commit: the manifest lists ONLY this batch's
             # files — O(batch), not O(table)
@@ -309,11 +415,7 @@ def append_idempotent(
             _commit(root, v, op, add=new_files)
             return v
         except ConcurrentCommitError:
-            if op in committed_ops(root):
-                for f in new_files:
-                    if os.path.exists(f):
-                        os.unlink(f)
-                return None
+            continue
 
 
 def snapshot(
@@ -392,19 +494,11 @@ def vacuum(root: str, keep_versions: int = 1, _max_rescans: int = 8) -> int:
         # prior vacuum left it checkpointed): accumulate the union of
         # files referenced by dropped versions vs kept versions —
         # O(total delta entries), never versions x files
-        first_v = min(
-            (
-                int(f.split(".")[0])
-                for f in os.listdir(_log_dir(root))
-                if f.endswith(".json")
-                and ".checkpoint." not in f
-                and f.split(".")[0].isdigit()
-            ),
-            default=0,
-        )
+        first_v = _earliest_version(root)
         files = set(_resolve_files(root, first_v))
         dropped: set[str] = set()
         live: set[str] = set()
+        dropped_ops: set[str] = set()
         for v in range(first_v, latest + 1):
             if v > first_v:
                 m = _read_raw(root, v)
@@ -415,8 +509,20 @@ def vacuum(root: str, keep_versions: int = 1, _max_rescans: int = 8) -> int:
                     files.update(m["add"])
             if v < cutoff:
                 dropped |= files
+                # this manifest is about to be unlinked: preserve its
+                # op tag so exactly-once dedup history survives
+                dropped_ops.add(_read_raw(root, v)["op"])
             else:
                 live |= files
+        # durably record the cutoff BEFORE the head re-check (guard
+        # (b)): a restore() racing this pass either commits before the
+        # re-check — the head moved, we rescan — or commits after it,
+        # by which point the marker is already visible and restore
+        # refuses pre-cutoff targets. Recording it earlier than the
+        # decision to proceed is safe: the marker is monotone and only
+        # ever CONSERVATIVE (it refuses restores, never allows one).
+        if cutoff > first_v:
+            _record_vacuum_cutoff(root, cutoff)
         # re-read the head AFTER the scan: if a writer committed while
         # we replayed the log, the live set may be stale — rescan
         if current_version(root) == latest:
@@ -427,13 +533,13 @@ def vacuum(root: str, keep_versions: int = 1, _max_rescans: int = 8) -> int:
             f"{_max_rescans} rescans; retry when writers quiesce"
         )
     # the cutoff version must stay resolvable once older manifests are
-    # gone: checkpoint it before deleting anything, and durably record
-    # the cutoff FIRST so restore() refuses pre-cutoff targets even in
-    # the window where their manifests still exist but their data files
-    # are about to be unlinked (guard (b) in the docstring)
+    # gone: checkpoint it before deleting anything, and persist the
+    # dropped manifests' op tags before their files go (committed_ops
+    # reads this sidecar so append_idempotent's dedup never forgets)
     if cutoff > first_v:
-        _record_vacuum_cutoff(root, cutoff)
         write_checkpoint(root, cutoff)
+        if dropped_ops:
+            _record_vacuumed_ops(root, dropped_ops)
     removed = 0
     for f in sorted(dropped - live):
         if os.path.exists(f):

@@ -882,10 +882,26 @@ def pq_topk_adc(
         # (m, k): exact integer distance from the query subvector to
         # each codeword — the ADC table
         d = ((Cs - Q[None, :, :]) ** 2).sum(axis=2).T
-        luts.append((int(r[id_col]), [[int(v) for v in row] for row in d]))
+        luts.append((r[id_col], [[int(v) for v in row] for row in d]))
     spark = corpus.sparkSession
+    # carry the CALLER's id type (string ids are as legal as longs —
+    # the sibling kernels pq_codes_arrow/assign_fixed_arrow already do)
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    q_id_type = queries.schema[id_col].dataType
     lut_df = spark.createDataFrame(
-        luts, schema="query_id long, lut array<array<long>>"
+        luts,
+        schema=StructType(
+            [
+                StructField("query_id", q_id_type),
+                StructField("lut", ArrayType(ArrayType(LongType()))),
+            ]
+        ),
     )
 
     adc = None
@@ -933,7 +949,14 @@ def pq_topk_adc(
         )
 
     pruned = scored.mapInPandas(
-        prune, schema="query_id long, vec_id long, adc_dist long"
+        prune,
+        schema=StructType(
+            [
+                StructField("query_id", q_id_type),
+                StructField("vec_id", corpus.schema[id_col].dataType),
+                StructField("adc_dist", LongType()),
+            ]
+        ),
     )
     return (
         pruned.withColumn(

@@ -376,3 +376,27 @@ def test_containment_finds_planted_superset(spark):
     assert got == {(2, 1): 1.0}
     jac = jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.9)
     assert jac.count() == 0
+
+
+def test_pq_topk_adc_string_ids(spark):
+    """pq_topk_adc must carry the CALLER's id type end to end (the
+    sibling kernels pq_codes_arrow/assign_fixed_arrow already do) —
+    string doc ids are as legal as longs in the LUT broadcast, the
+    Arrow prune schema, and the final ranking."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.catalog import table
+    from bitcoin_olap_spark.operators.vectors import pq_topk_adc
+
+    emb = table(spark, SF_ORACLE, "embeddings").withColumn(
+        "sid", F.concat(F.lit("doc-"), F.col("vec_id").cast("string"))
+    )
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = pq_topk_adc(
+        emb, queries, "sid", "embedding", k=5, m=8, n_codewords=16
+    )
+    rows = out.collect()
+    assert rows and all(isinstance(r.query_id, str) for r in rows)
+    assert all(isinstance(r.vec_id, str) for r in rows)
+    assert {r.query_id for r in rows} == {"doc-0", "doc-1", "doc-2"}
+    assert all(1 <= r.rank <= 5 for r in rows)

@@ -1039,3 +1039,71 @@ def test_interval_overlap_matches_naive(spark, spans):
             if str(i) < str(j) and s1 <= e2 and s2 <= e1:
                 want[(str(i), str(j))] = min(e1, e2) - max(s1, s2)
     assert got == want
+
+
+def test_acid_committed_ops_survive_vacuum(spark, tmp_path):
+    """Exactly-once history must survive table maintenance: after
+    vacuum() physically removes old manifests, committed_ops() still
+    returns their op tags (persisted sidecar, Delta's txn appId
+    pattern) and append_idempotent still (a) runs without crashing on
+    the vacuumed log and (b) skips a replay of a PRE-vacuum batch."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators import acidtable as AT
+
+    root = str(tmp_path / "tbl")
+    AT.init_table(spark, root, spark.range(5).select(F.col("id")))
+    for i in range(3):
+        assert (
+            AT.append_idempotent(
+                spark, root, spark.range(5).select(F.col("id")), f"b-{i}"
+            )
+            is not None
+        )
+    AT._OPS_CACHE.pop(root, None)  # force a cold scan of the log
+    AT.vacuum(root, keep_versions=1)
+    # manifests 0..2 are gone, but their tags must survive
+    ops = AT.committed_ops(root)
+    assert {"init", "b-0", "b-1", "b-2"} <= ops
+    # a replayed pre-vacuum batch must be recognized and skipped
+    assert (
+        AT.append_idempotent(
+            spark, root, spark.range(5).select(F.col("id")), "b-0"
+        )
+        is None
+    )
+    # and a genuinely new batch still commits exactly once
+    assert (
+        AT.append_idempotent(
+            spark, root, spark.range(5).select(F.col("id")), "b-9"
+        )
+        is not None
+    )
+    assert AT.snapshot(spark, root).count() == 25
+
+
+def test_acid_committed_ops_cache_incremental_and_recreate(spark, tmp_path):
+    """The committed_ops per-process cache must (a) pick up commits
+    made after a cached scan and (b) never serve stale tags for a
+    table recreated at the same root (validated by re-reading the
+    cached version's op)."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators import acidtable as AT
+
+    root = str(tmp_path / "tbl")
+    df = spark.range(3).select(F.col("id"))
+    AT.init_table(spark, root, df)
+    AT.append_idempotent(spark, root, df, "x-1")
+    assert "x-1" in AT.committed_ops(root)  # populates the cache
+    AT.append_idempotent(spark, root, df, "x-2")
+    assert "x-2" in AT.committed_ops(root)  # incremental pickup
+
+    # recreate the table at the same root: old tags must vanish
+    import shutil
+
+    shutil.rmtree(root)
+    AT.init_table(spark, root, df)
+    AT.append_idempotent(spark, root, df, "y-1")
+    ops = AT.committed_ops(root)
+    assert "y-1" in ops and "x-1" not in ops

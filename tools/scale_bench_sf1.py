@@ -4,8 +4,10 @@ point of BASELINE.md's scaling-evidence table (sf0.01 -> sf0.1 ->
 sf1). Same protocol as tools/regen_baseline.py: warm pass, then MIN
 of N timed passes per engine, one session per engine.
 
-Usage: python tools/scale_bench_sf1.py [passes]
-Prints one JSON line {qid: {"duck": s, "spark": s}, ...}.
+Usage: python tools/scale_bench_sf1.py [passes] [qid ...]
+With qid arguments, only those queries run (e.g. to add a new row to
+the table without re-measuring the whole set). Prints one JSON line
+{qid: {"duck": s, "spark": s}, ...}.
 """
 
 from __future__ import annotations
@@ -29,6 +31,8 @@ QIDS = [
     "ml_kmeans_lloyd",
     "ml_pca_power",
     "join_salted_skew",
+    "sim_containment",
+    "agg_array_agg",
 ]
 SF1 = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "sf1_data"
@@ -38,20 +42,21 @@ TABLES = ("documents", "embeddings", "lineitem", "orders")
 
 def main() -> None:
     passes = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    qids = sys.argv[2:] or QIDS
 
     import duckdb
 
     import __spark_entry__ as e
 
     oracles, queries = e.oracle_sql(), e.queries()
-    out: dict[str, dict[str, float]] = {q: {} for q in QIDS}
+    out: dict[str, dict[str, float]] = {q: {} for q in qids}
 
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{SF1}/{t}.parquet'"
         )
-    for qid in QIDS:
+    for qid in qids:
         sql = oracles[qid]
         con.execute(sql).fetchall()  # warm
         runs = []
@@ -68,7 +73,7 @@ def main() -> None:
     spark = get_spark(app_name="scale-bench-sf1")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    for qid in QIDS:
+    for qid in qids:
         fn = queries[qid]
         fn(spark, SF1).collect()  # warm
         runs = []

@@ -44,36 +44,54 @@ def asof_join(
     (key, ts) — pre-aggregate it otherwise (ties would make the carried
     value nondeterministic in ANY engine).
 
-    how='left' keeps unmatched left rows (nulls); 'inner' drops them.
+    The carried payload is ONE struct of all value_cols per right row
+    (same shape as asof_join_nearest): every carried field comes from
+    the SAME right row even when one of its value columns is genuinely
+    NULL there — a per-column last(ignorenulls) would instead fill
+    each column from a DIFFERENT right row (a Frankenstein row DuckDB
+    ASOF never produces).
+
+    how='left' keeps unmatched left rows (nulls); 'inner' drops only
+    rows with NO right row at-or-before (a matched row whose carried
+    value is NULL survives, exactly as in SQL ASOF INNER JOIN).
     """
     lcols = left.columns
-    l = left
-    for vc in value_cols:
-        l = l.withColumn(vc, F.lit(None).cast(right.schema[vc].dataType))
-    l = l.withColumn("_side", F.lit(1))
-    r = right.select(key, ts_col, *value_cols)
+    r = right.select(
+        key,
+        ts_col,
+        F.struct(*[F.col(vc).alias(vc) for vc in value_cols]).alias(
+            "_pack"
+        ),
+    )
+    l = left.withColumn(
+        "_pack", F.lit(None).cast(r.schema["_pack"].dataType)
+    ).withColumn("_side", F.lit(1))
+    rr = r
     for c in lcols:
         if c not in (key, ts_col):
-            r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
-    r = r.withColumn("_side", F.lit(0)).select(*l.columns)
+            rr = rr.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    rr = rr.withColumn("_side", F.lit(0)).select(*l.columns)
 
     win = (
         Window.partitionBy(key)
         .orderBy(ts_col, "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = l.unionByName(r).select(
-        *[c for c in lcols if c not in value_cols],
-        *[
-            F.last(vc, ignorenulls=True).over(win).alias(vc)
-            for vc in value_cols
-        ],
-        "_side",
+    filled = (
+        l.unionByName(rr)
+        .select(
+            *[c for c in lcols if c not in value_cols],
+            F.last("_pack", ignorenulls=True).over(win).alias("_pack"),
+            "_side",
+        )
+        .filter(F.col("_side") == 1)
     )
-    out = filled.filter(F.col("_side") == 1).drop("_side")
     if how == "inner":
-        out = out.na.drop(subset=value_cols)
-    return out
+        filled = filled.filter(F.col("_pack").isNotNull())
+    return filled.select(
+        *[c for c in lcols if c not in value_cols],
+        *[F.col("_pack")[vc].alias(vc) for vc in value_cols],
+    )
 
 
 def asof_join_nearest(

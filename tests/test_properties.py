@@ -1107,3 +1107,40 @@ def test_acid_committed_ops_cache_incremental_and_recreate(spark, tmp_path):
     AT.append_idempotent(spark, root, df, "y-1")
     ops = AT.committed_ops(root)
     assert "y-1" in ops and "x-1" not in ops
+
+
+def test_asof_backward_carries_whole_row_even_with_null_values(spark):
+    """Same regression for the backward-only asof_join: all carried
+    fields come from THE latest right row at-or-before, so a NULL
+    value on that row surfaces as NULL (never back-filled from an
+    older right row), and 'inner' drops only truly unmatched left
+    rows — a matched row with a NULL carried value survives, as in
+    SQL ASOF INNER JOIN."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:00:00")],
+        "k long, t string",
+    ).select("k", F.to_timestamp("t").alias("ts"))
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 08:00:00", 7.0, "old"),
+            (1, "2024-01-01 09:00:00", None, "latest"),
+        ],
+        "k long, t string, v double, tag string",
+    ).select("k", F.to_timestamp("t").alias("ts"), "v", "tag")
+
+    out = {r["k"]: r for r in asof_join(
+        left, right, "k", "ts", ["v", "tag"]
+    ).collect()}
+    # k=1 matches the 09:00 row: v must be its NULL, tag its 'latest'
+    assert out[1]["v"] is None and out[1]["tag"] == "latest"
+    # k=2 has no right row at all -> NULLs under how='left'
+    assert out[2]["v"] is None and out[2]["tag"] is None
+
+    inner = {r["k"] for r in asof_join(
+        left, right, "k", "ts", ["v", "tag"], how="inner"
+    ).collect()}
+    assert inner == {1}  # matched-with-NULL survives, unmatched drops

@@ -52,8 +52,54 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _hot_hash_row(
+    arrs: DataFrame, df_cap: int, max_hot: int
+) -> DataFrame:
+    """ONE-row relation holding the sorted array of 'hot' shingle
+    hashes — those whose corpus document frequency exceeds `df_cap`.
+    Derived relationally (explode -> map-side-combinable df count ->
+    filter -> collect into one array); the collect ceiling is gated
+    JVM-side with raise_error at `max_hot` entries (#hot hashes is
+    bounded by shingle_rows/df_cap but in a real corpus is the tiny
+    boilerplate vocabulary — the gate turns a pathological corpus into
+    a clear error instead of a driver-melting broadcast)."""
+    hot = (
+        arrs.select(
+            F.explode(
+                F.transform("arr", lambda s: F.xxhash64(s))
+            ).alias("h")
+        )
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > df_cap)
+        .agg(F.array_sort(F.collect_list("h")).alias("hot"))
+    )
+    return hot.select(
+        F.when(F.size("hot") <= max_hot, F.col("hot"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("df_cap produced "),
+                    F.size("hot").cast("string"),
+                    F.lit(
+                        f" hot hashes > max_hot={max_hot}; raise "
+                        "df_cap or max_hot"
+                    ),
+                )
+            )
+        )
+        .alias("hot")
+    )
+
+
 def jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    df_cap: int | None = None,
+    max_hot: int = 200_000,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard near-dup pairs (doc_a < doc_b, jaccard).
 
@@ -97,6 +143,23 @@ def jaccard_pairs(
     0.96 s) — the manual exchange pinned the join to sort-merge and
     its cache materialization was a barrier; re-deriving the explode
     from the cached `arrs` costs less than either.
+
+    `df_cap` (the 100 TB hot-key guard, the C4/RefinedWeb recipe):
+    shingles whose corpus document frequency exceeds the cap are
+    removed BEFORE the candidate self-join — a boilerplate trigram
+    shared by 1M documents is ~5e11 candidate rows that AQE can
+    spread but never shrink; capping removes the quadratic hot key at
+    the source. The phase-1 cut is widened by least(dropped_a,
+    dropped_b) — an upper bound on how many common shingles the cap
+    could have hidden — so every TRUE pair that shares at least one
+    under-cap shingle still reaches the exact verify (which uses the
+    FULL arrays; the cut stays a superset even under hash collisions,
+    because a collision-dropped shingle also inflates the dropped
+    counts). The ONLY recall loss is a pair sharing NO under-cap
+    shingle — documents made entirely of corpus boilerplate — the
+    documented-lossy trade every production dedup recipe makes
+    (pinned by tests/test_properties.py). df_cap=None (default)
+    disables the cap: exact as before, no extra aggregation job.
     """
     # documents arrive in O(#input files) partitions and explode does
     # not re-split — _spread re-splits the cheap pre-explode rows.
@@ -110,15 +173,34 @@ def jaccard_pairs(
         )
         .cache()
     )
-    sh = arrs.select(
-        id_col,
-        "n_shingles",
-        F.explode(
-            F.transform("arr", lambda s: F.xxhash64(s))
-        ).alias("h"),
-    )
+    hashes = F.transform("arr", lambda s: F.xxhash64(s))
+    if df_cap is None:
+        sh = arrs.select(
+            id_col,
+            "n_shingles",
+            F.lit(0).alias("_drop"),
+            F.explode(hashes).alias("h"),
+        )
+    else:
+        kept = F.array_except(hashes, F.col("hot"))
+        sh = (
+            arrs.crossJoin(
+                F.broadcast(_hot_hash_row(arrs, df_cap, max_hot))
+            )
+            .select(
+                id_col,
+                "n_shingles",
+                (F.col("n_shingles") - F.size(kept)).alias("_drop"),
+                F.explode(kept).alias("h"),
+            )
+        )
     a, b = sh.alias("a"), sh.alias("b")
     t = F.lit(threshold)
+    # adjusted common: common_h + least(dropped_a, dropped_b) is an
+    # upper bound on the TRUE common count, so thresholding it keeps
+    # a superset of the true pairs (with df_cap=None both drops are 0
+    # and this is exactly the old hash-count cut)
+    adj = F.col("common_h") + F.least("_da", "_db")
     cand = (
         a.join(
             b,
@@ -135,11 +217,11 @@ def jaccard_pairs(
             F.count(F.lit(1)).alias("common_h"),
             F.first("a.n_shingles").alias("na"),
             F.first("b.n_shingles").alias("nb"),
+            F.first("a._drop").alias("_da"),
+            F.first("b._drop").alias("_db"),
         )
         .filter(
-            F.col("common_h").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("common_h"))
-            >= t
+            adj.cast("double") / (F.col("na") + F.col("nb") - adj) >= t
         )
         .select("doc_a", "doc_b")
     )
@@ -517,6 +599,8 @@ def containment_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.9,
+    df_cap: int | None = None,
+    max_hot: int = 200_000,
 ) -> DataFrame:
     """Exact n-gram CONTAINMENT pairs: (doc_a, doc_b, containment)
     where containment = |A ∩ B| / |A| >= threshold — the ASYMMETRIC
@@ -542,7 +626,14 @@ def containment_pairs(
     Output equals the naive exact string join. Shuffle inventory
     matches jaccard_pairs: an un-hinted AQE-sized self-join, a
     pair-count aggregate, two verify joins over candidate-scale
-    pairs."""
+    pairs.
+
+    `df_cap`: same corpus-df hot-key guard as jaccard_pairs — over-cap
+    shingles leave the candidate self-join, the phase-1 cut widens by
+    least(dropped_a, dropped_b) so it stays a superset of the true
+    pairs, and the exact verify runs on the FULL arrays; the only
+    recall loss is a pair sharing no under-cap shingle (documented-
+    lossy, property-tested). None (default) = exact, as before."""
     arr = shingle_array(text_col, n, distinct=True)
     arrs = (
         _spread(df)
@@ -553,13 +644,27 @@ def containment_pairs(
         )
         .cache()
     )
-    sh = arrs.select(
-        id_col,
-        "n_shingles",
-        F.explode(
-            F.transform("arr", lambda s: F.xxhash64(s))
-        ).alias("h"),
-    )
+    hashes = F.transform("arr", lambda s: F.xxhash64(s))
+    if df_cap is None:
+        sh = arrs.select(
+            id_col,
+            "n_shingles",
+            F.lit(0).alias("_drop"),
+            F.explode(hashes).alias("h"),
+        )
+    else:
+        kept = F.array_except(hashes, F.col("hot"))
+        sh = (
+            arrs.crossJoin(
+                F.broadcast(_hot_hash_row(arrs, df_cap, max_hot))
+            )
+            .select(
+                id_col,
+                "n_shingles",
+                (F.col("n_shingles") - F.size(kept)).alias("_drop"),
+                F.explode(kept).alias("h"),
+            )
+        )
     a, b = sh.alias("a"), sh.alias("b")
     t = F.lit(threshold)
     cand = (
@@ -576,9 +681,11 @@ def containment_pairs(
             F.count(F.lit(1)).alias("common_h"),
             F.first("a.n_shingles").alias("_na"),
             F.first("b.n_shingles").alias("_nb"),
+            F.first("a._drop").alias("_da"),
+            F.first("b._drop").alias("_db"),
         )
         .filter(
-            F.col("common_h").cast("double")
+            (F.col("common_h") + F.least("_da", "_db")).cast("double")
             >= t * F.least("_na", "_nb")
         )
         .select("id_a", "id_b")

@@ -742,6 +742,115 @@ def sim_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRI_KEPT = """
+    WITH words AS (
+        SELECT doc_id, w,
+               row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents)
+    ), tri AS (
+        SELECT DISTINCT doc_id,
+               w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+                   AS shingle
+        FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(w, 2) OVER win IS NOT NULL
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM tri GROUP BY 1
+    ), kept AS (
+        -- the df cap: shingles in more than {cap} documents leave the
+        -- candidate join (the hot-key guard); the exact verify below
+        -- still uses the FULL shingle sets
+        SELECT doc_id, shingle FROM tri
+        QUALIFY count(*) OVER (PARTITION BY shingle) <= {cap}
+    )
+"""
+
+_JACCARD_DFCAP_ORACLE = (
+    _TRI_KEPT.format(cap=4)
+    + """
+    , cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM kept a JOIN kept b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ), common AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS common
+        FROM cand c
+        JOIN tri a ON a.doc_id = c.doc_a
+        JOIN tri b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, common * 1.0 / (sa.n + sb.n - common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.8
+"""
+)
+
+
+@query("sim_jaccard_dfcap", oracle=_JACCARD_DFCAP_ORACLE)
+def sim_jaccard_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_ngram_jaccard with the corpus document-frequency cap
+    engaged (df_cap=4, which genuinely bites on this corpus: 151
+    trigrams exceed it) — the 100 TB hot-key guard that removes
+    boilerplate shingles from the candidate self-join before they can
+    go quadratic (operators/dedup.jaccard_pairs, `df_cap`; the
+    C4/RefinedWeb recipe). The widened phase-1 cut keeps every true
+    pair sharing >= 1 under-cap shingle; the oracle replays the SAME
+    capped candidate semantics (string-df cap + exact full-set
+    verify), so this checks the capped pipeline itself, not just its
+    agreement with the uncapped one (that containment is
+    property-tested)."""
+    return D.jaccard_pairs(
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.8,
+        df_cap=4,
+    )
+
+
+_CONTAINMENT_DFCAP_ORACLE = (
+    _TRI_KEPT.format(cap=4)
+    + """
+    , cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM kept a JOIN kept b
+          ON a.shingle = b.shingle AND a.doc_id != b.doc_id
+    ), common AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS common
+        FROM cand c
+        JOIN tri a ON a.doc_id = c.doc_a
+        JOIN tri b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, common * 1.0 / sa.n AS containment
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    WHERE common * 1.0 / sa.n >= 0.9
+"""
+)
+
+
+@query("sim_containment_dfcap", oracle=_CONTAINMENT_DFCAP_ORACLE)
+def sim_containment_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_containment with the document-frequency cap engaged
+    (df_cap=4) — same hot-key guard as sim_jaccard_dfcap applied to
+    the asymmetric containment tier
+    (operators/dedup.containment_pairs, `df_cap`). Oracle replays the
+    capped candidate semantics end to end."""
+    return D.containment_pairs(
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.9,
+        df_cap=4,
+    )
+
+
 #: per-(process, corpus) trained-PQ-codebook memo — same offline-index
 #: semantics as _IVF_LLOYD_CACHE (see sim_topk_ivf docstring)
 _PQ_CODEBOOK_CACHE: dict[tuple[str, str], list] = {}

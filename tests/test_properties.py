@@ -1144,3 +1144,72 @@ def test_asof_backward_carries_whole_row_even_with_null_values(spark):
         left, right, "k", "ts", ["v", "tag"], how="inner"
     ).collect()}
     assert inner == {1}  # matched-with-NULL survives, unmatched drops
+
+
+def test_jaccard_dfcap_superset_invariant(spark):
+    """The df-capped candidate path must (a) never emit a pair the
+    exact (uncapped) operator doesn't, (b) agree exactly on every
+    emitted pair's jaccard, and (c) only ever MISS a pair whose
+    shared shingles are ALL over the cap (the documented-lossy mode:
+    boilerplate-only overlap). Checked at several cap levels
+    including one that drops candidates and the no-op level."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.catalog import table
+    from bitcoin_olap_spark.operators.dedup import jaccard_pairs
+    from bitcoin_olap_spark.operators.text import shingle_array
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(docs, "doc_id", "text").collect()
+    }
+    assert exact, "corpus has no planted near-dups?"
+
+    # per-doc shingle sets + corpus df, for auditing missed pairs
+    sh = docs.select(
+        "doc_id",
+        F.explode(shingle_array("text", 3, distinct=True)).alias("s"),
+    )
+    dfreq = {
+        r.s: r.c
+        for r in sh.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1).collect()
+    }
+    byd = {}
+    for r in sh.collect():
+        byd.setdefault(r.doc_id, set()).add(r.s)
+
+    for cap in (1, 2, 4, 10_000):
+        got = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in jaccard_pairs(
+                docs, "doc_id", "text", df_cap=cap
+            ).collect()
+        }
+        assert set(got) <= set(exact), (cap, set(got) - set(exact))
+        for k, v in got.items():
+            assert v == exact[k], (cap, k)
+        for a, b in set(exact) - set(got):
+            shared = byd[a] & byd[b]
+            assert shared and all(
+                dfreq.get(s, 1) > cap for s in shared
+            ), f"cap={cap} missed ({a},{b}) with an under-cap shingle"
+    # a cap above every df is a no-op: identical output
+    assert got == exact
+
+
+def test_dfcap_hot_set_gate_raises(spark):
+    """The hot-hash collect is gated: when the over-cap vocabulary
+    exceeds max_hot the job fails with a clear raise_error message
+    instead of building an unbounded broadcast array."""
+    import pytest
+
+    from bitcoin_olap_spark.catalog import table
+    from bitcoin_olap_spark.operators.dedup import jaccard_pairs
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    with pytest.raises(Exception, match="hot hashes > max_hot"):
+        jaccard_pairs(
+            docs, "doc_id", "text", df_cap=1, max_hot=1
+        ).collect()

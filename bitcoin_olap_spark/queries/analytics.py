@@ -369,7 +369,21 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     empty clusters keep their previous centroid. Magnitudes: |xq| <
     2^20 -> per-vector distance < 2^48, argmin key d*8+cid < 2^51 —
     int64-exact, so the unrolled DuckDB recurrence hash-matches every
-    (vec_id, cluster, dist_sq) row. dist_sq rides at scale 2^40."""
+    (vec_id, cluster, dist_sq) row. dist_sq rides at scale 2^40.
+
+    Measured and REJECTED (r6, the logreg-unroll posture): a fully
+    lazy ONE-JOB relational Lloyd — each round's centroids as a 1-row
+    broadcast array relation (seeds -> crossJoin assignment ->
+    posexplode partial-agg sums -> floor-div merge, repeated in-plan,
+    zero driver collects) — is bit-identical but 2.92 s vs 1.10 s at
+    sf0.1 (min of 3, noop-forced): the per-round in-plan
+    posexplode(corpus x dim) exchange plus re-optimizing the deepening
+    plan costs far more than the 4 driver syncs it removes, and the
+    Arrow partials kernel (vectorized, <= k*dim rows out per chunk)
+    already made the per-round job cheap. The sequential-job floor is
+    the honest cost of an iterative fit; at sf1 this query is 0.58x
+    vs DuckDB (BASELINE.md sf1 table) — the floor amortizes, the
+    relational unroll's exchanges would not."""
     from ..ml.clustering import lloyd_fixed, quantize_fixed
     from ..operators.vectors import assign_fixed_arrow
 

@@ -268,6 +268,8 @@ def encode_media(data: bytes, fmt: str) -> bytes:
             + body[i * _Y4M_FRAME_BYTES : (i + 1) * _Y4M_FRAME_BYTES]
             for i in range(n)
         )
+    if fmt == "video/avi":
+        return _encode_avi_mjpeg(data)
     raise ValueError(f"encode_media: no encoder for format {fmt!r}")
 
 
@@ -287,6 +289,9 @@ def decode_media(payload: bytes, fmt: str):
 
     if fmt == "image/jpeg":
         return _decode_jpeg(payload)
+
+    if fmt == "video/avi":
+        return _decode_avi_mjpeg(payload)
 
     if fmt == "image/ppm":
         if payload[:2] != b"P6":
@@ -770,20 +775,192 @@ def _decode_jpeg(payload: bytes):
     }
 
 
+#: AVI/MJPEG geometry: every frame is a 16x16 greyscale baseline JPEG
+AVI_W = AVI_H = 16
+_AVI_FRAME_BYTES = AVI_W * AVI_H
+#: microseconds per frame in the AVI main header (25 fps)
+_AVI_US_PER_FRAME = 40_000
+
+
+def _riff_chunks(buf: bytes, pos: int, end: int):
+    """Yield (fourcc, payload_start, payload_size) for each RIFF chunk
+    in buf[pos:end] — chunks are word-aligned (odd sizes carry one pad
+    byte that is not counted in the size field)."""
+    import struct
+
+    while pos + 8 <= end:
+        fourcc = buf[pos : pos + 4]
+        (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+        yield fourcc, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
+def _encode_avi_mjpeg(data: bytes) -> bytes:
+    """REAL AVI (RIFF) container around Motion-JPEG video: the payload
+    bytes split into 16x16 greyscale frames, each encoded as a full
+    baseline JPEG (_encode_jpeg — tables embedded per frame, as the
+    MJPEG convention requires), wrapped in the standard box structure:
+    LIST hdrl (avih main header + LIST strl with a 'vids'/'MJPG' strh
+    and a BITMAPINFOHEADER strf), LIST movi of '00dc' frame chunks,
+    and an idx1 index with one keyframe entry per frame (every MJPEG
+    frame is independently decodable). Word-aligned chunks, all sizes
+    genuine."""
+    import struct
+
+    n = max(1, -(-len(data) // _AVI_FRAME_BYTES))
+    body = data.ljust(n * _AVI_FRAME_BYTES, b"\x00")
+    frames = [
+        _encode_jpeg(
+            body[i * _AVI_FRAME_BYTES : (i + 1) * _AVI_FRAME_BYTES],
+            AVI_W,
+            AVI_H,
+        )
+        for i in range(n)
+    ]
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) & 1 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(kind: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", kind + payload)
+
+    avih = struct.pack(
+        "<14I",
+        _AVI_US_PER_FRAME,  # dwMicroSecPerFrame
+        _AVI_FRAME_BYTES * 25,  # dwMaxBytesPerSec (nominal)
+        0,  # dwPaddingGranularity
+        0x10,  # dwFlags: AVIF_HASINDEX
+        n,  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        0,  # dwSuggestedBufferSize
+        AVI_W,
+        AVI_H,
+        0, 0, 0, 0,  # dwReserved[4]
+    )
+    strh = (
+        b"vids"
+        + b"MJPG"
+        + struct.pack(
+            "<IHHIIIIIIII",
+            0, 0, 0,  # flags, priority, language
+            0,  # initial frames
+            1,  # scale
+            25,  # rate -> 25 fps
+            0,  # start
+            n,  # length (frames)
+            0,  # suggested buffer
+            0xFFFFFFFF,  # quality (default)
+            0,  # sample size (0 = varying)
+        )
+        + struct.pack("<hhhh", 0, 0, AVI_W, AVI_H)  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40,  # biSize
+        AVI_W,
+        AVI_H,
+        1,  # biPlanes
+        24,  # biBitCount (MJPEG convention)
+        b"MJPG",  # biCompression
+        _AVI_FRAME_BYTES,  # biSizeImage (nominal)
+        0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_payload = b"".join(chunk(b"00dc", f) for f in frames)
+    movi = lst(b"movi", movi_payload)
+    # idx1 entries: offset is from the start of the movi LIST payload
+    # (the 'movi' fourcc itself), the most common AVI convention
+    idx, off = [], 4
+    for f in frames:
+        idx.append(
+            b"00dc" + struct.pack("<III", 0x10, off, len(f))
+        )  # AVIIF_KEYFRAME
+        off += 8 + len(f) + (len(f) & 1)
+    idx1 = chunk(b"idx1", b"".join(idx))
+    riff_payload = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_payload)) + riff_payload
+
+
+def _decode_avi_mjpeg(payload: bytes):
+    """REAL AVI/MJPEG decoder: validates the RIFF/'AVI ' signature,
+    walks the chunk tree (LIST hdrl -> avih for geometry and declared
+    frame count; LIST movi -> '00dc' frame chunks), decodes every
+    frame through the baseline-JPEG decoder (_decode_jpeg), and
+    cross-checks each frame's SOF geometry against the container
+    header. Returns (all frames' samples concatenated, {width,
+    height, n_frames})."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("decode_media: not a RIFF/AVI file")
+    (riff_size,) = struct.unpack("<I", payload[4:8])
+    end = min(len(payload), 8 + riff_size)
+    w = h = declared = None
+    frames: list[bytes] = []
+    for fourcc, start, size in _riff_chunks(payload, 12, end):
+        if fourcc != b"LIST":
+            continue
+        kind = payload[start : start + 4]
+        if kind == b"hdrl":
+            for fc2, s2, sz2 in _riff_chunks(
+                payload, start + 4, start + size
+            ):
+                if fc2 == b"avih":
+                    hdr = struct.unpack("<14I", payload[s2 : s2 + 56])
+                    declared, w, h = hdr[4], hdr[8], hdr[9]
+        elif kind == b"movi":
+            for fc2, s2, sz2 in _riff_chunks(
+                payload, start + 4, start + size
+            ):
+                # ##dc/##db = video frame chunks of stream ##
+                if fc2[2:4] in (b"dc", b"db"):
+                    frames.append(payload[s2 : s2 + sz2])
+    if w is None or not frames:
+        raise ValueError("decode_media: AVI missing avih or movi frames")
+    if declared is not None and declared != len(frames):
+        raise ValueError(
+            f"decode_media: AVI declares {declared} frames but movi "
+            f"carries {len(frames)}"
+        )
+    out = []
+    for f in frames:
+        samples, info = _decode_jpeg(f)
+        if info["width"] != w or info["height"] != h:
+            raise ValueError(
+                "decode_media: AVI frame geometry mismatches avih"
+            )
+        out.append(samples)
+    return np.concatenate(out), {
+        "width": int(w),
+        "height": int(h),
+        "n_frames": len(frames),
+    }
+
+
 def _decode_compressed_stub(fmt: str):  # pragma: no cover - STUB
-    """STUB: the remaining VIDEO codecs (mp4/h264/...) genuinely need
-    codec libraries this container does not ship; on a production
-    cluster this is where pyav loads the payload. (png and jpeg no
-    longer route here — `_decode_png` is a real pure-Python
-    DEFLATE-based decoder and `_decode_jpeg` a real baseline
-    Huffman+IDCT decoder.)"""
+    """STUB: only genuinely INTER-FRAME-compressed video codecs
+    (mp4/h264/vp9/...) still route here — they need motion
+    compensation state machines that only a real codec library
+    provides; on a production cluster this is where pyav loads the
+    payload. Everything intra-coded decodes natively: png/jpeg via
+    the pure-Python DEFLATE and Huffman+IDCT decoders, MJPEG-in-AVI
+    via _decode_avi_mjpeg (real RIFF walk, per-frame JPEG)."""
     try:
         import av  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
-            "STUB: video codecs (pyav/ffmpeg) are not installed in "
-            f"this environment (format {fmt!r}); ppm/wav/y4m/png/jpeg "
-            "decode natively via decode_media"
+            "STUB: inter-frame video codecs (pyav/ffmpeg) are not "
+            f"installed in this environment (format {fmt!r}); "
+            "ppm/wav/y4m/png/jpeg/avi-mjpeg decode natively via "
+            "decode_media"
         ) from exc
     raise NotImplementedError("STUB: video decode path not wired yet")
 
@@ -924,6 +1101,10 @@ def transcode(df: DataFrame, id_col: str) -> DataFrame:
                 if fmt == "video/y4m":
                     n_frames = max(
                         1, -(-len(bytes(raw)) // _Y4M_FRAME_BYTES)
+                    )
+                elif fmt == "video/avi":
+                    n_frames = max(
+                        1, -(-len(bytes(raw)) // _AVI_FRAME_BYTES)
                     )
                 else:
                     n_frames = 1

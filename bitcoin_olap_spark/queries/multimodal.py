@@ -323,6 +323,84 @@ def mm_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_video_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 AS BIGINT) AS width,
+           CAST(16 AS BIGINT) AS height,
+           CAST(greatest(1, (octet_length(encode(text)) + 255) // 256)
+                AS BIGINT) AS n_frames,
+           CAST(256 * greatest(1, (octet_length(encode(text)) + 255) // 256)
+                AS BIGINT) AS n_samples
+    FROM documents WHERE doc_id % 10 = 3
+    """,
+)
+def mm_video_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO container end-to-end — the last modality a curation
+    pipeline hits: every payload encodes into a REAL Motion-JPEG AVI
+    (operators/multimodal._encode_avi_mjpeg: RIFF box tree with avih/
+    strh/strf headers, '00dc' frame chunks each a full baseline JPEG,
+    idx1 keyframe index) and decodes back through _decode_avi_mjpeg
+    (real RIFF chunk walk, per-frame Huffman+IDCT JPEG decode,
+    container-vs-SOF geometry cross-check). Only inter-frame codecs
+    (mp4/h264) remain behind the import-gated stub. The oracle checks
+    the parsed geometry (frame count and sample count are closed-form
+    container arithmetic); decoded VALUES are quantized-DCT lossy —
+    pinned by reconstruction-error tests (tests/test_multimodal.py),
+    the same honesty note as mm_jpeg_roundtrip. Arrow-batched
+    mapInPandas on a 1-in-10 deterministic slice (pure-Python entropy
+    coding is the demonstration tier; a production cluster links
+    ffmpeg/pyav at this exact seam)."""
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents", spread=True).filter(
+        F.col("doc_id") % 10 == 3
+    )
+    media = docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("blob"),
+        F.struct(
+            F.lit("video/avi").alias("format"),
+            F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
+            F.lit(1).cast("long").alias("n_frames"),
+        ).alias("media_meta"),
+    )
+    enc = MM.transcode(media, "doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, ws, hs, nf, ns = [], [], [], [], []
+            for rid, payload in zip(pdf["doc_id"], pdf["blob"]):
+                samples, info = MM.decode_media(
+                    bytes(payload), "video/avi"
+                )
+                ids.append(rid)
+                ws.append(info["width"])
+                hs.append(info["height"])
+                nf.append(info["n_frames"])
+                ns.append(len(samples))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids),
+                    "width": pd.Series(ws, dtype="int64"),
+                    "height": pd.Series(hs, dtype="int64"),
+                    "n_frames": pd.Series(nf, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                }
+            )
+
+    return enc.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, width long, height long, n_frames long, "
+            "n_samples long"
+        ),
+    )
+
+
+@query(
     "mm_audio_energy",
     oracle="""
     WITH raw AS (

@@ -390,3 +390,54 @@ def test_curate_features_equals_staged_composition(spark, media):
     assert (fused["n_samples"] == staged["n_samples"]).all()
     for a, b in zip(fused["features"], staged["features"]):
         assert np.array_equal(np.array(a), np.array(b))
+
+
+def test_avi_mjpeg_roundtrip_container_and_error_bound():
+    """The AVI/MJPEG codec: (a) the encoder emits a genuine RIFF tree
+    (validated by an independent struct-module walk, not our own
+    decoder), (b) decode recovers exact container geometry for 1..4
+    frame payloads, (c) reconstruction error is bounded by JPEG
+    quantization (same bound the jpeg tier pins), (d) malformed
+    containers raise ValueError."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from bitcoin_olap_spark.operators import multimodal as MM
+
+    data = bytes((i * 37 + 11) % 256 for i in range(700))
+    avi = MM.encode_media(data, "video/avi")
+
+    # independent container walk
+    assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+    (riff_size,) = struct.unpack("<I", avi[4:8])
+    assert riff_size == len(avi) - 8
+    kinds = []
+    pos = 12
+    while pos + 8 <= len(avi):
+        fourcc = avi[pos : pos + 4]
+        (size,) = struct.unpack("<I", avi[pos + 4 : pos + 8])
+        kinds.append(
+            avi[pos + 8 : pos + 12] if fourcc == b"LIST" else fourcc
+        )
+        pos += 8 + size + (size & 1)
+    assert kinds == [b"hdrl", b"movi", b"idx1"]
+
+    samples, info = MM.decode_media(avi, "video/avi")
+    assert info == {"width": 16, "height": 16, "n_frames": 3}
+    assert len(samples) == 3 * 256
+    ref = np.frombuffer(
+        data.ljust(3 * 256, b"\x00"), dtype=np.uint8
+    ).astype(np.int64)
+    assert int(np.abs(samples - ref).max()) <= 96  # jpeg quant bound
+    assert float(np.abs(samples - ref).mean()) < 24.0
+
+    with pytest.raises(ValueError, match="not a RIFF/AVI"):
+        MM.decode_media(b"JUNK" + avi[4:], "video/avi")
+    # frame-count lie in avih must be caught
+    bad = bytearray(avi)
+    hdr_off = avi.index(b"avih") + 8
+    struct.pack_into("<I", bad, hdr_off + 16, 99)
+    with pytest.raises(ValueError, match="declares 99 frames"):
+        MM.decode_media(bytes(bad), "video/avi")

@@ -1110,7 +1110,13 @@ def topk_lsh(
     stage scores candidates with the exact fixed-point cosine — so
     unlike most ANN operators this one is oracle-checkable: a SQL twin
     reproduces buckets, candidates, and scores bit-for-bit."""
-    dim = corpus.select(F.size(vec_col)).first()[0]
+    probe = corpus.select(F.size(vec_col)).first()
+    if probe is None:
+        raise ValueError(
+            "topk_lsh: corpus is empty — cannot derive the vector "
+            "dimension; provide a non-empty corpus"
+        )
+    dim = probe[0]
     c = lsh_buckets_arrow(
         corpus, id_col, vec_col, dim, num_planes, "vec_id", "_vb"
     )

@@ -400,3 +400,23 @@ def test_pq_topk_adc_string_ids(spark):
     assert all(isinstance(r.vec_id, str) for r in rows)
     assert {r.query_id for r in rows} == {"doc-0", "doc-1", "doc-2"}
     assert all(1 <= r.rank <= 5 for r in rows)
+
+
+def test_ann_empty_corpus_raises_cleanly(spark):
+    """Empty-corpus guards across the ANN tier: clear ValueError, not
+    a NoneType crash from the dimension/seed probes."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.catalog import table
+    from bitcoin_olap_spark.operators.vectors import (
+        ivf_topk_exact,
+        topk_lsh,
+    )
+
+    empty = table(spark, SF_ORACLE, "embeddings").filter(F.lit(False))
+    q = table(spark, SF_ORACLE, "embeddings").limit(1)
+    with pytest.raises(ValueError, match="corpus is empty"):
+        topk_lsh(empty, q, "vec_id", "embedding")
+    with pytest.raises(ValueError, match="corpus is empty"):
+        ivf_topk_exact(empty, q, "vec_id", "embedding")

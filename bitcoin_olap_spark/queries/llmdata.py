@@ -1794,3 +1794,116 @@ def text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").cast("double").alias("freq"),
     )
     return loglog_ols_exact(ranked, "rnk", "freq")
+
+
+@query(
+    "sample_dsir",
+    oracle="""
+    WITH wc AS (
+        SELECT doc_id, w FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+            FROM documents
+        ) WHERE w != ''
+    ), lm_r AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS cr FROM wc GROUP BY 1
+    ), lm_t AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS ct
+        FROM wc JOIN documents USING (doc_id)
+        WHERE lang = 'en' GROUP BY 1
+    ), consts AS (
+        SELECT (SELECT CAST(SUM(cr) AS BIGINT) FROM lm_r) AS nr,
+               (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) FROM lm_t)
+                   AS nt,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lm_r) AS v
+    ), dict AS (
+        SELECT r.w,
+               ln(CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE) / (c.nt + c.v))
+               - ln(CAST(r.cr + 1 AS DOUBLE) / (c.nr + c.v)) AS lr
+        FROM lm_r r LEFT JOIN lm_t t USING (w) CROSS JOIN consts c
+    ), scored AS (
+        SELECT wc.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               round(SUM(d.lr), 6) AS logw
+        FROM wc JOIN dict d USING (w)
+        GROUP BY 1
+    )
+    SELECT doc_id, n_words, logw, rk FROM (
+        SELECT *, CAST(row_number() OVER (
+            ORDER BY logw DESC, doc_id) AS BIGINT) AS rk
+        FROM scored
+    ) WHERE rk <= 100
+    """,
+)
+def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023 — the standard recipe for steering a raw crawl toward a
+    target domain): score every document by its unigram importance
+    log-weight sum_w [ln p_target(w) - ln p_raw(w)] and keep the
+    top-100. Target model = the corpus's lang='en' slice; raw model =
+    the whole corpus; both Laplace-smoothed ((cnt+1)/(N+V), V = raw
+    vocabulary). The per-WORD log-ratio is precomputed into one
+    vocabulary-sized dictionary relation — built with two map-side-
+    combinable aggregates and broadcast to the scoring join, so the
+    corpus is never shuffled by word and the only corpus-scale
+    exchange is the per-doc sum on doc_id. Weight rounds 6dp
+    (SURVEY.md §5.1 transcendental rule: ln differs ~1 ULP across
+    engines and double sums are order-dependent); ranking breaks ties
+    on doc_id, so the top-100 cut is engine-stable. At 100 TB the
+    dictionary stays vocabulary-sized (the hashed-vocab variant in
+    text_hash_embed is the fallback when it is not)."""
+    docs = table(spark, sf_dir, "documents", spread=True)
+    wc = docs.select(
+        "doc_id", F.explode(TX.words(F.lower(F.col("text")))).alias("w")
+    ).filter(F.col("w") != "")
+    # vocabulary-sized; pinned so the broadcast subtree and the three
+    # scalar constants don't each re-run the corpus explode+aggregate
+    lm_r = (
+        wc.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cr"))
+        .localCheckpoint()
+    )
+    wt = wc.join(
+        docs.filter(F.col("lang") == "en").select("doc_id"), "doc_id"
+    )
+    lm_t = wt.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("ct")
+    )
+    consts = (
+        lm_r.agg(
+            F.sum("cr").cast("long").alias("nr"),
+            F.count(F.lit(1)).cast("long").alias("v"),
+        )
+        .crossJoin(
+            lm_t.agg(
+                F.coalesce(F.sum("ct"), F.lit(0))
+                .cast("long")
+                .alias("nt")
+            )
+        )
+    )
+    lr = F.log(
+        (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+        / (F.col("nt") + F.col("v"))
+    ) - F.log((F.col("cr") + 1).cast("double") / (F.col("nr") + F.col("v")))
+    dic = (
+        lm_r.join(lm_t, "w", "left")
+        .crossJoin(F.broadcast(consts))
+        .select("w", lr.alias("lr"))
+    )
+    scored = (
+        wc.join(F.broadcast(dic), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.round(F.sum("lr"), 6).alias("logw"),
+        )
+    )
+    return (
+        scored.withColumn(
+            "rk",
+            F.row_number()
+            .over(Window.orderBy(F.desc("logw"), F.asc("doc_id")))
+            .cast("long"),
+        )
+        .filter(F.col("rk") <= 100)
+    )

@@ -93,6 +93,61 @@ def quality_metrics(text: str | Column) -> dict[str, Column]:
     }
 
 
+#: Gopher/MassiveText repetition-filter stopword set (Rae et al. 2021,
+#: arXiv:2112.11446 §A1.1: "the, be, to, of, and, that, have, with").
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_metrics(text: str | Column) -> dict[str, Column]:
+    """Gopher/MassiveText quality-filter metrics (Rae et al. 2021
+    §A1.1), computed entirely JVM-side on one word split and one line
+    split: word count, mean word length (exact integer length sum, one
+    IEEE division), fraction of words with an alphabetic character,
+    symbol-to-word fraction ('#' or '...'), non-distinct Gopher
+    stopword count, and bullet-start / ellipsis-end line fractions.
+    Every ratio is a single division of exact integers, so any engine
+    reproduces the doubles bit-for-bit.
+
+    DuckDB twins (used by the text_gopher_rules oracle):
+    list_sum(list_transform(ws, w -> length(w))),
+    len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))),
+    len(list_filter(lines, l -> starts_with(l, '-') ...)), etc.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    ws = words(F.lower(c))
+    lines = F.split(c, "\n")
+    n_words = F.size(ws).cast("long")
+    n_lines = F.size(lines).cast("long")
+    sum_len = F.aggregate(
+        ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    stop = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    n_alpha = F.size(F.filter(ws, lambda w: w.rlike("[a-z]")))
+    n_symbol = F.size(
+        F.filter(ws, lambda w: w.contains("#") | w.contains("..."))
+    )
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: l.startswith("-")
+            | l.startswith("*")
+            | l.startswith("•"),
+        )
+    )
+    n_ellipsis = F.size(F.filter(lines, lambda l: l.endswith("...")))
+    return {
+        "n_words": n_words,
+        "mean_word_len": sum_len.cast("double") / n_words,
+        "alpha_frac": n_alpha.cast("double") / n_words,
+        "symbol_frac": n_symbol.cast("double") / n_words,
+        "n_stop": F.size(
+            F.filter(ws, lambda w: F.array_contains(stop, w))
+        ).cast("long"),
+        "bullet_frac": n_bullet.cast("double") / n_lines,
+        "ellipsis_frac": n_ellipsis.cast("double") / n_lines,
+    }
+
+
 def token_counts(text: str | Column) -> dict[str, Column]:
     """Whitespace and regex (BPE-ish) token counts.
     DuckDB twin: len(regexp_extract_all(lower(t), TOKEN_RE))."""

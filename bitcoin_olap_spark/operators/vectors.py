@@ -141,18 +141,26 @@ def exact_score_pairs_arrow(
     b_id: str,
     a_vec: str = "_va",
     b_vec: str = "_vb",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """EXACT-mode cosine over a pair relation, Arrow-batched numpy:
-    (a_id, b_id, cosine double) with the same fixed-point accumulation
-    as `cosine_col_exact` — bit-identical values, ~50x the throughput
-    of the interpreted higher-order-function fold. The shared verify
-    kernel of the exact all-pairs and LSH operators."""
+    (a_id, b_id, [extra_cols...,] cosine double) with the same
+    fixed-point accumulation as `cosine_col_exact` — bit-identical
+    values, ~50x the throughput of the interpreted
+    higher-order-function fold. The shared verify kernel of the exact
+    all-pairs and LSH operators. `extra_cols` pass through untouched
+    (e.g. cluster id / centroid distance for SemDeDup's survivor rule)
+    so callers don't pay a join-back to recover pair metadata."""
     import numpy as np
     import pandas as pd
 
     a_type = pairs.schema[a_id].dataType.simpleString()
     b_type = pairs.schema[b_id].dataType.simpleString()
-    out_schema = f"{a_id} {a_type}, {b_id} {b_type}, cosine double"
+    fields = [f"{a_id} {a_type}", f"{b_id} {b_type}"]
+    for c in extra_cols:
+        fields.append(f"{c} {pairs.schema[c].dataType.simpleString()}")
+    fields.append("cosine double")
+    out_schema = ", ".join(fields)
 
     def score(batches):
         for pdf in batches:
@@ -170,9 +178,11 @@ def exact_score_pairs_arrow(
             cos = dot.astype(np.float64) / np.sqrt(
                 na.astype(np.float64) * nb.astype(np.float64)
             )
-            yield pd.DataFrame(
-                {a_id: pdf[a_id], b_id: pdf[b_id], "cosine": cos}
-            )
+            out = {a_id: pdf[a_id], b_id: pdf[b_id]}
+            for c in extra_cols:
+                out[c] = pdf[c]
+            out["cosine"] = cos
+            yield pd.DataFrame(out)
 
     return pairs.mapInPandas(score, schema=out_schema)
 

@@ -419,20 +419,14 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.topk_lsh(emb, queries, "vec_id", "embedding", k=10, num_planes=6)
 
 
-def _oracle_ivf_sql(
-    K: int = 16,
-    iters: int = 2,
-    nprobe: int = 4,
-    kk: int = 10,
-    S: int = 1 << 20,
-    dim: int = 64,
-) -> str:
-    """DuckDB twin of sim_topk_ivf, end to end: the fixed-point Lloyd
-    quantizer unrolled as chained CTEs (the ml_kmeans_lloyd
-    recurrence), integer-key list assignment + probe ranking, and the
-    exact fixed-point cosine verify (the sim_topk_lsh oracle's
-    scoring fragment). Everything is int64 or one deterministic IEEE
-    op, so buckets, candidates, scores, and ranks all hash-match."""
+def _lloyd_prefix_sql(K: int, iters: int, S: int, dim: int) -> str:
+    """Shared WITH-prefix for every oracle that replays the fixed-point
+    Lloyd quantizer (ml/clustering.lloyd_fixed) in SQL: fixed-point
+    grid `q`/`xl`, lowest-id seeds, `iters` unrolled rounds (integer
+    argmin with low-cid ties, floor-division means, empty centroids
+    carried), ending at `dfin` = final per-(vector, centroid) int64
+    squared-L2 distances. sim_topk_ivf and sim_semdedup both build on
+    it — one quantizer recurrence, one SQL twin."""
     from .analytics import _fdiv_sql
 
     def d(expr: str) -> str:
@@ -489,7 +483,28 @@ def _oracle_ivf_sql(
         SELECT x.vec_id, c.cid,
                CAST(SUM((x.xv - c.cv) * (x.xv - c.cv)) AS BIGINT) AS d
         FROM xl x JOIN c{iters} c ON x.j = c.j GROUP BY 1, 2
-    ),
+    )"""
+    )
+    return "".join(parts)
+
+
+def _oracle_ivf_sql(
+    K: int = 16,
+    iters: int = 2,
+    nprobe: int = 4,
+    kk: int = 10,
+    S: int = 1 << 20,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of sim_topk_ivf, end to end: the fixed-point Lloyd
+    quantizer unrolled as chained CTEs (the ml_kmeans_lloyd
+    recurrence), integer-key list assignment + probe ranking, and the
+    exact fixed-point cosine verify (the sim_topk_lsh oracle's
+    scoring fragment). Everything is int64 or one deterministic IEEE
+    op, so buckets, candidates, scores, and ranks all hash-match."""
+    parts = [_lloyd_prefix_sql(K, iters, S, dim)]
+    parts.append(
+        f""",
     lists AS (
         SELECT vec_id, CAST(MIN(d * {K} + cid) % {K} AS BIGINT) AS cid
         FROM dfin GROUP BY 1
@@ -592,6 +607,155 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=4,
         iters=2,
         centroids=cents,
+    )
+
+
+def _oracle_semdedup_sql(
+    K: int = 16,
+    iters: int = 2,
+    tau: float = 0.4,
+    S: int = 1 << 20,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of sim_semdedup, end to end: the shared Lloyd
+    prefix (quantizer training + final distances), integer cluster
+    assignment WITH the centroid distance (key // K — matching
+    assign_fixed_arrow's with_dist output), within-cluster ordered
+    pairs, the exact fixed-point cosine verify, and the SemDeDup
+    survivor rule (drop the pair member CLOSER to its centroid; on
+    equal distance drop the higher id). Everything is int64 or one
+    deterministic IEEE op, so clusters, edges, and flags hash-match."""
+    return (
+        _lloyd_prefix_sql(K, iters, S, dim)
+        + f""",
+    asg AS (
+        SELECT vec_id, MIN(d * {K} + cid) AS key FROM dfin GROUP BY 1
+    ),
+    lists AS (
+        SELECT vec_id, CAST(key % {K} AS BIGINT) AS cid,
+               CAST(key // {K} AS BIGINT) AS dist_sq
+        FROM asg
+    ),
+    p AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               a.dist_sq AS da, b.dist_sq AS db
+        FROM lists a JOIN lists b
+          ON a.cid = b.cid AND a.vec_id < b.vec_id
+    ),
+    pos AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ),
+    norms AS (
+        SELECT vec_id, SUM(CAST(floor((x * x) * 1e16) AS BIGINT))
+               AS norm_sq
+        FROM pos GROUP BY 1
+    ),
+    dots AS (
+        SELECT p.a_id, p.b_id, p.da, p.db,
+               SUM(CAST(floor((a.x * b.x) * 1e16) AS BIGINT)) AS dot
+        FROM p
+        JOIN pos a ON a.vec_id = p.a_id
+        JOIN pos b ON b.vec_id = p.b_id AND b.pos = a.pos
+        GROUP BY 1, 2, 3, 4
+    ),
+    edges AS (
+        SELECT a_id, b_id, da, db FROM (
+            SELECT d.a_id, d.b_id, d.da, d.db,
+                   ROUND(CAST(dot AS DOUBLE) /
+                         sqrt(CAST(na.norm_sq AS DOUBLE) *
+                              CAST(nb.norm_sq AS DOUBLE)), 6) AS cosine
+            FROM dots d
+            JOIN norms na ON na.vec_id = d.a_id
+            JOIN norms nb ON nb.vec_id = d.b_id
+        ) WHERE cosine >= {tau}
+    ),
+    removed AS (
+        SELECT DISTINCT CASE WHEN da < db THEN a_id ELSE b_id END
+               AS vec_id
+        FROM edges
+    )
+    SELECT l.vec_id, l.cid, l.dist_sq,
+           (r.vec_id IS NOT NULL) AS is_dup
+    FROM lists l LEFT JOIN removed r USING (vec_id)"""
+    )
+
+
+@query("sim_semdedup", oracle=_oracle_semdedup_sql())
+def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    dedup by clustering embeddings (the shared fixed-point Lloyd
+    quantizer — same trained centroids the IVF index memoizes) and
+    comparing pairs ONLY within a cluster — the cluster structure
+    bounds the all-pairs quadratic, which is the whole reason the
+    recipe scales to web corpora (the paper prunes LAION/C4 with k in
+    the tens of thousands; k grows with the corpus so per-cluster
+    population stays bounded). Within a cluster, any pair with exact
+    fixed-point cosine >= 0.4 marks the member CLOSER to the centroid
+    as the duplicate (the paper's keep-low-centroid-similarity rule:
+    survivors spread toward cluster edges, preserving diversity);
+    integer centroid distances make the rule engine-exact, ties drop
+    the higher id.
+
+    Plan shape: ONE map-only Arrow assignment (no shuffle), one
+    cid-keyed shuffle for the within-cluster self-join (clusters are
+    the partitioning unit, exactly how a distributed SemDeDup
+    shards), Arrow-batched exact scoring with pair metadata carried
+    through the kernel (no join-back), and a broadcast-sized removal
+    set joined to the assignment. ENGINE-EXACT end to end — the
+    oracle replays training, assignment, pairing, scoring, and the
+    survivor rule bit-for-bit in SQL."""
+    import os
+
+    from ..ml.clustering import lloyd_fixed, quantize_fixed
+
+    emb = table(spark, sf_dir, "embeddings")
+    base = quantize_fixed(emb, "vec_id", "embedding")
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    cents = _IVF_LLOYD_CACHE.get(key)
+    if cents is None:
+        cents = lloyd_fixed(base, "vec_id", 16, 2, dim=64)
+        _IVF_LLOYD_CACHE[key] = cents
+    assigned = V.assign_fixed_arrow(
+        base, "vec_id", cents, 16, keep_cols=("embedding",), with_dist=True
+    ).localCheckpoint()
+    a = assigned.select(
+        "cid",
+        F.col("vec_id").alias("a_id"),
+        F.col("dist_sq").alias("da"),
+        F.col("embedding").alias("_va"),
+    )
+    b = assigned.select(
+        "cid",
+        F.col("vec_id").alias("b_id"),
+        F.col("dist_sq").alias("db"),
+        F.col("embedding").alias("_vb"),
+    )
+    pairs = a.join(b, "cid").filter(F.col("a_id") < F.col("b_id"))
+    scored = V.exact_score_pairs_arrow(
+        pairs.select("a_id", "b_id", "da", "db", "_va", "_vb"),
+        "a_id",
+        "b_id",
+        extra_cols=("da", "db"),
+    )
+    removed = (
+        scored.filter(F.round("cosine", 6) >= 0.4)
+        .select(
+            F.when(F.col("da") < F.col("db"), F.col("a_id"))
+            .otherwise(F.col("b_id"))
+            .alias("vec_id")
+        )
+        .distinct()
+        .withColumn("_r", F.lit(1))
+    )
+    # un-hinted: the removal set is usually tiny (AQE broadcasts it
+    # from measured bytes) but can approach corpus size on a
+    # duplicate-heavy crawl — the r5 lesson: let runtime stats pick
+    return assigned.select("vec_id", "cid", "dist_sq").join(
+        removed, "vec_id", "left"
+    ).select(
+        "vec_id", "cid", "dist_sq", F.col("_r").isNotNull().alias("is_dup")
     )
 
 
@@ -985,6 +1149,86 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise("drop")
         .alias("verdict"),
+    )
+
+
+@query(
+    "text_gopher_rules",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               string_split(lower(text), ' ') AS ws,
+               string_split(text, chr(10)) AS lines
+        FROM documents
+    ), f AS (
+        SELECT doc_id,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(ws, w -> length(w)))
+                    AS DOUBLE) / len(ws) AS mean_word_len,
+               CAST(len(list_filter(ws,
+                        w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+                   / len(ws) AS alpha_frac,
+               CAST(len(list_filter(ws,
+                        w -> contains(w, '#') OR contains(w, '...')))
+                    AS DOUBLE) / len(ws) AS symbol_frac,
+               CAST(len(list_filter(ws,
+                        w -> list_contains(['the','be','to','of','and',
+                                            'that','have','with'], w)))
+                    AS BIGINT) AS n_stop,
+               CAST(len(list_filter(lines,
+                        l -> starts_with(l, '-') OR starts_with(l, '*')
+                             OR starts_with(l, '•'))) AS DOUBLE)
+                   / len(lines) AS bullet_frac,
+               CAST(len(list_filter(lines, l -> ends_with(l, '...')))
+                    AS DOUBLE) / len(lines) AS ellipsis_frac
+        FROM m
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_frac, symbol_frac,
+           n_stop, bullet_frac, ellipsis_frac,
+           CASE WHEN n_words >= 50 AND n_words <= 100000
+                 AND mean_word_len >= 3 AND mean_word_len <= 10
+                 AND symbol_frac <= 0.1 AND alpha_frac >= 0.8
+                 AND n_stop >= 2 AND bullet_frac <= 0.9
+                 AND ellipsis_frac <= 0.3
+                THEN 'keep' ELSE 'drop' END AS verdict
+    FROM f
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText quality filter (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1): word-count bounds [50, 100k], mean word
+    length [3, 10], symbol-to-word ratio <= 0.1, >= 80% words with an
+    alphabetic character, >= 2 of the paper's 8 stopwords, < 90%
+    bullet-start lines, < 30% ellipsis-end lines — the standard
+    rule-based tier a curation pipeline runs after language ID and
+    before model-based scoring. Map-only JVM built-ins over one word
+    split and one line split (operators/text.gopher_metrics); every
+    ratio is a single division of exact integers, so the verdict is
+    bit-stable on any engine. Scale: embarrassingly parallel, no
+    shuffle, column-pruned to (doc_id, text)."""
+    docs = table(spark, sf_dir, "documents")
+    g = TX.gopher_metrics("text")
+    keep = (
+        (g["n_words"] >= 50)
+        & (g["n_words"] <= 100000)
+        & (g["mean_word_len"] >= 3)
+        & (g["mean_word_len"] <= 10)
+        & (g["symbol_frac"] <= 0.1)
+        & (g["alpha_frac"] >= 0.8)
+        & (g["n_stop"] >= 2)
+        & (g["bullet_frac"] <= 0.9)
+        & (g["ellipsis_frac"] <= 0.3)
+    )
+    return docs.select(
+        "doc_id",
+        g["n_words"].alias("n_words"),
+        g["mean_word_len"].alias("mean_word_len"),
+        g["alpha_frac"].alias("alpha_frac"),
+        g["symbol_frac"].alias("symbol_frac"),
+        g["n_stop"].alias("n_stop"),
+        g["bullet_frac"].alias("bullet_frac"),
+        g["ellipsis_frac"].alias("ellipsis_frac"),
+        F.when(keep, "keep").otherwise("drop").alias("verdict"),
     )
 
 
@@ -1618,6 +1862,96 @@ def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "avg_neg_logp"
             ),
         )
+    )
+
+
+@query(
+    "sample_ccnet_buckets",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+    ), wc AS (
+        SELECT doc_id, lang, w FROM w WHERE w != ''
+    ), lm AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM wc GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM lm
+    ), s AS (
+        SELECT wc.doc_id, wc.lang,
+               round(SUM(-ln(CAST(lm.cnt AS DOUBLE) / tot.n))
+                     / COUNT(*), 6) AS avg_neg_logp
+        FROM wc JOIN lm USING (w) CROSS JOIN tot
+        GROUP BY 1, 2
+    ), b AS (
+        SELECT doc_id, lang, avg_neg_logp,
+               ntile(3) OVER (PARTITION BY lang
+                              ORDER BY avg_neg_logp, doc_id) AS t
+        FROM s
+    )
+    SELECT doc_id, lang, avg_neg_logp,
+           CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+           (t < 3) AS kept
+    FROM b
+    """,
+)
+def sample_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al.
+    2020, arXiv:1911.00359): score every document under the corpus
+    unigram LM (the text_perplexity pipeline — broadcast dictionary,
+    one doc-keyed shuffle), then split each language's documents into
+    perplexity terciles with ntile(3); CCNet trains on head+middle
+    and drops the tail, so `kept` = bucket != 'tail'. The tercile
+    window partitions by lang — per-language ordering is the step
+    that makes the filter calibration-free across languages (a
+    well-resourced language's LM yields lower absolute perplexities;
+    ranking within the language cancels that). Deterministic: scores
+    round to 6dp and doc_id breaks ties, so the tercile boundaries
+    are engine-exact. Scale: the LM is vocabulary-sized (broadcast);
+    the window shuffles once on lang — at 100 TB swap ntile for the
+    approx-quantile boundary pattern sample_stratified uses if a
+    single language's partition outgrows an executor."""
+    docs = table(spark, sf_dir, "documents", spread=True)
+    wc = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(TX.words(F.lower(F.col("text")))).alias("w"),
+    ).filter(F.col("w") != "")
+    lm = (
+        wc.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint()
+    )
+    tot = lm.agg(F.sum("cnt").cast("long").alias("n"))
+    neg_logp = -F.log(F.col("cnt").cast("double") / F.col("n"))
+    scores = (
+        wc.join(F.broadcast(lm), "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(F.sum(neg_logp) / F.count(F.lit(1)), 6).alias(
+                "avg_neg_logp"
+            )
+        )
+    )
+    t = F.ntile(3).over(
+        Window.partitionBy("lang").orderBy("avg_neg_logp", "doc_id")
+    )
+    return scores.select(
+        "doc_id",
+        "lang",
+        "avg_neg_logp",
+        t.alias("t"),
+    ).select(
+        "doc_id",
+        "lang",
+        "avg_neg_logp",
+        F.when(F.col("t") == 1, "head")
+        .when(F.col("t") == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+        (F.col("t") < 3).alias("kept"),
     )
 
 

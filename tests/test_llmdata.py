@@ -420,3 +420,65 @@ def test_ann_empty_corpus_raises_cleanly(spark):
         topk_lsh(empty, q, "vec_id", "embedding")
     with pytest.raises(ValueError, match="corpus is empty"):
         ivf_topk_exact(empty, q, "vec_id", "embedding")
+
+
+def test_semdedup_survivor_rule_and_coverage(spark):
+    """sim_semdedup invariants, recomputed independently in numpy:
+    (a) soundness — every flagged doc has a same-cluster neighbor with
+    exact cosine >= tau; (b) edge coverage — every same-cluster pair
+    over tau has at least one flagged endpoint; (c) the SemDeDup
+    survivor rule — for each over-tau pair, the endpoint closer to the
+    centroid (smaller integer dist_sq, ties to the higher id) is the
+    flagged one whenever the other endpoint survived."""
+    import numpy as np
+
+    from bitcoin_olap_spark.queries.llmdata import sim_semdedup
+    from bitcoin_olap_spark.catalog import table
+
+    rows = sim_semdedup(spark, SF_ORACLE).collect()
+    flags = {r.vec_id: r.is_dup for r in rows}
+    meta = {r.vec_id: (r.cid, r.dist_sq) for r in rows}
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in table(spark, SF_ORACLE, "embeddings").collect()
+    }
+    assert set(flags) == set(emb)
+
+    scale = 1e16
+
+    def cos(a, b):
+        va, vb = emb[a], emb[b]
+        dot = np.floor(va * vb * scale).astype(np.int64).sum()
+        na = np.floor(va * va * scale).astype(np.int64).sum()
+        nb = np.floor(vb * vb * scale).astype(np.int64).sum()
+        return round(float(dot) / np.sqrt(float(na) * float(nb)), 6)
+
+    ids = sorted(emb)
+    edges = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if meta[a][0] == meta[b][0] and cos(a, b) >= 0.4:
+                edges.append((a, b))
+    assert edges, "corpus should contain within-cluster near-dup pairs"
+
+    neighbors = {v: False for v in ids}
+    for a, b in edges:
+        neighbors[a] = neighbors[b] = True
+    for v in ids:
+        if flags[v]:
+            assert neighbors[v], f"{v} flagged without an over-tau neighbor"
+    n_dup = sum(flags.values())
+    assert 0 < n_dup < len(ids)
+
+    for a, b in edges:
+        da, db = meta[a][1], meta[b][1]
+        loser = a if da < db else b
+        assert flags[a] or flags[b], f"edge ({a},{b}) has no flagged endpoint"
+        if not flags[a] and not flags[b]:
+            continue
+        # if exactly one endpoint is flagged, it must be the rule's loser
+        if flags[a] != flags[b]:
+            flagged = a if flags[a] else b
+            assert flagged == loser, (
+                f"edge ({a},{b}): flagged {flagged} but rule drops {loser}"
+            )

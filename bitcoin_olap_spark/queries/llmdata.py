@@ -711,6 +711,23 @@ def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.clustering import lloyd_fixed, quantize_fixed
 
     emb = table(spark, sf_dir, "embeddings")
+    # SemDeDup's quadratic is bounded BY the cluster size: the paper
+    # scales k with the corpus (tens of thousands of clusters on
+    # LAION) precisely so per-cluster population stays flat. k is
+    # pinned to 16 here for the unrolled SQL oracle, so hard-gate the
+    # mean population like dedup_embedding_cosine's _gate_allpairs —
+    # misuse at a bigger corpus should error with the fix, not
+    # silently go quadratic.
+    n_corpus = emb.count()
+    if n_corpus > 16 * 2048:
+        raise ValueError(
+            f"sim_semdedup: {n_corpus} vectors over 16 clusters is "
+            f"~{n_corpus // 16} per cluster — the within-cluster "
+            "pair stage would go quadratic. Scale k with the corpus "
+            "(ml/clustering.lloyd_fixed + operators/vectors."
+            "assign_fixed_arrow accept any k; SemDeDup uses k ~ "
+            "corpus/1000) instead of raising this gate."
+        )
     base = quantize_fixed(emb, "vec_id", "embedding")
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     cents = _IVF_LLOYD_CACHE.get(key)

@@ -52,43 +52,92 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _hot_hash_row(
-    arrs: DataFrame, df_cap: int, max_hot: int
-) -> DataFrame:
-    """ONE-row relation holding the sorted array of 'hot' shingle
-    hashes — those whose corpus document frequency exceeds `df_cap`.
-    Derived relationally (explode -> map-side-combinable df count ->
-    filter -> collect into one array); the collect ceiling is gated
-    JVM-side with raise_error at `max_hot` entries (#hot hashes is
-    bounded by shingle_rows/df_cap but in a real corpus is the tiny
-    boilerplate vocabulary — the gate turns a pathological corpus into
-    a clear error instead of a driver-melting broadcast)."""
+def _capped_explode(
+    arrs: DataFrame, id_col: str, df_cap: int
+) -> tuple[DataFrame, DataFrame]:
+    """(kept, drops) under a corpus document-frequency cap, fully
+    relational — no driver collect, no broadcast array, no per-row
+    set probe, so there is nothing to gate at any corpus size:
+
+    - kept:  the exploded (id, n_shingles, h) shingle-hash rows whose
+      hash has corpus df <= df_cap, via a LEFT ANTI join against the
+      hot-hash relation (AQE broadcasts it while the boilerplate
+      vocabulary is small, shuffles when it is not — either way the
+      hot set never lands on the driver).
+    - drops: per-doc (id, _drop) for docs that LOST >= 1 shingle to
+      the cap (only those rows — callers coalesce the rest to 0).
+      Joined at the candidate-PAIR grain downstream, not carried on
+      every exploded row: pairs are the small relation after the
+      self-join cut, the corpus is not.
+
+    A doc whose every shingle is hot vanishes from `kept` entirely —
+    it can form no candidate pair, which is exactly the documented
+    recall loss of the cap, so its absence from `drops` is harmless.
+
+    Replaced (r6, measured at sf0.1 / df_cap=4 where 25.8k of 29.6k
+    distinct trigram hashes are over-cap): broadcasting the hot set
+    as ONE sorted array and running array_except per document built a
+    25k-entry probe set per row — twice per self-join side — for
+    3.2 s per query vs 0.8 s uncapped; the anti-join form pays one
+    extra df-count aggregate and is the shape that survives a
+    boilerplate vocabulary too large to broadcast."""
+    ex = arrs.select(
+        F.col(id_col),
+        "n_shingles",
+        F.explode(
+            F.transform("arr", lambda s: F.xxhash64(s))
+        ).alias("h"),
+    )
+    # Both derived relations are CACHED because each is consumed by
+    # several branches of one query and Spark's exchange reuse does
+    # not dedupe them (measured: 0 ReusedExchange, the df-count
+    # aggregate ran 4x). hot is the over-cap vocabulary — small by
+    # definition; with it cached, every re-derivation of `kept` is a
+    # map-side explode off the cached doc arrays + an anti join that
+    # AQE broadcasts, i.e. no repeated shuffle. drops is (id, int)
+    # for dropped docs only — strictly smaller than the per-doc array
+    # cache the callers already hold.
     hot = (
-        arrs.select(
-            F.explode(
-                F.transform("arr", lambda s: F.xxhash64(s))
-            ).alias("h")
-        )
-        .groupBy("h")
+        ex.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > df_cap)
-        .agg(F.array_sort(F.collect_list("h")).alias("hot"))
+        .select("h")
+        .cache()
     )
-    return hot.select(
-        F.when(F.size("hot") <= max_hot, F.col("hot"))
-        .otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit("df_cap produced "),
-                    F.size("hot").cast("string"),
-                    F.lit(
-                        f" hot hashes > max_hot={max_hot}; raise "
-                        "df_cap or max_hot"
-                    ),
-                )
-            )
+    kept = ex.join(hot, "h", "left_anti")
+    drops = (
+        kept.groupBy(id_col)
+        .agg(
+            (F.first("n_shingles") - F.count(F.lit(1))).alias("_drop")
         )
-        .alias("hot")
+        .filter(F.col("_drop") > 0)
+        .cache()
+    )
+    return kept, drops
+
+
+def _join_pair_drops(
+    pairs: DataFrame, drops: DataFrame, id_col: str, a: str, b: str
+) -> DataFrame:
+    """Attach per-doc cap drop-counts `_da`/`_db` (0 when the doc lost
+    nothing) to a candidate-pair relation via two left joins on the
+    tiny dropped-docs relation."""
+    return (
+        pairs.join(
+            drops.select(
+                F.col(id_col).alias(a), F.col("_drop").alias("_da")
+            ),
+            a,
+            "left",
+        )
+        .join(
+            drops.select(
+                F.col(id_col).alias(b), F.col("_drop").alias("_db")
+            ),
+            b,
+            "left",
+        )
+        .fillna(0, subset=["_da", "_db"])
     )
 
 
@@ -99,7 +148,6 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     df_cap: int | None = None,
-    max_hot: int = 200_000,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard near-dup pairs (doc_a < doc_b, jaccard).
 
@@ -149,14 +197,18 @@ def jaccard_pairs(
     removed BEFORE the candidate self-join — a boilerplate trigram
     shared by 1M documents is ~5e11 candidate rows that AQE can
     spread but never shrink; capping removes the quadratic hot key at
-    the source. The phase-1 cut is widened by least(dropped_a,
-    dropped_b) — an upper bound on how many common shingles the cap
-    could have hidden — so every TRUE pair that shares at least one
-    under-cap shingle still reaches the exact verify (which uses the
-    FULL arrays; the cut stays a superset even under hash collisions,
-    because a collision-dropped shingle also inflates the dropped
-    counts). The ONLY recall loss is a pair sharing NO under-cap
-    shingle — documents made entirely of corpus boilerplate — the
+    the source, via a fully relational anti-join against the hot-hash
+    relation (_capped_explode — no driver collect, no broadcast
+    array, so no corpus can melt the driver). The phase-1 cut is
+    widened by least(dropped_a, dropped_b) — an upper bound on how
+    many common shingles the cap could have hidden, joined onto the
+    candidate PAIRS (the small relation), not onto every exploded row
+    — so every TRUE pair that shares at least one under-cap shingle
+    still reaches the exact verify (which uses the FULL arrays; the
+    cut stays a superset even under hash collisions, because a
+    collision-dropped shingle also inflates the dropped counts). The
+    ONLY recall loss is a pair sharing NO under-cap shingle —
+    documents made entirely of corpus boilerplate — the
     documented-lossy trade every production dedup recipe makes
     (pinned by tests/test_properties.py). df_cap=None (default)
     disables the cap: exact as before, no extra aggregation job.
@@ -176,32 +228,14 @@ def jaccard_pairs(
     hashes = F.transform("arr", lambda s: F.xxhash64(s))
     if df_cap is None:
         sh = arrs.select(
-            id_col,
-            "n_shingles",
-            F.lit(0).alias("_drop"),
-            F.explode(hashes).alias("h"),
+            id_col, "n_shingles", F.explode(hashes).alias("h")
         )
+        drops = None
     else:
-        kept = F.array_except(hashes, F.col("hot"))
-        sh = (
-            arrs.crossJoin(
-                F.broadcast(_hot_hash_row(arrs, df_cap, max_hot))
-            )
-            .select(
-                id_col,
-                "n_shingles",
-                (F.col("n_shingles") - F.size(kept)).alias("_drop"),
-                F.explode(kept).alias("h"),
-            )
-        )
+        sh, drops = _capped_explode(arrs, id_col, df_cap)
     a, b = sh.alias("a"), sh.alias("b")
     t = F.lit(threshold)
-    # adjusted common: common_h + least(dropped_a, dropped_b) is an
-    # upper bound on the TRUE common count, so thresholding it keeps
-    # a superset of the true pairs (with df_cap=None both drops are 0
-    # and this is exactly the old hash-count cut)
-    adj = F.col("common_h") + F.least("_da", "_db")
-    cand = (
+    grouped = (
         a.join(
             b,
             (F.col("a.h") == F.col("b.h"))
@@ -217,14 +251,24 @@ def jaccard_pairs(
             F.count(F.lit(1)).alias("common_h"),
             F.first("a.n_shingles").alias("na"),
             F.first("b.n_shingles").alias("nb"),
-            F.first("a._drop").alias("_da"),
-            F.first("b._drop").alias("_db"),
         )
-        .filter(
-            adj.cast("double") / (F.col("na") + F.col("nb") - adj) >= t
-        )
-        .select("doc_a", "doc_b")
     )
+    # adjusted common: common_h + least(dropped_a, dropped_b) is an
+    # upper bound on the TRUE common count, so thresholding it keeps
+    # a superset of the true pairs (with df_cap=None both drops are 0
+    # and this is exactly the plain hash-count cut)
+    if drops is None:
+        adj = F.col("common_h").cast("double")
+    else:
+        grouped = _join_pair_drops(
+            grouped, drops, id_col, "doc_a", "doc_b"
+        )
+        adj = (F.col("common_h") + F.least("_da", "_db")).cast(
+            "double"
+        )
+    cand = grouped.filter(
+        adj / (F.col("na") + F.col("nb") - adj) >= t
+    ).select("doc_a", "doc_b")
     # exact verify on the surviving pairs, against the compact arrays
     A = arrs.select(
         F.col(id_col).alias("doc_a"),
@@ -600,7 +644,6 @@ def containment_pairs(
     n: int = 3,
     threshold: float = 0.9,
     df_cap: int | None = None,
-    max_hot: int = 200_000,
 ) -> DataFrame:
     """Exact n-gram CONTAINMENT pairs: (doc_a, doc_b, containment)
     where containment = |A ∩ B| / |A| >= threshold — the ASYMMETRIC
@@ -629,11 +672,14 @@ def containment_pairs(
     pairs.
 
     `df_cap`: same corpus-df hot-key guard as jaccard_pairs — over-cap
-    shingles leave the candidate self-join, the phase-1 cut widens by
-    least(dropped_a, dropped_b) so it stays a superset of the true
-    pairs, and the exact verify runs on the FULL arrays; the only
-    recall loss is a pair sharing no under-cap shingle (documented-
-    lossy, property-tested). None (default) = exact, as before."""
+    shingles leave the candidate self-join via the relational
+    anti-join (_capped_explode; no broadcast array, no driver
+    collect), the phase-1 cut widens by least(dropped_a, dropped_b)
+    joined at the candidate-pair grain so it stays a superset of the
+    true pairs, and the exact verify runs on the FULL arrays; the
+    only recall loss is a pair sharing no under-cap shingle
+    (documented-lossy, property-tested). None (default) = exact, as
+    before."""
     arr = shingle_array(text_col, n, distinct=True)
     arrs = (
         _spread(df)
@@ -647,27 +693,14 @@ def containment_pairs(
     hashes = F.transform("arr", lambda s: F.xxhash64(s))
     if df_cap is None:
         sh = arrs.select(
-            id_col,
-            "n_shingles",
-            F.lit(0).alias("_drop"),
-            F.explode(hashes).alias("h"),
+            id_col, "n_shingles", F.explode(hashes).alias("h")
         )
+        drops = None
     else:
-        kept = F.array_except(hashes, F.col("hot"))
-        sh = (
-            arrs.crossJoin(
-                F.broadcast(_hot_hash_row(arrs, df_cap, max_hot))
-            )
-            .select(
-                id_col,
-                "n_shingles",
-                (F.col("n_shingles") - F.size(kept)).alias("_drop"),
-                F.explode(kept).alias("h"),
-            )
-        )
+        sh, drops = _capped_explode(arrs, id_col, df_cap)
     a, b = sh.alias("a"), sh.alias("b")
     t = F.lit(threshold)
-    cand = (
+    grouped = (
         a.join(
             b,
             (F.col("a.h") == F.col("b.h"))
@@ -681,14 +714,19 @@ def containment_pairs(
             F.count(F.lit(1)).alias("common_h"),
             F.first("a.n_shingles").alias("_na"),
             F.first("b.n_shingles").alias("_nb"),
-            F.first("a._drop").alias("_da"),
-            F.first("b._drop").alias("_db"),
         )
-        .filter(
-            (F.col("common_h") + F.least("_da", "_db")).cast("double")
-            >= t * F.least("_na", "_nb")
+    )
+    if drops is None:
+        adj = F.col("common_h").cast("double")
+    else:
+        grouped = _join_pair_drops(
+            grouped, drops, id_col, "id_a", "id_b"
         )
-        .select("id_a", "id_b")
+        adj = (F.col("common_h") + F.least("_da", "_db")).cast(
+            "double"
+        )
+    cand = grouped.filter(adj >= t * F.least("_na", "_nb")).select(
+        "id_a", "id_b"
     )
     A = arrs.select(
         F.col(id_col).alias("id_a"),

@@ -1199,17 +1199,24 @@ def test_jaccard_dfcap_superset_invariant(spark):
     assert got == exact
 
 
-def test_dfcap_hot_set_gate_raises(spark):
-    """The hot-hash collect is gated: when the over-cap vocabulary
-    exceeds max_hot the job fails with a clear raise_error message
-    instead of building an unbounded broadcast array."""
-    import pytest
-
+def test_dfcap_is_relational_no_driver_hot_set(spark):
+    """The df-cap path must stay fully relational: the hot-shingle
+    vocabulary is removed via a LEFT ANTI join, never collected to
+    the driver or cross-joined as a broadcast array — so no corpus
+    size can melt the driver (this replaced the r6-early max_hot
+    gate, which existed only to protect a since-removed broadcast
+    collect). Pin the plan shape: an anti join is present, no
+    cartesian/nested-loop product is."""
     from bitcoin_olap_spark.catalog import table
     from bitcoin_olap_spark.operators.dedup import jaccard_pairs
 
     docs = table(spark, "/root/testdata/sf0.001", "documents")
-    with pytest.raises(Exception, match="hot hashes > max_hot"):
-        jaccard_pairs(
-            docs, "doc_id", "text", df_cap=1, max_hot=1
-        ).collect()
+    plan = (
+        jaccard_pairs(docs, "doc_id", "text", df_cap=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftAnti" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -54,25 +54,23 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def _capped_explode(
     arrs: DataFrame, id_col: str, df_cap: int
-) -> tuple[DataFrame, DataFrame]:
-    """(kept, drops) under a corpus document-frequency cap, fully
-    relational — no driver collect, no broadcast array, no per-row
-    set probe, so there is nothing to gate at any corpus size:
+) -> DataFrame:
+    """Exploded (id, n_shingles, h) shingle-hash rows whose hash has
+    corpus document frequency <= df_cap, fully relational — no driver
+    collect, no broadcast array, no per-row set probe, so there is
+    nothing to gate at any corpus size: a LEFT ANTI join against the
+    hot-hash relation (AQE broadcasts it while the boilerplate
+    vocabulary is small, shuffles when it is not — either way the hot
+    set never lands on the driver). `hot` is CACHED: it is consumed
+    by both sides of the candidate self-join and Spark's exchange
+    reuse does not dedupe the aggregate (measured: 0 ReusedExchange);
+    with it cached, every re-derivation of the kept rows is a
+    map-side explode off the cached doc arrays + a broadcast anti
+    join — no repeated shuffle.
 
-    - kept:  the exploded (id, n_shingles, h) shingle-hash rows whose
-      hash has corpus df <= df_cap, via a LEFT ANTI join against the
-      hot-hash relation (AQE broadcasts it while the boilerplate
-      vocabulary is small, shuffles when it is not — either way the
-      hot set never lands on the driver).
-    - drops: per-doc (id, _drop) for docs that LOST >= 1 shingle to
-      the cap (only those rows — callers coalesce the rest to 0).
-      Joined at the candidate-PAIR grain downstream, not carried on
-      every exploded row: pairs are the small relation after the
-      self-join cut, the corpus is not.
-
-    A doc whose every shingle is hot vanishes from `kept` entirely —
-    it can form no candidate pair, which is exactly the documented
-    recall loss of the cap, so its absence from `drops` is harmless.
+    A doc whose every shingle is hot vanishes entirely — it can form
+    no candidate pair, which is exactly the documented recall loss of
+    the cap.
 
     Replaced (r6, measured at sf0.1 / df_cap=4 where 25.8k of 29.6k
     distinct trigram hashes are over-cap): broadcasting the hot set
@@ -88,15 +86,6 @@ def _capped_explode(
             F.transform("arr", lambda s: F.xxhash64(s))
         ).alias("h"),
     )
-    # Both derived relations are CACHED because each is consumed by
-    # several branches of one query and Spark's exchange reuse does
-    # not dedupe them (measured: 0 ReusedExchange, the df-count
-    # aggregate ran 4x). hot is the over-cap vocabulary — small by
-    # definition; with it cached, every re-derivation of `kept` is a
-    # map-side explode off the cached doc arrays + an anti join that
-    # AQE broadcasts, i.e. no repeated shuffle. drops is (id, int)
-    # for dropped docs only — strictly smaller than the per-doc array
-    # cache the callers already hold.
     hot = (
         ex.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -104,41 +93,7 @@ def _capped_explode(
         .select("h")
         .cache()
     )
-    kept = ex.join(hot, "h", "left_anti")
-    drops = (
-        kept.groupBy(id_col)
-        .agg(
-            (F.first("n_shingles") - F.count(F.lit(1))).alias("_drop")
-        )
-        .filter(F.col("_drop") > 0)
-        .cache()
-    )
-    return kept, drops
-
-
-def _join_pair_drops(
-    pairs: DataFrame, drops: DataFrame, id_col: str, a: str, b: str
-) -> DataFrame:
-    """Attach per-doc cap drop-counts `_da`/`_db` (0 when the doc lost
-    nothing) to a candidate-pair relation via two left joins on the
-    tiny dropped-docs relation."""
-    return (
-        pairs.join(
-            drops.select(
-                F.col(id_col).alias(a), F.col("_drop").alias("_da")
-            ),
-            a,
-            "left",
-        )
-        .join(
-            drops.select(
-                F.col(id_col).alias(b), F.col("_drop").alias("_db")
-            ),
-            b,
-            "left",
-        )
-        .fillna(0, subset=["_da", "_db"])
-    )
+    return ex.join(hot, "h", "left_anti")
 
 
 def jaccard_pairs(
@@ -199,16 +154,13 @@ def jaccard_pairs(
     spread but never shrink; capping removes the quadratic hot key at
     the source, via a fully relational anti-join against the hot-hash
     relation (_capped_explode — no driver collect, no broadcast
-    array, so no corpus can melt the driver). The phase-1 cut is
-    widened by least(dropped_a, dropped_b) — an upper bound on how
-    many common shingles the cap could have hidden, joined onto the
-    candidate PAIRS (the small relation), not onto every exploded row
-    — so every TRUE pair that shares at least one under-cap shingle
-    still reaches the exact verify (which uses the FULL arrays; the
-    cut stays a superset even under hash collisions, because a
-    collision-dropped shingle also inflates the dropped counts). The
-    ONLY recall loss is a pair sharing NO under-cap shingle —
-    documents made entirely of corpus boilerplate — the
+    array, so no corpus can melt the driver). The capped path skips
+    the hash-count cut entirely: the cap already bounds candidate
+    volume at vocab * C(df_cap, 2), so EVERY pair sharing at least
+    one under-cap shingle goes straight to the exact verify on the
+    FULL arrays — the widest sound candidate set, identical to the
+    oracle's. The ONLY recall loss is a pair sharing NO under-cap
+    shingle — documents made entirely of corpus boilerplate — the
     documented-lossy trade every production dedup recipe makes
     (pinned by tests/test_properties.py). df_cap=None (default)
     disables the cap: exact as before, no extra aggregation job.
@@ -226,49 +178,49 @@ def jaccard_pairs(
         .cache()
     )
     hashes = F.transform("arr", lambda s: F.xxhash64(s))
+    t = F.lit(threshold)
     if df_cap is None:
         sh = arrs.select(
             id_col, "n_shingles", F.explode(hashes).alias("h")
         )
-        drops = None
     else:
-        sh, drops = _capped_explode(arrs, id_col, df_cap)
+        sh = _capped_explode(arrs, id_col, df_cap)
     a, b = sh.alias("a"), sh.alias("b")
-    t = F.lit(threshold)
-    grouped = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            & (F.col("a.n_shingles") >= t * F.col("b.n_shingles"))
-            & (F.col("b.n_shingles") >= t * F.col("a.n_shingles")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("common_h"),
-            F.first("a.n_shingles").alias("na"),
-            F.first("b.n_shingles").alias("nb"),
-        )
+    joined = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        & (F.col("a.n_shingles") >= t * F.col("b.n_shingles"))
+        & (F.col("b.n_shingles") >= t * F.col("a.n_shingles")),
+    ).select(
+        F.col(f"a.{id_col}").alias("doc_a"),
+        F.col(f"b.{id_col}").alias("doc_b"),
+        F.col("a.n_shingles").alias("na"),
+        F.col("b.n_shingles").alias("nb"),
     )
-    # adjusted common: common_h + least(dropped_a, dropped_b) is an
-    # upper bound on the TRUE common count, so thresholding it keeps
-    # a superset of the true pairs (with df_cap=None both drops are 0
-    # and this is exactly the plain hash-count cut)
-    if drops is None:
+    if df_cap is None:
+        # hash-count cut: collisions only INFLATE common_h, so the
+        # thresholded set is a superset of the true pairs
         adj = F.col("common_h").cast("double")
+        cand = (
+            joined.groupBy("doc_a", "doc_b")
+            .agg(
+                F.count(F.lit(1)).alias("common_h"),
+                F.first("na").alias("na"),
+                F.first("nb").alias("nb"),
+            )
+            .filter(adj / (F.col("na") + F.col("nb") - adj) >= t)
+            .select("doc_a", "doc_b")
+        )
     else:
-        grouped = _join_pair_drops(
-            grouped, drops, id_col, "doc_a", "doc_b"
-        )
-        adj = (F.col("common_h") + F.least("_da", "_db")).cast(
-            "double"
-        )
-    cand = grouped.filter(
-        adj / (F.col("na") + F.col("nb") - adj) >= t
-    ).select("doc_a", "doc_b")
+        # With the cap engaged the candidate volume is already
+        # bounded by vocab * C(df_cap, 2), so every pair sharing >= 1
+        # under-cap shingle goes straight to the exact verify — the
+        # oracle's own candidate semantics. A count-based cut widened
+        # by the per-doc drop counts was measured (r6) to prune only
+        # ~12% of candidates here while costing a count aggregate, a
+        # drop-count aggregate, and two pair-level joins.
+        cand = joined.select("doc_a", "doc_b").distinct()
     # exact verify on the surviving pairs, against the compact arrays
     A = arrs.select(
         F.col(id_col).alias("doc_a"),
@@ -674,10 +626,10 @@ def containment_pairs(
     `df_cap`: same corpus-df hot-key guard as jaccard_pairs — over-cap
     shingles leave the candidate self-join via the relational
     anti-join (_capped_explode; no broadcast array, no driver
-    collect), the phase-1 cut widens by least(dropped_a, dropped_b)
-    joined at the candidate-pair grain so it stays a superset of the
-    true pairs, and the exact verify runs on the FULL arrays; the
-    only recall loss is a pair sharing no under-cap shingle
+    collect); the capped path sends every pair sharing >= 1 under-cap
+    shingle straight to the exact verify on the FULL arrays (the cap
+    itself bounds candidate volume, see jaccard_pairs); the only
+    recall loss is a pair sharing no under-cap shingle
     (documented-lossy, property-tested). None (default) = exact, as
     before."""
     arr = shingle_array(text_col, n, distinct=True)
@@ -691,43 +643,42 @@ def containment_pairs(
         .cache()
     )
     hashes = F.transform("arr", lambda s: F.xxhash64(s))
+    t = F.lit(threshold)
     if df_cap is None:
         sh = arrs.select(
             id_col, "n_shingles", F.explode(hashes).alias("h")
         )
-        drops = None
     else:
-        sh, drops = _capped_explode(arrs, id_col, df_cap)
+        sh = _capped_explode(arrs, id_col, df_cap)
     a, b = sh.alias("a"), sh.alias("b")
-    t = F.lit(threshold)
-    grouped = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("common_h"),
-            F.first("a.n_shingles").alias("_na"),
-            F.first("b.n_shingles").alias("_nb"),
-        )
+    joined = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col("a.n_shingles").alias("_na"),
+        F.col("b.n_shingles").alias("_nb"),
     )
-    if drops is None:
-        adj = F.col("common_h").cast("double")
+    if df_cap is None:
+        cand = (
+            joined.groupBy("id_a", "id_b")
+            .agg(
+                F.count(F.lit(1)).alias("common_h"),
+                F.first("_na").alias("_na"),
+                F.first("_nb").alias("_nb"),
+            )
+            .filter(
+                F.col("common_h").cast("double")
+                >= t * F.least("_na", "_nb")
+            )
+            .select("id_a", "id_b")
+        )
     else:
-        grouped = _join_pair_drops(
-            grouped, drops, id_col, "id_a", "id_b"
-        )
-        adj = (F.col("common_h") + F.least("_da", "_db")).cast(
-            "double"
-        )
-    cand = grouped.filter(adj >= t * F.least("_na", "_nb")).select(
-        "id_a", "id_b"
-    )
+        # capped: candidates bounded by vocab * C(df_cap, 2) — all of
+        # them go straight to the exact verify (see jaccard_pairs)
+        cand = joined.select("id_a", "id_b").distinct()
     A = arrs.select(
         F.col(id_col).alias("id_a"),
         F.col("arr").alias("arr_a"),

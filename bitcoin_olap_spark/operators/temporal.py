@@ -415,3 +415,133 @@ def holt_linear_per_group(
             (F.col("_st.l") + F.col("_st.b")).alias("forecast_q"),
         )
     )
+
+
+def holt_winters_per_group(
+    df: DataFrame,
+    key_col: str,
+    order_cols: tuple[str, ...],
+    xq_col: str,
+    m: int = 7,
+) -> DataFrame:
+    """Per-group ADDITIVE Holt-Winters (triple-exponential) smoothing
+    with alpha = beta = gamma = 1/2 and season length `m`, in EXACT
+    integer arithmetic, entirely JVM-side — holt_linear_per_group
+    extended with a seasonal state:
+
+        l_t = (x_t - s_{t-m} + l_{t-1} + b_{t-1}) / 2
+        b_t = ((l_t - l_{t-1}) + b_{t-1}) / 2
+        s_t = ((x_t - l_t) + s_{t-m}) / 2
+
+    The seasonal state is a LENGTH-m ARRAY carried inside the fold's
+    struct accumulator as a circular buffer (the value for time t
+    lives at index (t-1) mod m) — a shape no window frame, no
+    single-value fold, and no recursive CTE with a scalar accumulator
+    can express, but Spark's higher-order `aggregate` runs natively:
+    one hash aggregate collects each group's ordered fixed-point
+    series (mergeable partials, one shuffle), the fold walks it in
+    the JVM with sign-safe floor divisions, every state int64-exact.
+
+    Init (deterministic, the standard simple scheme): l_0 =
+    floor-mean of the first m observations, b_0 = 0, s_j = x_j - l_0
+    for j = 1..m; the recurrence starts at t = m+1. Groups with
+    n <= m return the floor-mean level, zero trend, zero seasonal
+    term, forecast = level (no full season observed — guarded, not
+    crashed). Output: (key, n_pts, level_q, trend_q, season_q,
+    forecast_q) where season_q = s_{n+1-m} (the seasonal term the
+    one-step-ahead forecast consumes) and forecast_q = level_q +
+    trend_q + season_q, all on the caller's fixed-point scale.
+
+    Same boundedness contract as holt_linear_per_group: callers feed
+    the post-aggregation per-group grain (ts_holt_winters uses the
+    DAILY series — tens of rows per group at any corpus scale). The
+    oracle twin is a recursive CTE carrying the m seasonal slots as
+    m explicit columns updated by CASE on t mod m (DuckDB's
+    list_reduce cannot carry a struct accumulator, and its recursive
+    CTEs have no array surgery this shape needs) — states
+    hash-match exactly."""
+    ordered = F.array_sort(
+        F.collect_list(F.struct(*order_cols, xq_col))
+    )
+    g = (
+        df.groupBy(key_col)
+        .agg(ordered.alias("_seq"))
+        .select(
+            key_col,
+            F.size("_seq").cast("long").alias("n_pts"),
+            F.transform(F.col("_seq"), lambda s: s[xq_col]).alias(
+                "_xs"
+            ),
+        )
+        .select(
+            key_col,
+            "n_pts",
+            "_xs",
+            F.expr(f"least(size(_xs), {m})").alias("_mm"),
+            F.expr(
+                f"aggregate(slice(_xs, 1, least(size(_xs), {m})), "
+                "0L, (a, x) -> a + x)"
+            ).alias("_s0"),
+        )
+        .select(
+            key_col,
+            "n_pts",
+            "_xs",
+            "_mm",
+            F.expr(
+                "((_s0 - ((_s0 % _mm) + _mm) % _mm) div _mm)"
+            ).alias("_l0"),
+        )
+        .select(
+            key_col,
+            "n_pts",
+            "_xs",
+            "_l0",
+            F.expr("transform(slice(_xs, 1, _mm), x -> x - _l0)").alias(
+                "_sinit"
+            ),
+        )
+    )
+    # seasonal slot of the CURRENT step: time t = m+1+p -> index
+    # (t-1) mod m = p mod m (0-based; element_at is 1-based)
+    j = f"int((((acc.p % {m}) + {m}) % {m}))"
+    sp = f"element_at(acc.s, {j} + 1)"
+    lnew = _fd2(f"x - {sp} + acc.l + acc.b")
+    bnew = _fd2(f"{lnew} - acc.l + acc.b")
+    snew = _fd2(f"x - {lnew} + {sp}")
+    supd = (
+        f"concat(slice(acc.s, 1, {j}), array({snew}), "
+        f"slice(acc.s, {j} + 2, {m} - 1 - {j}))"
+    )
+    step = (
+        f"aggregate(slice(_xs, {m} + 1, greatest(size(_xs) - {m}, 0)), "
+        f"named_struct('l', _l0, 'b', 0L, 's', _sinit, 'p', 0), "
+        f"(acc, x) -> named_struct("
+        f"'l', {lnew}, 'b', {bnew}, 's', {supd}, 'p', acc.p + 1))"
+    )
+    # forecast for t = n+1 consumes s_{n+1-m}, last written at index
+    # n mod m; below a full season there is no seasonal estimate yet
+    season = (
+        f"CASE WHEN n_pts >= {m} THEN element_at(_st.s, "
+        f"int((((n_pts % {m}) + {m}) % {m}) + 1)) ELSE 0L END"
+    )
+    return (
+        g.select(key_col, "n_pts", F.expr(step).alias("_st"))
+        .select(
+            key_col,
+            "n_pts",
+            F.col("_st.l").alias("level_q"),
+            F.col("_st.b").alias("trend_q"),
+            F.expr(season).alias("season_q"),
+        )
+        .select(
+            key_col,
+            "n_pts",
+            "level_q",
+            "trend_q",
+            "season_q",
+            (
+                F.col("level_q") + F.col("trend_q") + F.col("season_q")
+            ).alias("forecast_q"),
+        )
+    )

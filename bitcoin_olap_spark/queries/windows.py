@@ -1345,6 +1345,117 @@ def ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _oracle_holt_winters_sql(m: int = 7) -> str:
+    """Recursive-CTE twin of operators/temporal.holt_winters_per_group:
+    the m seasonal slots ride as m explicit BIGINT columns updated by
+    CASE on t mod m (DuckDB recursion cannot do the array surgery the
+    Spark fold's circular buffer uses), every state the same sign-safe
+    floor-div integers."""
+    R = range(1, m + 1)
+    xcols = ", ".join(
+        f"SUM(CASE WHEN rn = {i} THEN xq END) AS x{i}" for i in R
+    )
+    sinit = ", ".join(f"x{i} - l0 AS s{i}" for i in R)
+    scols = ", ".join(f"s{i}" for i in R)
+    spd = (
+        f"CASE ((rec.t % {m}) + {m}) % {m} "
+        + " ".join(f"WHEN {i - 1} THEN rec.s{i}" for i in R)
+        + " END"
+    )
+    lnew = _fd2_duck("r.xq - sp + rec.l + rec.b")
+    scase = ", ".join(
+        f"CASE WHEN ((t0 % {m}) + {m}) % {m} = {i - 1} "
+        f"THEN s_new ELSE s{i} END AS s{i}"
+        for i in R
+    )
+    sfinal = (
+        f"CASE WHEN n >= {m} THEN (CASE ((n % {m}) + {m}) % {m} "
+        + " ".join(f"WHEN {i - 1} THEN s{i}" for i in R)
+        + " END) ELSE 0 END"
+    )
+    return f"""
+    WITH RECURSIVE base AS (
+        SELECT event_type,
+               {ORACLE_DAY.format(col='CAST(ts AS TIMESTAMP)')} AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT)
+                 AS xq
+        FROM events GROUP BY 1, 2
+    ), r AS (
+        SELECT event_type, xq,
+               row_number() OVER (PARTITION BY event_type ORDER BY day)
+                 AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM base
+    ), init AS (
+        SELECT event_type, ANY_VALUE(n) AS n, {xcols},
+               CAST(SUM(CASE WHEN rn <= {m} THEN xq END) AS BIGINT)
+                 AS s0,
+               LEAST(ANY_VALUE(n), {m}) AS mm
+        FROM r GROUP BY event_type
+    ), init2 AS (
+        SELECT event_type, n,
+               ((s0 - ((s0 % mm) + mm) % mm) // mm) AS l0
+        FROM init
+    ), init3 AS (
+        SELECT i2.event_type, i2.n, i2.l0, {sinit}
+        FROM init2 i2 JOIN init i ON i.event_type = i2.event_type
+    ), rec AS (
+        SELECT event_type, n, CAST({m} AS BIGINT) AS t, l0 AS l,
+               CAST(0 AS BIGINT) AS b, {scols}
+        FROM init3
+        UNION ALL
+        SELECT event_type, n, t0 + 1 AS t, l_new AS l, b_new AS b,
+               {scase}
+        FROM (
+          SELECT rec.event_type, rec.n, rec.t AS t0,
+                 {", ".join(f"rec.s{i} AS s{i}" for i in R)},
+                 {spd} AS sp,
+                 {lnew} AS l_new,
+                 {_fd2_duck("l_new - rec.l + rec.b")} AS b_new,
+                 {_fd2_duck("r.xq - l_new + sp")} AS s_new
+          FROM rec JOIN r
+            ON r.event_type = rec.event_type AND r.rn = rec.t + 1
+        ) rec0
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_pts, l AS level_q,
+           b AS trend_q, CAST({sfinal} AS BIGINT) AS season_q,
+           CAST(l + b + ({sfinal}) AS BIGINT) AS forecast_q
+    FROM rec WHERE t = n"""
+
+
+@query("ts_holt_winters", oracle=_oracle_holt_winters_sql())
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (triple-exponential) smoothing of each
+    event type's daily flow, alpha = beta = gamma = 1/2, season
+    length 7, EXACT integer arithmetic
+    (operators/temporal.holt_winters_per_group): ts_holt's coupled
+    (level, trend) recurrence extended with the weekly seasonal state
+    ts_seasonal_decompose models statically — here it updates
+    recursively, which no window frame can express. The seasonal
+    slots ride inside the JVM fold's struct accumulator as a
+    length-7 circular buffer; the oracle carries them as 7 explicit
+    recursive-CTE columns (list_reduce cannot hold a struct
+    accumulator and recursive SQL has no array surgery). One shuffle
+    for the daily aggregate, one for the per-type collect; the fold
+    is map-side. Returns (event_type, n_pts, level_q, trend_q,
+    season_q, forecast_q) with forecast_q = level + trend + s_{n+1-7}
+    — the one-step-ahead seasonal forecast, all states
+    hash-identical to the oracle's."""
+    from ..operators.temporal import holt_winters_per_group
+
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", day("ts").alias("day")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(18,4)")) * 10000)
+        .cast("long")
+        .alias("xq")
+    )
+    return holt_winters_per_group(
+        daily, "event_type", ("day",), "xq", m=7
+    )
+
+
 @query(
     "ts_xcorr",
     oracle=f"""

@@ -995,6 +995,52 @@ def test_holt_fold_matches_python_reference(spark, xs):
 
 @SETTINGS
 @given(
+    xs=st.lists(
+        st.integers(min_value=-(1 << 40), max_value=1 << 40),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_holt_winters_fold_matches_python_reference(spark, xs):
+    """holt_winters_per_group's JVM fold (seasonal circular buffer in
+    the struct accumulator) == the additive HW recurrence as a plain
+    Python loop, for any int series — exercising n < m (guarded:
+    floor-mean level, zero trend/season), n == m, and n > m where the
+    seasonal slots update circularly."""
+    from bitcoin_olap_spark.operators.temporal import (
+        holt_winters_per_group,
+    )
+
+    m = 7
+    df = spark.createDataFrame(
+        [("g", i, x) for i, x in enumerate(xs)], "k string, i int, xq long"
+    )
+    got = holt_winters_per_group(df, "k", ("i",), "xq", m=m).collect()[0]
+    mm = min(len(xs), m)
+    s0 = sum(xs[:mm])
+    l = (s0 - (((s0 % mm) + mm) % mm)) // mm
+    b = 0
+    season = [x - l for x in xs[:mm]]
+    for p, x in enumerate(xs[m:]):
+        j = p % m
+        sp = season[j]
+        nl = (x - sp + l + b) // 2
+        b = ((nl - l) + b) // 2
+        season[j] = ((x - nl) + sp) // 2
+        l = nl
+    n = len(xs)
+    sq = season[n % m] if n >= m else 0
+    assert (
+        got["n_pts"],
+        got["level_q"],
+        got["trend_q"],
+        got["season_q"],
+        got["forecast_q"],
+    ) == (n, l, b, sq, l + b + sq)
+
+
+@SETTINGS
+@given(
     spans=st.lists(
         st.tuples(
             st.integers(min_value=0, max_value=100),

@@ -1224,3 +1224,133 @@ def quantize_int8(
             F.col("_q"), F.lit(0).cast("long"), lambda acc, v: acc + F.abs(v)
         ).alias("q_l1"),
     )
+
+
+def tfidf_topk_sparse(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_pred,
+    k: int = 10,
+) -> DataFrame:
+    """Sparse tf-idf cosine top-k via an INVERTED-INDEX join — the
+    document-at-a-time retrieval shape classic IR engines run, and the
+    sparse complement of the dense ANN tiers (bruteforce/LSH/IVF/PQ):
+    where those operate on fixed-width embedding arrays, this scores
+    on the corpus's own vocabulary with no training and no vectors.
+
+    Plan (all built-ins; ONE term exchange builds the whole index):
+    1. postings  — one explicit repartition on TERM, then the
+       (doc, term) tf aggregate, the per-term df (a count window over
+       the same partitioning — no second aggregate, no join-back),
+       and the smoothed-idf weight (ln((N+1)/(df+1)) + 1, the sklearn
+       form; N rides a broadcast 1-row crossJoin) all run inside that
+       single exchange: hash-partitioning by term satisfies the
+       (doc, term) clustering requirement too, so Catalyst inserts no
+       further shuffle. The weighted postings CACHE — the inverted
+       index is an offline artifact (built once, queried many times;
+       the memoized-index posture of the IVF/PQ codebooks), and
+       within this one-shot plan three branches consume it.
+    2. score     — postings restricted to the query docs (tiny side;
+       AQE broadcasts it) join the full postings ON TERM, partial
+       products sum per (query, candidate) pair: each executor scores
+       only candidates sharing a term with a query — never the
+       all-pairs product. Norms (one doc-grain aggregate) join at the
+       pair grain; cosine rounds to 6 dp and ranks with a
+       candidate-id tiebreak so the rank-k cut is engine-stable
+       (ml_naive_bayes's transcendental-drift posture: double ln sums
+       agree across engines to ~1e-12, far inside the 6 dp round).
+
+    Scale notes: the postings join's hot keys are exactly the
+    high-df boilerplate terms whose idf ~ 1/weight already makes them
+    score-irrelevant; a production deployment caps them with the same
+    corpus-df guard the shingle tiers use (operators/dedup.
+    _capped_explode) — recall-lossy only for queries made entirely of
+    boilerplate. Here the full vocabulary stays in, keeping the
+    operator exact and the oracle a bit-for-bit replay.
+
+    Returns (query_id, doc_id, cosine, rnk), rnk 1..k per query,
+    self-pairs excluded."""
+    ex = (
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                F.split(F.lower(F.col(text_col)), " ")
+            ).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .repartition("w")
+    )
+    post = ex.groupBy(id_col, "w").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    n_docs = docs.select(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    idf = F.log(
+        (F.col("n_docs") + 1).cast("double")
+        / (F.col("df") + 1).cast("double")
+    ) + F.lit(1.0)
+    wpost = (
+        post.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("w"))
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "w",
+            (F.col("tf").cast("double") * idf).alias("wt"),
+        )
+        .cache()
+    )
+    norms = wpost.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
+    )
+    qp = wpost.filter(query_pred(F.col(id_col))).select(
+        F.col(id_col).alias("q"), "w", F.col("wt").alias("wq")
+    )
+    dots = (
+        qp.join(
+            wpost.select(
+                F.col(id_col).alias("c"), "w", F.col("wt").alias("wc")
+            ),
+            "w",
+        )
+        .filter(F.col("q") != F.col("c"))
+        .groupBy("q", "c")
+        .agg(F.sum(F.col("wq") * F.col("wc")).alias("dot"))
+    )
+    scored = (
+        dots.join(
+            norms.select(
+                F.col(id_col).alias("q"), F.col("nrm").alias("nq")
+            ),
+            "q",
+        )
+        .join(
+            norms.select(
+                F.col(id_col).alias("c"), F.col("nrm").alias("nc")
+            ),
+            "c",
+        )
+        .select(
+            "q",
+            "c",
+            F.round(
+                F.col("dot") / (F.col("nq") * F.col("nc")), 6
+            ).alias("cosine"),
+        )
+    )
+    w_rank = Window.partitionBy("q").orderBy(
+        F.col("cosine").desc(), F.col("c")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("q").alias("query_id"),
+            F.col("c").alias("doc_id"),
+            "cosine",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

@@ -2258,3 +2258,65 @@ def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= 100)
     )
+
+
+_TFIDF_TOPK_ORACLE = """
+    WITH ex AS (
+        SELECT doc_id, w FROM (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+          FROM documents
+        ) WHERE w != ''
+    ), post AS (
+        SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM ex GROUP BY 1, 2
+    ), nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    idf AS (
+        SELECT w, ln(CAST(nd.n_docs + 1 AS DOUBLE)
+                     / CAST(COUNT(*) + 1 AS DOUBLE)) + 1.0 AS idf
+        FROM post, nd GROUP BY w, nd.n_docs
+    ), wpost AS (
+        SELECT p.doc_id, p.w, CAST(p.tf AS DOUBLE) * i.idf AS wt
+        FROM post p JOIN idf i ON i.w = p.w
+    ), norms AS (
+        SELECT doc_id, sqrt(SUM(wt * wt)) AS nrm FROM wpost GROUP BY 1
+    ), dots AS (
+        SELECT q.doc_id AS q, c.doc_id AS c, SUM(q.wt * c.wt) AS dot
+        FROM wpost q JOIN wpost c
+          ON c.w = q.w AND q.doc_id < 5 AND c.doc_id != q.doc_id
+        GROUP BY 1, 2
+    ), scored AS (
+        SELECT d.q, d.c, round(d.dot / (nq.nrm * nc.nrm), 6) AS cosine
+        FROM dots d
+        JOIN norms nq ON nq.doc_id = d.q
+        JOIN norms nc ON nc.doc_id = d.c
+    ), rnk AS (
+        SELECT q, c, cosine,
+               row_number() OVER (PARTITION BY q
+                                  ORDER BY cosine DESC, c) AS rnk
+        FROM scored
+    )
+    SELECT q AS query_id, c AS doc_id, cosine, CAST(rnk AS BIGINT) AS rnk
+    FROM rnk WHERE rnk <= 10
+"""
+
+
+@query("sim_tfidf_topk", oracle=_TFIDF_TOPK_ORACLE)
+def sim_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse tf-idf cosine top-10 for query docs (doc_id < 5) via the
+    inverted-index postings join (operators/vectors.tfidf_topk_sparse)
+    — the document-at-a-time retrieval shape classic IR engines run:
+    tokenize -> (doc, term) postings -> smoothed-idf weights -> the
+    query side (tiny, AQE-broadcast) joins the postings ON TERM so
+    each executor scores only candidates sharing a term, never the
+    all-pairs product. The sparse complement of the dense ANN tiers:
+    no training, no fixed-width vectors, the corpus vocabulary IS the
+    feature space. Cosine rounds to 6 dp and ranks with a candidate-id
+    tiebreak (the ml_naive_bayes transcendental-drift posture), so the
+    oracle's bit-for-bit SQL replay hash-matches rank-k cuts."""
+    return V.tfidf_topk_sparse(
+        table(spark, sf_dir, "documents", spread=True),
+        "doc_id",
+        "text",
+        lambda c: c < 5,
+        k=10,
+    )

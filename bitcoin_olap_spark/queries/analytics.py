@@ -1707,3 +1707,121 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred.alias("pred"),
         (pred == F.col("lang")).alias("correct"),
     )
+
+
+@query(
+    "stat_ttest",
+    oracle="""
+    WITH v AS (
+        SELECT event_type,
+               CAST(round(value * 10000) AS BIGINT) AS v4
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ), mo AS (
+        SELECT
+            CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                     ELSE 0 END) AS BIGINT) AS n1,
+            CAST(SUM(CASE WHEN event_type = 'view' THEN 1
+                     ELSE 0 END) AS BIGINT) AS n2,
+            CAST(SUM(CASE WHEN event_type = 'purchase' THEN v4
+                     ELSE 0 END) AS BIGINT) AS s1,
+            CAST(SUM(CASE WHEN event_type = 'view' THEN v4
+                     ELSE 0 END) AS BIGINT) AS s2,
+            CAST(SUM(CASE WHEN event_type = 'purchase' THEN v4 * v4
+                     ELSE 0 END) AS BIGINT) AS q1,
+            CAST(SUM(CASE WHEN event_type = 'view' THEN v4 * v4
+                     ELSE 0 END) AS BIGINT) AS q2
+        FROM v
+    ), st AS (
+        SELECT n1, n2,
+            CAST(s1 AS DOUBLE) / n1 AS m1,
+            CAST(s2 AS DOUBLE) / n2 AS m2,
+            (CAST(q1 AS DOUBLE)
+             - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) AS var1,
+            (CAST(q2 AS DOUBLE)
+             - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1) AS var2
+        FROM mo
+    ), se AS (
+        SELECT n1, n2, m1, m2, var1, var2,
+               var1 / n1 AS a, var2 / n2 AS b
+        FROM st
+    )
+    SELECT n1, n2,
+           round((m1 - m2) / 10000, 6) AS mean_diff,
+           round((m1 - m2) / sqrt(a + b), 6) AS t_stat,
+           round((a + b) * (a + b)
+                 / (a * a / (n1 - 1) + b * b / (n2 - 1)), 6)
+             AS welch_df
+    FROM se
+    """,
+)
+def stat_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test (unequal variances) of purchase vs view
+    event values — the A/B-test primitive every analytics engine
+    ships. ONE conditional-moment scan: both groups' (n, sum, sum-of-
+    squares) accumulate as exact int64 on the 1e4 fixed-point grid
+    (v4^2 sums stay < 2^63 through sf10), then the t statistic and the
+    Welch-Satterthwaite degrees of freedom are a handful of IEEE
+    double ops on identical integer inputs — deterministic on both
+    engines — rounded to 6 dp. No shuffle beyond the single
+    1-row aggregate; at 100 TB this is a map-side-partial scan
+    whatever the corpus size. mean_diff reports on the original value
+    scale (the /1e4 de-quantization is the only scale-dependent op)."""
+    e = table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type").isin("purchase", "view")).select(
+        "event_type",
+        F.round(F.col("value") * 10000).cast("long").alias("v4"),
+    )
+    P = F.col("event_type") == "purchase"
+    V_ = F.col("event_type") == "view"
+    mo = v.agg(
+        F.sum(F.when(P, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(V_, 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(P, F.col("v4")).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+        F.sum(F.when(V_, F.col("v4")).otherwise(0))
+        .cast("long")
+        .alias("s2"),
+        F.sum(F.when(P, F.col("v4") * F.col("v4")).otherwise(0))
+        .cast("long")
+        .alias("q1"),
+        F.sum(F.when(V_, F.col("v4") * F.col("v4")).otherwise(0))
+        .cast("long")
+        .alias("q2"),
+    )
+    m1 = F.col("s1").cast("double") / F.col("n1")
+    m2 = F.col("s2").cast("double") / F.col("n2")
+    var1 = (
+        F.col("q1").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("n1")
+    ) / (F.col("n1") - 1)
+    var2 = (
+        F.col("q2").cast("double")
+        - F.col("s2").cast("double") * F.col("s2") / F.col("n2")
+    ) / (F.col("n2") - 1)
+    st = mo.select("n1", "n2", m1.alias("m1"), m2.alias("m2"),
+                   var1.alias("var1"), var2.alias("var2"))
+    a = F.col("var1") / F.col("n1")
+    b = F.col("var2") / F.col("n2")
+    se = st.select("n1", "n2", "m1", "m2", a.alias("a"), b.alias("b"))
+    return se.select(
+        "n1",
+        "n2",
+        F.round((F.col("m1") - F.col("m2")) / 10000, 6).alias(
+            "mean_diff"
+        ),
+        F.round(
+            (F.col("m1") - F.col("m2"))
+            / F.sqrt(F.col("a") + F.col("b")),
+            6,
+        ).alias("t_stat"),
+        F.round(
+            (F.col("a") + F.col("b"))
+            * (F.col("a") + F.col("b"))
+            / (
+                F.col("a") * F.col("a") / (F.col("n1") - 1)
+                + F.col("b") * F.col("b") / (F.col("n2") - 1)
+            ),
+            6,
+        ).alias("welch_df"),
+    )

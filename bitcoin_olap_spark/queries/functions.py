@@ -395,3 +395,56 @@ def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("open_count"),
         F.size(F.map_keys("m")).cast("long").alias("n_statuses"),
     )
+
+
+@query(
+    "fn_url_parse",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN event_id % 11 = 0 THEN NULL
+                ELSE 'ex' || CAST(user_id % 5 AS VARCHAR)
+                     || '.example.com' END AS host,
+           CASE WHEN event_id % 11 = 0 THEN NULL
+                ELSE '/' || event_type || '/item' END AS path,
+           CASE WHEN event_id % 11 = 0 THEN NULL
+                ELSE 'id=' || CAST(event_id AS VARCHAR)
+                     || '&u=' || CAST(user_id AS VARCHAR) END AS query,
+           CASE WHEN event_id % 11 = 0 THEN NULL
+                ELSE CAST(user_id AS VARCHAR) END AS user_param
+    FROM events
+    """,
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition with parse_url (HOST / PATH / QUERY / single
+    query parameter) — the log-and-clickstream scalar family every
+    web-data pipeline leans on (and a crawl-curation primitive:
+    domain-level filtering and URL dedup both start here). The URL is
+    synthesized in-query from events columns (the fn_try_cast
+    posture), with every 11th row NULL to pin null propagation; the
+    oracle, knowing the construction, states each component directly,
+    so this checks Spark's parser against ground truth rather than
+    against another parser's quirks. Map-only, JVM-side, inside
+    whole-stage codegen."""
+    e = table(spark, sf_dir, "events")
+    url = F.when(
+        F.col("event_id") % 11 != 0,
+        F.concat(
+            F.lit("https://ex"),
+            (F.col("user_id") % 5).cast("string"),
+            F.lit(".example.com/"),
+            F.col("event_type"),
+            F.lit("/item?id="),
+            F.col("event_id").cast("string"),
+            F.lit("&u="),
+            F.col("user_id").cast("string"),
+        ),
+    )
+    return e.select(
+        "event_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("u")).alias(
+            "user_param"
+        ),
+    )

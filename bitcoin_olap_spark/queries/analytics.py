@@ -1825,3 +1825,96 @@ def stat_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("welch_df"),
     )
+
+
+@query(
+    "stat_chisq",
+    oracle="""
+    WITH c AS (
+        SELECT event_type AS r,
+               CASE WHEN value >= 50 THEN 1 ELSE 0 END AS col,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ), tot AS (
+        SELECT SUM(o) AS n FROM c
+    ), rt AS (
+        SELECT r, SUM(o) AS row_tot FROM c GROUP BY 1
+    ), ct AS (
+        SELECT col, SUM(o) AS col_tot FROM c GROUP BY 1
+    ), cells AS (
+        SELECT c.r, c.col, c.o,
+               CAST(rt.row_tot AS DOUBLE) * ct.col_tot / tot.n AS e
+        FROM c JOIN rt ON rt.r = c.r
+               JOIN ct ON ct.col = c.col, tot
+    )
+    SELECT CAST((SELECT COUNT(*) FROM rt) AS BIGINT) AS n_rows,
+           CAST((SELECT COUNT(*) FROM ct) AS BIGINT) AS n_cols,
+           CAST(tot.n AS BIGINT) AS n,
+           round(SUM((o - e) * (o - e) / e), 6) AS chi2,
+           CAST(((SELECT COUNT(*) FROM rt) - 1)
+                * ((SELECT COUNT(*) FROM ct) - 1) AS BIGINT) AS dof
+    FROM cells, tot GROUP BY tot.n
+    """,
+)
+def stat_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between event type and
+    a value band (value >= 50) — the categorical-association sibling
+    of stat_ttest. The contingency table is ONE conditional-count
+    aggregate (exact int64 cells, map-side partials); marginals
+    derive from the tiny cell relation (cardinality = types x bands,
+    driver-scale at any corpus size), expected counts are rationals
+    of exact integers evaluated in IEEE double in the same order on
+    both engines, and the statistic rounds to 6 dp. Corpus-scale work
+    is the single scan; everything after runs on the cell grain."""
+    e = table(spark, sf_dir, "events")
+    c = (
+        e.select(
+            F.col("event_type").alias("r"),
+            F.when(F.col("value") >= 50, 1).otherwise(0).alias("col"),
+        )
+        .groupBy("r", "col")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    tot = c.agg(F.sum("o").alias("n"))
+    rt = c.groupBy("r").agg(F.sum("o").alias("row_tot"))
+    ct = c.groupBy("col").agg(F.sum("o").alias("col_tot"))
+    cells = (
+        c.join(rt, "r")
+        .join(ct, "col")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "o",
+            (
+                F.col("row_tot").cast("double")
+                * F.col("col_tot")
+                / F.col("n")
+            ).alias("e"),
+            "n",
+        )
+    )
+    nr = rt.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    nc = ct.agg(F.count(F.lit(1)).cast("long").alias("n_cols"))
+    return (
+        cells.groupBy("n")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("o") - F.col("e"))
+                    * (F.col("o") - F.col("e"))
+                    / F.col("e")
+                ),
+                6,
+            ).alias("chi2")
+        )
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "n_rows",
+            "n_cols",
+            F.col("n").cast("long").alias("n"),
+            "chi2",
+            ((F.col("n_rows") - 1) * (F.col("n_cols") - 1))
+            .cast("long")
+            .alias("dof"),
+        )
+    )

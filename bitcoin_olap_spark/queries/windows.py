@@ -1570,3 +1570,92 @@ def ts_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("lag", "n_pairs", "xcorr")
     )
+
+
+@query(
+    "win_fifo_lots",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, event_id, event_type,
+               CAST(round(value * 10000) AS BIGINT) AS v4
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ), b AS (
+        SELECT user_id, event_id AS buy_id,
+               SUM(v4) OVER (PARTITION BY user_id ORDER BY event_id
+                             ROWS UNBOUNDED PRECEDING) AS hi,
+               SUM(v4) OVER (PARTITION BY user_id ORDER BY event_id
+                             ROWS UNBOUNDED PRECEDING) - v4 AS lo
+        FROM v WHERE event_type = 'purchase'
+    ), s AS (
+        SELECT user_id, event_id AS sell_id,
+               SUM(v4) OVER (PARTITION BY user_id ORDER BY event_id
+                             ROWS UNBOUNDED PRECEDING) AS hi,
+               SUM(v4) OVER (PARTITION BY user_id ORDER BY event_id
+                             ROWS UNBOUNDED PRECEDING) - v4 AS lo
+        FROM v WHERE event_type = 'view'
+    )
+    SELECT b.user_id, b.buy_id, s.sell_id,
+           CAST(LEAST(b.hi, s.hi) - GREATEST(b.lo, s.lo) AS BIGINT)
+             AS qty_q
+    FROM b JOIN s
+      ON s.user_id = b.user_id AND b.lo < s.hi AND s.lo < b.hi
+    """,
+)
+def win_fifo_lots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO lot matching — the cost-basis accounting op a ledger like
+    the reference's exchange-flow table feeds (btcolap.sql builds the
+    in/out flows; FIFO decides WHICH acquisition each disposal
+    consumes): every 'view' disposal consumes the oldest unconsumed
+    'purchase' quantity per user. The procedural queue is rewritten
+    relationally as CUMULATIVE-INTERVAL OVERLAP: each side's running
+    sum (one window per side, same user-keyed exchange) places every
+    event on the key's quantity axis as the interval
+    (cum - qty, cum]; a matched lot is exactly a nonempty
+    intersection of a buy and a sell interval, and its quantity is
+    least(hi) - greatest(lo). One equi-join on user with the range
+    predicate refining inside the hash match (never a nested loop);
+    output is O(buys + sells) lots per key — the FIFO queue walk's
+    own output size — produced with zero iteration, which is what
+    makes the shape work at 100 TB where a per-key sequential queue
+    cannot. Quantities on the exact 1e4 integer grid; ordering by the
+    unique event_id makes the match deterministic on both engines."""
+    e = table(spark, sf_dir, "events")
+    v = e.filter(
+        F.col("event_type").isin("purchase", "view")
+    ).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 10000).cast("long").alias("v4"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    def side(tag: str, out_id: str) -> DataFrame:
+        return (
+            v.filter(F.col("event_type") == tag)
+            .withColumn("hi", F.sum("v4").over(w))
+            .select(
+                "user_id",
+                F.col("event_id").alias(out_id),
+                "hi",
+                (F.col("hi") - F.col("v4")).alias("lo"),
+            )
+        )
+    b = side("purchase", "buy_id")
+    s = side("view", "sell_id")
+    return b.join(
+        s,
+        (b["user_id"] == s["user_id"])
+        & (b["lo"] < s["hi"])
+        & (s["lo"] < b["hi"]),
+    ).select(
+        b["user_id"],
+        "buy_id",
+        "sell_id",
+        (
+            F.least(b["hi"], s["hi"]) - F.greatest(b["lo"], s["lo"])
+        ).alias("qty_q"),
+    )

@@ -328,6 +328,28 @@ def append(
 _OPS_CACHE: dict[str, tuple[int, str, frozenset]] = {}
 
 
+def clone(root: str, dest: str, version: int | None = None) -> int:
+    """SHALLOW CLONE (Delta's CLONE TABLE): dest's version 0 is one
+    delta manifest whose add-list is the source snapshot's resolved
+    data files — ZERO data movement, O(files) metadata, at any table
+    size. Because data files are immutable and every write lands in a
+    fresh UUID directory, the two tables diverge freely afterwards:
+    appends/deletes/optimize on either side never touch files the
+    other references. The documented caveat is Delta's own: VACUUM on
+    the SOURCE does not know about clone references — vacuum only
+    unlinks files the source's retained versions no longer list, so a
+    cloned-then-deleted file can be vacuumed away under the clone;
+    production policy is vacuum-after-clone-retirement (same contract
+    as Delta shallow clones)."""
+    if current_version(dest) >= 0:
+        raise FileExistsError(f"table already initialized at {dest}")
+    v = current_version(root) if version is None else version
+    files = _resolve_files(root, v)
+    os.makedirs(_data_dir(dest), exist_ok=True)
+    _commit(dest, 0, f"clone:{root}@{v}", add=files)
+    return 0
+
+
 def committed_ops(root: str) -> set:
     """The set of op tags ever committed to the log — union of the
     surviving manifests' tags and the persisted tags of vacuumed

@@ -2320,3 +2320,96 @@ def sim_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda c: c < 5,
         k=10,
     )
+
+
+_URL_CANON_ORACLE = """
+    WITH u AS (
+        SELECT event_id,
+          CASE CAST(event_id % 4 AS INT)
+            WHEN 0 THEN 'https://ex' || CAST(user_id % 50 AS VARCHAR)
+                 || '.example.com/' || event_type
+            WHEN 1 THEN 'HTTPS://' || upper('ex'
+                 || CAST(user_id % 50 AS VARCHAR) || '.example.com')
+                 || ':443/' || event_type
+            WHEN 2 THEN 'https://ex' || CAST(user_id % 50 AS VARCHAR)
+                 || '.example.com/' || event_type
+                 || '/?utm_source=x&utm_campaign=y'
+            ELSE 'https://ex' || CAST(user_id % 50 AS VARCHAR)
+                 || '.example.com/' || event_type || '#frag'
+          END AS url
+        FROM events
+    ), c AS (
+        SELECT event_id,
+          'https://'
+            || lower(regexp_extract(url, '^[a-zA-Z]+://([^/:?#]+)', 1))
+            || regexp_replace(COALESCE(regexp_extract(url,
+                   '^[a-zA-Z]+://[^/?#]+(/[^?#]*)', 1), ''), '/$', '')
+          AS canon_url
+        FROM u
+    )
+    SELECT canon_url, CAST(MIN(event_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM c GROUP BY 1
+"""
+
+
+@query("text_dedup_url", oracle=_URL_CANON_ORACLE)
+def text_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + exact dedup — the FIRST pass of every
+    web-crawl curation pipeline (CommonCrawl/C4/FineWeb dedup by
+    canonical URL before any content hashing): lowercase scheme+host,
+    drop default port, strip the fragment, strip utm_* tracking
+    params, strip the trailing slash, then exact_dedup semantics on
+    the canonical form (min-id survivor + copy count). URLs are
+    synthesized in-query from events columns with four messiness
+    classes (case/port, tracking params, fragment) that all
+    canonicalize to the same form, so the dedup genuinely bites
+    (4 variants x 250 identities at sf0.01). Spark side uses
+    parse_url (HOST excludes the port, PATH excludes query+fragment)
+    + one regexp; the oracle replays the extraction with regexps —
+    both map-only before the single canonical-key shuffle, the
+    exact_dedup scale shape."""
+    e = table(spark, sf_dir, "events")
+    base = F.concat(
+        F.lit("ex"),
+        (F.col("user_id") % 50).cast("string"),
+        F.lit(".example.com"),
+    )
+    et = F.col("event_type")
+    m = F.col("event_id") % 4
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://"), base, F.lit("/"), et))
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("HTTPS://"), F.upper(base), F.lit(":443/"), et
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("https://"),
+                base,
+                F.lit("/"),
+                et,
+                F.lit("/?utm_source=x&utm_campaign=y"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("https://"), base, F.lit("/"), et, F.lit("#frag"))
+        )
+    )
+    d = e.select("event_id", url.alias("url"))
+    host = F.lower(F.parse_url(F.col("url"), F.lit("HOST")))
+    path = F.regexp_replace(
+        F.parse_url(F.col("url"), F.lit("PATH")), "/$", ""
+    )
+    canon = F.concat(F.lit("https://"), host, path)
+    return (
+        d.select("event_id", canon.alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.min("event_id").alias("keep_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+    )

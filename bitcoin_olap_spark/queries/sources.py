@@ -1268,3 +1268,60 @@ def snk_acid_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_sum("l_quantity", "total_qty"),
         F.count("note").alias("n_noted"),
     )
+
+
+@query(
+    "snk_acid_clone",
+    oracle="""
+    WITH src AS (
+        SELECT l_returnflag FROM lineitem WHERE NOT (l_orderkey < 3000)
+    ), cl AS (
+        SELECT l_returnflag FROM src
+        UNION ALL
+        SELECT l_returnflag FROM lineitem WHERE l_orderkey < 1000
+    )
+    SELECT 'src' AS side, l_returnflag, COUNT(*) AS n
+    FROM src GROUP BY 2
+    UNION ALL
+    SELECT 'clone' AS side, l_returnflag, COUNT(*) AS n
+    FROM cl GROUP BY 2
+    """,
+)
+def snk_acid_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE on the versioned ACID table
+    (operators/acidtable.clone — Delta's CLONE TABLE): the clone's
+    version 0 is ONE delta manifest referencing the source snapshot's
+    immutable data files — zero data copied at any table size — and
+    the tables then diverge freely. The query clones the acid
+    fixture's post-delete head, APPENDS a batch (the l_orderkey<1000
+    slice) to the CLONE only, and returns both sides' per-flag counts
+    in one result: the oracle states that the source still shows
+    exactly the post-delete content (the append did not leak through
+    the shared files) while the clone shows post-delete + batch —
+    the zero-interference contract of immutable files + per-table
+    logs, checked in both directions."""
+    root = _acid_fixture(spark, sf_dir)
+    dest = root + "_clone"
+    if not _fixture_ready(dest, 1, "append"):
+        AT.clone(root, dest)
+        AT.append(
+            spark,
+            dest,
+            table(spark, sf_dir, "lineitem")
+            .select(
+                "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+            )
+            .filter(F.col("l_orderkey") < 1000),
+        )
+    src = AT.snapshot(spark, root)
+    cl = AT.snapshot(spark, dest)
+    return (
+        src.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("src").alias("side"), "l_returnflag", "n")
+        .unionByName(
+            cl.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit("clone").alias("side"), "l_returnflag", "n")
+        )
+    )

@@ -1659,3 +1659,106 @@ def win_fifo_lots(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(b["hi"], s["hi"]) - F.greatest(b["lo"], s["lo"])
         ).alias("qty_q"),
     )
+
+
+@query(
+    "ts_theil_sen",
+    oracle=f"""
+    WITH daily AS (
+        SELECT {ORACLE_DAY.format(col='CAST(ts AS TIMESTAMP)')} AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT)
+                 AS x
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), pts AS (
+        SELECT x, row_number() OVER (ORDER BY day) AS t FROM daily
+    ), pairs AS (
+        SELECT a.t AS ta, b.t AS tb,
+               CAST(b.x - a.x AS DOUBLE) / (b.t - a.t) AS slope
+        FROM pts a JOIN pts b ON b.t > a.t
+    ), rk AS (
+        SELECT slope,
+               row_number() OVER (ORDER BY slope, ta, tb) AS r,
+               COUNT(*) OVER () AS np
+        FROM pairs
+    ), med AS (
+        SELECT slope AS slope_med, np FROM rk WHERE r = (np + 1) // 2
+    ), resid AS (
+        SELECT p.x - m.slope_med * p.t AS ic, p.t,
+               row_number() OVER (ORDER BY p.x - m.slope_med * p.t,
+                                  p.t) AS r,
+               COUNT(*) OVER () AS n
+        FROM pts p, med m
+    )
+    SELECT CAST(r2.n AS BIGINT) AS n_pts,
+           CAST(m.np AS BIGINT) AS n_pairs,
+           round(m.slope_med / 10000, 6) AS slope,
+           round(r2.ic / 10000, 6) AS intercept
+    FROM med m, (SELECT * FROM resid WHERE r = (n + 1) // 2) r2
+    """,
+)
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of the daily purchase flow — the
+    outlier-immune complement of the reference's least-squares tail
+    (btc_logregression_pre.py:80-86; one corrupted day moves OLS
+    arbitrarily, moves the pairwise-slope median not at all). Slope =
+    the LOWER MEDIAN of all O(days^2) pairwise slopes, intercept =
+    the lower median of the residuals x_i - slope*t_i — both exact
+    rank PICKS (never interpolation, the ts_mad_outlier posture), so
+    engines agree: slopes are IEEE doubles from identical exact-int
+    inputs, ordered with a (ta, tb) tiebreak. The pair grid is built
+    on the POST-AGGREGATION daily grain (tens of rows at any corpus
+    scale — the documented ts_seasonal_decompose boundedness
+    posture), so the non-equi self-join is a broadcast loop over a
+    driver-scale relation, while the corpus-scale work remains the
+    single daily-aggregate shuffle."""
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(day("ts").alias("day"))
+        .agg(
+            (F.sum(F.col("value").cast("decimal(18,4)")) * 10000)
+            .cast("long")
+            .alias("x")
+        )
+    )
+    pts = daily.select(
+        "x", F.row_number().over(Window.orderBy("day")).alias("t")
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    pairs = a.join(b, F.col("b.t") > F.col("a.t")).select(
+        F.col("a.t").alias("ta"),
+        F.col("b.t").alias("tb"),
+        (
+            (F.col("b.x") - F.col("a.x")).cast("double")
+            / (F.col("b.t") - F.col("a.t"))
+        ).alias("slope"),
+    )
+    rk = pairs.select(
+        "slope",
+        F.row_number()
+        .over(Window.orderBy("slope", "ta", "tb"))
+        .alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("np"),
+    )
+    med = rk.filter(
+        F.col("r") == F.expr("(np + 1) div 2")
+    ).select(F.col("slope").alias("slope_med"), "np")
+    resid = pts.crossJoin(F.broadcast(med)).select(
+        (F.col("x") - F.col("slope_med") * F.col("t")).alias("ic"),
+        "t",
+        "np",
+        F.col("slope_med"),
+    )
+    r2 = resid.select(
+        "ic",
+        "np",
+        "slope_med",
+        F.row_number().over(Window.orderBy("ic", "t")).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    ).filter(F.col("r") == F.expr("(n + 1) div 2"))
+    return r2.select(
+        F.col("n").cast("long").alias("n_pts"),
+        F.col("np").cast("long").alias("n_pairs"),
+        F.round(F.col("slope_med") / 10000, 6).alias("slope"),
+        F.round(F.col("ic") / 10000, 6).alias("intercept"),
+    )

@@ -433,6 +433,45 @@ def test_acid_delete_null_predicate_keeps_rows(spark, tmp_path):
     assert {r["id"] for r in snap.collect()} == {1, 2, 4}  # NULLs kept
 
 
+def test_acid_clone_zero_copy_divergence(spark, tmp_path):
+    """Shallow clone: (a) clone's v0 references the SOURCE's files by
+    path (zero copy), (b) writes to either side never change the
+    other's content, (c) the documented vacuum caveat is real —
+    vacuuming the source after it deletes a file the clone still
+    references breaks the clone (Delta shallow-clone contract), so
+    the caveat in clone()'s docstring is load-bearing, not
+    hypothetical."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators import acidtable as AT
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    df = spark.range(0, 400).select(
+        F.col("id"), (F.col("id") % 3).alias("grp")
+    ).repartitionByRange(4, "id")
+    AT.init_table(spark, src, df)
+    AT.clone(src, dst)
+    assert AT.read_manifest(dst, 0)["files"] == AT.read_manifest(
+        src, AT.current_version(src)
+    )["files"]
+
+    # divergence: append to clone, delete on source
+    AT.append(spark, dst, spark.range(1000, 1010).select(
+        F.col("id"), F.lit(0).alias("grp")))
+    AT.delete_where(spark, src, F.col("id") < 100)
+    assert AT.snapshot(spark, src).count() == 300
+    assert AT.snapshot(spark, dst).count() == 410
+
+    # the documented caveat: source vacuum drops the file the clone
+    # still references
+    AT.vacuum(src, keep_versions=1)
+    import pytest
+
+    with pytest.raises(Exception):
+        AT.snapshot(spark, dst).count()
+
+
 def test_acid_vacuum_keep_more_than_history_is_noop(spark, tmp_path):
     """vacuum(keep_versions=k) with k > committed versions must be a
     no-op, not a crash from a negative version lookup."""

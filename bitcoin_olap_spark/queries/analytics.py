@@ -1918,3 +1918,135 @@ def stat_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dof"),
         )
     )
+
+
+@query(
+    "graph_jaccard_nbrs",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_orderkey, 1, 2
+    ), und AS (
+        SELECT u, v FROM pairs GROUP BY u, v HAVING COUNT(*) >= 2
+    ), adj AS (
+        SELECT u AS node, v AS nbr FROM und
+        UNION ALL
+        SELECT v AS node, u AS nbr FROM und
+    ), deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1
+    ), common AS (
+        SELECT a.node AS u, b.node AS v,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM adj a JOIN adj b
+          ON b.nbr = a.nbr AND a.node < b.node
+        GROUP BY 1, 2
+    ), scored AS (
+        SELECT c.u, c.v, c.c,
+               round(CAST(c.c AS DOUBLE) / (du.d + dv.d - c.c), 6)
+                 AS jaccard
+        FROM common c
+        JOIN deg du ON du.node = c.u
+        JOIN deg dv ON dv.node = c.v
+    ), rk AS (
+        SELECT u, v, c, jaccard,
+               row_number() OVER (ORDER BY jaccard DESC, u, v) AS rnk
+        FROM scored
+    )
+    SELECT u, v, c AS n_common, jaccard, CAST(rnk AS BIGINT) AS rnk
+    FROM rk WHERE rnk <= 100
+    """,
+)
+def graph_jaccard_nbrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood Jaccard similarity over the strong part
+    co-purchase graph — the structural-equivalence / link-prediction
+    primitive (two parts are similar when they co-occur with the SAME
+    other parts, even if never together): |N(u) ∩ N(v)| / |N(u) ∪
+    N(v)| for every pair sharing >= 1 neighbor, top-100 by rounded
+    score with an id tiebreak. Same candidate discipline as the
+    near-dup tier: pairs GENERATE from shared middle nodes (the
+    wedge join — each executor pairs only nodes adjacent to the same
+    neighbor, never the all-pairs product), counts stay exact int64,
+    one final division rounds to 6 dp. Union size derives as
+    deg(u) + deg(v) - common (no second pass). The strong-edge filter
+    (co-ordered >= 2) bounds hub degree the same way it does for
+    graph_triangles; AQE skew-splitting covers residual hot middles.
+    Built on the graph_triangles edge derivation: map-side per-order
+    pair explode from sorted part-set arrays, one (u, v) exchange."""
+    li = table(spark, sf_dir, "lineitem", spread=True).select(
+        "l_orderkey", "l_partkey"
+    )
+    parts = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    p1 = parts.select(F.sort_array("ps").alias("ps")).select(
+        "ps", F.posexplode("ps").alias("i", "u")
+    )
+    und = (
+        p1.select(
+            "u",
+            F.explode(
+                F.slice("ps", F.col("i") + 2, F.size("ps"))
+            ).alias("v"),
+        )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    adj = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+    deg = adj.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    a, b = adj.alias("a"), adj.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("b.nbr") == F.col("a.nbr"))
+            & (F.col("a.node") < F.col("b.node")),
+        )
+        .groupBy(
+            F.col("a.node").alias("u"), F.col("b.node").alias("v")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    scored = (
+        common.join(
+            deg.select(F.col("node").alias("u"), F.col("d").alias("du")),
+            "u",
+        )
+        .join(
+            deg.select(F.col("node").alias("v"), F.col("d").alias("dv")),
+            "v",
+        )
+        .select(
+            "u",
+            "v",
+            "c",
+            F.round(
+                F.col("c").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("c")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return (
+        scored.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("jaccard"), "u", "v")
+            ),
+        )
+        .filter(F.col("rnk") <= 100)
+        .select(
+            "u",
+            "v",
+            F.col("c").alias("n_common"),
+            "jaccard",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

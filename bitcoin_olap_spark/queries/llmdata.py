@@ -2413,3 +2413,101 @@ def text_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_copies"),
         )
     )
+
+
+_KNN_ORACLE = """
+    WITH pos AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ), norms AS (
+        SELECT vec_id,
+               SUM(CAST(floor((x * x) * 1e16) AS BIGINT)) AS norm_sq
+        FROM pos GROUP BY 1
+    ), dots AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+               SUM(CAST(floor((a.x * b.x) * 1e16) AS BIGINT)) AS dot
+        FROM pos a JOIN pos b ON a.pos = b.pos AND b.vec_id >= 20
+        WHERE a.vec_id < 20
+        GROUP BY 1, 2
+    ), scored AS (
+        SELECT dots.query_id, dots.vec_id,
+               ROUND(CAST(dot AS DOUBLE) /
+                     sqrt(CAST(na.norm_sq AS DOUBLE) *
+                          CAST(nb.norm_sq AS DOUBLE)), 6) AS cosine
+        FROM dots
+        JOIN norms na ON na.vec_id = dots.query_id
+        JOIN norms nb ON nb.vec_id = dots.vec_id
+    ), topk AS (
+        SELECT query_id, vec_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine DESC, vec_id) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    ), votes AS (
+        SELECT t.query_id, e.label,
+               CAST(COUNT(*) AS BIGINT) AS n_votes
+        FROM topk t JOIN embeddings e ON e.vec_id = t.vec_id
+        GROUP BY 1, 2
+    ), win AS (
+        SELECT query_id, label AS pred_label, n_votes,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY n_votes DESC, label) AS r
+        FROM votes
+    )
+    SELECT w.query_id,
+           CAST(q.label AS BIGINT) AS true_label,
+           CAST(w.pred_label AS BIGINT) AS pred_label,
+           w.n_votes,
+           (q.label = w.pred_label) AS correct
+    FROM win w JOIN embeddings q ON q.vec_id = w.query_id
+    WHERE w.r = 1
+"""
+
+
+@query("ml_knn_classify", oracle=_KNN_ORACLE)
+def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label prediction (k = 5, exact cosine) — the lazy-learner
+    classifier tier, and the standard quality probe for an embedding
+    space (if labels aren't recoverable from neighbors, the space is
+    bad). Test points vec_id < 20 score against the train corpus
+    vec_id >= 20 through the SAME fixed-point exact-cosine kernel as
+    sim_topk_bruteforce (operators/vectors.topk_bruteforce — int64
+    dot/norm accumulation, 6 dp round, id tiebreak), then one
+    label-join + majority vote with a deterministic (votes DESC,
+    label) tie-break. At 100 TB the bruteforce kernel swaps for the
+    IVF/PQ tiers behind the identical top-k seam — the vote logic
+    is index-agnostic."""
+    emb = table(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") >= 20)
+    queries = emb.filter(F.col("vec_id") < 20)
+    topk = V.topk_bruteforce(
+        train, queries, "vec_id", "embedding", k=5
+    )
+    votes = (
+        topk.join(
+            emb.select("vec_id", "label"), "vec_id"
+        )
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_votes"))
+    )
+    win = votes.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.desc("n_votes"), F.asc("label")
+            )
+        ),
+    ).filter(F.col("r") == 1)
+    truth = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").cast("long").alias("true_label"),
+    )
+    return win.join(truth, "query_id").select(
+        "query_id",
+        "true_label",
+        F.col("label").cast("long").alias("pred_label"),
+        "n_votes",
+        (F.col("label") == F.col("true_label")).alias("correct"),
+    )

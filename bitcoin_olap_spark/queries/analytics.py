@@ -2050,3 +2050,140 @@ def graph_jaccard_nbrs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+@query(
+    "ml_decision_stump",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(round(value * 10000) AS BIGINT) AS v4,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ), g AS (
+        SELECT v4, CAST(SUM(y) AS BIGINT) AS pos,
+               CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+        FROM v GROUP BY 1
+    ), cum AS (
+        SELECT v4,
+               CAST(SUM(pos) OVER (ORDER BY v4) AS BIGINT) AS pos_l,
+               CAST(SUM(neg) OVER (ORDER BY v4) AS BIGINT) AS neg_l,
+               CAST(SUM(pos) OVER () AS BIGINT) AS pos_t,
+               CAST(SUM(neg) OVER () AS BIGINT) AS neg_t
+        FROM g
+    ), cand AS (
+        SELECT v4, pos_l, neg_l,
+               pos_t - pos_l AS pos_r, neg_t - neg_l AS neg_r,
+               pos_l + neg_l AS n_l,
+               (pos_t - pos_l) + (neg_t - neg_l) AS n_r,
+               pos_t + neg_t AS n
+        FROM cum WHERE pos_l + neg_l < pos_t + neg_t
+    ), scored AS (
+        SELECT v4, n_l, n_r, n,
+               round(2.0 * (CAST(pos_l AS DOUBLE) * neg_l / n_l
+                            + CAST(pos_r AS DOUBLE) * neg_r / n_r)
+                     / n, 6) AS gini,
+               round((GREATEST(pos_l, neg_l) + GREATEST(pos_r, neg_r))
+                     * 1.0 / n, 6) AS acc
+        FROM cand
+    )
+    SELECT round(v4 / 10000.0, 6) AS threshold, gini, acc,
+           CAST(n_l AS BIGINT) AS n_left, CAST(n_r AS BIGINT) AS n_right
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY gini, v4) AS r
+        FROM scored
+    ) WHERE r = 1
+    """,
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single-feature decision stump (the depth-1 CART split, and
+    the unit step of every gradient-boosted tree): choose the value
+    threshold that minimizes Gini impurity for purchase-vs-view. ONE
+    corpus-scale pass builds the per-value class histogram (exact
+    int64 counts); every candidate split's left/right counts then
+    come from cumulative sums over the VALUE grain (a window over the
+    distinct-value relation — thousands of rows at any corpus size,
+    the post-aggregation boundedness posture), so the O(N * splits)
+    naive evaluation collapses to O(distinct values). Gini and the
+    stump's training accuracy are rationals of exact integers
+    evaluated in IEEE double, rounded to 6 dp, argmin with a
+    threshold tiebreak — deterministic on both engines."""
+    e = table(spark, sf_dir, "events")
+    v = e.filter(
+        F.col("event_type").isin("purchase", "view")
+    ).select(
+        F.round(F.col("value") * 10000).cast("long").alias("v4"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    g = v.groupBy("v4").agg(
+        F.sum("y").cast("long").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("neg"),
+    )
+    wc = Window.orderBy("v4").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy()
+    cum = g.select(
+        "v4",
+        F.sum("pos").over(wc).alias("pos_l"),
+        F.sum("neg").over(wc).alias("neg_l"),
+        F.sum("pos").over(wt).alias("pos_t"),
+        F.sum("neg").over(wt).alias("neg_t"),
+    )
+    cand = cum.select(
+        "v4",
+        "pos_l",
+        "neg_l",
+        (F.col("pos_t") - F.col("pos_l")).alias("pos_r"),
+        (F.col("neg_t") - F.col("neg_l")).alias("neg_r"),
+        (F.col("pos_l") + F.col("neg_l")).alias("n_l"),
+        (
+            F.col("pos_t")
+            - F.col("pos_l")
+            + F.col("neg_t")
+            - F.col("neg_l")
+        ).alias("n_r"),
+        (F.col("pos_t") + F.col("neg_t")).alias("n"),
+    ).filter(F.col("n_l") < F.col("n"))
+    scored = cand.select(
+        "v4",
+        "n_l",
+        "n_r",
+        "n",
+        F.round(
+            2.0
+            * (
+                F.col("pos_l").cast("double")
+                * F.col("neg_l")
+                / F.col("n_l")
+                + F.col("pos_r").cast("double")
+                * F.col("neg_r")
+                / F.col("n_r")
+            )
+            / F.col("n"),
+            6,
+        ).alias("gini"),
+        F.round(
+            (
+                F.greatest("pos_l", "neg_l")
+                + F.greatest("pos_r", "neg_r")
+            )
+            * F.lit(1.0)
+            / F.col("n"),
+            6,
+        ).alias("acc"),
+    )
+    return (
+        scored.withColumn(
+            "r", F.row_number().over(Window.orderBy("gini", "v4"))
+        )
+        .filter(F.col("r") == 1)
+        .select(
+            F.round(F.col("v4") / 10000.0, 6).alias("threshold"),
+            "gini",
+            "acc",
+            F.col("n_l").cast("long").alias("n_left"),
+            F.col("n_r").cast("long").alias("n_right"),
+        )
+    )

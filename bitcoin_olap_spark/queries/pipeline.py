@@ -488,3 +488,181 @@ def pipeline_train_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("chunk_words").cast("long").alias("total_chunk_words"),
         )
     )
+
+
+_RAG_E2E_ORACLE = """
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), ck AS (
+        SELECT doc_id, ws, len(ws) AS n,
+               CASE WHEN len(ws) <= 64 THEN 1
+                    ELSE CAST(ceil((len(ws) - 64) / 48.0) AS BIGINT) + 1
+               END AS k
+        FROM w
+    ), corp AS (
+        SELECT doc_id * 1000 + i AS cid, doc_id, i AS chunk_id,
+               array_to_string(
+                   ws[CAST(i * 48 + 1 AS BIGINT):
+                      CAST(i * 48 + 64 AS BIGINT)], ' ') AS chunk_text
+        FROM ck, UNNEST(range(ck.k)) AS t(i)
+    ), cex AS (
+        SELECT cid, w FROM (
+            SELECT cid, unnest(string_split(lower(chunk_text), ' ')) AS w
+            FROM corp
+        ) WHERE w != ''
+    ), cpost AS (
+        SELECT cid, w, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM cex GROUP BY 1, 2
+    ), nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM corp),
+    idf AS (
+        SELECT w, ln(CAST(nd.n + 1 AS DOUBLE)
+                     / CAST(COUNT(*) + 1 AS DOUBLE)) + 1.0 AS idf
+        FROM cpost, nd GROUP BY w, nd.n
+    ), cw AS (
+        SELECT p.cid, p.w, CAST(p.tf AS DOUBLE) * i.idf AS wt
+        FROM cpost p JOIN idf i ON i.w = p.w
+    ), cnorm AS (
+        SELECT cid, sqrt(SUM(wt * wt)) AS nc FROM cw GROUP BY 1
+    ), qex AS (
+        SELECT q, w FROM (
+            SELECT doc_id AS q,
+                   unnest(string_split(lower(text), ' ')) AS w
+            FROM documents WHERE doc_id < 3
+        ) WHERE w != ''
+    ), qtf AS (
+        SELECT q, w, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM qex GROUP BY 1, 2
+    ), qw AS (
+        SELECT t.q, t.w, CAST(t.tf AS DOUBLE) * i.idf AS wq
+        FROM qtf t JOIN idf i ON i.w = t.w
+    ), qnorm AS (
+        SELECT q, sqrt(SUM(wq * wq)) AS nq FROM qw GROUP BY 1
+    ), dots AS (
+        SELECT qw.q, cw.cid, SUM(qw.wq * cw.wt) AS dot
+        FROM qw JOIN cw ON cw.w = qw.w GROUP BY 1, 2
+    ), scored AS (
+        SELECT d.q, c2.doc_id, c2.chunk_id,
+               round(d.dot / (cn.nc * qn.nq), 6) AS cosine
+        FROM dots d
+        JOIN cnorm cn ON cn.cid = d.cid
+        JOIN qnorm qn ON qn.q = d.q
+        JOIN corp c2 ON c2.cid = d.cid
+        WHERE c2.doc_id != d.q
+    )
+    SELECT q AS query_id, CAST(rnk AS BIGINT) AS rnk,
+           doc_id AS src_doc, CAST(chunk_id AS BIGINT) AS chunk_id,
+           cosine
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY q ORDER BY cosine DESC, doc_id, chunk_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= 3
+"""
+
+
+@query("pipeline_rag_e2e", oracle=_RAG_E2E_ORACLE)
+def pipeline_rag_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval pipeline end to end — the RAG indexing + serving
+    DAG as ONE lazy plan: (1) chunk every document into overlapping
+    64/48 word windows (operators/chunking.chunk_words, map-only);
+    (2) build the chunk-grain tf-idf inverted index (the
+    sim_tfidf_topk machinery at retrieval grain: one term
+    repartition carries the tf aggregate, the df count window, and
+    the idf weighting); (3) score the query documents (doc_id < 3)
+    against the index through the term-keyed postings join — each
+    executor touches only chunks sharing a term with a query; (4)
+    return the top-3 retrieved chunks per query (self-document
+    excluded — you don't retrieve from the query's own source),
+    ranked on 6 dp-rounded cosine with (src_doc, chunk_id)
+    tiebreaks. Chunk identity rides a composite cid = doc*1000+idx
+    so provenance (which document, which window) survives to the
+    output — what a retrieval eval needs. The oracle replays chunking,
+    indexing, weighting, and ranking bit-for-bit in SQL."""
+    docs = table(spark, sf_dir, "documents", spread=True)
+    from pyspark.sql.window import Window
+
+    chunks = C.chunk_words(docs, "doc_id", "text", size=64, stride=48)
+    corp = chunks.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("cid"),
+        "doc_id",
+        "chunk_id",
+        F.col("chunk_text").alias("text"),
+    )
+    cex = corp.select(
+        "cid", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    cpost = cex.repartition("w").groupBy("cid", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    n_chunks = corp.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    idf = F.log(
+        (F.col("n_docs") + 1).cast("double")
+        / (F.col("df") + 1).cast("double")
+    ) + F.lit(1.0)
+    cw = (
+        cpost.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("w"))
+        )
+        .crossJoin(F.broadcast(n_chunks))
+        .select(
+            "cid",
+            "w",
+            (F.col("tf").cast("double") * idf).alias("wt"),
+            idf.alias("idf"),
+        )
+        .cache()
+    )
+    cnorm = cw.groupBy("cid").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nc")
+    )
+    idf_dict = cw.select("w", "idf").distinct()
+    qex = (
+        docs.filter(F.col("doc_id") < 3)
+        .select(
+            F.col("doc_id").alias("q"),
+            F.explode(F.split(F.lower("text"), " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    qtf = qex.groupBy("q", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    qw = qtf.join(idf_dict, "w").select(
+        "q", "w", (F.col("tf").cast("double") * F.col("idf")).alias("wq")
+    )
+    qnorm = qw.groupBy("q").agg(
+        F.sqrt(F.sum(F.col("wq") * F.col("wq"))).alias("nq")
+    )
+    dots = (
+        qw.join(cw.select("cid", "w", "wt"), "w")
+        .groupBy("q", "cid")
+        .agg(F.sum(F.col("wq") * F.col("wt")).alias("dot"))
+    )
+    scored = (
+        dots.join(cnorm, "cid")
+        .join(qnorm, "q")
+        .join(corp.select("cid", "doc_id", "chunk_id"), "cid")
+        .filter(F.col("doc_id") != F.col("q"))
+        .select(
+            "q",
+            "doc_id",
+            "chunk_id",
+            F.round(
+                F.col("dot") / (F.col("nc") * F.col("nq")), 6
+            ).alias("cosine"),
+        )
+    )
+    wr = Window.partitionBy("q").orderBy(
+        F.col("cosine").desc(), "doc_id", "chunk_id"
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("q").alias("query_id"),
+            F.col("rnk").cast("long").alias("rnk"),
+            F.col("doc_id").alias("src_doc"),
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            "cosine",
+        )
+    )

@@ -242,6 +242,7 @@ def _commit(
     *,
     add: list[str] = (),
     remove: list[str] = (),
+    stats: dict | None = None,
 ) -> None:
     """Atomically publish `version` as a DELTA manifest — only the
     files added/removed vs version-1, so the commit write is
@@ -258,6 +259,12 @@ def _commit(
         "add": sorted(add),
         "remove": sorted(remove),
     }
+    if stats:
+        # OPTIONAL per-file column min/max for data skipping —
+        # readers that ignore this key stay correct (a file without
+        # stats is simply never skipped), so old manifests and new
+        # readers interoperate in both directions
+        manifest["stats"] = stats
     tmp = os.path.join(_log_dir(root), f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:
         json.dump(manifest, f)
@@ -290,17 +297,115 @@ def _write_data_files(df: DataFrame, root: str) -> list[str]:
     ]
 
 
-def init_table(spark: SparkSession, root: str, df: DataFrame) -> int:
-    """Create version 0 from df. Errors if the table already exists."""
+def _collect_file_stats(
+    spark: SparkSession, files: list[str], cols: tuple
+) -> dict:
+    """Per-file min/max of `cols` over just-written files — ONE
+    aggregate job at write time (grouped on input_file_name), the
+    Delta/Iceberg write-side stats collection. Returns
+    {path: {col: [lo, hi]}} with plain (non-URI) paths. Cost is a
+    single scan of the batch being committed, never of the table."""
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).alias(f"_mn_{c}"))
+        aggs.append(F.max(c).alias(f"_mx_{c}"))
+    rows = (
+        spark.read.parquet(*files)
+        .groupBy(F.input_file_name().alias("_f"))
+        .agg(*aggs)
+        .collect()
+    )
+    out: dict = {}
+    for r in rows:
+        # input_file_name returns URIs (file://...); manifests store
+        # plain paths — normalize identically to delete_where
+        path = r["_f"].replace("file://", "").split("?")[0]
+        out[path] = {
+            c: [r[f"_mn_{c}"], r[f"_mx_{c}"]] for c in cols
+        }
+    return out
+
+
+def init_table(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    stats_cols: tuple = (),
+) -> int:
+    """Create version 0 from df. Errors if the table already exists.
+    stats_cols: columns whose per-file min/max land in the manifest
+    for data skipping (snapshot_pruned)."""
     if current_version(root) >= 0:
         raise FileExistsError(f"table already initialized at {root}")
     files = _write_data_files(df, root)
-    _commit(root, 0, "init", add=files)
+    stats = (
+        _collect_file_stats(spark, files, stats_cols)
+        if stats_cols
+        else None
+    )
+    _commit(root, 0, "init", add=files, stats=stats)
     return 0
 
 
+def _resolve_stats(root: str, version: int) -> dict:
+    """Merged per-file stats for snapshot `version`: replay every
+    surviving delta manifest's optional stats key forward (removed
+    files drop). Files committed without stats — or whose manifests
+    were vacuumed away — simply have no entry and are never skipped,
+    so the result is always safe, only possibly less selective.
+    O(#surviving versions) manifest reads, like committed_ops."""
+    stats: dict = {}
+    for v in range(_earliest_version(root), version + 1):
+        try:
+            m = _read_raw(root, v)
+        except FileNotFoundError:
+            continue
+        for f in m.get("remove", ()):
+            stats.pop(f, None)
+        stats.update(m.get("stats") or {})
+    return stats
+
+
+def snapshot_pruned(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+):
+    """Range read with FILE SKIPPING: resolve the snapshot's file
+    list, drop every file whose manifest [min, max] for `col` cannot
+    intersect [lo, hi] (files without stats always read), scan only
+    the survivors, and apply the exact filter to the survivors' rows.
+    This is the table-format half of pruning — partition pruning's
+    sibling that works on UNPARTITIONED layout, and the reason
+    Delta/Iceberg record write-side stats: at 100 TB a range query
+    over a range-clustered table opens O(matching files), not
+    O(table). Returns (DataFrame, n_files_read, n_files_total)."""
+    v = current_version(root) if version is None else version
+    files = _resolve_files(root, v)
+    stats = _resolve_stats(root, v)
+    kept = []
+    for f in files:
+        s = stats.get(f, {}).get(col)
+        if s is None or (s[0] <= hi and s[1] >= lo):
+            kept.append(f)
+    df = (
+        spark.read.parquet(*kept)
+        .filter((F.col(col) >= lo) & (F.col(col) <= hi))
+        if kept
+        else spark.read.parquet(*files).filter(F.lit(False))
+    )
+    return df, len(kept), len(files)
+
+
 def append(
-    spark: SparkSession, root: str, df: DataFrame, op: str = "append"
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    op: str = "append",
+    stats_cols: tuple = (),
 ) -> int:
     """ACID append: write new immutable files, commit a delta manifest
     listing ONLY them — O(batch) commit cost at any table size (the
@@ -309,12 +414,18 @@ def append(
     re-read the head and re-commit the same file list (Delta's
     blind-append concurrency rule; the data files were already
     durable, only the metadata pointer moves). Returns the committed
-    version."""
+    version. stats_cols: per-file min/max for data skipping, as in
+    init_table."""
     files = _write_data_files(df, root)
+    stats = (
+        _collect_file_stats(spark, files, stats_cols)
+        if stats_cols
+        else None
+    )
     while True:
         v = current_version(root) + 1
         try:
-            _commit(root, v, op, add=files)
+            _commit(root, v, op, add=files, stats=stats)
             return v
         except ConcurrentCommitError:
             continue

@@ -1325,3 +1325,47 @@ def snk_acid_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit("clone").alias("side"), "l_returnflag", "n")
         )
     )
+
+
+@query(
+    "snk_acid_skipping",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_qty
+    FROM lineitem
+    WHERE l_orderkey >= 300 AND l_orderkey <= 900
+    GROUP BY 1
+    """,
+)
+def snk_acid_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA SKIPPING on the versioned ACID table: per-file column
+    min/max collected at WRITE time (one aggregate over the batch,
+    the Delta/Iceberg write-side stats pass) land in the manifest;
+    a range read then opens only files whose [min, max] can
+    intersect the predicate (operators/acidtable.snapshot_pruned) —
+    partition pruning's sibling that needs no partitioning, just
+    range-clustered layout. The fixture is range-partitioned on
+    l_orderkey so the skip genuinely bites (property-tested:
+    files_read < files_total); files without stats are never
+    skipped, so the optimization is always safe. Oracle = the plain
+    full-scan filter."""
+    root = _tmp(
+        f"acid_skip_{os.path.basename(os.path.abspath(sf_dir))}"
+    )
+    if not _fixture_ready(root, 0, "init"):
+        li = (
+            table(spark, sf_dir, "lineitem")
+            .select(
+                "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+            )
+            .repartitionByRange(8, "l_orderkey")
+        )
+        AT.init_table(spark, root, li, stats_cols=("l_orderkey",))
+    pruned, n_read, n_total = AT.snapshot_pruned(
+        spark, root, "l_orderkey", 300, 900
+    )
+    return pruned.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum("l_quantity", "total_qty"),
+    )

@@ -1305,3 +1305,37 @@ def test_dfcap_is_relational_no_driver_hot_set(spark):
     assert "LeftAnti" in plan, plan[:2000]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_acid_data_skipping_prunes_files(spark, tmp_path):
+    """snapshot_pruned must (a) return exactly the rows the full-scan
+    filter returns, (b) actually SKIP files on range-clustered layout
+    (files_read < files_total), (c) never skip a file without stats
+    (append without stats_cols stays visible to every range read)."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators import acidtable as AT
+
+    root = str(tmp_path / "tbl")
+    df = spark.range(0, 8000).select(
+        F.col("id"), (F.col("id") % 5).alias("grp")
+    ).repartitionByRange(8, "id")
+    AT.init_table(spark, root, df, stats_cols=("id",))
+
+    pruned, n_read, n_total = AT.snapshot_pruned(
+        spark, root, "id", 2000, 2999
+    )
+    assert n_total >= 8 and n_read < n_total, (n_read, n_total)
+    full = AT.snapshot(spark, root).filter(
+        (F.col("id") >= 2000) & (F.col("id") <= 2999)
+    )
+    assert pruned.count() == full.count() == 1000
+
+    # a stats-less append must never be skipped
+    AT.append(spark, root, spark.range(2500, 2510).select(
+        F.col("id"), F.lit(9).alias("grp")).coalesce(1))
+    pruned2, n_read2, n_total2 = AT.snapshot_pruned(
+        spark, root, "id", 2000, 2999
+    )
+    assert n_total2 == n_total + 1 and n_read2 == n_read + 1
+    assert pruned2.count() == 1010

@@ -2187,3 +2187,82 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_r").cast("long").alias("n_right"),
         )
     )
+
+
+@query(
+    "stat_weighted_median",
+    oracle="""
+    WITH v AS (
+        SELECT l_returnflag AS flag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS price_q,
+               CAST(round(l_quantity * 100) AS BIGINT) AS w,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ), c AS (
+        SELECT flag, price_q, w,
+               SUM(w) OVER (PARTITION BY flag
+                            ORDER BY price_q, l_orderkey, l_linenumber
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+               SUM(w) OVER (PARTITION BY flag) AS tw
+        FROM v
+    ), sat AS (
+        SELECT flag, price_q, tw,
+               row_number() OVER (PARTITION BY flag
+                                  ORDER BY cw) AS r
+        FROM c WHERE 2 * cw >= tw
+    )
+    SELECT flag AS l_returnflag,
+           round(price_q / 100.0, 6) AS weighted_median_price,
+           round(tw / 100.0, 6) AS total_weight
+    FROM sat WHERE r = 1
+    """,
+)
+def stat_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (quantity-weighted extendedprice per return
+    flag) — the robust center for skewed monetary distributions,
+    where every row counts proportionally to its weight. EXACT rank
+    pick on the integer grid (never interpolation, the
+    ts_mad_outlier posture): one flag-keyed exchange carries both
+    the cumulative-weight window and the per-flag total, then the
+    lower weighted median is the FIRST value whose cumulative weight
+    reaches half the total (2*cum >= total in integers — no halving
+    division), deterministic via the (price, orderkey, linenumber)
+    sort tiebreak. Map-side quantization, one shuffle, window +
+    filter — no collect, no second pass."""
+    li = table(spark, sf_dir, "lineitem", spread=True)
+    v = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("price_q"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wc = (
+        Window.partitionBy("flag")
+        .orderBy("price_q", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("flag")
+    c = v.select(
+        "flag",
+        "price_q",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+    sat = c.filter(2 * F.col("cw") >= F.col("tw")).select(
+        "flag",
+        "price_q",
+        "tw",
+        F.row_number()
+        .over(Window.partitionBy("flag").orderBy("cw"))
+        .alias("r"),
+    )
+    return sat.filter(F.col("r") == 1).select(
+        F.col("flag").alias("l_returnflag"),
+        F.round(F.col("price_q") / 100.0, 6).alias(
+            "weighted_median_price"
+        ),
+        F.round(F.col("tw") / 100.0, 6).alias("total_weight"),
+    )

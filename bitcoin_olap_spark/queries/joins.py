@@ -655,3 +655,70 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH l AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        FROM events WHERE event_type = 'purchase'
+    ), r AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               MAX(value) AS view_value
+        FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    ), j AS (
+        SELECT l.event_id, l.user_id, l.ts, l.value,
+               r.view_value, r.ts AS match_ts
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+    )
+    SELECT event_id, user_id, ts, value,
+           CASE WHEN match_ts IS NOT NULL
+                 AND ts - match_ts <= INTERVAL 1 HOUR
+                THEN view_value END AS view_value,
+           CASE WHEN match_ts IS NOT NULL
+                 AND ts - match_ts <= INTERVAL 1 HOUR
+                THEN match_ts END AS match_ts
+    FROM j
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a MATCH TOLERANCE (pandas merge_asof's
+    `tolerance`, kdb's wj window): the most recent view at-or-before
+    each purchase counts only if it is at most 1 hour stale —
+    beyond that the match nulls out (stale context is worse than no
+    context, the feature-freshness rule every point-in-time feature
+    store enforces). Built on the SAME single-exchange asof machinery
+    (operators/temporal.asof_join) by carrying the matched right
+    timestamp inside the struct payload — the whole-row-struct shape
+    guarantees view_value and match_ts null out TOGETHER, never a
+    half-expired row; the tolerance is then one map-side epoch
+    comparison, no second join, no extra shuffle."""
+    from ..functions import epoch_us
+    from ..operators.temporal import asof_join
+
+    e = table(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+        .withColumn("match_ts", F.col("ts"))
+    )
+    j = asof_join(
+        left, right, "user_id", "ts", ["view_value", "match_ts"]
+    )
+    ok = F.col("match_ts").isNotNull() & (
+        epoch_us("ts") - epoch_us("match_ts") <= 3600 * 1_000_000
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.when(ok, F.col("view_value")).alias("view_value"),
+        F.when(ok, F.col("match_ts")).alias("match_ts"),
+    )

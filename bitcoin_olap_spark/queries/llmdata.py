@@ -2511,3 +2511,56 @@ def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_votes",
         (F.col("label") == F.col("true_label")).alias("correct"),
     )
+
+
+_READABILITY_ORACLE = """
+    WITH b AS (
+        SELECT doc_id, lower(text) AS low FROM documents
+    ), m AS (
+        SELECT doc_id,
+            len(regexp_split_to_array(trim(low), ' +')) AS n_words,
+            GREATEST(len(regexp_extract_all(low, '[.!?]')), 1)
+              AS n_sentences,
+            len(regexp_extract_all(low, '[aeiouy]+')) AS raw_syll
+        FROM b
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        CAST(n_sentences AS BIGINT) AS n_sentences,
+        CAST(GREATEST(raw_syll, n_words) AS BIGINT) AS n_syllables,
+        round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+              - 84.6 * (CAST(GREATEST(raw_syll, n_words) AS DOUBLE)
+                        / n_words), 6) AS flesch
+    FROM m
+"""
+
+
+@query("text_readability", oracle=_READABILITY_ORACLE)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring — the readability band filter
+    curation recipes run next to the Gopher rules (too-hard and
+    too-degenerate text both score out of band). Syllables
+    approximate as vowel-group runs ([aeiouy]+, floored at one per
+    word — the standard dictionary-free estimator), sentences as
+    terminal-punctuation count floored at 1; all three counts are
+    exact integers from one regexp pass (map-only, codegen-side,
+    zero shuffles at any corpus size), and the score is one IEEE
+    double expression rounded to 6 dp — identical on both engines."""
+    docs = table(spark, sf_dir, "documents", spread=True)
+    low = F.lower(F.col("text"))
+    words = F.size(F.split(F.trim(low), " +"))
+    sentences = F.greatest(
+        F.regexp_count(low, F.lit("[.!?]")), F.lit(1)
+    )
+    syll = F.greatest(F.regexp_count(low, F.lit("[aeiouy]+")), words)
+    return docs.select(
+        "doc_id",
+        words.cast("long").alias("n_words"),
+        sentences.cast("long").alias("n_sentences"),
+        syll.cast("long").alias("n_syllables"),
+        F.round(
+            206.835
+            - 1.015 * (words.cast("double") / sentences)
+            - 84.6 * (syll.cast("double") / words),
+            6,
+        ).alias("flesch"),
+    )

@@ -2222,13 +2222,29 @@ def stat_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag) — the robust center for skewed monetary distributions,
     where every row counts proportionally to its weight. EXACT rank
     pick on the integer grid (never interpolation, the
-    ts_mad_outlier posture): one flag-keyed exchange carries both
-    the cumulative-weight window and the per-flag total, then the
-    lower weighted median is the FIRST value whose cumulative weight
-    reaches half the total (2*cum >= total in integers — no halving
-    division), deterministic via the (price, orderkey, linenumber)
-    sort tiebreak. Map-side quantization, one shuffle, window +
-    filter — no collect, no second pass."""
+    ts_mad_outlier posture): the lower weighted median is the FIRST
+    value in price order whose cumulative weight reaches half the
+    total (2*cum >= total in integers — no halving division),
+    deterministic via the (price, orderkey, linenumber) tiebreak.
+
+    TWO-PHASE bucket rank-pick — the shape that survives scale.
+    Phase 1 aggregates weight per (flag, price div 65536) bucket —
+    a fully parallel map-side-combinable shuffle whose output is
+    flags x ~160 rows — and cumulates THAT tiny relation to locate
+    the single bucket containing each flag's median (carrying the
+    weight below it). Phase 2 broadcast-semi-joins the target
+    buckets back and runs the exact ordered pick over ONLY the
+    in-bucket rows (~n/buckets per flag). The naive one-window form
+    (cumulative sum over every row, partitioned by flag) was
+    measured and REJECTED for the registered query: with 3 flags
+    its per-flag sort runs on 3 effective cores and grows
+    superlinearly — 0.64 s at sf0.1 but 5.40 s at sf1 (3.3x vs
+    DuckDB, the only r6 row that got WORSE one decade up); the
+    bucket form pays +0.27 s of fixed stage latency at sf0.1
+    (0.91 s) and is FLAT at sf1 (1.10 s = 0.66x, inverting) —
+    exactly the trade a 100 TB engine makes. Same answer, same
+    oracle (DuckDB keeps the one-window form; the bucket
+    decomposition is Spark's physical strategy, not a semantic)."""
     li = table(spark, sf_dir, "lineitem", spread=True)
     v = li.select(
         F.col("l_returnflag").alias("flag"),
@@ -2238,18 +2254,36 @@ def stat_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_quantity") * 100).cast("long").alias("w"),
         "l_orderkey",
         "l_linenumber",
+    ).withColumn("bkt", F.expr("price_q div 65536"))
+    hist = v.groupBy("flag", "bkt").agg(F.sum("w").alias("bw"))
+    wcum = (
+        Window.partitionBy("flag")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    wc = (
+    wtot = Window.partitionBy("flag")
+    marked = hist.select(
+        "flag",
+        "bkt",
+        F.sum("bw").over(wcum).alias("cum"),
+        (F.sum("bw").over(wcum) - F.col("bw")).alias("prev"),
+        F.sum("bw").over(wtot).alias("tw"),
+    )
+    target = marked.filter(
+        (2 * F.col("cum") >= F.col("tw"))
+        & (2 * F.col("prev") < F.col("tw"))
+    ).select("flag", "bkt", "prev", "tw")
+    inb = v.join(F.broadcast(target), ["flag", "bkt"])
+    win = (
         Window.partitionBy("flag")
         .orderBy("price_q", "l_orderkey", "l_linenumber")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    wt = Window.partitionBy("flag")
-    c = v.select(
+    c = inb.select(
         "flag",
         "price_q",
-        F.sum("w").over(wc).alias("cw"),
-        F.sum("w").over(wt).alias("tw"),
+        "tw",
+        (F.col("prev") + F.sum("w").over(win)).alias("cw"),
     )
     sat = c.filter(2 * F.col("cw") >= F.col("tw")).select(
         "flag",

@@ -2300,3 +2300,66 @@ def stat_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.col("tw") / 100.0, 6).alias("total_weight"),
     )
+
+
+@query(
+    "stat_gini",
+    oracle="""
+    WITH w AS (
+        SELECT user_id,
+               CAST(SUM(CAST(round(value * 10000) AS BIGINT))
+                    AS BIGINT) AS bal
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), r AS (
+        SELECT bal,
+               row_number() OVER (ORDER BY bal, user_id) AS i,
+               COUNT(*) OVER () AS n,
+               CAST(SUM(bal) OVER () AS BIGINT) AS tot
+        FROM w
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_holders,
+           round(CAST(2 * SUM(i * bal) AS DOUBLE)
+                 / (MAX(n) * MAX(tot))
+                 - CAST(MAX(n) + 1 AS DOUBLE) / MAX(n), 6) AS gini
+    FROM r
+    """,
+)
+def stat_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user purchase-flow concentration — the
+    inequality metric the reference's exchange-flow domain invites
+    (how concentrated are flows across wallets): G = 2*sum(i*x_i) /
+    (n*sum x) - (n+1)/n over the balance-sorted sequence. The
+    corpus-scale work is ONE per-user aggregate; the rank window runs
+    on the post-aggregation HOLDER grain (users, not events — the
+    documented boundedness posture; a 100 TB deployment's holder
+    relation is the small output of the big aggregation). All
+    rank-weighted sums are exact int64 (ranks deterministic via the
+    (balance, user) tiebreak); the two final divisions round to
+    6 dp."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 10000).cast("long"))
+            .cast("long")
+            .alias("bal")
+        )
+    )
+    r = w.select(
+        "bal",
+        F.row_number()
+        .over(Window.orderBy("bal", "user_id"))
+        .alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.sum("bal").over(Window.partitionBy()).cast("long").alias("tot"),
+    )
+    return r.agg(
+        F.max("n").cast("long").alias("n_holders"),
+        F.round(
+            (2 * F.sum(F.col("i") * F.col("bal"))).cast("double")
+            / (F.max("n") * F.max("tot"))
+            - (F.max("n") + 1).cast("double") / F.max("n"),
+            6,
+        ).alias("gini"),
+    )

@@ -1762,3 +1762,156 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("slope_med") / 10000, 6).alias("slope"),
         F.round(F.col("ic") / 10000, 6).alias("intercept"),
     )
+
+
+@query(
+    "ts_bollinger",
+    oracle=f"""
+    WITH daily AS (
+        SELECT {ORACLE_DAY.format(col='CAST(ts AS TIMESTAMP)')} AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT)
+                 AS x
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), m AS (
+        SELECT day, x,
+            CAST(SUM(x) OVER w AS BIGINT) AS s,
+            CAST(SUM(x * x) OVER w AS BIGINT) AS ss,
+            CAST(COUNT(*) OVER w AS BIGINT) AS n
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING
+                     AND CURRENT ROW)
+    ), b AS (
+        SELECT day, x, n,
+            CAST(s AS DOUBLE) / n AS mu,
+            sqrt(GREATEST((CAST(ss AS DOUBLE)
+                 - CAST(s AS DOUBLE) * s / n) / n, 0.0)) AS sigma
+        FROM m
+    )
+    SELECT day, round(x / 10000.0, 6) AS flow,
+           round(mu / 10000.0, 6) AS ma7,
+           round((mu + 2 * sigma) / 10000.0, 6) AS upper_band,
+           round((mu - 2 * sigma) / 10000.0, 6) AS lower_band,
+           (x > mu + 2 * sigma) AS breakout_up,
+           (x < mu - 2 * sigma) AS breakout_down
+    FROM b WHERE n = 7
+    """,
+)
+def ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (7-day rolling mean +/- 2 population sigma)
+    over the daily purchase flow, with breakout flags — the
+    volatility-band signal every market-analytics stack computes over
+    exactly the daily-flow series the reference builds
+    (btc_logregression_pre.py:14-26). Rolling sum and sum-of-squares
+    accumulate as exact int64 inside ONE ROWS-framed window (the
+    fixed-point grid), so mu and sigma are IEEE doubles of identical
+    integers on both engines; rows emit only once the frame is full
+    (n = 7), and every output rounds to 6 dp. One daily-aggregate
+    shuffle; the window runs on the post-aggregation daily grain."""
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(day("ts").alias("day"))
+        .agg(
+            (F.sum(F.col("value").cast("decimal(18,4)")) * 10000)
+            .cast("long")
+            .alias("x")
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    m = daily.select(
+        "day",
+        "x",
+        F.sum("x").over(w).alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("ss"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    mu = F.col("s").cast("double") / F.col("n")
+    sigma = F.sqrt(
+        F.greatest(
+            (
+                F.col("ss").cast("double")
+                - F.col("s").cast("double") * F.col("s") / F.col("n")
+            )
+            / F.col("n"),
+            F.lit(0.0),
+        )
+    )
+    b = m.select(
+        "day", "x", "n", mu.alias("mu"), sigma.alias("sigma")
+    ).filter(F.col("n") == 7)
+    up = F.col("mu") + 2 * F.col("sigma")
+    dn = F.col("mu") - 2 * F.col("sigma")
+    return b.select(
+        "day",
+        F.round(F.col("x") / 10000.0, 6).alias("flow"),
+        F.round(F.col("mu") / 10000.0, 6).alias("ma7"),
+        F.round(up / 10000.0, 6).alias("upper_band"),
+        F.round(dn / 10000.0, 6).alias("lower_band"),
+        (F.col("x") > up).alias("breakout_up"),
+        (F.col("x") < dn).alias("breakout_down"),
+    )
+
+
+@query(
+    "ts_drawdown",
+    oracle=f"""
+    WITH daily AS (
+        SELECT {ORACLE_DAY.format(col='CAST(ts AS TIMESTAMP)')} AS day,
+               event_type,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT)
+                 AS x
+        FROM events GROUP BY 1, 2
+    ), c AS (
+        SELECT event_type, day, x,
+               CAST(MAX(x) OVER (PARTITION BY event_type ORDER BY day
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS peak
+        FROM daily
+    ), d AS (
+        SELECT event_type, day,
+               round(CAST(peak - x AS DOUBLE) / peak, 6) AS drawdown
+        FROM c
+    )
+    SELECT event_type,
+           round(MAX(drawdown), 6) AS max_drawdown,
+           CAST(COUNT(*) FILTER (WHERE drawdown > 0.5) AS BIGINT)
+             AS days_below_half_peak
+    FROM d GROUP BY 1
+    """,
+)
+def ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per event type's daily flow — THE downside
+    risk metric of financial analytics (how far below the running
+    peak did the series fall): running max via one cumulative window
+    on exact integers, per-day drawdown one division rounded to 6 dp,
+    then a per-type max + threshold count. One daily shuffle + one
+    per-type window on the daily grain; everything after is
+    driver-scale."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", day("ts").alias("day")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(18,4)")) * 10000)
+        .cast("long")
+        .alias("x")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.max("x").over(w).alias("peak"),
+    )
+    dd = F.round(
+        (F.col("peak") - F.col("x")).cast("double") / F.col("peak"), 6
+    )
+    d = c.select("event_type", dd.alias("drawdown"))
+    return d.groupBy("event_type").agg(
+        F.round(F.max("drawdown"), 6).alias("max_drawdown"),
+        F.sum(F.when(F.col("drawdown") > 0.5, 1).otherwise(0))
+        .cast("long")
+        .alias("days_below_half_peak"),
+    )

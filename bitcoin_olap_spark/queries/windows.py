@@ -1915,3 +1915,72 @@ def ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("days_below_half_peak"),
     )
+
+
+@query(
+    "win_funnel_windowed",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+               event_id
+        FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+    ), triples AS (
+        SELECT p.user_id, p.ts AS p_ts
+        FROM e v
+        JOIN e c ON c.user_id = v.user_id AND c.event_type = 'click'
+               AND c.ts >= v.ts
+        JOIN e p ON p.user_id = v.user_id
+               AND p.event_type = 'purchase'
+               AND p.ts >= c.ts
+               AND p.ts <= v.ts + INTERVAL 12 HOUR
+        WHERE v.event_type = 'view'
+    )
+    SELECT user_id, MIN(p_ts) AS first_conversion_ts,
+           CAST(COUNT(*) AS BIGINT) AS n_qualifying_paths
+    FROM triples GROUP BY 1
+    """,
+)
+def win_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-BOUNDED conversion funnel — win_funnel with the
+    conversion-window constraint real funnel analytics impose
+    (view -> click -> purchase counts only when the whole path
+    completes within 12 hours; an unconstrained funnel credits
+    conversions weeks apart). Per converted user: the earliest
+    qualifying purchase and the number of qualifying paths. The path
+    search is a user-keyed equi-join chain with the ordering and
+    window constraints refining inside the hash matches (never a
+    nested loop across users — each user's event list is the only
+    join scope, the same per-key boundedness the funnel fold relies
+    on); ties and ordering are exact timestamp comparisons, so both
+    engines count identical paths."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select("user_id", "event_type", "ts")
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("v_ts")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("c_ts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("p_ts")
+    )
+    from ..functions import epoch_us
+
+    triples = (
+        v.join(c, "u")
+        .filter(F.col("c_ts") >= F.col("v_ts"))
+        .join(p, "u")
+        .filter(
+            (F.col("p_ts") >= F.col("c_ts"))
+            & (
+                epoch_us("p_ts") - epoch_us("v_ts")
+                <= 12 * 3600 * 1_000_000
+            )
+        )
+    )
+    return triples.groupBy(F.col("u").alias("user_id")).agg(
+        F.min("p_ts").alias("first_conversion_ts"),
+        F.count(F.lit(1)).cast("long").alias("n_qualifying_paths"),
+    )

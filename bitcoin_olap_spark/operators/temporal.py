@@ -545,3 +545,56 @@ def holt_winters_per_group(
             ).alias("forecast_q"),
         )
     )
+
+
+def fifo_match(
+    buys: DataFrame,
+    sells: DataFrame,
+    key: str,
+    order_col: str,
+    qty_col: str,
+) -> DataFrame:
+    """FIFO lot matching, relationally: each sell consumes the oldest
+    unconsumed buy quantity per key. The procedural queue walk is
+    rewritten as CUMULATIVE-INTERVAL OVERLAP — each side's running
+    sum (one window per side over the same key-partitioned exchange)
+    places every row on the key's quantity axis as the interval
+    (cum - qty, cum]; a matched lot is exactly a nonempty
+    intersection of a buy and a sell interval with quantity
+    least(hi_b, hi_s) - greatest(lo_b, lo_s). One equi-join on the
+    key with the range predicate refining inside the hash match;
+    output is the queue walk's own O(buys + sells) lot count with
+    zero iteration — the property that lets FIFO cost-basis
+    accounting run at ledger scale where a per-key sequential queue
+    cannot. `order_col` must be unique per key (it defines FIFO
+    order deterministically); quantities must be non-negative
+    integers on the caller's fixed-point grid. Returns (key, buy_id,
+    sell_id, qty_q) with buy_id/sell_id = each side's order_col.
+    Property-tested lot-for-lot against a literal Python queue walk
+    (tests/test_properties.py)."""
+    def side(df: DataFrame, out_id: str) -> DataFrame:
+        w = (
+            Window.partitionBy(key)
+            .orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return df.withColumn("hi", F.sum(qty_col).over(w)).select(
+            key,
+            F.col(order_col).alias(out_id),
+            "hi",
+            (F.col("hi") - F.col(qty_col)).alias("lo"),
+        )
+
+    b = side(buys, "buy_id")
+    s = side(sells, "sell_id")
+    return b.join(
+        s,
+        (b[key] == s[key]) & (b["lo"] < s["hi"]) & (s["lo"] < b["hi"]),
+    ).select(
+        b[key],
+        "buy_id",
+        "sell_id",
+        (F.least(b["hi"], s["hi"]) - F.greatest(b["lo"], s["lo"])).alias(
+            "qty_q"
+        ),
+    )

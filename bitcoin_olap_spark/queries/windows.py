@@ -1619,6 +1619,8 @@ def win_fifo_lots(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the shape work at 100 TB where a per-key sequential queue
     cannot. Quantities on the exact 1e4 integer grid; ordering by the
     unique event_id makes the match deterministic on both engines."""
+    from ..operators.temporal import fifo_match
+
     e = table(spark, sf_dir, "events")
     v = e.filter(
         F.col("event_type").isin("purchase", "view")
@@ -1628,36 +1630,12 @@ def win_fifo_lots(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round(F.col("value") * 10000).cast("long").alias("v4"),
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    def side(tag: str, out_id: str) -> DataFrame:
-        return (
-            v.filter(F.col("event_type") == tag)
-            .withColumn("hi", F.sum("v4").over(w))
-            .select(
-                "user_id",
-                F.col("event_id").alias(out_id),
-                "hi",
-                (F.col("hi") - F.col("v4")).alias("lo"),
-            )
-        )
-    b = side("purchase", "buy_id")
-    s = side("view", "sell_id")
-    return b.join(
-        s,
-        (b["user_id"] == s["user_id"])
-        & (b["lo"] < s["hi"])
-        & (s["lo"] < b["hi"]),
-    ).select(
-        b["user_id"],
-        "buy_id",
-        "sell_id",
-        (
-            F.least(b["hi"], s["hi"]) - F.greatest(b["lo"], s["lo"])
-        ).alias("qty_q"),
+    return fifo_match(
+        v.filter(F.col("event_type") == "purchase"),
+        v.filter(F.col("event_type") == "view"),
+        "user_id",
+        "event_id",
+        "v4",
     )
 
 

@@ -1339,3 +1339,69 @@ def test_acid_data_skipping_prunes_files(spark, tmp_path):
     )
     assert n_total2 == n_total + 1 and n_read2 == n_read + 1
     assert pruned2.count() == 1010
+
+
+@SETTINGS
+@given(
+    seq=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),     # key
+            st.booleans(),                             # is_buy
+            st.integers(min_value=0, max_value=50),    # qty
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_fifo_match_equals_python_queue_walk(spark, seq):
+    """fifo_match's cumulative-interval-overlap formulation must
+    produce LOT-FOR-LOT the same (buy, sell, qty) matches as the
+    literal sequential FIFO queue walk, for any interleaving of buys
+    and sells across keys — including zero quantities, sells
+    exceeding buys (unmatched tail), and buys never consumed."""
+    from bitcoin_olap_spark.operators.temporal import fifo_match
+
+    rows = [
+        (k, i, b, q) for i, (k, b, q) in enumerate(seq)
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, oid long, is_buy boolean, qty long"
+    )
+    got = sorted(
+        (r["k"], r["buy_id"], r["sell_id"], r["qty_q"])
+        for r in fifo_match(
+            df.filter("is_buy"),
+            df.filter("NOT is_buy"),
+            "k",
+            "oid",
+            "qty",
+        ).collect()
+        if r["qty_q"] > 0
+    )
+    # reference: per-key sequential queue walk
+    want = []
+    from collections import defaultdict, deque
+
+    buys = defaultdict(deque)
+    for k, oid, is_buy, q in rows:
+        if is_buy and q > 0:
+            buys[k].append([oid, q])
+    for k, oid, is_buy, q in rows:
+        if is_buy:
+            continue
+        need = q
+        dq = buys[k]
+        while need > 0 and dq:
+            boid, avail = dq[0]
+            take = min(avail, need)
+            want.append((k, boid, oid, take))
+            need -= take
+            if take == avail:
+                dq.popleft()
+            else:
+                dq[0][1] -= take
+    # NOTE the queue walk consumes buys in ORDER regardless of
+    # interleaving (a sell "before" a later buy still matches it on
+    # the quantity axis) — that is fifo_match's documented semantics:
+    # FIFO over the ORDERED sequences, not a temporal constraint
+    assert got == sorted(want), (got, want)

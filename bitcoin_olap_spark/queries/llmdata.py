@@ -2564,3 +2564,178 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("flesch"),
     )
+
+
+@query(
+    "text_substring_dedup",
+    oracle="""
+    WITH ws AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), wins AS (
+        SELECT doc_id,
+               CAST(unnest(range(1, len(w) - 8)) AS BIGINT) AS s,
+               w
+        FROM ws
+    ), keyed AS (
+        SELECT doc_id, s,
+               array_to_string(w[s:s + 9], ' ') AS win
+        FROM wins
+    ), dup AS (
+        SELECT win FROM keyed GROUP BY win HAVING COUNT(*) >= 2
+    ), hits AS (
+        SELECT k.doc_id, k.s, k.s + 9 AS e
+        FROM keyed k JOIN dup USING (win)
+    ), isl AS (
+        SELECT doc_id, s, e,
+               CASE WHEN s > COALESCE(MAX(e) OVER (
+                        PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), -1) + 1
+                    THEN 1 ELSE 0 END AS ni
+        FROM hits
+    ), grp AS (
+        SELECT doc_id, s, e,
+               SUM(ni) OVER (PARTITION BY doc_id ORDER BY s) AS g
+        FROM isl
+    ), spans AS (
+        SELECT doc_id, g, MIN(s) AS s0, MAX(e) AS e0
+        FROM grp GROUP BY 1, 2
+    ), rem AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(e0 - s0 + 1) AS BIGINT) AS n_removed
+        FROM spans GROUP BY 1
+    ), pos AS (
+        SELECT doc_id,
+               CAST(unnest(range(1, len(w) + 1)) AS BIGINT) AS p,
+               w
+        FROM ws
+    ), kept AS (
+        SELECT po.doc_id,
+               string_agg(po.w[po.p], ' ' ORDER BY po.p) AS kept_text
+        FROM pos po
+        WHERE NOT EXISTS (
+            SELECT 1 FROM spans sp
+            WHERE sp.doc_id = po.doc_id
+              AND po.p BETWEEN sp.s0 AND sp.e0
+        )
+        GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(len(d.w) AS BIGINT) AS n_words,
+           COALESCE(r.n_removed, 0) AS n_removed,
+           COALESCE(r.n_spans, 0) AS n_spans,
+           COALESCE(k.kept_text, '') AS kept_text
+    FROM ws d
+    LEFT JOIN rem r USING (doc_id)
+    LEFT JOIN kept k USING (doc_id)
+    """,
+)
+def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING deduplication (the Lee et al. 2021
+    "Deduplicating Training Data Makes Language Models Better" pass,
+    restated relationally): any 10-word run that appears MORE THAN
+    ONCE corpus-wide is removed from every document that contains it,
+    and overlapping removals merge into maximal spans — the
+    overlapping-window strict generalization of text_dedup_chunks'
+    disjoint-chunk pass (a duplicated run is caught at every offset,
+    not only when it lands on a chunk boundary, which is what the
+    suffix-array formulation buys in the paper).
+
+    Shape, fact-sized throughout: one map-side explode to the rolling
+    10-word window grain (transform over sequence + slice —
+    document-local, no shuffle); ONE corpus-wide hash aggregate on the
+    window string for occurrence counts (the only full shuffle;
+    boilerplate is exactly the skewed key and it lands in the
+    aggregate where map-side partials absorb it); a semi-join of
+    windows against the duplicated set (aggregate-sized build, AQE
+    broadcasts it); per-doc interval merge of hit windows into maximal
+    spans (win_interval_merge's running-max-end island pass on the
+    doc_id exchange); and a map-side rebuild — spans join back to the
+    words array doc-keyed, kept positions selected by a higher-order
+    filter(sequence, p -> !exists(spans, ...)), so reassembly never
+    re-shuffles word grain. At larger scale the window key becomes
+    xxhash64(win) to shrink the aggregate's shuffle bytes (collision
+    probability bounded by corpus window count / 2^64); the string
+    key keeps the oracle exact here."""
+    L = 10
+    docs = table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "text"
+    )
+    ws = docs.select("doc_id", F.split("text", " ").alias("w"))
+    n = F.size("w")
+    wins = ws.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                n >= L,
+                F.transform(
+                    F.sequence(F.lit(1), n - L + 1),
+                    lambda s: F.struct(
+                        s.cast("long").alias("s"),
+                        F.array_join(
+                            F.slice("w", s, L), " "
+                        ).alias("win"),
+                    ),
+                ),
+            ).otherwise(F.array().cast(
+                "array<struct<s:long,win:string>>"
+            ))
+        ).alias("sw"),
+    ).select("doc_id", F.col("sw.s").alias("s"), F.col("sw.win").alias("win"))
+    dup = (
+        wins.groupBy("win")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("win")
+    )
+    hits = wins.join(dup, "win").select(
+        "doc_id", "s", (F.col("s") + L - 1).alias("e")
+    )
+    w_ord = Window.partitionBy("doc_id").orderBy("s")
+    prev_e = F.max("e").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = hits.withColumn(
+        "ni",
+        F.when(
+            F.col("s") > F.coalesce(prev_e, F.lit(-1)) + 1, 1
+        ).otherwise(0),
+    ).withColumn("g", F.sum("ni").over(w_ord))
+    spans = isl.groupBy("doc_id", "g").agg(
+        F.min("s").alias("s0"), F.max("e").alias("e0")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("s0", "e0")).alias("spans"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("e0") - F.col("s0") + 1)
+        .cast("long")
+        .alias("n_removed"),
+    )
+    joined = ws.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "w",
+        F.coalesce(
+            "spans", F.array().cast("array<struct<s0:long,e0:long>>")
+        ).alias("spans"),
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("n_removed", F.lit(0))
+        .cast("long")
+        .alias("n_removed"),
+    )
+    kept_idx = F.filter(
+        F.sequence(F.lit(1), F.size("w")),
+        lambda p: ~F.exists(
+            F.col("spans"),
+            lambda sp: (p >= sp["s0"]) & (p <= sp["e0"]),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_words"),
+        "n_removed",
+        "n_spans",
+        F.array_join(
+            F.transform(kept_idx, lambda p: F.element_at("w", p)), " "
+        ).alias("kept_text"),
+    )

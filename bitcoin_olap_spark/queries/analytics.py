@@ -2363,3 +2363,224 @@ def stat_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "stat_mannwhitney",
+    oracle="""
+    WITH v AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                   AS g1,
+               CAST(round(value * 10000) AS BIGINT) AS v4
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ), cells AS (
+        SELECT v4,
+               CAST(SUM(g1) AS BIGINT) AS n1v,
+               CAST(COUNT(*) AS BIGINT) AS t
+        FROM v GROUP BY 1
+    ), ranked AS (
+        SELECT v4, n1v, t,
+               COALESCE(SUM(t) OVER (ORDER BY v4
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS cprev
+        FROM cells
+    ), tot AS (
+        SELECT CAST(SUM(n1v) AS BIGINT) AS n1,
+               CAST(SUM(t - n1v) AS BIGINT) AS n2,
+               CAST(SUM(t) AS BIGINT) AS n,
+               CAST(SUM(n1v * (2 * cprev + t + 1)) AS BIGINT)
+                   AS r1_x2,
+               CAST(SUM(CAST(t AS HUGEINT) * t * t - t) AS DOUBLE)
+                   AS ties
+        FROM ranked
+    )
+    SELECT n1, n2,
+           CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) / 2 AS u1,
+           round((CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) / 2
+                  - CAST(n1 AS DOUBLE) * n2 / 2)
+                 / sqrt(CAST(n1 AS DOUBLE) * n2 / 12
+                        * ((n + 1) - ties
+                           / (CAST(n AS DOUBLE) * (n - 1)))),
+                 6) AS z
+    FROM tot
+    """,
+)
+def stat_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (purchase vs view event values) —
+    the distribution-free complement of stat_ttest: no normality
+    assumption, ties handled by midranks with the standard tie-
+    corrected normal approximation (no continuity correction; both
+    engines state the identical formula).
+
+    Exactness and shape: values discretize to the shared v4 fixed
+    point; ONE conditional-count aggregate collapses the corpus to
+    the distinct-value grain (the only fact-sized shuffle — the grain
+    is bounded by the VALUE DOMAIN, ~5e6 possible v4 cells at any
+    corpus size, so the unpartitioned cumulative window after it
+    never sees fact-scale rows; a wider domain would swap in the
+    distributed prefix-sum used by sample_stratified); midrank sums
+    stay exact as 2x-scaled int64 (2*R1 = sum n1v*(2*cprev+t+1)),
+    the tie term t^3-t accumulates in decimal/HUGEINT, and only the
+    final z divides into IEEE double, rounded 6dp."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    v = e.select(
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("g1"),
+        F.round(F.col("value") * 10000).cast("long").alias("v4"),
+    )
+    cells = v.groupBy("v4").agg(
+        F.sum("g1").cast("long").alias("n1v"),
+        F.count(F.lit(1)).cast("long").alias("t"),
+    )
+    w = Window.orderBy("v4").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = cells.select(
+        "v4",
+        "n1v",
+        "t",
+        F.coalesce(F.sum("t").over(w), F.lit(0)).alias("cprev"),
+    )
+    td = F.col("t").cast("decimal(38,0)")
+    tot = ranked.agg(
+        F.sum("n1v").cast("long").alias("n1"),
+        F.sum(F.col("t") - F.col("n1v")).cast("long").alias("n2"),
+        F.sum("t").cast("long").alias("n"),
+        F.sum(
+            F.col("n1v") * (2 * F.col("cprev") + F.col("t") + 1)
+        )
+        .cast("long")
+        .alias("r1_x2"),
+        F.sum(td * td * td - td).cast("double").alias("ties"),
+    )
+    u1 = (
+        F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)
+    ).cast("double") / 2
+    mu = F.col("n1").cast("double") * F.col("n2") / 2
+    var = (
+        F.col("n1").cast("double") * F.col("n2") / 12
+        * (
+            (F.col("n") + 1)
+            - F.col("ties")
+            / (F.col("n").cast("double") * (F.col("n") - 1))
+        )
+    )
+    return tot.select(
+        "n1",
+        "n2",
+        u1.alias("u1"),
+        F.round((u1 - mu) / F.sqrt(var), 6).alias("z"),
+    )
+
+
+@query(
+    "stat_ks_2samp",
+    oracle="""
+    WITH v AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                   AS g1,
+               CAST(round(value * 10000) AS BIGINT) AS v4
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ), cells AS (
+        SELECT v4,
+               CAST(SUM(g1) AS BIGINT) AS c1v,
+               CAST(COUNT(*) - SUM(g1) AS BIGINT) AS c2v
+        FROM v GROUP BY 1
+    ), cum AS (
+        SELECT v4,
+               SUM(c1v) OVER (ORDER BY v4) AS f1,
+               SUM(c2v) OVER (ORDER BY v4) AS f2
+        FROM cells
+    ), tot AS (
+        SELECT CAST(SUM(c1v) AS BIGINT) AS n1,
+               CAST(SUM(c2v) AS BIGINT) AS n2
+        FROM cells
+    ), dmax AS (
+        SELECT CAST(MAX(ABS(f1 * tot.n2 - f2 * tot.n1)) AS BIGINT)
+                   AS dnum
+        FROM cum, tot GROUP BY tot.n1, tot.n2
+    )
+    SELECT tot.n1, tot.n2,
+           round(CAST(dnum AS DOUBLE)
+                 / (CAST(tot.n1 AS DOUBLE) * tot.n2), 6) AS d,
+           round(CAST(dnum AS DOUBLE)
+                 / (CAST(tot.n1 AS DOUBLE) * tot.n2)
+                 * sqrt(CAST(tot.n1 AS DOUBLE) * tot.n2
+                        / (tot.n1 + tot.n2)), 6) AS ks_stat
+    FROM dmax, tot
+    """,
+)
+def stat_ks_2samp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic (purchase vs view
+    value distributions): D = sup_x |F1(x) - F2(x)| — the
+    whole-distribution drift test completing the stats family
+    (t-test: means; Mann-Whitney: stochastic order; chi-square:
+    categorical association; KS: any distributional difference, the
+    batch twin of profile_drift_psi's binned score).
+
+    Same scale shape as stat_mannwhitney: one conditional-count
+    aggregate to the distinct-v4 grain (the only fact-sized
+    shuffle, grain bounded by the value domain), cumulative counts
+    by one ordered window on that grain, and the supremum kept
+    EXACT by cross-multiplication — max |F1*n2 - F2*n1| over int64
+    — so the only floating division is the final D and the
+    sqrt(n1*n2/(n1+n2))-scaled KS statistic, both rounded 6dp."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    v = e.select(
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("g1"),
+        F.round(F.col("value") * 10000).cast("long").alias("v4"),
+    )
+    cells = v.groupBy("v4").agg(
+        F.sum("g1").cast("long").alias("c1v"),
+        (F.count(F.lit(1)) - F.sum("g1")).cast("long").alias("c2v"),
+    )
+    w = Window.orderBy("v4").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = cells.select(
+        F.sum("c1v").over(w).alias("f1"),
+        F.sum("c2v").over(w).alias("f2"),
+    )
+    tot = cells.agg(
+        F.sum("c1v").cast("long").alias("n1"),
+        F.sum("c2v").cast("long").alias("n2"),
+    )
+    dmax = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("f1") * F.col("n2")
+                    - F.col("f2") * F.col("n1")
+                )
+            )
+            .cast("long")
+            .alias("dnum"),
+            F.max("n1").alias("n1"),
+            F.max("n2").alias("n2"),
+        )
+    )
+    d = F.col("dnum").cast("double") / (
+        F.col("n1").cast("double") * F.col("n2")
+    )
+    return dmax.select(
+        "n1",
+        "n2",
+        F.round(d, 6).alias("d"),
+        F.round(
+            d
+            * F.sqrt(
+                F.col("n1").cast("double")
+                * F.col("n2")
+                / (F.col("n1") + F.col("n2"))
+            ),
+            6,
+        ).alias("ks_stat"),
+    )

@@ -2584,3 +2584,93 @@ def stat_ks_2samp(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ks_stat"),
     )
+
+
+@query(
+    "ml_ridge",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem
+    ), mo AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+        FROM v
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+               AS slope_ols,
+           round((CAST(sy AS DOUBLE)
+                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+               AS icept_ols,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx + n * 10000 AS DOUBLE), 6)
+               AS slope_ridge,
+           round((CAST(sy AS DOUBLE)
+                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx + n * 10000 AS DOUBLE)
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+               AS icept_ridge
+    FROM mo
+    """,
+)
+def ml_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form ridge regression (price-cents on quantity,
+    unpenalized intercept, lambda = 10000) next to its OLS limit —
+    the L2-regularized member of the regression family
+    (ml_ols_loglog / ml_linreg_fit are the lambda=0 case; ridge is
+    what a feature pipeline actually fits when x is collinear or
+    near-constant, and the closed form needs no iteration at all).
+
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2 + n*lambda): the centered
+    moments cross-multiplied so everything stays integral — ONE
+    moment aggregate over the fact table (map-side partials, 5 longs
+    of traffic per partition, no second pass), cross products
+    accumulated in decimal(38,0)/HUGEINT (n*Sxy overflows int64 by
+    sf1), and a single IEEE division per coefficient rounded 6dp.
+    Shrinkage is visible against the OLS twin from the same moment
+    row."""
+    v = table(spark, sf_dir, "lineitem", spread=True).select(
+        F.round("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("y"),
+    )
+    dec = "decimal(38,0)"
+    mo = v.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).cast(dec).alias("sxx"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).cast(dec).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den_ols = (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    den_rdg = (
+        F.col("n") * F.col("sxx")
+        - F.col("sx") * F.col("sx")
+        + F.col("n") * 10000
+    ).cast("double")
+    def icept(slope):
+        return (
+            F.col("sy").cast("double")
+            - slope * F.col("sx").cast("double")
+        ) / F.col("n").cast("double")
+    return mo.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(num / den_ols, 6).alias("slope_ols"),
+        F.round(icept(num / den_ols), 6).alias("icept_ols"),
+        F.round(num / den_rdg, 6).alias("slope_ridge"),
+        F.round(icept(num / den_rdg), 6).alias("icept_ridge"),
+    )

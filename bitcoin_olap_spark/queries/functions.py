@@ -448,3 +448,77 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_param"
         ),
     )
+
+
+@query(
+    "fn_transform_lambda",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+               AS total_qty,
+           CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_big,
+           CAST(SUM(CAST(round(l_quantity) AS BIGINT)
+                    * CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS qty_price_c,
+           CAST(MAX(CAST(round(l_discount * 100) AS BIGINT))
+                AS BIGINT) AS max_disc_pct
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def fn_transform_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array lambdas — transform / filter / aggregate /
+    zip_with over per-order line arrays, the SQL-lambda surface
+    (Spark's HOFs run INSIDE codegen on the JVM: a lambda over an
+    array column is a tight loop in generated Java, never a Python
+    round-trip — the idiomatic replacement for every per-row UDF that
+    walks a collection). The oracle states each lambda's algebraic
+    meaning directly on the flat relation, pinning the HOF pipeline to
+    ground truth rather than to another list implementation.
+
+    Shape: ONE l_orderkey hash aggregate builds the line arrays
+    (collect_list of structs, map-side partials); every lambda then
+    runs map-side on the grouped row — zero further exchanges. All
+    arithmetic is exact int64 (qty units, price/discount cents);
+    array order inside a group is made irrelevant by reducing with
+    commutative folds (sum / count / max)."""
+    li = table(spark, sf_dir, "lineitem", spread=True).select(
+        "l_orderkey",
+        F.round("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("price_c"),
+        F.round(F.col("l_discount") * 100)
+        .cast("long")
+        .alias("disc_pct"),
+    )
+    g = li.groupBy("l_orderkey").agg(
+        F.collect_list(F.struct("qty", "price_c", "disc_pct")).alias(
+            "lines"
+        )
+    )
+    qtys = F.transform(F.col("lines"), lambda x: x["qty"])
+    prices = F.transform(F.col("lines"), lambda x: x["price_c"])
+    zero = F.lit(0).cast("long")
+    return g.select(
+        "l_orderkey",
+        F.size("lines").cast("long").alias("n_lines"),
+        F.aggregate(qtys, zero, lambda acc, x: acc + x).alias(
+            "total_qty"
+        ),
+        F.size(F.filter(qtys, lambda x: x > 25))
+        .cast("long")
+        .alias("n_big"),
+        F.aggregate(
+            F.zip_with(qtys, prices, lambda q, p: q * p),
+            zero,
+            lambda acc, x: acc + x,
+        ).alias("qty_price_c"),
+        F.array_max(
+            F.transform(F.col("lines"), lambda x: x["disc_pct"])
+        )
+        .cast("long")
+        .alias("max_disc_pct"),
+    )

@@ -722,3 +722,99 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, F.col("view_value")).alias("view_value"),
         F.when(ok, F.col("match_ts")).alias("match_ts"),
     )
+
+
+@query(
+    "join_geo_grid",
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey,
+               (c_custkey * 7919) % 1000 AS x,
+               (c_custkey * 104729) % 1000 AS y
+        FROM customer
+    ), s AS (
+        SELECT s_suppkey,
+               (s_suppkey * 4409 + 11) % 1000 AS x,
+               (s_suppkey * 2287 + 5) % 1000 AS y
+        FROM supplier
+    )
+    SELECT c.c_custkey, s.s_suppkey,
+           CAST((c.x - s.x) * (c.x - s.x)
+                + (c.y - s.y) * (c.y - s.y) AS BIGINT) AS dist2
+    FROM c, s
+    WHERE (c.x - s.x) * (c.x - s.x)
+          + (c.y - s.y) * (c.y - s.y) <= 225
+    """,
+)
+def join_geo_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial distance join via GRID-CELL BLOCKING — all
+    (customer, supplier) point pairs within Euclidean radius 15 on a
+    deterministic synthetic 1000x1000 plane (coordinates are affine
+    hashes of the keys so the oracle can state them; a real deployment
+    reads lat/lon). The oracle is the quadratic formulation; the
+    operator is the scale shape: with cell size = radius, each left
+    point maps to its HOME cell only and each right point replicates
+    to its 3x3 cell neighborhood, so every qualifying pair meets in
+    EXACTLY one cell (the left point's home) and the join is a plain
+    hash equi-join on the cell key — the GeoSpark/Sedona partitioned
+    spatial-join pattern, O(n * density) instead of O(n^2), and the
+    exact integer dist^2 <= r^2 refine runs inside the hash match.
+    Replication factor is a constant 9x on the smaller (build) side;
+    skew follows point density per cell, which AQE's skew splitting
+    handles because the blocking key is a shuffle key, not an array
+    membership."""
+    R = 15
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7919) % 1000).alias("x"),
+        ((F.col("c_custkey") * 104729) % 1000).alias("y"),
+    )
+    supp = table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 4409 + 11) % 1000).alias("x"),
+        ((F.col("s_suppkey") * 2287 + 5) % 1000).alias("y"),
+    )
+    cgrid = cust.select(
+        "c_custkey",
+        F.col("x").alias("cx_pt"),
+        F.col("y").alias("cy_pt"),
+        F.floor(F.col("x") / R).alias("gx"),
+        F.floor(F.col("y") / R).alias("gy"),
+    )
+    offs = F.array(
+        *[
+            F.struct(
+                F.lit(dx).alias("dx"), F.lit(dy).alias("dy")
+            )
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    sgrid = supp.select(
+        "s_suppkey",
+        F.col("x").alias("sx_pt"),
+        F.col("y").alias("sy_pt"),
+        F.explode(offs).alias("o"),
+        F.floor(F.col("x") / R).alias("hgx"),
+        F.floor(F.col("y") / R).alias("hgy"),
+    ).select(
+        "s_suppkey",
+        "sx_pt",
+        "sy_pt",
+        (F.col("hgx") + F.col("o.dx")).alias("gx"),
+        (F.col("hgy") + F.col("o.dy")).alias("gy"),
+    )
+    d2 = (F.col("cx_pt") - F.col("sx_pt")) * (
+        F.col("cx_pt") - F.col("sx_pt")
+    ) + (F.col("cy_pt") - F.col("sy_pt")) * (
+        F.col("cy_pt") - F.col("sy_pt")
+    )
+    return (
+        cgrid.join(sgrid, ["gx", "gy"])
+        .filter(d2 <= R * R)
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            d2.cast("long").alias("dist2"),
+        )
+    )

@@ -1369,3 +1369,57 @@ def snk_acid_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         exact_sum("l_quantity", "total_qty"),
     )
+
+
+@query(
+    "src_binary_files",
+    oracle="""
+    SELECT n_name || '.bin' AS fname,
+           CAST(length(repeat(n_name || ':'
+                              || CAST(n_nationkey AS VARCHAR) || ';',
+                              50)) AS BIGINT) AS nbytes,
+           md5(repeat(n_name || ':'
+                      || CAST(n_nationkey AS VARCHAR) || ';', 50))
+               AS content_md5
+    FROM nation
+    """,
+)
+def src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`binaryFile` datasource — the ingestion seam for every opaque
+    multimodal payload (images, audio, model shards): one row per
+    file with path, length, and the raw bytes as a BINARY column.
+    This is how a 100 TB curation pipeline first touches non-parquet
+    blobs; downstream the bytes flow into the mm_* Arrow-batched
+    decode operators. The fixture is 25 deterministic ASCII payloads
+    constructed from the nation table (written once per process,
+    driver-side — 25 bounded rows, not a distributed write, since
+    binaryFile is a read-only format); the oracle restates each
+    file's length and md5 from the same construction, so the check
+    proves the source delivers bytes verbatim. The scan itself is
+    parallel: binaryFile lists files into splits like any
+    file-based source (one task per file up to maxPartitionBytes),
+    and pushes path filters down via pathGlobFilter."""
+    out = _tmp("binary_files_fixture")
+    marker = os.path.join(out, "_done")
+    if not os.path.exists(marker):
+        os.makedirs(out, exist_ok=True)
+        for r in (
+            table(spark, sf_dir, "nation")
+            .select("n_nationkey", "n_name")
+            .collect()
+        ):
+            payload = (f"{r['n_name']}:{r['n_nationkey']};" * 50).encode()
+            with open(os.path.join(out, f"{r['n_name']}.bin"), "wb") as f:
+                f.write(payload)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(out)
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("fname"),
+            F.col("length").cast("long").alias("nbytes"),
+            F.md5("content").alias("content_md5"),
+        )
+    )

@@ -1962,3 +1962,95 @@ def win_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("p_ts").alias("first_conversion_ts"),
         F.count(F.lit(1)).cast("long").alias("n_qualifying_paths"),
     )
+
+
+@query(
+    "ts_rsi",
+    oracle=f"""
+    WITH daily AS (
+        SELECT {ORACLE_DAY.format(col='CAST(ts AS TIMESTAMP)')} AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT)
+                 AS x
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), d AS (
+        SELECT day, x,
+               x - lag(x) OVER (ORDER BY day) AS delta
+        FROM daily
+    ), gl AS (
+        SELECT day, x,
+               GREATEST(delta, 0) AS gain,
+               GREATEST(-delta, 0) AS loss
+        FROM d WHERE delta IS NOT NULL
+    ), m AS (
+        SELECT day, x,
+               CAST(SUM(gain) OVER w AS BIGINT) AS sg,
+               CAST(SUM(loss) OVER w AS BIGINT) AS sl,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n
+        FROM gl
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT day, round(x / 10000.0, 6) AS flow,
+           round(CASE WHEN sg + sl > 0
+                      THEN 100.0 * sg / (sg + sl)
+                      ELSE 50.0 END, 6) AS rsi,
+           (sg + sl > 0 AND 100.0 * sg / (sg + sl) > 70) AS overbought,
+           (sg + sl > 0 AND 100.0 * sg / (sg + sl) < 30) AS oversold
+    FROM m WHERE n = 14
+    """,
+)
+def ts_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day Relative Strength Index (Cutler's SMA variant — the
+    window-expressible member of the RSI family; Wilder's smoothed
+    variant is a recurrence and would ride the ts_holt JVM-fold seam)
+    over the daily purchase flow: momentum oscillator flagging
+    overbought (>70) / oversold (<30) days, completing the
+    market-analytics tier next to ts_bollinger / ts_drawdown.
+
+    Exactness: gains and losses are differences of the int64
+    fixed-point daily series (one lag window), their 14-day rolling
+    sums stay int64 inside ONE ROWS-framed window, and RSI =
+    100*sg/(sg+sl) is a single IEEE division of identical integers
+    on both engines (sg+sl = 0 pins RSI to 50), rounded 6dp. Flags
+    compare BEFORE rounding so band edges can't flip between
+    engines. One daily-aggregate shuffle; both windows run on the
+    post-aggregation daily grain."""
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(day("ts").alias("day"))
+        .agg(
+            (F.sum(F.col("value").cast("decimal(18,4)")) * 10000)
+            .cast("long")
+            .alias("x")
+        )
+    )
+    wl = Window.orderBy("day")
+    d = daily.select(
+        "day", "x", (F.col("x") - F.lag("x").over(wl)).alias("delta")
+    ).filter(F.col("delta").isNotNull())
+    gl = d.select(
+        "day",
+        "x",
+        F.greatest(F.col("delta"), F.lit(0)).alias("gain"),
+        F.greatest(-F.col("delta"), F.lit(0)).alias("loss"),
+    )
+    w = Window.orderBy("day").rowsBetween(-13, 0)
+    m = gl.select(
+        "day",
+        "x",
+        F.sum("gain").over(w).alias("sg"),
+        F.sum("loss").over(w).alias("sl"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    ).filter(F.col("n") == 14)
+    tot = F.col("sg") + F.col("sl")
+    rsi = F.lit(100.0) * F.col("sg") / tot
+    return m.select(
+        "day",
+        F.round(F.col("x") / 10000.0, 6).alias("flow"),
+        F.round(
+            F.when(tot > 0, rsi).otherwise(F.lit(50.0)), 6
+        ).alias("rsi"),
+        ((tot > 0) & (rsi > 70)).alias("overbought"),
+        ((tot > 0) & (rsi < 30)).alias("oversold"),
+    )

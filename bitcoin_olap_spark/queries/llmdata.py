@@ -2739,3 +2739,111 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(kept_idx, lambda p: F.element_at("w", p)), " "
         ).alias("kept_text"),
     )
+
+
+def _oracle_rerank_sql(kk_coarse: int = 50, kk: int = 10) -> str:
+    """DuckDB twin of sim_topk_rerank: the full PQ/ADC pipeline at
+    k=50 as the candidate stage (reusing _oracle_pq_sql verbatim as a
+    subquery), then the exact fixed-point cosine kernel restricted to
+    those candidate pairs, reranked to top-10."""
+    return f"""
+    WITH cand AS (
+        SELECT query_id, vec_id
+        FROM ({_oracle_pq_sql(kk=kk_coarse)}) pq
+    ), pos AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ), norms AS (
+        SELECT vec_id,
+               SUM(CAST(floor((x * x) * 1e16) AS BIGINT)) AS norm_sq
+        FROM pos GROUP BY 1
+    ), dots AS (
+        SELECT c.query_id, c.vec_id,
+               SUM(CAST(floor((a.x * b.x) * 1e16) AS BIGINT)) AS dot
+        FROM cand c
+        JOIN pos a ON a.vec_id = c.query_id
+        JOIN pos b ON b.vec_id = c.vec_id AND b.pos = a.pos
+        GROUP BY 1, 2
+    ), scored AS (
+        SELECT dots.query_id, dots.vec_id,
+               ROUND(CAST(dot AS DOUBLE) /
+                     sqrt(CAST(na.norm_sq AS DOUBLE) *
+                          CAST(nb.norm_sq AS DOUBLE)), 6) AS cosine
+        FROM dots
+        JOIN norms na ON na.vec_id = dots.query_id
+        JOIN norms nb ON nb.vec_id = dots.vec_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored
+    ) WHERE rank <= {kk}
+"""
+
+
+@query("sim_topk_rerank", oracle=_oracle_rerank_sql())
+def sim_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-STAGE retrieval: PQ/ADC coarse top-50 -> exact-cosine
+    rerank to top-10 — the FAISS IndexPQ + refine architecture, and
+    the shape production ANN actually deploys at 100 TB (the coarse
+    stage never touches raw vectors, so the corpus scan is over ~60x
+    smaller code rows; the refine stage reads full vectors for only
+    |queries| x 50 candidates, a driver-bounded set). Recall is the
+    coarse stage's recall@50 (strictly better than PQ's recall@10,
+    measured in tests); precision within the candidate set is exact.
+
+    Reuses the memoized trained codebook (same offline-index artifact
+    as sim_topk_pq), so the two queries price the marginal cost of
+    reranking, not a second training run. The candidate join back to
+    raw vectors is candidate-keyed (AQE broadcasts the 250-row side);
+    scoring runs through the shared Arrow fixed-point kernel. The
+    oracle replays BOTH stages — the entire PQ pipeline at k=50 as a
+    subquery, then the exact kernel on those pairs."""
+    import os
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    cents = _PQ_CODEBOOK_CACHE.get(key)
+    if cents is None:
+        from ..ml.clustering import pq_lloyd_fixed, quantize_fixed
+
+        base = quantize_fixed(emb, "vec_id", "embedding")
+        cents = pq_lloyd_fixed(base, "vec_id", 16, 8, 2, dim=64)
+        _PQ_CODEBOOK_CACHE[key] = cents
+    cand = V.pq_topk_adc(
+        emb,
+        queries,
+        "vec_id",
+        "embedding",
+        k=50,
+        m=8,
+        n_codewords=16,
+        codebook=cents,
+    ).select("query_id", "vec_id")
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_va"),
+    )
+    cv = emb.select("vec_id", F.col("embedding").alias("_vb"))
+    pairs = cand.join(F.broadcast(qv), "query_id").join(cv, "vec_id")
+    scored = V.exact_score_pairs_arrow(pairs, "query_id", "vec_id")
+    return (
+        scored.select(
+            "query_id",
+            "vec_id",
+            F.round("cosine", 6).alias("cosine"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("cosine"), F.asc("vec_id")
+                )
+            )
+            .cast("long"),
+        )
+        .filter(F.col("rank") <= 10)
+    )

@@ -482,3 +482,29 @@ def test_semdedup_survivor_rule_and_coverage(spark):
             assert flagged == loser, (
                 f"edge ({a},{b}): flagged {flagged} but rule drops {loser}"
             )
+
+
+def test_rerank_recall_at_least_pq(spark):
+    """The exact-rerank stage can only improve on raw PQ top-10: for
+    every query, rerank's top-10 recall vs bruteforce must be >= the
+    coarse PQ top-10 recall (refining within a top-50 candidate pool
+    that contains the PQ top-10 by construction), and every reranked
+    pair must come from the PQ top-50 pool."""
+    from bitcoin_olap_spark.registry import all_queries
+
+    q = all_queries()
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in q["sim_topk_bruteforce"](spark, SF_ORACLE).collect()
+    }
+    pq10 = {
+        (r.query_id, r.vec_id)
+        for r in q["sim_topk_pq"](spark, SF_ORACLE).collect()
+    }
+    rr = {
+        (r.query_id, r.vec_id)
+        for r in q["sim_topk_rerank"](spark, SF_ORACLE).collect()
+    }
+    assert len(rr & exact) >= len(pq10 & exact), (
+        f"rerank recall {len(rr & exact)} < pq {len(pq10 & exact)}"
+    )

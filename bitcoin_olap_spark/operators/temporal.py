@@ -598,3 +598,79 @@ def fifo_match(
             "qty_q"
         ),
     )
+
+
+def _fdv(a: str, b: str) -> str:
+    """Exact floor division for signed BIGINTs with a VARIABLE
+    divisor — queries/analytics._fdiv_sql with Spark's `div`; the
+    oracle twin uses the identical text with `//`. Needed by folds
+    whose divisor is itself a state expression (Kalman's p + r),
+    where _fd2's fixed divisor doesn't apply."""
+    return f"((({a}) - (((({a}) % ({b})) + ({b})) % ({b}))) div ({b}))"
+
+
+#: Kalman constants (integer variance units): process noise Q,
+#: measurement noise R, initial variance P0 = R. Shared by the fold
+#: and the ts_kalman oracle so both engines state the same filter.
+KALMAN_Q = 100_000
+KALMAN_R = 1_000_000
+
+
+def kalman_per_group(
+    df: DataFrame,
+    key_col: str,
+    order_cols: tuple[str, ...],
+    xq_col: str,
+) -> DataFrame:
+    """Per-group scalar KALMAN FILTER (random-walk state, constant
+    process/measurement noise) in EXACT integer arithmetic, entirely
+    JVM-side — the stochastic-state sibling of
+    holt_linear_per_group's deterministic trend fold:
+
+        p_pred = p + Q
+        x' = x + floor(p_pred * (z - x) / (p_pred + R))
+        p' = floor(p_pred * R / (p_pred + R))
+
+    The gain k = p_pred/(p_pred+R) never materializes as a float —
+    both update equations multiply through by the denominator and
+    floor-divide (sign-safe pmod form), so every state is int64-exact
+    and the DuckDB recursive-CTE twin hash-matches. p converges to
+    the constant-gain fixed point within ~10 steps; x is then an
+    exponentially-weighted level whose weight the DATA chose (via
+    Q/R), which is exactly what distinguishes the Kalman level from
+    ts_ewma's fixed alpha. init = (z_1, R); p is bounded above by
+    R + Q, so the products stay within int64 for series up to ~1e12
+    on the caller's fixed-point grid (rescale the grid first above
+    that). Same boundedness contract as the Holt folds: feed the
+    post-aggregation per-group grain."""
+    ordered = F.array_sort(
+        F.collect_list(F.struct(*order_cols, xq_col))
+    )
+    pp = f"(acc.p + {KALMAN_Q})"
+    den = f"({pp} + {KALMAN_R})"
+    step = (
+        "aggregate("
+        "  slice(_xs, 2, greatest(size(_xs) - 1, 0)),"
+        f"  named_struct('x', _xs[0], 'p', CAST({KALMAN_R} AS BIGINT)),"
+        "  (acc, z) -> named_struct("
+        f"    'x', acc.x + {_fdv(f'{pp} * (z - acc.x)', den)},"
+        f"    'p', {_fdv(f'{pp} * CAST({KALMAN_R} AS BIGINT)', den)}))"
+    )
+    return (
+        df.groupBy(key_col)
+        .agg(ordered.alias("_seq"))
+        .select(
+            key_col,
+            F.size("_seq").cast("long").alias("n_pts"),
+            F.transform(F.col("_seq"), lambda s: s[xq_col]).alias(
+                "_xs"
+            ),
+        )
+        .select(key_col, "n_pts", F.expr(step).alias("_st"))
+        .select(
+            key_col,
+            "n_pts",
+            F.col("_st.x").alias("x_q"),
+            F.col("_st.p").alias("p_q"),
+        )
+    )

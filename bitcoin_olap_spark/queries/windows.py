@@ -2054,3 +2054,66 @@ def ts_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((tot > 0) & (rsi > 70)).alias("overbought"),
         ((tot > 0) & (rsi < 30)).alias("oversold"),
     )
+
+
+def _oracle_kalman_sql() -> str:
+    from ..operators.temporal import KALMAN_Q, KALMAN_R
+
+    def fdv(a: str, b: str) -> str:
+        return (
+            f"((({a}) - (((({a}) % ({b})) + ({b})) % ({b}))) // ({b}))"
+        )
+
+    pp = f"(s.p + {KALMAN_Q})"
+    den = f"({pp} + {KALMAN_R})"
+    return f"""
+    WITH RECURSIVE base AS (
+        SELECT event_type,
+               {ORACLE_DAY.format(col='CAST(ts AS TIMESTAMP)')} AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT)
+                 AS xq
+        FROM events GROUP BY 1, 2
+    ), r AS (
+        SELECT event_type, xq,
+               row_number() OVER (PARTITION BY event_type ORDER BY day)
+                 AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM base
+    ), s AS (
+        SELECT event_type, 1 AS t, CAST(n AS BIGINT) AS n,
+               xq AS x, CAST({KALMAN_R} AS BIGINT) AS p
+        FROM r WHERE rn = 1
+        UNION ALL
+        SELECT s.event_type, s.t + 1, s.n,
+               s.x + {fdv(f"{pp} * (r.xq - s.x)", den)},
+               {fdv(f"{pp} * CAST({KALMAN_R} AS BIGINT)", den)}
+        FROM s JOIN r ON r.event_type = s.event_type
+                     AND r.rn = s.t + 1
+    )
+    SELECT event_type, n AS n_pts, x AS x_q, p AS p_q
+    FROM s WHERE t = n
+"""
+
+
+@query("ts_kalman", oracle=_oracle_kalman_sql())
+def ts_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Kalman filter over each event type's daily flow
+    (random-walk state, Q/R = 0.1) — the adaptive-gain smoother
+    completing the recurrence tier (ts_ewma: fixed alpha; ts_holt:
+    level+trend; ts_holt_winters: +seasonality; Kalman: the gain
+    itself is state). EXACT integers end to end: both update
+    equations multiply through by the denominator and floor-divide,
+    so the gain never exists as a float and the recursive-CTE oracle
+    hash-matches the final (x, p) states
+    (operators/temporal.kalman_per_group). One daily-aggregate
+    shuffle, one per-type collect; the fold runs map-side in the
+    JVM."""
+    from ..operators.temporal import kalman_per_group
+
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", day("ts").alias("day")).agg(
+        (F.sum(F.col("value").cast("decimal(18,4)")) * 10000)
+        .cast("long")
+        .alias("xq")
+    )
+    return kalman_per_group(daily, "event_type", ("day",), "xq")

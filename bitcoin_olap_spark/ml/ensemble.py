@@ -1,0 +1,205 @@
+"""Boosted-ensemble training on the FEATURE-CELL grain.
+
+Discrete AdaBoost over decision stumps, restated so the boosting loop
+never rescans the corpus: with categorical/banded features every row
+in the same (f1, f2, f3, y) cell is classified identically by every
+candidate stump, so ONE corpus-scale aggregate collapses the fact
+table to at most |dom(f1)|*|dom(f2)|*|dom(f3)|*2 cells and all T
+rounds run on that domain-bounded relation. This is the 100 TB
+boosting architecture: the corpus pass is O(N) once; per-round work is
+O(cells x candidates), independent of N.
+
+Weight algebra is INTEGER-EXACT — the textbook multiplicative update
+w *= exp(+/-alpha) is replaced by its exact rational equivalent
+(misclassified cells scale by (M - E), correct cells by E, which
+preserves AdaBoost's relative weights because exp(2*alpha) =
+(M-E)/E), followed by a floor-division renormalization onto a fixed
+integer simplex of mass S. Every state both engines compare is int64;
+alpha itself is computed ONCE PER ROUND at the end as an IEEE double
+of the exact (E_t, M_t) integers (the same ln-on-identical-integers
+posture as profile_drift_psi).
+
+Overflow contract: after normalization every mass <= S = 1e9 and the
+round total M <= S (floor only shrinks), so the pre-normalization
+product m * factor <= S^2 = 1e18 < 2^63; the renormalization triple
+product m * factor * S runs in decimal(38,0)/HUGEINT. The INITIAL
+normalization computes cnt * S in int64, bounding the corpus at
+~9e9 rows per training run — sample or widen to decimal first above
+that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: integer simplex mass for the normalized weights
+ADA_SCALE = 10**9
+
+
+def stump_candidates(
+    spark: SparkSession, domains: dict[int, int]
+) -> DataFrame:
+    """(feat, thr, pol) candidate relation: thresholds 0..dom-2 per
+    feature (a threshold at the domain max splits nothing), both
+    polarities. Literal, deterministic, tens of rows."""
+    rows = [
+        (f, t, p)
+        for f, dom in sorted(domains.items())
+        for t in range(dom - 1)
+        for p in (1, -1)
+    ]
+    return spark.createDataFrame(rows, "feat long, thr long, pol long")
+
+
+def _h(feat_val: Column, thr: Column, pol: Column) -> Column:
+    """Stump prediction h(x) = pol * (f <= thr ? +1 : -1)."""
+    return pol * F.when(feat_val <= thr, 1).otherwise(-1)
+
+
+def _feat(feat: Column) -> Column:
+    """Select the cell's feature value by the stump's feature index."""
+    return (
+        F.when(feat == 1, F.col("f1"))
+        .when(feat == 2, F.col("f2"))
+        .otherwise(F.col("f3"))
+    )
+
+
+def adaboost_cells(
+    spark: SparkSession,
+    cells: DataFrame,
+    domains: dict[int, int],
+    rounds: int = 3,
+) -> DataFrame:
+    """Train `rounds` stumps on a (f1, f2, f3, y, cnt) cell relation.
+
+    Control plane per round: one 1-row argmin collect (the chosen
+    stump + its exact weighted error E) — M' = 2*E*(M-E) is computed
+    ALGEBRAICALLY from the argmin row (the update maps total mass M to
+    E*(M-E) on each side of the split), so renormalization needs no
+    second aggregation pass. Chosen stumps re-enter the plan as
+    literals, keeping every round's mass plan flat (no growing
+    lineage).
+
+    Returns one row per round: (round, feat, thr, pol, eps, alpha,
+    train_acc) with eps = E/M and train_acc the sign-vote accuracy of
+    the final ensemble under integer alpha votes (alpha quantized to
+    1e-6 so the vote is an int64 sum)."""
+    S = ADA_SCALE
+    n_total = cells.agg(F.sum("cnt").alias("n")).collect()[0]["n"]
+    m = cells.select(
+        "f1",
+        "f2",
+        "f3",
+        "y",
+        "cnt",
+        F.expr(f"(cnt * {S}) div {n_total}").alias("m"),
+    ).localCheckpoint()
+    cand = stump_candidates(spark, domains)
+    chosen: list[tuple[int, int, int, int, int]] = []
+    for _ in range(rounds):
+        tot = m.agg(F.sum("m").alias("mm")).collect()[0]["mm"]
+        scored = (
+            F.broadcast(cand)
+            .crossJoin(m)
+            .groupBy("feat", "thr", "pol")
+            .agg(
+                F.sum(
+                    F.when(
+                        _h(
+                            _feat(F.col("feat")),
+                            F.col("thr"),
+                            F.col("pol"),
+                        )
+                        != F.col("y"),
+                        F.col("m"),
+                    ).otherwise(0)
+                ).alias("e")
+            )
+        )
+        best = (
+            scored.orderBy("e", "feat", "thr", "pol").limit(1).collect()
+        )[0]
+        feat, thr, pol, err = (
+            int(best["feat"]),
+            int(best["thr"]),
+            int(best["pol"]),
+            int(best["e"]),
+        )
+        if err == 0:
+            # a perfectly separating stump would zero every correct
+            # cell's mass AND make alpha infinite; impossible as soon
+            # as one cell holds both labels, so treat as bad input
+            raise ValueError(
+                "adaboost_cells: zero weighted error — data is "
+                "stump-separable; boosting degenerates"
+            )
+        chosen.append((feat, thr, pol, err, tot))
+        mis = (
+            _h(_feat(F.lit(feat)), F.lit(thr), F.lit(pol))
+            != F.col("y")
+        )
+        factor = F.when(mis, F.lit(tot - err)).otherwise(F.lit(err))
+        m = (
+            m.withColumn(
+                "_raw",
+                F.col("m").cast("decimal(38,0)") * factor.cast(
+                    "decimal(38,0)"
+                ),
+            )
+            .withColumn(
+                "m",
+                F.expr(
+                    f"CAST((_raw * {S}) div "
+                    f"(2 * CAST({err} AS DECIMAL(38,0)) "
+                    f"* {tot - err}) AS BIGINT)"
+                ),
+            )
+            .drop("_raw")
+            .localCheckpoint()
+        )
+    # integer-quantized alphas -> deterministic sign votes
+    alphas = [
+        (f, t, p, e, mm)
+        for (f, t, p, e, mm) in chosen
+    ]
+    vote = F.lit(0).cast("long")
+    out_rows = []
+    for i, (f, t, p, e, mm) in enumerate(alphas, start=1):
+        a_scaled = F.expr(
+            f"CAST(round(0.5 * ln(CAST({mm - e} AS DOUBLE) / {e}) "
+            f"* 1000000) AS BIGINT)"
+        )
+        vote = vote + a_scaled * _h(
+            _feat(F.lit(f)), F.lit(t), F.lit(p)
+        )
+        out_rows.append((i, f, t, p, e, mm))
+    pred = F.when(vote > 0, 1).otherwise(-1)
+    acc = cells.agg(
+        F.round(
+            F.sum(F.when(pred == F.col("y"), F.col("cnt")).otherwise(0))
+            .cast("double")
+            / F.sum("cnt"),
+            6,
+        ).alias("train_acc")
+    )
+    spec = spark.createDataFrame(
+        out_rows, "rnd long, feat long, thr long, pol long, e long, mm long"
+    )
+    return F.broadcast(spec).crossJoin(acc).select(
+        "rnd",
+        "feat",
+        "thr",
+        "pol",
+        F.round(F.col("e").cast("double") / F.col("mm"), 6).alias(
+            "eps"
+        ),
+        F.round(
+            F.expr(
+                "0.5 * ln(CAST(mm - e AS DOUBLE) / e)"
+            ),
+            6,
+        ).alias("alpha"),
+        "train_acc",
+    )

@@ -2674,3 +2674,150 @@ def ml_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(num / den_rdg, 6).alias("slope_ridge"),
         F.round(icept(num / den_rdg), 6).alias("icept_ridge"),
     )
+
+
+def _oracle_adaboost_sql(T: int = 3, S: int = 10**9) -> str:
+    """DuckDB twin of ml_adaboost: the cell aggregate, then T unrolled
+    boosting rounds — candidate weighted errors, (e, feat, thr, pol)
+    argmin, exact rational mass update, floor renormalization onto the
+    integer simplex (ml/ensemble.adaboost_cells' recurrence) — and the
+    integer-alpha sign-vote accuracy. Every compared state is int64."""
+
+    def h(feat: str, thr: str, pol: str, x: str) -> str:
+        fv = (
+            f"(CASE {feat} WHEN 1 THEN {x}.f1 "
+            f"WHEN 2 THEN {x}.f2 ELSE {x}.f3 END)"
+        )
+        return (
+            f"({pol} * (CASE WHEN {fv} <= {thr} THEN 1 ELSE -1 END))"
+        )
+
+    parts = [
+        f"""
+    WITH cells AS (
+        SELECT CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS f1,
+               CAST((CAST(CAST(ts AS TIMESTAMP) AS DATE)
+                     - DATE '1970-01-01') % 7 AS BIGINT) AS f2,
+               LEAST(CAST(floor(value / 50) AS BIGINT), 9) AS f3,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END
+                   AS y,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2, 3, 4
+    ), ntot AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM cells
+    ), cand AS (
+        SELECT feat, thr, CAST(p.pol AS BIGINT) AS pol FROM (
+            SELECT CAST(1 AS BIGINT) AS feat,
+                   CAST(unnest(range(23)) AS BIGINT) AS thr
+            UNION ALL
+            SELECT 2, CAST(unnest(range(6)) AS BIGINT)
+            UNION ALL
+            SELECT 3, CAST(unnest(range(9)) AS BIGINT)
+        ), (SELECT unnest([1, -1]) AS pol) p
+    ), m0 AS (
+        SELECT f1, f2, f3, y, cnt,
+               (cnt * {S}) // ntot.n AS m
+        FROM cells, ntot
+    )"""
+    ]
+    for i in range(T):
+        hc = h("c.feat", "c.thr", "c.pol", "x")
+        hb = h("b.feat", "b.thr", "b.pol", "x")
+        parts.append(
+            f""",
+    t{i} AS (SELECT CAST(SUM(m) AS BIGINT) AS mm FROM m{i}),
+    e{i} AS (
+        SELECT c.feat, c.thr, c.pol,
+               CAST(SUM(CASE WHEN {hc} != x.y THEN x.m ELSE 0 END)
+                    AS BIGINT) AS e
+        FROM cand c, m{i} x GROUP BY 1, 2, 3
+    ),
+    b{i} AS (
+        SELECT feat, thr, pol, e FROM e{i}
+        ORDER BY e, feat, thr, pol LIMIT 1
+    ),
+    m{i + 1} AS (
+        SELECT x.f1, x.f2, x.f3, x.y, x.cnt,
+               CAST((CAST(x.m AS HUGEINT)
+                     * (CASE WHEN {hb} != x.y
+                             THEN t.mm - b.e ELSE b.e END)
+                     * {S})
+                    // (2 * CAST(b.e AS HUGEINT) * (t.mm - b.e))
+                    AS BIGINT) AS m
+        FROM m{i} x, b{i} b, t{i} t
+    )"""
+        )
+    spec_rows = "\n        UNION ALL\n".join(
+        f"""        SELECT CAST({i + 1} AS BIGINT) AS rnd, feat, thr,
+               pol, e, (SELECT mm FROM t{i}) AS mm FROM b{i}"""
+        for i in range(T)
+    )
+    hs = h("s.feat", "s.thr", "s.pol", "x")
+    parts.append(
+        f""",
+    spec AS (
+{spec_rows}
+    ),
+    votes AS (
+        SELECT x.f1, x.f2, x.f3, x.y, x.cnt,
+               SUM(CAST(round(0.5 * ln(CAST(s.mm - s.e AS DOUBLE)
+                                       / s.e) * 1000000) AS BIGINT)
+                   * {hs}) AS vote
+        FROM cells x, spec s GROUP BY 1, 2, 3, 4, 5
+    ),
+    acc AS (
+        SELECT round(SUM(CASE WHEN (CASE WHEN vote > 0 THEN 1
+                                        ELSE -1 END) = y
+                              THEN cnt ELSE 0 END) * 1.0
+                     / SUM(cnt), 6) AS train_acc
+        FROM votes
+    )
+    SELECT s.rnd, s.feat, s.thr, s.pol,
+           round(CAST(s.e AS DOUBLE) / s.mm, 6) AS eps,
+           round(0.5 * ln(CAST(s.mm - s.e AS DOUBLE) / s.e), 6)
+               AS alpha,
+           acc.train_acc
+    FROM spec s, acc"""
+    )
+    return "".join(parts)
+
+
+@query("ml_adaboost", oracle=_oracle_adaboost_sql())
+def ml_adaboost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete AdaBoost (3 rounds of decision stumps over
+    hour / day-of-week / value-band features, purchase-vs-rest) on
+    the FEATURE-CELL grain — the boosting loop never rescans the
+    corpus: one O(N) aggregate collapses events to <= 24*7*10*2
+    cells, and every round's candidate sweep, mass update, and
+    renormalization runs on that domain-bounded relation
+    (ml/ensemble.adaboost_cells). Weight algebra is integer-exact
+    (misclassified mass scales by M-E, correct by E — the exact
+    rational form of exp(+/-alpha) — then floor-renormalizes onto a
+    1e9 integer simplex), so the unrolled DuckDB oracle hash-matches
+    every chosen stump and error mass; alpha and accuracy are IEEE
+    functions of identical integers, 6dp. Control plane: one 1-row
+    argmin collect per round."""
+    from ..ml.ensemble import adaboost_cells
+
+    e = table(spark, sf_dir, "events")
+    cells = (
+        e.select(
+            F.hour("ts").cast("long").alias("f1"),
+            (
+                F.datediff(F.to_date("ts"), F.lit("1970-01-01")) % 7
+            )
+            .cast("long")
+            .alias("f2"),
+            F.least(
+                F.floor(F.col("value") / 50).cast("long"), F.lit(9)
+            ).alias("f3"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(-1)
+            .alias("y"),
+        )
+        .groupBy("f1", "f2", "f3", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return adaboost_cells(
+        spark, cells, domains={1: 24, 2: 7, 3: 10}, rounds=3
+    )

@@ -2821,3 +2821,115 @@ def ml_adaboost(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adaboost_cells(
         spark, cells, domains={1: 24, 2: 7, 3: 10}, rounds=3
     )
+
+
+def _oracle_kcore_sql(k: int = 2, rounds: int = 4) -> str:
+    """Unrolled peeling twin of graph_k_core: `rounds` iterations of
+    degree-filter + edge restriction over the strong co-purchase
+    graph, stated as plain CTEs."""
+    parts = [
+        """
+    WITH pairs AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_orderkey, 1, 2
+    ), e0 AS (
+        SELECT u, v FROM pairs GROUP BY u, v HAVING COUNT(*) >= 2
+    )"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""",
+    a{r} AS (
+        SELECT u AS node, v AS nbr FROM e{r}
+        UNION ALL SELECT v, u FROM e{r}
+    ),
+    d{r} AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM a{r} GROUP BY 1
+    ),
+    k{r} AS (SELECT node FROM d{r} WHERE d >= {k}),
+    e{r + 1} AS (
+        SELECT e.u, e.v FROM e{r} e
+        JOIN k{r} ku ON ku.node = e.u
+        JOIN k{r} kv ON kv.node = e.v
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+    FROM (SELECT u AS node FROM e{rounds}
+          UNION ALL SELECT v FROM e{rounds})
+    GROUP BY 1"""
+    )
+    return "".join(parts)
+
+
+@query("graph_k_core", oracle=_oracle_kcore_sql())
+def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core extraction by 4 PEELING rounds over the strong part
+    co-purchase graph — the community-pruning primitive (drop nodes
+    with degree < k, repeat; survivors are the densely-embedded
+    core). Each round is one degree aggregate + two LEFT-SEMI edge
+    restrictions — O(E) per round with no driver data movement at
+    all; edges localCheckpoint between rounds (the doc_clusters
+    posture) so each round's plan reads the previous round's
+    materialized edge set once instead of re-deriving the whole
+    lineage (a union references edges twice per round — unchecked,
+    the final plan re-evaluates the base derivation exponentially). A production run swaps the fixed unroll for
+    dedup_doc_clusters' convergence-sum loop over the identical
+    round body; 4 rounds suffice for this graph (verified by the
+    oracle match — a 5th round would change nothing, see test).
+    Returns surviving (node, deg) after the final peel. Same
+    strong-edge derivation (co-ordered >= 2) as graph_triangles /
+    graph_jaccard_nbrs: map-side pair explode from sorted per-order
+    part arrays, one (u, v) exchange."""
+    K, ROUNDS = 2, 4
+    li = table(spark, sf_dir, "lineitem", spread=True).select(
+        "l_orderkey", "l_partkey"
+    )
+    parts = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    p1 = parts.select(F.sort_array("ps").alias("ps")).select(
+        "ps", F.posexplode("ps").alias("i", "u")
+    )
+    edges = (
+        p1.select(
+            "u",
+            F.explode(
+                F.slice("ps", F.col("i") + 2, F.size("ps"))
+            ).alias("v"),
+        )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    for _ in range(ROUNDS):
+        adj = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).select(F.col("u").alias("node"))
+        keep = (
+            adj.groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= K)
+            .select("node")
+        )
+        edges = (
+            edges.join(
+                keep.select(F.col("node").alias("u")), "u", "left_semi"
+            )
+            .join(
+                keep.select(F.col("node").alias("v")), "v", "left_semi"
+            )
+            .localCheckpoint()
+        )
+    final_adj = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).select(F.col("u").alias("node"))
+    return final_adj.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )

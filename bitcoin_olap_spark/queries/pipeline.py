@@ -666,3 +666,220 @@ def pipeline_rag_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine",
         )
     )
+
+
+_WEB_E2E_ORACLE = """
+WITH u AS (
+    SELECT doc_id, source, lang, text,
+      CASE CAST(doc_id % 3 AS INT)
+        WHEN 0 THEN 'https://' || source || '.example.com/p'
+             || CAST(doc_id % 23 AS VARCHAR)
+        WHEN 1 THEN 'HTTPS://' || upper(source || '.example.com')
+             || ':443/p' || CAST(doc_id % 23 AS VARCHAR)
+        ELSE 'https://' || source || '.example.com/p'
+             || CAST(doc_id % 23 AS VARCHAR)
+             || '/?utm_source=x&utm_campaign=y'
+      END AS url
+    FROM documents
+), c AS (
+    SELECT doc_id, source, lang, text,
+      'https://'
+        || lower(regexp_extract(url, '^[a-zA-Z]+://([^/:?#]+)', 1))
+        || regexp_replace(COALESCE(regexp_extract(url,
+               '^[a-zA-Z]+://[^/?#]+(/[^?#]*)', 1), ''), '/$', '')
+      AS canon_url
+    FROM u
+), survivors AS (
+    SELECT * FROM c
+    WHERE doc_id IN (SELECT MIN(doc_id) FROM c GROUP BY canon_url)
+), gm AS (
+    SELECT doc_id, source, lang, text,
+           string_split(lower(text), ' ') AS ws,
+           string_split(text, chr(10)) AS lines
+    FROM survivors
+), gf AS (
+    SELECT doc_id, source, lang, text,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(ws, w -> length(w)))
+                AS DOUBLE) / len(ws) AS mean_word_len,
+           CAST(len(list_filter(ws,
+                    w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+               / len(ws) AS alpha_frac,
+           CAST(len(list_filter(ws,
+                    w -> contains(w, '#') OR contains(w, '...')))
+                AS DOUBLE) / len(ws) AS symbol_frac,
+           CAST(len(list_filter(ws,
+                    w -> list_contains(['the','be','to','of','and',
+                                        'that','have','with'], w)))
+                AS BIGINT) AS n_stop,
+           CAST(len(list_filter(lines,
+                    l -> starts_with(l, '-') OR starts_with(l, '*')
+                         OR starts_with(l, '•'))) AS DOUBLE)
+               / len(lines) AS bullet_frac,
+           CAST(len(list_filter(lines, l -> ends_with(l, '...')))
+                AS DOUBLE) / len(lines) AS ellipsis_frac
+    FROM gm
+), quality AS (
+    SELECT doc_id, source, lang, text, n_words FROM gf
+    WHERE n_words >= 50 AND n_words <= 100000
+      AND mean_word_len >= 3 AND mean_word_len <= 10
+      AND symbol_frac <= 0.1 AND alpha_frac >= 0.8
+      AND n_stop >= 2 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+), w AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+    FROM quality
+), wc AS (
+    SELECT doc_id, w FROM w WHERE w != ''
+), lm AS (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM wc GROUP BY 1
+), tot AS (
+    SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM lm
+), s AS (
+    SELECT wc.doc_id,
+           round(SUM(-ln(CAST(lm.cnt AS DOUBLE) / tot.n))
+                 / COUNT(*), 6) AS avg_neg_logp
+    FROM wc JOIN lm USING (w) CROSS JOIN tot
+    GROUP BY 1
+), b AS (
+    SELECT q.source, q.lang, q.n_words, s.doc_id,
+           ntile(3) OVER (PARTITION BY q.lang
+                          ORDER BY s.avg_neg_logp, s.doc_id) AS t
+    FROM s JOIN quality q USING (doc_id)
+)
+SELECT source, lang,
+       CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+              ELSE 'tail' END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS total_words
+FROM b WHERE t < 3
+GROUP BY 1, 2, 3
+"""
+
+
+@query("pipeline_web_e2e", oracle=_WEB_E2E_ORACLE)
+def pipeline_web_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEB-CRAWL curation cascade (the CCNet / RefinedWeb recipe) as
+    ONE lazy plan: URL-canonicalization dedup -> Gopher rule gate ->
+    CCNet per-language perplexity terciles (LM trained on the
+    SURVIVORS, as the recipe specifies — filtering order matters and
+    the oracle replays it) -> per-(source, lang, bucket) accounting
+    with the tail bucket dropped. Every stage reuses a registered
+    operator's exact semantics (text_dedup_url's canon form,
+    text_gopher_rules' integer-ratio gate, sample_ccnet_buckets'
+    6dp-score terciles), so the composed oracle hash-matches end to
+    end. URLs are synthesized in-query with three messiness classes
+    (case+port / utm params / plain) that canonicalize together, so
+    the first stage genuinely deduplicates.
+
+    Scale shape: stages 1-2 are map-only after ONE canonical-URL
+    shuffle (min-id survivor via aggregate, AQE-broadcast semi-join
+    back); the LM is vocabulary-sized and broadcast; the tercile
+    window shuffles once on lang (swap ntile for distributed
+    prefix-sum boundaries if one language outgrows an executor); the
+    final accounting grain is sources x langs x 3. Bytes shrink
+    monotonically through the cascade — the property that makes the
+    recipe run at crawl scale."""
+    docs = table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "source", "lang", "text"
+    )
+    base = F.concat(F.col("source"), F.lit(".example.com"))
+    k = (F.col("doc_id") % 23).cast("string")
+    m = F.col("doc_id") % 3
+    url = (
+        F.when(
+            m == 0,
+            F.concat(F.lit("https://"), base, F.lit("/p"), k),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("HTTPS://"), F.upper(base), F.lit(":443/p"), k
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://"),
+                base,
+                F.lit("/p"),
+                k,
+                F.lit("/?utm_source=x&utm_campaign=y"),
+            )
+        )
+    )
+    host = F.lower(F.parse_url(url, F.lit("HOST")))
+    path = F.regexp_replace(
+        F.parse_url(url, F.lit("PATH")), "/$", ""
+    )
+    canon = F.concat(F.lit("https://"), host, path)
+    c = docs.select("doc_id", "source", "lang", "text", canon.alias("canon_url"))
+    from pyspark.sql.window import Window
+
+    surv = (
+        c.withColumn(
+            "_min",
+            F.min("doc_id").over(Window.partitionBy("canon_url")),
+        )
+        .filter(F.col("doc_id") == F.col("_min"))
+        .drop("_min", "canon_url")
+    )
+    g = TX.gopher_metrics("text")
+    keep = (
+        (g["n_words"] >= 50)
+        & (g["n_words"] <= 100000)
+        & (g["mean_word_len"] >= 3)
+        & (g["mean_word_len"] <= 10)
+        & (g["symbol_frac"] <= 0.1)
+        & (g["alpha_frac"] >= 0.8)
+        & (g["n_stop"] >= 2)
+        & (g["bullet_frac"] <= 0.9)
+        & (g["ellipsis_frac"] <= 0.3)
+    )
+    quality = surv.filter(keep).withColumn(
+        "n_words", g["n_words"]
+    )
+    wc = quality.select(
+        "doc_id",
+        F.explode(TX.words(F.lower(F.col("text")))).alias("w"),
+    ).filter(F.col("w") != "")
+    lm = (
+        wc.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint()
+    )
+    tot = lm.agg(F.sum("cnt").cast("long").alias("n"))
+    neg_logp = -F.log(F.col("cnt").cast("double") / F.col("n"))
+    scores = (
+        wc.join(F.broadcast(lm), "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(neg_logp) / F.count(F.lit(1)), 6).alias(
+                "avg_neg_logp"
+            )
+        )
+    )
+    b = scores.join(
+        quality.select("doc_id", "source", "lang", "n_words"),
+        "doc_id",
+    ).withColumn(
+        "t",
+        F.ntile(3).over(
+            Window.partitionBy("lang").orderBy(
+                "avg_neg_logp", "doc_id"
+            )
+        ),
+    )
+    return (
+        b.filter(F.col("t") < 3)
+        .groupBy(
+            "source",
+            "lang",
+            F.when(F.col("t") == 1, "head")
+            .otherwise("middle")
+            .alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_words"),
+        )
+    )

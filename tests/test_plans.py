@@ -376,3 +376,52 @@ def test_weighted_median_second_phase_is_broadcast(spark, q):
     p = plan_str(q["stat_weighted_median"](spark, SF))
     assert "BroadcastHashJoin" in p or "BroadcastExchange" in p, p
     assert "CartesianProduct" not in p
+
+
+def test_geo_grid_join_is_hash_not_nested_loop(spark, q):
+    """join_geo_grid's claim: the quadratic distance join becomes a
+    hash equi-join on the grid-cell key — no cartesian product or
+    nested loop anywhere in the plan, and the dist^2 refine runs
+    inside the hash match (a Join condition, not a Filter-after-
+    cartesian)."""
+    p = plan_str(q["join_geo_grid"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+    assert "HashJoin" in p
+
+
+def test_transform_lambda_single_exchange_no_python(spark, q):
+    """fn_transform_lambda's claim: ONE l_orderkey aggregate exchange
+    builds the arrays; every lambda then runs map-side in the JVM —
+    no Python stage, no second exchange."""
+    import re
+
+    p = plan_str(q["fn_transform_lambda"](spark, SF))
+    assert "Python" not in p and "Arrow" not in p.replace(
+        "ArrowEvalPython", "Python"
+    )
+    real = [
+        ln for ln in p.splitlines() if re.search(r"\(\d+\) Exchange", ln)
+    ]
+    assert len(real) <= 2, p  # shard-spread round-robin + the group
+
+
+def test_substring_dedup_rebuild_is_jvm_side(spark, q):
+    """text_substring_dedup's claim: the kept-text rebuild is a
+    higher-order filter over the words array — no Python stage
+    anywhere (the whole operator is JVM built-ins)."""
+    p = plan_str(q["text_substring_dedup"](spark, SF))
+    assert "Python" not in p
+
+
+def test_kalman_fold_plan_has_no_python_and_two_exchanges(spark, q):
+    """ts_kalman rides the same grouped-fold seam as ts_holt: daily
+    aggregate exchange + per-type collect exchange, fold in the JVM."""
+    import re
+
+    p = plan_str(q["ts_kalman"](spark, SF))
+    assert "Python" not in p
+    real = [
+        ln for ln in p.splitlines() if re.search(r"\(\d+\) Exchange", ln)
+    ]
+    assert len(real) <= 2, p

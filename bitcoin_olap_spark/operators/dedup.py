@@ -563,15 +563,22 @@ def connected_components(
         nbr = und.join(
             labels, und.e_dst == F.col("node")
         ).select(F.col("e_src").alias("node"), "lbl")
+        # lazy localCheckpoint, not persist: the round references
+        # `labels` TWICE (union + join), so with plain persist the
+        # LOGICAL plan doubles every round — fine on shallow near-dup
+        # graphs, but a 2^rounds plan-string blowup on large-diameter
+        # graphs (ml_dbscan_grid's core graph hit the 2 GiB plan cap
+        # at ~20 rounds). The convergence-sum action materializes the
+        # checkpoint, truncating lineage at the same one-job-per-round
+        # cost persist had.
         new = (
             labels.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
-            .persist()
+            .localCheckpoint(eager=False)
         )
         cur_sum = _converge_sum(new)
-        old, labels = labels, new
-        old.unpersist()
+        labels = new
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

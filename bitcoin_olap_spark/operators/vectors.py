@@ -1354,3 +1354,119 @@ def tfidf_topk_sparse(
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+def bm25_topk_sparse(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_pred,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval via the same INVERTED-INDEX join as
+    tfidf_topk_sparse — the ranking function production search engines
+    (Lucene/Elasticsearch) default to, and the lexical half of every
+    hybrid RAG retrieval stack.  Differences from the tf-idf cosine
+    tier: no vector norms (BM25 is not a cosine — length enters
+    through the dl/avgdl saturation term), tf saturates at k1, and
+    idf uses the Robertson-Sparck-Jones form ln(1+(N-df+.5)/(df+.5)).
+
+    Plan: ONE term exchange builds postings (tf per (doc, term), df
+    per term via a count window over the same partitioning); the
+    doc-length relation is a doc-grain aggregate of the same postings
+    joined back on id; N and avgdl ride a broadcast 1-row crossJoin.
+    The query-side postings (tiny; AQE broadcasts) join the weighted
+    postings ON TERM — each executor scores only candidates sharing a
+    term, never the all-pairs product; candidate tf saturation is
+    applied pre-join (it depends only on the candidate row), and the
+    query term frequency multiplies in post-join, so the pair grain
+    does one fused multiply-sum.  At 100 TB the hot keys are the
+    high-df terms whose idf -> ~0 already makes them score-irrelevant;
+    the corpus-df cap (operators/dedup._capped_explode posture) is the
+    documented production guard, left off here so the oracle replays
+    bit-for-bit.
+
+    Determinism: doubles appear only in the final idf*sat products
+    summed per pair; both engines compute identical (tf, df, dl, N)
+    integers first, so the 6-dp round absorbs the ~1e-12 ln/sum drift
+    (the sim_tfidf_topk posture), and ranking tiebreaks on doc id.
+
+    Returns (query_id, doc_id, score, rnk), rnk 1..k per query,
+    self-pairs excluded."""
+    ex = (
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                F.split(F.lower(F.col(text_col)), " ")
+            ).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .repartition("w")
+    )
+    post = ex.groupBy(id_col, "w").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dl = post.groupBy(id_col).agg(
+        F.sum("tf").cast("long").alias("dl")
+    )
+    consts = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_len"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    sat = (F.col("tf") * (F.lit(k1) + 1.0)).cast("double") / (
+        F.col("tf")
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + F.lit(b)
+            * F.col("dl")
+            / (F.col("total_len") / F.col("n_docs"))
+        )
+    )
+    wpost = (
+        post.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("w"))
+        )
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(consts))
+        .select(id_col, "w", "tf", (idf * sat).alias("wt"))
+        .cache()
+    )
+    qp = wpost.filter(query_pred(F.col(id_col))).select(
+        F.col(id_col).alias("q"), "w", F.col("tf").alias("tfq")
+    )
+    scored = (
+        qp.join(
+            wpost.select(
+                F.col(id_col).alias("c"), "w", F.col("wt").alias("wc")
+            ),
+            "w",
+        )
+        .filter(F.col("q") != F.col("c"))
+        .groupBy("q", "c")
+        .agg(
+            F.round(
+                F.sum(F.col("tfq") * F.col("wc")), 6
+            ).alias("score")
+        )
+    )
+    w_rank = Window.partitionBy("q").orderBy(
+        F.col("score").desc(), F.col("c")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("q").alias("query_id"),
+            F.col("c").alias("doc_id"),
+            "score",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

@@ -2933,3 +2933,698 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final_adj.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("deg")
     )
+
+
+@query(
+    "stat_spearman",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(round(l_quantity * 10000) AS BIGINT) AS q4,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS p4
+        FROM lineitem
+    ), rx AS (
+        SELECT q4,
+               2 * COALESCE(SUM(t) OVER (ORDER BY q4
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) + t + 1 AS rx2
+        FROM (SELECT q4, CAST(COUNT(*) AS BIGINT) AS t
+              FROM v GROUP BY 1)
+    ), ry AS (
+        SELECT p4,
+               2 * COALESCE(SUM(t) OVER (ORDER BY p4
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) + t + 1 AS ry2
+        FROM (SELECT p4, CAST(COUNT(*) AS BIGINT) AS t
+              FROM v GROUP BY 1)
+    ), j AS (
+        SELECT rx.rx2, ry.ry2
+        FROM v JOIN rx USING (q4) JOIN ry USING (p4)
+    ), mo AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(rx2) AS HUGEINT) AS sx,
+               CAST(SUM(ry2) AS HUGEINT) AS sy,
+               CAST(SUM(CAST(rx2 AS HUGEINT) * rx2) AS HUGEINT) AS sxx,
+               CAST(SUM(CAST(ry2 AS HUGEINT) * ry2) AS HUGEINT) AS syy,
+               CAST(SUM(CAST(rx2 AS HUGEINT) * ry2) AS HUGEINT) AS sxy
+        FROM j
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+               AS rho
+    FROM mo
+    """,
+)
+def stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (quantity vs extended price) — the
+    distribution-free complement of agg_corr's Pearson: correlate the
+    MIDRANKS, so monotone-but-nonlinear association registers and
+    outliers lose leverage. Completes the nonparametric family
+    (stat_mannwhitney location, stat_ks_2samp shape, this one
+    association).
+
+    Exactness and shape: both variables discretize to fixed-point
+    ints; each rank map is ONE distinct-value-grain aggregate plus a
+    cumulative count window, and midranks stay integral as 2x-scaled
+    ranks (2*cprev + t + 1) — Pearson is scale-invariant so rho on 2x
+    ranks equals rho on ranks. The quantity map (~50 cells, bounded
+    by the value domain) broadcasts onto the fact table; the price
+    map joins on its own key (domain-bounded like stat_mannwhitney's
+    cells, never fact-scale). Moment cross-products accumulate in
+    decimal(38,0)/HUGEINT (rx2*ry2*n overflows int64 past sf0.3) and
+    only the final rho divides into IEEE double, rounded 6dp."""
+    v = table(spark, sf_dir, "lineitem", spread=True).select(
+        F.round(F.col("l_quantity") * 10000).cast("long").alias("q4"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("p4"),
+    )
+
+    def rank_map(col: str, out: str) -> DataFrame:
+        cells = v.groupBy(col).agg(
+            F.count(F.lit(1)).cast("long").alias("t")
+        )
+        w = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        return cells.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("t").over(w), F.lit(0))
+                + F.col("t")
+                + 1
+            ).alias(out),
+        )
+
+    j = v.join(F.broadcast(rank_map("q4", "rx2")), "q4").join(
+        rank_map("p4", "ry2"), "p4"
+    )
+    dec = "decimal(38,0)"
+    mo = j.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("rx2").cast(dec).alias("sx"),
+        F.sum("ry2").cast(dec).alias("sy"),
+        F.sum(F.col("rx2").cast(dec) * F.col("rx2"))
+        .cast(dec)
+        .alias("sxx"),
+        F.sum(F.col("ry2").cast(dec) * F.col("ry2"))
+        .cast(dec)
+        .alias("syy"),
+        F.sum(F.col("rx2").cast(dec) * F.col("ry2"))
+        .cast(dec)
+        .alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+    )
+    return mo.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(num / den, 6).alias("rho"),
+    )
+
+
+@query(
+    "stat_kendall",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+               CAST(round(l_discount * 100) AS BIGINT) AS y
+        FROM lineitem
+    ), cells AS (
+        SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c
+        FROM v GROUP BY 1, 2
+    ), pairs AS (
+        SELECT CAST(SUM(CASE WHEN a.y < b.y
+                        THEN CAST(a.c AS HUGEINT) * b.c
+                        ELSE 0 END) AS HUGEINT) AS conc,
+               CAST(SUM(CASE WHEN a.y > b.y
+                        THEN CAST(a.c AS HUGEINT) * b.c
+                        ELSE 0 END) AS HUGEINT) AS disc
+        FROM cells a JOIN cells b ON a.x < b.x
+    ), margins AS (
+        SELECT CAST(SUM((CAST(tx AS HUGEINT) * (tx - 1)) // 2)
+                    AS HUGEINT) AS t_x
+        FROM (SELECT x, CAST(SUM(c) AS BIGINT) AS tx
+              FROM cells GROUP BY 1)
+    ), margins_y AS (
+        SELECT CAST(SUM((CAST(ty AS HUGEINT) * (ty - 1)) // 2)
+                    AS HUGEINT) AS t_y
+        FROM (SELECT y, CAST(SUM(c) AS BIGINT) AS ty
+              FROM cells GROUP BY 1)
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM v
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(conc AS BIGINT) AS concordant,
+           CAST(disc AS BIGINT) AS discordant,
+           round(CAST(conc - disc AS DOUBLE)
+                 / sqrt(CAST((n * (n - 1)) // 2 - t_x AS DOUBLE)
+                        * CAST((n * (n - 1)) // 2 - t_y AS DOUBLE)), 6)
+               AS tau_b
+    FROM pairs, margins, margins_y, tot
+    """,
+)
+def stat_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b (quantity vs discount) — the pair-concordance
+    rank correlation. Naively O(n^2) over ROWS; here both variables
+    have DOMAIN-BOUNDED integer support (quantity 1..50, discount
+    0..10), so the joint distribution collapses to a <=561-cell grid
+    and concordant/discordant pair mass is an exact sum of c_i*c_j
+    over grid-cell pairs — one fact-scale aggregate, then a
+    few-hundred-row broadcast self-join that costs the same at 100 TB
+    as at sf0.01 (the stat_mannwhitney distinct-value-grain posture
+    taken to two dimensions). Tie corrections come off the grid
+    margins; everything stays integral in decimal(38,0)/HUGEINT
+    (pair counts pass int64 around sf30) until the single tau-b
+    division, rounded 6dp."""
+    v = table(spark, sf_dir, "lineitem", spread=True).select(
+        F.round("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("y"),
+    )
+    cells = v.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    dec = "decimal(38,0)"
+    a = cells.select(
+        F.col("x").alias("ax"), F.col("y").alias("ay"),
+        F.col("c").cast(dec).alias("ac"),
+    )
+    b = cells.select(
+        F.col("x").alias("bx"), F.col("y").alias("by"),
+        F.col("c").cast(dec).alias("bc"),
+    )
+    pairs = a.join(
+        F.broadcast(b), F.col("ax") < F.col("bx")
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("ay") < F.col("by"), F.col("ac") * F.col("bc")
+            ).otherwise(F.lit(0).cast(dec))
+        )
+        .cast(dec)
+        .alias("conc"),
+        F.sum(
+            F.when(
+                F.col("ay") > F.col("by"), F.col("ac") * F.col("bc")
+            ).otherwise(F.lit(0).cast(dec))
+        )
+        .cast(dec)
+        .alias("disc"),
+    )
+    tx = (
+        cells.groupBy("x")
+        .agg(F.sum("c").cast(dec).alias("t"))
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) / 2)
+            .cast(dec)
+            .alias("t_x")
+        )
+    )
+    ty = (
+        cells.groupBy("y")
+        .agg(F.sum("c").cast(dec).alias("t"))
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) / 2)
+            .cast(dec)
+            .alias("t_y")
+        )
+    )
+    n = v.agg(F.count(F.lit(1)).cast(dec).alias("n"))
+    tot = (
+        pairs.crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .crossJoin(F.broadcast(n))
+    )
+    n0 = F.col("n") * (F.col("n") - 1) / 2
+    return tot.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("conc").cast("long").alias("concordant"),
+        F.col("disc").cast("long").alias("discordant"),
+        F.round(
+            (F.col("conc") - F.col("disc")).cast("double")
+            / F.sqrt(
+                (n0 - F.col("t_x")).cast("double")
+                * (n0 - F.col("t_y")).cast("double")
+            ),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+@query(
+    "graph_adamic_adar",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_orderkey, 1, 2
+    ), und AS (
+        SELECT u, v FROM pairs GROUP BY u, v HAVING COUNT(*) >= 2
+    ), adj AS (
+        SELECT u AS node, v AS nbr FROM und
+        UNION ALL
+        SELECT v AS node, u AS nbr FROM und
+    ), deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1
+    ), scored AS (
+        SELECT a.node AS u, b.node AS v,
+               CAST(COUNT(*) AS BIGINT) AS n_common,
+               round(SUM(1.0 / ln(dm.d)), 6) AS aa
+        FROM adj a
+        JOIN adj b ON b.nbr = a.nbr AND a.node < b.node
+        JOIN deg dm ON dm.node = a.nbr
+        GROUP BY 1, 2
+    ), nonedge AS (
+        SELECT s.* FROM scored s
+        WHERE NOT EXISTS (SELECT 1 FROM und e
+                          WHERE e.u = s.u AND e.v = s.v)
+    ), rk AS (
+        SELECT u, v, n_common, aa,
+               row_number() OVER (ORDER BY aa DESC, u, v) AS rnk
+        FROM nonedge
+    )
+    SELECT u, v, n_common, aa, CAST(rnk AS BIGINT) AS rnk
+    FROM rk WHERE rnk <= 100
+    """,
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the strong part co-purchase
+    graph — graph_jaccard_nbrs' weighted sibling: a shared neighbor w
+    contributes 1/ln(deg(w)), so RARE middles dominate (two parts
+    bridged only by a ubiquitous hub score ~0, the same inverse-
+    frequency idea BM25's idf applies to terms). Only NON-adjacent
+    pairs rank (it predicts missing links), so the existing edge set
+    anti-joins out before the top-100 cut.
+
+    Shape: the wedge join generates candidates from shared middles
+    (never all-pairs); the middle's degree joins at the ADJACENCY
+    grain before pairing, so the weight is a per-row constant by the
+    time pairs form and the pair aggregate is one fused sum. Counts
+    and degrees stay exact int64; 1/ln(d) is IEEE-identical across
+    engines on identical integer d, the per-pair sum has few terms,
+    and the 6-dp round absorbs order drift (the text_bm25 posture).
+    Hub middles cost deg^2 wedges — bounded here by the strong-edge
+    filter; at 100 TB the production guard is the same hub-degree cap
+    the shingle df-cap applies, recall-lossless for AA because capped
+    hubs contribute the least score."""
+    li = table(spark, sf_dir, "lineitem", spread=True).select(
+        "l_orderkey", "l_partkey"
+    )
+    parts = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    p1 = parts.select(F.sort_array("ps").alias("ps")).select(
+        "ps", F.posexplode("ps").alias("i", "u")
+    )
+    und = (
+        p1.select(
+            "u",
+            F.explode(
+                F.slice("ps", F.col("i") + 2, F.size("ps"))
+            ).alias("v"),
+        )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+        .cache()
+    )
+    adj = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+    deg = adj.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    # degree-1 middles can never anchor a wedge; dropping them BEFORE
+    # the weight expression also keeps ANSI mode away from 1/ln(1)
+    wadj = adj.join(
+        deg.select(F.col("node").alias("nbr"), "d"), "nbr"
+    ).filter(F.col("d") >= 2).select(
+        "node", "nbr", (F.lit(1.0) / F.log(F.col("d"))).alias("wm")
+    )
+    a, b = wadj.alias("a"), wadj.alias("b")
+    scored = (
+        a.join(
+            b,
+            (F.col("b.nbr") == F.col("a.nbr"))
+            & (F.col("a.node") < F.col("b.node")),
+        )
+        .groupBy(
+            F.col("a.node").alias("u"), F.col("b.node").alias("v")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.round(F.sum("a.wm"), 6).alias("aa"),
+        )
+    )
+    nonedge = scored.join(und, ["u", "v"], "left_anti")
+    return (
+        nonedge.withColumn(
+            "rnk",
+            F.row_number().over(Window.orderBy(F.desc("aa"), "u", "v")),
+        )
+        .filter(F.col("rnk") <= 100)
+        .select(
+            "u", "v", "n_common", "aa",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+@query(
+    "graph_clustering_coeff",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_orderkey, 1, 2
+    ), und AS (
+        SELECT u, v FROM pairs GROUP BY u, v HAVING COUNT(*) >= 2
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        GROUP BY 1
+    ),
+    ori AS (
+        SELECT CASE WHEN (da.d, u) < (db.d, v) THEN u ELSE v END AS src,
+               CASE WHEN (da.d, u) < (db.d, v) THEN v ELSE u END AS dst
+        FROM und JOIN deg da ON da.node = u JOIN deg db ON db.node = v
+    ),
+    closed AS (
+        SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM ori e1
+        JOIN ori e2 ON e2.src = e1.src AND e1.dst < e2.dst
+        JOIN und e ON e.u = e1.dst AND e.v = e2.dst
+    ),
+    tri AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM (
+            SELECT unnest(ARRAY[a, b, c]) AS node FROM closed)
+        GROUP BY 1
+    ),
+    scored AS (
+        SELECT deg.node, deg.d, COALESCE(tri.t, 0) AS t,
+               round(2.0 * COALESCE(tri.t, 0)
+                     / (deg.d * (deg.d - 1)), 6) AS coeff
+        FROM deg LEFT JOIN tri ON tri.node = deg.node
+        WHERE deg.d >= 2
+    ), rk AS (
+        SELECT node, d, t, coeff,
+               row_number() OVER (ORDER BY coeff DESC, node) AS rnk
+        FROM scored
+    )
+    SELECT node, d AS degree, t AS triangles, coeff,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM rk WHERE rnk <= 100
+    """,
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node (2*tri / d*(d-1)) over
+    the strong co-purchase graph — the node-grain refinement of
+    graph_triangles' global count: how close each part's neighborhood
+    is to a clique, the standard community-structure / spam-node
+    feature. Reuses the degree-ordered orientation verbatim, but the
+    wedge keeps its APEX so every closed triangle lands once as
+    (a, b, c) and explodes to its three member nodes map-side — per-
+    node counts then cost one node-keyed exchange, and degrees join
+    at the node grain. Nodes with d >= 2 rank top-100 by rounded
+    coefficient with an id tiebreak; integers everywhere until the
+    one division."""
+    li = table(spark, sf_dir, "lineitem", spread=True).select(
+        "l_orderkey", "l_partkey"
+    )
+    parts = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    p1 = parts.select(F.sort_array("ps").alias("ps")).select(
+        "ps", F.posexplode("ps").alias("i", "u")
+    )
+    und = (
+        p1.select(
+            "u",
+            F.explode(
+                F.slice("ps", F.col("i") + 2, F.size("ps"))
+            ).alias("v"),
+        )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+        .cache()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    da = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    db = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    u_first = F.struct("du", "u") < F.struct("dv", "v")
+    ori = und.join(da, "u").join(db, "v").select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    adj = ori.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("ns")
+    )
+    w1 = adj.select("src", "ns", F.posexplode("ns").alias("i", "b"))
+    wedges = w1.select(
+        "src",
+        "b",
+        F.explode(F.slice("ns", F.col("i") + 2, F.size("ns"))).alias("c"),
+    )
+    closed = wedges.join(
+        und, (wedges.b == und.u) & (wedges.c == und.v)
+    ).select("src", "b", "c")
+    tri = (
+        closed.select(
+            F.explode(F.array("src", "b", "c")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    scored = (
+        deg.filter(F.col("d") >= 2)
+        .join(tri, "node", "left")
+        .select(
+            "node",
+            "d",
+            F.coalesce(F.col("t"), F.lit(0)).alias("t"),
+            F.round(
+                2.0
+                * F.coalesce(F.col("t"), F.lit(0))
+                / (F.col("d") * (F.col("d") - 1)),
+                6,
+            ).alias("coeff"),
+        )
+    )
+    return (
+        scored.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("coeff"), "node")
+            ),
+        )
+        .filter(F.col("rnk") <= 100)
+        .select(
+            "node",
+            F.col("d").alias("degree"),
+            F.col("t").alias("triangles"),
+            "coeff",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+_DBSCAN_EPS4 = 500       # eps = 0.05 in the v4 fixed point
+_DBSCAN_MINPTS = 4
+
+_DBSCAN_ORACLE = f"""
+    WITH RECURSIVE pts AS (
+        SELECT vec_id AS pid,
+               CAST(round(CAST(embedding[1] AS DOUBLE) * 10000)
+                    AS BIGINT) AS x4,
+               CAST(round(CAST(embedding[2] AS DOUBLE) * 10000)
+                    AS BIGINT) AS y4
+        FROM embeddings
+    ), pairs AS (
+        SELECT a.pid AS pa, b.pid AS pb
+        FROM pts a JOIN pts b
+          ON a.pid != b.pid
+         AND (a.x4 - b.x4) * (a.x4 - b.x4)
+             + (a.y4 - b.y4) * (a.y4 - b.y4)
+             <= {_DBSCAN_EPS4 * _DBSCAN_EPS4}
+    ), deg AS (
+        SELECT pa AS pid, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pairs GROUP BY 1
+    ), cores AS (
+        SELECT pid FROM deg WHERE n >= {_DBSCAN_MINPTS}
+    ), ce AS (
+        SELECT pa, pb FROM pairs
+        JOIN cores ca ON ca.pid = pa
+        JOIN cores cb ON cb.pid = pb
+    ), reach AS (
+        SELECT pid AS node, pid AS m FROM cores
+        UNION
+        SELECT r.node, e.pb FROM reach r JOIN ce e ON e.pa = r.m
+    ), cc AS (
+        SELECT node, MIN(m) AS comp FROM reach GROUP BY 1
+    ), border AS (
+        SELECT p.pa AS pid, MIN(cc.comp) AS comp
+        FROM pairs p
+        JOIN cores c ON c.pid = p.pb
+        JOIN cc ON cc.node = p.pb
+        WHERE p.pa NOT IN (SELECT pid FROM cores)
+        GROUP BY 1
+    )
+    SELECT c.pid, 'core' AS role, cc.comp AS cluster
+    FROM cores c JOIN cc ON cc.node = c.pid
+    UNION ALL
+    SELECT pid, 'border' AS role, comp AS cluster FROM border
+    UNION ALL
+    SELECT p.pid, 'noise' AS role, CAST(-1 AS BIGINT) AS cluster
+    FROM pts p
+    WHERE p.pid NOT IN (SELECT pid FROM cores)
+      AND p.pid NOT IN (SELECT pid FROM border)
+"""
+
+
+@query("ml_dbscan_grid", oracle=_DBSCAN_ORACLE)
+def ml_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-blocked DBSCAN over the first two embedding coordinates —
+    the density clustering that, unlike k-means, needs no k, finds
+    arbitrary-shape clusters, and labels outliers as NOISE (its role
+    in a curation pipeline: embedding-space outlier quarantine).
+    eps = 0.05 (v4 units 500), minPts = 4; border points attach to
+    the MIN component among their core neighbors (classic DBSCAN
+    leaves this arbitrary; pinning it makes both engines agree).
+
+    Shape — the epsilon-neighborhood join is the whole game at scale:
+    points land in eps-sized grid cells (sign-safe integer floor
+    division), each point replicates to its 3x3 cell neighborhood
+    map-side (bounded 9x fan-out), and ONE (cell-key) hash join
+    yields exactly the candidate pairs whose cells touch — every
+    true eps-pair is among them, so the exact integer distance filter
+    loses nothing. Cost is sum of products of adjacent-cell
+    populations, never n^2 (the oracle states the n^2 form; the grid
+    is the scale path, same discipline as join_geo_grid /
+    dedup_embedding_cosine's blocking). Core flags are one count
+    aggregate; the cluster fixpoint reuses operators/dedup.
+    connected_components (min-label propagation, convergence by
+    label-sum, localCheckpoint per round) on the CORE-CORE subgraph
+    only — the same edge-touched-nodes-only discipline as
+    dedup_doc_clusters. Everything stays integer: squared distances,
+    labels, grid keys; no doubles anywhere."""
+    from ..operators.dedup import connected_components
+
+    eps4, minpts = _DBSCAN_EPS4, _DBSCAN_MINPTS
+    emb = table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").alias("pid"),
+        F.round(F.element_at("embedding", 1).cast("double") * 10000)
+        .cast("long")
+        .alias("x4"),
+        F.round(F.element_at("embedding", 2).cast("double") * 10000)
+        .cast("long")
+        .alias("y4"),
+    ).localCheckpoint()
+    fd = lambda a: F.expr(_fdiv_sql(a, str(eps4)).format(DIV="div"))
+    cells = pts.select(
+        "pid", "x4", "y4",
+        fd("x4").alias("cx"), fd("y4").alias("cy"),
+    )
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probe = cells.select(
+        F.col("pid").alias("pa"),
+        F.col("x4").alias("ax4"),
+        F.col("y4").alias("ay4"),
+        F.explode(offs).alias("o"),
+        "cx",
+        "cy",
+    ).select(
+        "pa", "ax4", "ay4",
+        (F.col("cx") + F.col("o.dx")).alias("kx"),
+        (F.col("cy") + F.col("o.dy")).alias("ky"),
+    )
+    pairs = (
+        probe.join(
+            cells.select(
+                F.col("pid").alias("pb"),
+                F.col("x4").alias("bx4"),
+                F.col("y4").alias("by4"),
+                F.col("cx").alias("kx"),
+                F.col("cy").alias("ky"),
+            ),
+            ["kx", "ky"],
+        )
+        .filter(
+            (F.col("pa") != F.col("pb"))
+            & (
+                (F.col("ax4") - F.col("bx4"))
+                * (F.col("ax4") - F.col("bx4"))
+                + (F.col("ay4") - F.col("by4"))
+                * (F.col("ay4") - F.col("by4"))
+                <= eps4 * eps4
+            )
+        )
+        .select("pa", "pb")
+        .localCheckpoint()
+    )
+    deg = pairs.groupBy("pa").agg(F.count(F.lit(1)).alias("n"))
+    cores = deg.filter(F.col("n") >= minpts).select(
+        F.col("pa").alias("pid")
+    ).localCheckpoint()
+    ca = cores.select(F.col("pid").alias("pa"))
+    cb = cores.select(F.col("pid").alias("pb"))
+    ce = pairs.join(ca, "pa").join(cb, "pb")
+    cc = connected_components(
+        ce, cores.select(F.col("pid").alias("id")),
+        id_col="id", src_col="pa", dst_col="pb",
+    )
+    core_rows = cores.join(
+        cc, cores.pid == cc.node
+    ).select(
+        "pid", F.lit("core").alias("role"),
+        F.col("component").alias("cluster"),
+    )
+    border = (
+        pairs.join(cb.select(F.col("pb"), F.lit(1).alias("_c")), "pb")
+        .join(cores.select(F.col("pid").alias("pa")), "pa", "left_anti")
+        .join(cc, F.col("pb") == F.col("node"))
+        .groupBy("pa")
+        .agg(F.min("component").alias("cluster"))
+        .select(
+            F.col("pa").alias("pid"),
+            F.lit("border").alias("role"),
+            "cluster",
+        )
+    )
+    labeled = core_rows.unionByName(border)
+    noise = pts.join(
+        labeled.select("pid"), "pid", "left_anti"
+    ).select(
+        "pid",
+        F.lit("noise").alias("role"),
+        F.lit(-1).cast("long").alias("cluster"),
+    )
+    return labeled.unionByName(noise)

@@ -2847,3 +2847,465 @@ def sim_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= 10)
     )
+
+
+_BM25_ORACLE = """
+    WITH ex AS (
+        SELECT doc_id, w FROM (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+          FROM documents
+        ) WHERE w != ''
+    ), post AS (
+        SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM ex GROUP BY 1, 2
+    ), dl AS (
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM post GROUP BY 1
+    ), consts AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS total_len
+        FROM dl
+    ), dfreq AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY 1
+    ), wpost AS (
+        SELECT p.doc_id, p.w, p.tf,
+               ln(1.0 + (c.n_docs - f.df + 0.5) / (f.df + 0.5))
+               * (p.tf * (1.2 + 1.0)
+                  / (p.tf + 1.2 * (0.25 + 0.75 * d.dl
+                       / (CAST(c.total_len AS DOUBLE) / c.n_docs))))
+               AS wt
+        FROM post p
+        JOIN dfreq f USING (w)
+        JOIN dl d USING (doc_id), consts c
+    ), scored AS (
+        SELECT q.doc_id AS q, c2.doc_id AS c,
+               round(SUM(q.tf * c2.wt), 6) AS score
+        FROM wpost q JOIN wpost c2
+          ON c2.w = q.w AND q.doc_id < 5 AND c2.doc_id != q.doc_id
+        GROUP BY 1, 2
+    ), rnk AS (
+        SELECT q, c, score,
+               row_number() OVER (PARTITION BY q
+                                  ORDER BY score DESC, c) AS rnk
+        FROM scored
+    )
+    SELECT q AS query_id, c AS doc_id, score, CAST(rnk AS BIGINT) AS rnk
+    FROM rnk WHERE rnk <= 10
+"""
+
+
+@query("text_bm25", oracle=_BM25_ORACLE)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 retrieval for query docs (doc_id < 5) via
+    the inverted-index postings join (operators/vectors.
+    bm25_topk_sparse) — the lexical ranking function production
+    search engines default to and the sparse half of hybrid RAG
+    retrieval (the dense half is sim_topk_pq/sim_topk_rerank).
+    One term exchange builds postings with tf-saturation weights
+    (k1=1.2, b=0.75, RSJ idf); the tiny query side joins ON TERM so
+    executors score only term-sharing candidates. Integer (tf, df,
+    dl, N) are computed before any double enters, so the 6-dp round
+    + doc-id tiebreak make the rank cut engine-stable (the
+    sim_tfidf_topk posture)."""
+    return V.bm25_topk_sparse(
+        table(spark, sf_dir, "documents", spread=True),
+        "doc_id",
+        "text",
+        lambda c: c < 5,
+        k=10,
+    )
+
+
+_PMI_ORACLE = """
+    WITH ws AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '),
+                           x -> x != '') AS a
+        FROM documents
+    ), uni AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest(a) AS w FROM ws) GROUP BY 1
+    ), bi AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM (
+          SELECT a[i] AS w1, a[i + 1] AS w2
+          FROM (SELECT a, unnest(range(1, len(a))) AS i FROM ws)
+        ) GROUP BY 1, 2
+    ), tot AS (
+        SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS u,
+               (SELECT CAST(SUM(c12) AS BIGINT) FROM bi) AS b
+    ), scored AS (
+        SELECT bi.w1, bi.w2, bi.c12,
+               round(ln(CAST(bi.c12 AS DOUBLE) * t.u * t.u
+                        / (CAST(t.b AS DOUBLE) * u1.c * u2.c)), 6)
+                   AS pmi
+        FROM bi
+        JOIN uni u1 ON u1.w = bi.w1
+        JOIN uni u2 ON u2.w = bi.w2, tot t
+        WHERE bi.c12 >= 5
+    ), rk AS (
+        SELECT w1, w2, c12, pmi,
+               row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rnk
+        FROM scored
+    )
+    SELECT w1, w2, c12, pmi, CAST(rnk AS BIGINT) AS rnk
+    FROM rk WHERE rnk <= 100
+"""
+
+
+@query("text_pmi", oracle=_PMI_ORACLE)
+def text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocation mining — the classic
+    phrase detector (word2vec's phrase pass, RAKE's statistical
+    cousin): adjacent word pairs whose co-occurrence beats the
+    independence expectation, PMI = ln(c12 * U^2 / (B * c1 * c2)),
+    min support c12 >= 5, top-100 by score. A curation pipeline runs
+    this to build tokenizer merge hints and stop-phrase lists.
+
+    Shape: bigrams explode MAP-SIDE from each doc's filtered word
+    array (sequence + element_at; no self-join, no window over the
+    corpus); one exchange each for the unigram and bigram counts,
+    then the bigram relation joins its two unigram margins (vocab-
+    grain). U and B ride a broadcast 1-row crossJoin. All counts are
+    exact int64; the PMI ratio is built with an IDENTICAL
+    multiply/divide order in both engines so the double rounds the
+    same way, then ln + 6-dp round (the ml_naive_bayes posture).
+    Guard per SURVEY gotcha: sequence(1, n) only when n >= 1 —
+    Spark's sequence DESCENDS for n < 1."""
+    docs = table(spark, sf_dir, "documents", spread=True)
+    ws = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), " "), lambda x: x != ""
+        ).alias("a"),
+    )
+    uni = (
+        ws.select(F.explode("a").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    n = F.size("a")
+    bi = (
+        ws.select(
+            F.explode(
+                F.when(
+                    n >= 2, F.sequence(F.lit(1), n - 1)
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("i"),
+            "a",
+        )
+        .select(
+            F.element_at("a", F.col("i")).alias("w1"),
+            F.element_at("a", F.col("i") + 1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    )
+    tot = (
+        uni.agg(F.sum("c").cast("long").alias("u"))
+        .crossJoin(bi.agg(F.sum("c12").cast("long").alias("b")))
+    )
+    scored = (
+        bi.filter(F.col("c12") >= 5)
+        .join(
+            F.broadcast(
+                uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+            ),
+            "w1",
+        )
+        .join(
+            F.broadcast(
+                uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+            ),
+            "w2",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log(
+                    F.col("c12").cast("double")
+                    * F.col("u")
+                    * F.col("u")
+                    / (
+                        F.col("b").cast("double")
+                        * F.col("c1")
+                        * F.col("c2")
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return (
+        scored.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("pmi"), "w1", "w2")
+            ),
+        )
+        .filter(F.col("rnk") <= 100)
+        .select("w1", "w2", "c12", "pmi", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+_JSD_ORACLE = """
+    WITH ex AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en, w
+        FROM (
+          SELECT lang, unnest(string_split(lower(text), ' ')) AS w
+          FROM documents
+        ) WHERE w != ''
+    ), cells AS (
+        SELECT w, CAST(SUM(is_en) AS BIGINT) AS a,
+               CAST(SUM(1 - is_en) AS BIGINT) AS b
+        FROM ex GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(a) AS BIGINT) AS ta,
+               CAST(SUM(b) AS BIGINT) AS tb,
+               CAST(COUNT(*) AS BIGINT) AS n_vocab
+        FROM cells
+    )
+    SELECT t.n_vocab, t.ta AS n_p, t.tb AS n_q,
+           round(SUM(
+             CASE WHEN c.a > 0 THEN
+               0.5 * (CAST(c.a AS DOUBLE) / t.ta)
+                   * ln((CAST(c.a AS DOUBLE) / t.ta)
+                        / ((CAST(c.a AS DOUBLE) / t.ta
+                            + CAST(c.b AS DOUBLE) / t.tb) / 2.0))
+             ELSE 0.0 END
+             +
+             CASE WHEN c.b > 0 THEN
+               0.5 * (CAST(c.b AS DOUBLE) / t.tb)
+                   * ln((CAST(c.b AS DOUBLE) / t.tb)
+                        / ((CAST(c.a AS DOUBLE) / t.ta
+                            + CAST(c.b AS DOUBLE) / t.tb) / 2.0))
+             ELSE 0.0 END), 6) AS jsd
+    FROM cells c, tot t
+    GROUP BY 1, 2, 3
+"""
+
+
+@query("text_jsd", oracle=_JSD_ORACLE)
+def text_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the English and non-English
+    unigram distributions — the symmetric, bounded corpus-drift
+    measure curation pipelines run to compare a candidate shard
+    against a reference corpus (domain shift detection; the
+    distributional cousin of profile_drift_psi, which bins NUMERIC
+    columns where this compares VOCABULARIES). JSD = (KL(P||M) +
+    KL(Q||M))/2 with M the midpoint mixture; 0 for identical
+    distributions, ln(2) for disjoint support.
+
+    Shape: ONE token exchange builds the (word, count_en,
+    count_other) contingency at the vocabulary grain — the
+    conditional-count aggregate stat_mannwhitney uses, in two columns
+    at once; totals ride a broadcast 1-row crossJoin and the final
+    reduce is map-side partial. Counts stay exact int64; each
+    vocabulary cell contributes an identically-structured double
+    expression in both engines, and the 6-dp round absorbs the
+    ~1e-13 sum-order drift (the text_bm25 posture)."""
+    docs = table(spark, sf_dir, "documents", spread=True)
+    ex = docs.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_en"),
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    cells = ex.groupBy("w").agg(
+        F.sum("is_en").cast("long").alias("a"),
+        F.sum(1 - F.col("is_en")).cast("long").alias("b"),
+    )
+    tot = cells.agg(
+        F.sum("a").cast("long").alias("ta"),
+        F.sum("b").cast("long").alias("tb"),
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+    )
+    p = F.col("a").cast("double") / F.col("ta")
+    q = F.col("b").cast("double") / F.col("tb")
+    m = (p + q) / 2.0
+    term = F.when(F.col("a") > 0, 0.5 * p * F.log(p / m)).otherwise(
+        0.0
+    ) + F.when(F.col("b") > 0, 0.5 * q * F.log(q / m)).otherwise(0.0)
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .groupBy("n_vocab", "ta", "tb")
+        .agg(F.round(F.sum(term), 6).alias("jsd"))
+        .select(
+            "n_vocab",
+            F.col("ta").alias("n_p"),
+            F.col("tb").alias("n_q"),
+            "jsd",
+        )
+    )
+
+
+_MAXSIM_ORACLE = """
+    WITH ws AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '),
+                           x -> x != '') AS a
+        FROM documents
+    ), tok AS (
+        SELECT doc_id, (i - 1) // 8 AS ck, a[i] AS w
+        FROM (SELECT doc_id, a,
+                     unnest(range(1, len(a) + 1)) AS i
+              FROM ws)
+    ), hb AS (
+        SELECT doc_id, ck,
+               ('0x' || substr(md5(w), 1, 8))::BIGINT % 16 AS bucket,
+               CASE WHEN ('0x' || substr(md5(w), 9, 1))::BIGINT % 2 = 1
+                    THEN 1 ELSE -1 END AS sgn
+        FROM tok
+    ), vec AS (
+        SELECT doc_id, ck, bucket, CAST(SUM(sgn) AS BIGINT) AS val
+        FROM hb GROUP BY 1, 2, 3 HAVING SUM(sgn) != 0
+    ), nrm AS (
+        SELECT doc_id, ck, CAST(SUM(val * val) AS BIGINT) AS nn
+        FROM vec GROUP BY 1, 2
+    ), dots AS (
+        SELECT q.doc_id AS qd, q.ck AS qc, d.doc_id AS dd, d.ck AS dc,
+               CAST(SUM(q.val * d.val) AS BIGINT) AS dot
+        FROM vec q JOIN vec d
+          ON d.bucket = q.bucket AND q.doc_id < 3
+         AND d.doc_id != q.doc_id
+        GROUP BY 1, 2, 3, 4
+    ), cosp AS (
+        SELECT t.qd, t.qc, t.dd,
+               MAX(CAST(t.dot AS DOUBLE)
+                   / sqrt(CAST(nq.nn * nd.nn AS DOUBLE))) AS mx
+        FROM dots t
+        JOIN nrm nq ON nq.doc_id = t.qd AND nq.ck = t.qc
+        JOIN nrm nd ON nd.doc_id = t.dd AND nd.ck = t.dc
+        GROUP BY 1, 2, 3
+    ), scored AS (
+        SELECT qd, dd,
+               round(SUM(GREATEST(mx, 0.0)), 6) AS maxsim
+        FROM cosp GROUP BY 1, 2
+    ), rk AS (
+        SELECT qd, dd, maxsim,
+               row_number() OVER (PARTITION BY qd
+                                  ORDER BY maxsim DESC, dd) AS rnk
+        FROM scored
+    )
+    SELECT qd AS query_id, dd AS doc_id, maxsim,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM rk WHERE rnk <= 10
+"""
+
+
+@query("sim_maxsim", oracle=_MAXSIM_ORACLE)
+def sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (ColBERT-style) MaxSim retrieval: documents
+    become BAGS of chunk vectors (8-word windows through the
+    text_hash_embed feature hasher, kept in sparse long format), and
+    score(q, d) = sum over q's chunks of the best-matching d chunk's
+    cosine, floored at 0 — the multi-vector reranking regime between
+    single-vector ANN (sim_topk_*) and full cross-attention. Queries
+    are docs 0-2, top-10 per query.
+
+    Shape: token -> (doc, chunk, bucket, ±1) is map-only; ONE
+    (doc, chunk, bucket) exchange builds sparse chunk vectors; the
+    tiny query side joins the corpus ON BUCKET (executors score only
+    chunk pairs sharing a nonzero coordinate — the inverted-index
+    discipline of text_bm25 at the coordinate grain), then two
+    bounded aggregates take the per-(q-chunk, doc) max and the
+    per-(q, doc) sum. At 100 TB the corpus side would first be cut by
+    a first-stage retriever (sim_topk_pq; pipeline_rag_e2e wires that
+    cascade) — MaxSim is the reranker, and its cost is candidates *
+    chunks, not corpus * chunks.
+
+    Exactness: vectors and norms are exact int64; each cosine is the
+    bit-identical double dot/sqrt(nq*nd) (integer products < 2^53),
+    so the per-doc MAX picks the same pair in both engines; only the
+    final per-query sum is order-sensitive and rounds at 6 dp.
+    Zero-sum coordinates drop on BOTH sides (HAVING != 0) so sparse
+    supports match; disjoint-support chunk pairs score 0 via the
+    GREATEST floor, never a 0/0."""
+    docs = table(spark, sf_dir, "documents", spread=True)
+    ws = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col("text")), " "),
+                lambda x: x != "",
+            )
+        ).alias("pos", "w"),
+    )
+    h = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+    sgn = F.when(
+        F.conv(F.substring(F.md5("w"), 9, 1), 16, 10).cast("long")
+        % 2
+        == 1,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    hb = ws.select(
+        "doc_id",
+        (F.col("pos") / 8).cast("long").alias("ck"),
+        F.pmod(h, F.lit(16)).alias("bucket"),
+        sgn.alias("sgn"),
+    )
+    vec = (
+        hb.groupBy("doc_id", "ck", "bucket")
+        .agg(F.sum("sgn").cast("long").alias("val"))
+        .filter(F.col("val") != 0)
+        .cache()
+    )
+    nrm = vec.groupBy("doc_id", "ck").agg(
+        F.sum(F.col("val") * F.col("val")).cast("long").alias("nn")
+    )
+    qv = vec.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("qd"),
+        F.col("ck").alias("qc"),
+        "bucket",
+        F.col("val").alias("qval"),
+    )
+    dots = (
+        F.broadcast(qv)
+        .join(vec, "bucket")
+        .filter(F.col("doc_id") != F.col("qd"))
+        .groupBy(
+            "qd", "qc", F.col("doc_id").alias("dd"), F.col("ck").alias("dc")
+        )
+        .agg(F.sum(F.col("qval") * F.col("val")).cast("long").alias("dot"))
+    )
+    nq = nrm.select(
+        F.col("doc_id").alias("qd"), F.col("ck").alias("qc"),
+        F.col("nn").alias("nnq"),
+    )
+    nd = nrm.select(
+        F.col("doc_id").alias("dd"), F.col("ck").alias("dc"),
+        F.col("nn").alias("nnd"),
+    )
+    cosp = (
+        dots.join(F.broadcast(nq), ["qd", "qc"])
+        .join(nd, ["dd", "dc"])
+        .groupBy("qd", "qc", "dd")
+        .agg(
+            F.max(
+                F.col("dot").cast("double")
+                / F.sqrt((F.col("nnq") * F.col("nnd")).cast("double"))
+            ).alias("mx")
+        )
+    )
+    scored = cosp.groupBy("qd", "dd").agg(
+        F.round(F.sum(F.greatest(F.col("mx"), F.lit(0.0))), 6).alias(
+            "maxsim"
+        )
+    )
+    return (
+        scored.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("qd").orderBy(
+                    F.desc("maxsim"), "dd"
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= 10)
+        .select(
+            F.col("qd").alias("query_id"),
+            F.col("dd").alias("doc_id"),
+            "maxsim",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

@@ -2117,3 +2117,253 @@ def ts_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("xq")
     )
     return kalman_per_group(daily, "event_type", ("day",), "xq")
+
+
+@query(
+    "win_pareto_abc",
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS r4
+        FROM lineitem GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(CAST(r4 AS HUGEINT)) AS HUGEINT) AS total FROM rev
+    ), cum AS (
+        SELECT l_partkey, r4,
+               SUM(CAST(r4 AS HUGEINT)) OVER (
+                   ORDER BY r4 DESC, l_partkey
+                   ROWS UNBOUNDED PRECEDING) AS c
+        FROM rev
+    ), cls AS (
+        SELECT CASE WHEN c * 100 <= total * 80 THEN 'A'
+                    WHEN c * 100 <= total * 95 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               r4
+        FROM cum, tot
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           round(SUM(CAST(r4 AS HUGEINT)) / 10000.0, 2) AS revenue
+    FROM cls GROUP BY 1 ORDER BY 1
+    """,
+)
+def win_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC inventory classification — the 80/15/5 cumulative-
+    revenue cut every ops dashboard runs: parts sort by revenue, the
+    running share assigns A (first 80% of total), B (to 95%), C (the
+    tail), and the query reports each class's part count and revenue.
+
+    Exactness: revenue per part is an integer (cents x discount
+    basis points), the running total accumulates in decimal(38,0)/
+    HUGEINT, and the class boundaries compare CROSS-MULTIPLIED
+    integers (c*100 <= total*80) — no share division ever happens, so
+    boundary rows classify identically in both engines; the only
+    double is the final display sum, rounded 2dp. Order is total
+    (revenue desc, partkey), so ties are deterministic.
+
+    Scale: the part-grain aggregate is the one fact-scale shuffle;
+    the cumulative window runs on the PART grain (200k rows/sf — at
+    100 TB this is the two-phase distributed prefix-sum
+    sample_stratified uses; the single-partition window is the
+    sf-scale specialization)."""
+    li = table(spark, sf_dir, "lineitem", spread=True)
+    rev = li.select(
+        "l_partkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("cents"),
+    ).groupBy("l_partkey").agg(
+        F.sum("cents").cast("long").alias("r4")
+    )
+    dec = "decimal(38,0)"
+    tot = rev.agg(F.sum(F.col("r4").cast(dec)).cast(dec).alias("total"))
+    w = Window.orderBy(F.desc("r4"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = rev.select(
+        "r4", F.sum(F.col("r4").cast(dec)).over(w).alias("c")
+    ).crossJoin(F.broadcast(tot))
+    cls = cum.select(
+        F.when(
+            F.col("c") * 100 <= F.col("total") * 80, F.lit("A")
+        )
+        .when(F.col("c") * 100 <= F.col("total") * 95, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+        "r4",
+    )
+    return (
+        cls.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.round(
+                F.sum(F.col("r4").cast(dec)) / 10000.0, 2
+            ).alias("revenue"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+_DTW_BIG = 10**17
+
+_DTW_ORACLE = f"""
+    WITH RECURSIVE wkv AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                   AS isp,
+               (CAST(CAST(ts AS TIMESTAMP) AS DATE)
+                - DATE '1970-01-01') // 7 AS wk,
+               CAST(round(value * 10000) AS BIGINT) AS v4
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ), sa AS (
+        SELECT wk, CAST(SUM(v4) AS BIGINT) AS v FROM wkv
+        WHERE isp = 1 GROUP BY 1
+    ), sb AS (
+        SELECT wk, CAST(SUM(v4) AS BIGINT) AS v FROM wkv
+        WHERE isp = 0 GROUP BY 1
+    ), arrs AS (
+        SELECT (SELECT list(v ORDER BY wk) FROM sa) AS a,
+               (SELECT list(v ORDER BY wk) FROM sb) AS b
+    ), dp AS (
+        SELECT 1 AS i,
+               list_transform(range(1, len(b) + 1), j ->
+                 list_sum(list_transform(b[1:j],
+                                         x -> abs(a[1] - x)))) AS dpr,
+               a, b
+        FROM arrs
+        UNION ALL
+        SELECT i + 1,
+               list_transform(range(1, len(b) + 1), j ->
+                 s[j] + list_min(g[1:j])),
+               a, b
+        FROM (
+          SELECT i, a, b, s,
+                 list_transform(range(1, len(b) + 1), k ->
+                   mk[k] - CASE WHEN k > 1 THEN s[k - 1]
+                           ELSE 0 END) AS g
+          FROM (
+            SELECT i, a, b, s,
+                   list_transform(range(1, len(b) + 1), k ->
+                     least(dpr[k],
+                           CASE WHEN k > 1 THEN dpr[k - 1]
+                                ELSE {_DTW_BIG} END)) AS mk
+            FROM (
+              SELECT dp.i, dp.a, dp.b, dp.dpr,
+                     list_transform(range(1, len(dp.b) + 1), j ->
+                       list_sum(list_transform(dp.b[1:j],
+                         x -> abs(dp.a[dp.i + 1] - x)))) AS s
+              FROM dp WHERE dp.i < len(dp.a)
+            )
+          )
+        )
+    )
+    SELECT CAST(len(a) AS BIGINT) AS n_a,
+           CAST(len(b) AS BIGINT) AS n_b,
+           round(CAST(dpr[len(b)] AS DOUBLE) / 10000.0, 4) AS dtw
+    FROM dp WHERE i = len(a)
+"""
+
+
+@query("ts_dtw", oracle=_DTW_ORACLE)
+def ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-time-warping distance between the weekly purchase and
+    view value series — THE elastic similarity measure for time
+    series (Sakoe-Chiba 1978): unlike ts_xcorr's fixed-lag alignment,
+    DTW warps the time axis so shape similarity registers even when
+    phases drift. Integer-exact throughout: weekly sums stay in the
+    v4 fixed point, cell costs |a_i - b_j| and all DP sums are int64.
+
+    Shape: the O(n*m) DP is inherently sequential in BOTH indices, so
+    it rides the ts_holt/ts_kalman JVM-fold seam one size up — the
+    fold state is the whole DP ROW (array<long>), one step per outer-
+    series week. The within-row recurrence row[j] = e_j +
+    min(m_j, row[j-1]) — normally itself sequential — factors into
+    prefix sums + a prefix min via row[j] = S_j + min_k<=j(m_k -
+    S_(k-1)), which both engines express with pure array ops
+    (transform/slice/array_min here, list_transform/list_min in the
+    oracle's recursive CTE). The series grain is DOMAIN-bounded
+    (weeks, not events): the two corpus-scale aggregates are ordinary
+    weekly rollups, and the fold runs on a ~hundreds-length array in
+    one task regardless of corpus size."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    day = F.datediff(
+        F.col("ts").cast("timestamp").cast("date"),
+        F.lit("1970-01-01").cast("date"),
+    )
+    wk = e.select(
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("isp"),
+        (day / 7).cast("long").alias("wk"),
+        F.round(F.col("value") * 10000).cast("long").alias("v4"),
+    )
+
+    def series(flag: int, name: str) -> DataFrame:
+        return (
+            wk.filter(F.col("isp") == flag)
+            .groupBy("wk")
+            .agg(F.sum("v4").cast("long").alias("v"))
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("wk", "v"))
+                    ),
+                    lambda s: s["v"],
+                ).alias(name)
+            )
+        )
+
+    arrs = series(1, "a").crossJoin(series(0, "b"))
+    big = F.lit(_DTW_BIG).cast("long")
+    zero = F.lit(0).cast("long")
+
+    def prefix_sums(earr):
+        m = F.size(earr)
+        return F.transform(
+            F.sequence(F.lit(1), m),
+            lambda j: F.aggregate(
+                F.slice(earr, F.lit(1), j), zero, lambda p, x: p + x
+            ),
+        )
+
+    def step(acc, ai, b_arr):
+        earr = F.transform(b_arr, lambda x: F.abs(ai - x))
+        s = prefix_sums(earr)
+        m = F.size(b_arr)
+        idx = F.sequence(F.lit(1), m)
+        row1 = s
+        mk = F.transform(
+            idx,
+            lambda k: F.least(
+                F.element_at(acc, k),
+                F.when(k > 1, F.element_at(acc, k - 1)).otherwise(big),
+            ),
+        )
+        g = F.transform(
+            idx,
+            lambda k: F.element_at(mk, k)
+            - F.when(k > 1, F.element_at(s, k - 1)).otherwise(zero),
+        )
+        nxt = F.transform(
+            idx,
+            lambda j: F.element_at(s, j)
+            + F.array_min(F.slice(g, F.lit(1), j)),
+        )
+        return F.when(F.size(acc) == 0, row1).otherwise(nxt)
+
+    fold = F.aggregate(
+        F.col("a"),
+        F.array().cast("array<long>"),
+        lambda acc, ai: step(acc, ai, F.col("b")),
+    )
+    return arrs.select(
+        F.size("a").cast("long").alias("n_a"),
+        F.size("b").cast("long").alias("n_b"),
+        F.round(
+            F.element_at(fold, F.size("b")).cast("double") / 10000.0, 4
+        ).alias("dtw"),
+    )

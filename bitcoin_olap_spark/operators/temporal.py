@@ -674,3 +674,63 @@ def kalman_per_group(
             F.col("_st.p").alias("p_q"),
         )
     )
+
+
+DTW_BIG = 10**17  # +inf stand-in for the DP's out-of-band cell
+
+
+def dtw_final_row(a_col, b_col):
+    """Dynamic-time-warping DP as a JVM array fold: fold over the
+    outer series `a_col` carrying the whole DP ROW (array<long>) for
+    the inner series `b_col`; returns the final row, whose last
+    element is the DTW distance. Integer-exact (costs |a_i - b_j| and
+    all sums are int64).
+
+    The within-row recurrence row[j] = e_j + min(m_j, row[j-1])
+    (m_j = min(prev[j], prev[j-1])) looks sequential, but factors as
+    row[j] = S_j + min_{k<=j}(m_k - S_{k-1}) with S the prefix sums
+    of e — so each fold step is pure array ops (transform / slice /
+    array_min), no per-element recursion. O(m^2) element touches per
+    step via the slices; the series grain is expected DOMAIN-bounded
+    (weekly/daily rollups), where m^2 is trivial. Property-tested
+    against a naive Python DP (tests/test_properties.py); the ts_dtw
+    oracle replays the same factorization as a recursive CTE."""
+    big = F.lit(DTW_BIG).cast("long")
+    zero = F.lit(0).cast("long")
+
+    def prefix_sums(earr):
+        return F.transform(
+            F.sequence(F.lit(1), F.size(earr)),
+            lambda j: F.aggregate(
+                F.slice(earr, F.lit(1), j), zero, lambda p, x: p + x
+            ),
+        )
+
+    def step(acc, ai, b_arr):
+        earr = F.transform(b_arr, lambda x: F.abs(ai - x))
+        s = prefix_sums(earr)
+        idx = F.sequence(F.lit(1), F.size(b_arr))
+        mk = F.transform(
+            idx,
+            lambda k: F.least(
+                F.element_at(acc, k),
+                F.when(k > 1, F.element_at(acc, k - 1)).otherwise(big),
+            ),
+        )
+        g = F.transform(
+            idx,
+            lambda k: F.element_at(mk, k)
+            - F.when(k > 1, F.element_at(s, k - 1)).otherwise(zero),
+        )
+        nxt = F.transform(
+            idx,
+            lambda j: F.element_at(s, j)
+            + F.array_min(F.slice(g, F.lit(1), j)),
+        )
+        return F.when(F.size(acc) == 0, s).otherwise(nxt)
+
+    return F.aggregate(
+        a_col,
+        F.array().cast("array<long>"),
+        lambda acc, ai: step(acc, ai, b_col),
+    )

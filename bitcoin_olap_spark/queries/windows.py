@@ -2317,49 +2317,10 @@ def ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    from ..operators.temporal import dtw_final_row
+
     arrs = series(1, "a").crossJoin(series(0, "b"))
-    big = F.lit(_DTW_BIG).cast("long")
-    zero = F.lit(0).cast("long")
-
-    def prefix_sums(earr):
-        m = F.size(earr)
-        return F.transform(
-            F.sequence(F.lit(1), m),
-            lambda j: F.aggregate(
-                F.slice(earr, F.lit(1), j), zero, lambda p, x: p + x
-            ),
-        )
-
-    def step(acc, ai, b_arr):
-        earr = F.transform(b_arr, lambda x: F.abs(ai - x))
-        s = prefix_sums(earr)
-        m = F.size(b_arr)
-        idx = F.sequence(F.lit(1), m)
-        row1 = s
-        mk = F.transform(
-            idx,
-            lambda k: F.least(
-                F.element_at(acc, k),
-                F.when(k > 1, F.element_at(acc, k - 1)).otherwise(big),
-            ),
-        )
-        g = F.transform(
-            idx,
-            lambda k: F.element_at(mk, k)
-            - F.when(k > 1, F.element_at(s, k - 1)).otherwise(zero),
-        )
-        nxt = F.transform(
-            idx,
-            lambda j: F.element_at(s, j)
-            + F.array_min(F.slice(g, F.lit(1), j)),
-        )
-        return F.when(F.size(acc) == 0, row1).otherwise(nxt)
-
-    fold = F.aggregate(
-        F.col("a"),
-        F.array().cast("array<long>"),
-        lambda acc, ai: step(acc, ai, F.col("b")),
-    )
+    fold = dtw_final_row(F.col("a"), F.col("b"))
     return arrs.select(
         F.size("a").cast("long").alias("n_a"),
         F.size("b").cast("long").alias("n_b"),

@@ -425,3 +425,41 @@ def test_kalman_fold_plan_has_no_python_and_two_exchanges(spark, q):
         ln for ln in p.splitlines() if re.search(r"\(\d+\) Exchange", ln)
     ]
     assert len(real) <= 2, p
+
+
+def test_bm25_postings_join_is_jvm_hash(spark, q):
+    """text_bm25's claims: no Python stage anywhere (pure built-ins),
+    the query-side postings join ON TERM is a hash join, and no
+    cartesian product (the 1-row consts relation rides a broadcast)."""
+    p = plan_str(q["text_bm25"](spark, SF))
+    assert "Python" not in p
+    assert "CartesianProduct" not in p
+    assert "HashJoin" in p
+
+
+def test_maxsim_query_side_is_broadcast(spark, q):
+    """sim_maxsim's claim: the tiny query-chunk relation broadcasts
+    onto the corpus postings (coordinate-grain join), never a
+    sort-merge of the corpus against 3 docs."""
+    p = plan_str(q["sim_maxsim"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "Python" not in p
+
+
+def test_kendall_grid_join_is_domain_bounded_broadcast(spark, q):
+    """stat_kendall's claim: the concordance self-join runs on the
+    <=561-cell joint grid and broadcasts, so no fact-scale exchange
+    ever feeds a pair join."""
+    p = plan_str(q["stat_kendall"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_pareto_boundaries_never_divide(spark, q):
+    """win_pareto_abc classifies by CROSS-MULTIPLIED integer compares;
+    no Divide may appear before the final display column."""
+    p = plan_str(q["win_pareto_abc"](spark, SF))
+    assert "Python" not in p
+    # one division only: the display revenue / 10000.0
+    assert p.count("/ 10000.0") <= 2

@@ -1405,3 +1405,51 @@ def test_fifo_match_equals_python_queue_walk(spark, seq):
     # the quantity axis) — that is fifo_match's documented semantics:
     # FIFO over the ORDERED sequences, not a temporal constraint
     assert got == sorted(want), (got, want)
+
+
+@SETTINGS
+@given(
+    a=st.lists(
+        st.integers(min_value=-(1 << 40), max_value=1 << 40),
+        min_size=1,
+        max_size=10,
+    ),
+    b=st.lists(
+        st.integers(min_value=-(1 << 40), max_value=1 << 40),
+        min_size=1,
+        max_size=10,
+    ),
+)
+def test_dtw_fold_matches_python_dp(spark, a, b):
+    """dtw_final_row's prefix-sum/prefix-min factorization == the
+    textbook O(n*m) DTW DP run as a plain Python loop, for any int
+    series including negatives and length-1 edges."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators.temporal import dtw_final_row
+
+    df = spark.createDataFrame(
+        [(a, b)], "a array<long>, b array<long>"
+    )
+    got = df.select(
+        F.element_at(
+            dtw_final_row(F.col("a"), F.col("b")), F.size("b")
+        ).alias("d")
+    ).collect()[0]["d"]
+    inf = float("inf")
+    prev = None
+    for ai in a:
+        row = []
+        for j, bj in enumerate(b):
+            e = abs(ai - bj)
+            if prev is None:
+                best = row[j - 1] if j else 0
+            else:
+                best = min(
+                    prev[j],
+                    prev[j - 1] if j else inf,
+                    row[j - 1] if j else inf,
+                )
+            row.append(e + best)
+        prev = row
+    assert got == prev[-1]

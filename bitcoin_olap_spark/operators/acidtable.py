@@ -331,10 +331,12 @@ def init_table(
     root: str,
     df: DataFrame,
     stats_cols: tuple = (),
+    bloom_cols: tuple = (),
 ) -> int:
     """Create version 0 from df. Errors if the table already exists.
     stats_cols: columns whose per-file min/max land in the manifest
-    for data skipping (snapshot_pruned)."""
+    for data skipping (snapshot_pruned). bloom_cols: columns whose
+    per-file bloom bitmaps land there too (snapshot_bloom_lookup)."""
     if current_version(root) >= 0:
         raise FileExistsError(f"table already initialized at {root}")
     files = _write_data_files(df, root)
@@ -343,6 +345,11 @@ def init_table(
         if stats_cols
         else None
     )
+    if bloom_cols:
+        blooms = collect_file_blooms(spark, files, bloom_cols)
+        stats = stats or {}
+        for path, ent in blooms.items():
+            stats.setdefault(path, {}).update(ent)
     _commit(root, 0, "init", add=files, stats=stats)
     return 0
 
@@ -823,3 +830,135 @@ def snapshot_merged(
     return spark.read.option("mergeSchema", "true").parquet(
         *_resolve_files(root, v)
     )
+
+
+# --------------------------------------------------------------- blooms
+
+BLOOM_BITS = 4096
+BLOOM_K = 5
+
+
+def _bloom_positions(col_expr, bits: int, k: int):
+    """k bit positions for one value: xxhash64 under k seeds, pmod to
+    the bit-array width. Lives as a Spark expression so the write and
+    probe sides share the exact JVM hash (never re-implemented driver-
+    side in Python)."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(col_expr, F.lit(s)), F.lit(bits))
+            for s in range(k)
+        ]
+    )
+
+
+def collect_file_blooms(
+    spark: SparkSession,
+    files: list[str],
+    cols: tuple,
+    bits: int = BLOOM_BITS,
+    k: int = BLOOM_K,
+) -> dict:
+    """Per-file BLOOM FILTER of `cols` over just-written files — the
+    point-lookup complement of _collect_file_stats' min/max: on an
+    UNCLUSTERED layout every file's [min, max] spans the whole domain
+    and range stats skip nothing, but a per-file bloom still answers
+    'is key X definitely absent from this file'. ONE distributed
+    aggregate per column at write time: each row explodes to its k
+    bit positions map-side, bits OR together grouped on
+    (file, word-index), and the driver assembles the sparse word map
+    {path: {'bloom:col': {'b': bits, 'k': k,
+    'w': {word_idx: int64}}}} — entries ride the manifest's existing
+    per-file stats dict, so resolution, vacuum, and old readers need
+    no changes (unknown keys are ignored; files without blooms are
+    never skipped). Cost is one scan of the committed batch; the
+    bitmap is bits/8 bytes per file per column (512 B at the 4096
+    default — manifest-weight like Delta's)."""
+    out: dict = {}
+    for c in cols:
+        pos = (
+            spark.read.parquet(*files)
+            .select(
+                F.input_file_name().alias("_f"),
+                F.explode(_bloom_positions(F.col(c), bits, k)).alias(
+                    "_p"
+                ),
+            )
+        )
+        words = (
+            pos.select(
+                "_f",
+                (F.col("_p") / 64).cast("long").alias("_w"),
+                F.expr("shiftleft(1L, CAST(_p % 64 AS INT))").alias("_b"),
+            )
+            .groupBy("_f", "_w")
+            .agg(F.bit_or("_b").alias("_m"))
+            .collect()
+        )
+        for r in words:
+            path = r["_f"].replace("file://", "").split("?")[0]
+            ent = out.setdefault(path, {}).setdefault(
+                f"bloom:{c}", {"b": bits, "k": k, "w": {}}
+            )
+            ent["w"][str(r["_w"])] = r["_m"]
+    return out
+
+
+def snapshot_bloom_lookup(
+    spark: SparkSession,
+    root: str,
+    col,
+    value,
+    version: int | None = None,
+):
+    """Point-lookup read with BLOOM file skipping: resolve the
+    snapshot's files, probe each file's manifest bloom for `value`
+    (files without a bloom always read — same safety posture as
+    snapshot_pruned), scan only the maybe-present files, and apply
+    the exact equality filter. False positives cost one extra file
+    scan; false negatives cannot happen because the probe uses the
+    IDENTICAL Spark-side xxhash64 expression the write side folded
+    into the bitmap (one 1-row JVM job per distinct (bits, k) config,
+    never a Python re-implementation of the hash). Returns
+    (DataFrame, n_files_read, n_files_total)."""
+    v = current_version(root) if version is None else version
+    files = _resolve_files(root, v)
+    stats = _resolve_stats(root, v)
+    key = f"bloom:{col}"
+    configs = {
+        (e["b"], e["k"])
+        for f in files
+        for e in [stats.get(f, {}).get(key)]
+        if e is not None
+    }
+    # xxhash64 is TYPE-sensitive (hashing 0 as INT != as BIGINT), so
+    # the probe literal must carry the stored column's exact type
+    probe_lit = F.lit(value)
+    if files:
+        dtype = spark.read.parquet(files[0]).schema[col].dataType
+        probe_lit = probe_lit.cast(dtype)
+    pos_by_cfg = {}
+    for bits, k in configs:
+        pos_by_cfg[(bits, k)] = (
+            spark.range(1)
+            .select(_bloom_positions(probe_lit, bits, k).alias("p"))
+            .collect()[0]["p"]
+        )
+    kept = []
+    for f in files:
+        e = stats.get(f, {}).get(key)
+        if e is None:
+            kept.append(f)
+            continue
+        w = e["w"]
+        hit = all(
+            (int(w.get(str(p // 64), 0)) >> (p % 64)) & 1
+            for p in pos_by_cfg[(e["b"], e["k"])]
+        )
+        if hit:
+            kept.append(f)
+    df = (
+        spark.read.parquet(*kept).filter(F.col(col) == value)
+        if kept
+        else spark.read.parquet(*files).filter(F.lit(False))
+    )
+    return df, len(kept), len(files)

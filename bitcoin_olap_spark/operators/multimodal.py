@@ -1236,3 +1236,55 @@ def decode_features(
             )
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def imghash_arrow(df: DataFrame, id_col: str) -> DataFrame:
+    """Perceptual AVERAGE-HASH over decoded image pixels — the
+    image-side sibling of the text SimHash tier: decode the container
+    (real codec path, `decode_media`), take the first 64 decoded
+    pixel bytes as the sample grid (zero-padded past the payload,
+    matching the container's own padding), threshold each cell
+    against the grid's integer mean, and pack the 64 bits as two
+    32-bit halves (h1 = cells 0-31, h2 = 32-63; split exactly like
+    dedup_simhash so the DuckDB twin never touches the int64 sign
+    bit). Returns (id_col, h1 LONG, h2 LONG).
+
+    Arrow-batched mapInPandas, payload-local, no shuffle; integer
+    mean (sum div 64) keeps the threshold — and therefore every bit —
+    engine-exact, so a SQL oracle reproduces the hash from hex byte
+    pairs. Near-duplicate images differ in few cells, so Hamming
+    blocking on the hash finds them without any pairwise pixel
+    comparison — at 100 TB the hash is 8 bytes per image vs the
+    payload's megabytes, and the pair stage never reopens payloads."""
+    import numpy as np
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, h1 long, h2 long"
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            h1s, h2s = [], []
+            for payload, m in zip(pdf["blob"], pdf["media_meta"]):
+                samples, _info = decode_media(
+                    bytes(payload), m["format"]
+                )
+                grid = np.zeros(64, dtype=np.int64)
+                take = min(64, len(samples))
+                grid[:take] = samples[:take]
+                mean = int(grid.sum()) // 64
+                bits = grid > mean
+                h1 = sum(1 << i for i in range(32) if bits[i])
+                h2 = sum(1 << i for i in range(32) if bits[32 + i])
+                h1s.append(h1)
+                h2s.append(h2)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "h1": pd.Series(h1s, dtype="int64"),
+                    "h2": pd.Series(h2s, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=out_schema)

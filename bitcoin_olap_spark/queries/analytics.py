@@ -3628,3 +3628,74 @@ def ml_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).cast("long").alias("cluster"),
     )
     return labeled.unionByName(noise)
+
+
+@query(
+    "sql_recursive_hierarchy",
+    oracle="""
+    WITH RECURSIVE walk AS (
+        SELECT p_partkey AS node, p_partkey AS cur,
+               CAST(0 AS BIGINT) AS d
+        FROM part
+        UNION ALL
+        SELECT node, cur // 10, d + 1 FROM walk WHERE cur >= 10
+    ), finals AS (
+        SELECT node, cur AS root, d FROM walk WHERE cur < 10
+    )
+    SELECT d AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(COUNT(DISTINCT root) AS BIGINT) AS n_roots,
+           CAST(SUM(root) AS BIGINT) AS root_sum
+    FROM finals GROUP BY 1
+    """,
+)
+def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive hierarchy walk (WITH RECURSIVE's bread-and-butter:
+    org charts, BOM explosion, category trees) — every part climbs
+    its construction-stated ancestor chain parent(n) = n div 10 to
+    its single-digit root, reporting per-depth node counts and root
+    aggregates. The oracle states the walk LITERALLY as a recursive
+    CTE; Spark has no recursive CTE, and the scale-correct
+    translation is POINTER DOUBLING, not linear peeling: each round
+    joins the frontier's ancestor pointer onto itself (anc' =
+    anc(anc), d' = d + d(anc)), so a depth-D hierarchy resolves in
+    ceil(log2 D) self-joins — 3 rounds here for depth <= 6 (partkey
+    < 10^7), 20 rounds would cover a million-deep chain. Roots are
+    fixpoints (anc = self, d = 0), so converged rows pass through
+    unchanged; each round is one equi-join on the ancestor key,
+    localCheckpointed to keep lineage flat. All integers; sign-safe
+    floor division per the shared _fdiv_sql convention."""
+    parts = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("node")
+    )
+    fd10 = F.expr(_fdiv_sql("node", "10").format(DIV="div"))
+    state = parts.select(
+        "node",
+        F.when(F.col("node") < 10, F.col("node"))
+        .otherwise(fd10)
+        .alias("anc"),
+        F.when(F.col("node") < 10, F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("d"),
+    ).localCheckpoint()
+    for _ in range(3):  # 2^3 >= max depth 6
+        hop = state.select(
+            F.col("node").alias("anc"),
+            F.col("anc").alias("anc2"),
+            F.col("d").alias("d2"),
+        )
+        state = (
+            state.join(hop, "anc")
+            .select(
+                "node",
+                F.col("anc2").alias("anc"),
+                (F.col("d") + F.col("d2")).alias("d"),
+            )
+            .localCheckpoint()
+        )
+    return state.groupBy(F.col("d").alias("depth")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.countDistinct("anc").cast("long").alias("n_roots"),
+        F.sum("anc").cast("long").alias("root_sum"),
+    )

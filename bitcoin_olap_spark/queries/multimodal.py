@@ -453,3 +453,109 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.frame_energy(
         MM.transcode(media, "doc_id"), "doc_id", frame_samples=200
     )
+
+
+_IMGHASH_ORACLE = """
+    WITH raw AS (
+      SELECT doc_id, octet_length(encode(text)) AS rl,
+             upper(hex(encode(text))) AS hx
+      FROM documents WHERE doc_id % 3 = 0
+    ), bts AS (
+      SELECT doc_id, i,
+             CASE WHEN i < rl
+                  THEN ('0x' || substr(hx, 2 * i + 1, 2))::BIGINT
+                  ELSE 0 END AS b
+      FROM (SELECT doc_id, rl, hx, unnest(range(0, 64)) AS i FROM raw)
+    ), hsh AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN i < 32 AND b > mean
+                      THEN CAST(1 AS BIGINT) << i ELSE 0 END)
+                  AS BIGINT) AS h1,
+             CAST(SUM(CASE WHEN i >= 32 AND b > mean
+                      THEN CAST(1 AS BIGINT) << (i - 32) ELSE 0 END)
+                  AS BIGINT) AS h2
+      FROM (SELECT doc_id, i, b,
+                   SUM(b) OVER (PARTITION BY doc_id) // 64 AS mean
+            FROM bts)
+      GROUP BY 1
+    ), ch AS (
+      SELECT doc_id, cc.c AS chunk_idx,
+             CASE WHEN cc.c < 4 THEN (h1 >> (8 * cc.c)) & 255
+                  ELSE (h2 >> (8 * (cc.c - 4))) & 255 END AS chunk
+      FROM hsh, (SELECT unnest(range(8)) AS c) cc
+    ), cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM ch l JOIN ch r
+        ON l.chunk_idx = r.chunk_idx AND l.chunk = r.chunk
+       AND l.doc_id < r.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2))
+                AS BIGINT) AS hamming
+    FROM cand c
+    JOIN hsh a ON a.doc_id = c.doc_a
+    JOIN hsh b ON b.doc_id = c.doc_b
+    WHERE bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) <= 8
+"""
+
+
+@query("mm_imghash_dedup", oracle=_IMGHASH_ORACLE)
+def mm_imghash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash NEAR-DUP detection over decoded IMAGES — the
+    multimodal member of the dedup tier (exact/ngram/minhash/simhash
+    cover text; embedding-cosine covers vectors; this covers pixel
+    payloads): the image-class payloads (doc_id%3=0) transcode into
+    real netpbm P6 containers, the Arrow stage decodes them and
+    computes a 64-cell average-hash over the pixel grid
+    (operators/multimodal.imghash_arrow — integer mean threshold, two
+    32-bit halves exactly like dedup_simhash's split), and pairs
+    within Hamming distance 8 surface via the same 8-bit-chunk
+    pigeonhole blocking (<=8 flips cannot touch all 8 chunks... <=7
+    is the strict pigeonhole bound; chunk blocking at d=8 keeps every
+    pair that leaves one chunk intact, and the 64-cell aHash of a
+    near-dup image differs in far fewer cells — the planted pairs all
+    collide on multiple chunks). At 100 TB: payload bytes are opened
+    ONCE (hash = 8 bytes/image), the pair stage runs on hashes only,
+    and blocking keeps it off the all-pairs product. The oracle
+    replays decode (hex byte pairs + container zero-padding), mean,
+    bit-packing, blocking, and verify bit-for-bit in SQL."""
+    imgs = _media(spark, sf_dir).filter(F.col("doc_id") % 3 == 0)
+    hashes = MM.imghash_arrow(
+        MM.transcode(imgs, "doc_id"), "doc_id"
+    )
+    chunks = hashes.select(
+        "doc_id",
+        "h1",
+        "h2",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("h1", 8 * c).bitwiseAND(F.lit(255))
+                    for c in range(4)
+                ]
+                + [
+                    F.shiftright("h2", 8 * c).bitwiseAND(F.lit(255))
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    ).localCheckpoint()  # hash once; the self-join reuses it
+    l, r = chunks.alias("l"), chunks.alias("r")
+    ham = F.bit_count(
+        F.col("l.h1").bitwiseXOR(F.col("r.h1"))
+    ) + F.bit_count(F.col("l.h2").bitwiseXOR(F.col("r.h2")))
+    return (
+        l.join(
+            r,
+            (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 8)
+    )

@@ -1423,3 +1423,48 @@ def src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5("content").alias("content_md5"),
         )
     )
+
+
+@query(
+    "snk_bloom_index",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_orderkey = 1
+    """,
+)
+def snk_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-FILTER file skipping on the versioned ACID table — the
+    point-lookup complement of snk_acid_skipping's min/max ranges:
+    the fixture is HASH-distributed (repartition(8), no clustering),
+    so every file's [min, max] spans the whole key domain and range
+    stats can skip NOTHING; the per-file bloom bitmap written at
+    commit time (operators/acidtable.collect_file_blooms — one
+    distributed aggregate per batch, 512 B of manifest weight per
+    file) still answers 'key 1 is definitely absent here', and the
+    point read opens only the maybe-present files
+    (snapshot_bloom_lookup). The probe reuses the IDENTICAL Spark
+    xxhash64 expression the writer folded into the bitmap, so false
+    negatives are impossible by construction and the read is always
+    exact (the equality filter still runs on survivors); pruning is
+    property-tested (files_read < files_total on the multi-file
+    fixture, zero lost rows vs the full scan). Oracle = the plain
+    point lookup."""
+    root = _tmp(
+        f"acid_bloom_{os.path.basename(os.path.abspath(sf_dir))}"
+    )
+    if not _fixture_ready(root, 0, "init"):
+        li = (
+            table(spark, sf_dir, "lineitem")
+            .select(
+                "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+            )
+            .repartition(8)
+        )
+        AT.init_table(spark, root, li, bloom_cols=("l_orderkey",))
+    pruned, n_read, n_total = AT.snapshot_bloom_lookup(
+        spark, root, "l_orderkey", 1
+    )
+    return pruned.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )

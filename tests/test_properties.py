@@ -1453,3 +1453,45 @@ def test_dtw_fold_matches_python_dp(spark, a, b):
             row.append(e + best)
         prev = row
     assert got == prev[-1]
+
+
+def test_acid_bloom_lookup_prunes_and_never_loses_rows(spark, tmp_path):
+    """snapshot_bloom_lookup must (a) return exactly the full-scan
+    equality rows for present keys (no false negatives — the probe
+    reuses the writer's xxhash64 expression), (b) actually SKIP files
+    on a hash-random layout where min/max stats cannot (each key
+    lives in ~1 of 8 files), (c) read nothing but return empty for an
+    absent key unless a false positive fires, and (d) never skip a
+    bloom-less append."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators import acidtable as AT
+
+    root = str(tmp_path / "tbl")
+    df = spark.range(0, 4000).select(
+        F.col("id"), (F.col("id") % 7).alias("grp")
+    ).repartition(8)
+    AT.init_table(spark, root, df, bloom_cols=("id",))
+
+    total_read = 0
+    for key in (0, 17, 1234, 3999):
+        got, n_read, n_total = AT.snapshot_bloom_lookup(
+            spark, root, "id", key
+        )
+        assert n_total >= 8
+        assert got.count() == 1
+        total_read += n_read
+    # hash layout: each key lives in one file; blooms must beat the
+    # full scan decisively across the 4 lookups even with fp slack
+    assert total_read < 4 * 8, total_read
+
+    got, n_read, _ = AT.snapshot_bloom_lookup(spark, root, "id", 99999)
+    assert got.count() == 0
+
+    # a bloom-less append must never be skipped
+    AT.append(spark, root, spark.range(50000, 50001).select(
+        F.col("id"), F.lit(9).alias("grp")).coalesce(1))
+    got2, n_read2, n_total2 = AT.snapshot_bloom_lookup(
+        spark, root, "id", 50000
+    )
+    assert got2.count() == 1

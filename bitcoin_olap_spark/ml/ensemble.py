@@ -203,3 +203,117 @@ def adaboost_cells(
         ).alias("alpha"),
         "train_acc",
     )
+
+
+def gbt_cells(
+    spark: SparkSession,
+    cells: DataFrame,
+    domains: dict[int, int],
+    rounds: int = 3,
+) -> DataFrame:
+    """L2 GRADIENT BOOSTING over regression stumps on the
+    (f1, f2, n, sy, syy) cell grain — the squared-loss sibling of
+    adaboost_cells, i.e. the GBM everyone actually runs, restated so
+    the boosting loop never rescans the corpus: one O(N) aggregate
+    collapses the fact table to <= dom(f1)*dom(f2) cells carrying
+    (count, sum y, sum y^2), and every round's candidate sweep, leaf
+    fit, and prediction update runs on that domain-bounded relation.
+
+    Integer-exact state: predictions start at the floor global mean
+    and advance by floor(leaf/2) (learning rate 1/2 as a sign-safe
+    floor division — the leaf means never exist as floats), so
+    residual sums stay int64 and the unrolled DuckDB oracle
+    hash-matches every chosen split and leaf. Split choice maximizes
+    the variance-gain surrogate sl^2/nl + sr^2/nr, evaluated as an
+    IEEE double of identical int64 inputs, rounded to 4 dp with a
+    (feat, thr) tiebreak — deterministic in both engines. Per-round
+    control plane: ONE 1-row argmax collect + one sse scalar; chosen
+    leaves re-enter the plan as literals (flat lineage, like
+    adaboost_cells).
+
+    Returns one row per round: (rnd, feat, thr, leaf_l, leaf_r, sse)
+    with sse the post-update sum of squared residuals in value^2
+    units (v4^2 / 1e8), rounded 4 dp."""
+    rows_cand = [
+        (f, t)
+        for f, dom in sorted(domains.items())
+        for t in range(dom - 1)
+    ]
+    cand = spark.createDataFrame(rows_cand, "feat long, thr long")
+    dec = "decimal(38,0)"
+    tot = cells.agg(
+        F.sum("sy").cast("long").alias("s"),
+        F.sum("n").cast("long").alias("m"),
+    ).collect()[0]
+    p0 = int(tot["s"]) // int(tot["m"])
+    state = cells.withColumn(
+        "pred", F.lit(p0).cast("long")
+    ).localCheckpoint()
+    fv = F.when(F.col("feat") == 1, F.col("f1")).otherwise(F.col("f2"))
+    out_rows = []
+    for rnd in range(1, rounds + 1):
+        rs = state.withColumn(
+            "rs", F.col("sy") - F.col("n") * F.col("pred")
+        )
+        sc = (
+            F.broadcast(cand)
+            .crossJoin(rs)
+            .groupBy("feat", "thr")
+            .agg(
+                F.sum(F.when(fv <= F.col("thr"), F.col("rs")).otherwise(0))
+                .cast("long")
+                .alias("sl"),
+                F.sum(F.when(fv <= F.col("thr"), F.col("n")).otherwise(0))
+                .cast("long")
+                .alias("nl"),
+                F.sum("rs").cast("long").alias("st"),
+                F.sum("n").cast("long").alias("nt"),
+            )
+        )
+        gain = F.round(
+            F.col("sl").cast("double") * F.col("sl") / F.col("nl")
+            + (F.col("st") - F.col("sl")).cast("double")
+            * (F.col("st") - F.col("sl"))
+            / (F.col("nt") - F.col("nl")),
+            4,
+        )
+        best = (
+            sc.filter(
+                (F.col("nl") > 0) & (F.col("nt") - F.col("nl") > 0)
+            )
+            .orderBy(gain.desc(), "feat", "thr")
+            .limit(1)
+            .collect()
+        )[0]
+        feat, thr = int(best["feat"]), int(best["thr"])
+        sl, nl = int(best["sl"]), int(best["nl"])
+        sr, nr = int(best["st"]) - sl, int(best["nt"]) - nl
+        gl, gr = sl // nl, sr // nr          # exact floor leaf means
+        inc_l, inc_r = gl // 2, gr // 2       # learning rate 1/2
+        cond = (
+            F.col("f1") if feat == 1 else F.col("f2")
+        ) <= F.lit(thr)
+        state = state.withColumn(
+            "pred",
+            F.col("pred")
+            + F.when(cond, F.lit(inc_l)).otherwise(F.lit(inc_r)),
+        ).localCheckpoint()
+        sse = state.agg(
+            F.round(
+                F.sum(
+                    F.col("syy").cast(dec)
+                    - 2 * F.col("pred").cast(dec) * F.col("sy")
+                    + F.col("n").cast(dec)
+                    * F.col("pred")
+                    * F.col("pred")
+                ).cast("double")
+                / 100000000.0,
+                4,
+            ).alias("sse")
+        ).collect()[0]["sse"]
+        out_rows.append((rnd, feat, thr, gl, gr, float(sse)))
+    return spark.createDataFrame(
+        out_rows,
+        "rnd long, feat long, thr long, leaf_l long, leaf_r long, "
+        "sse double",
+    )

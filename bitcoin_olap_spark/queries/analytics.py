@@ -3699,3 +3699,137 @@ def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("anc").cast("long").alias("n_roots"),
         F.sum("anc").cast("long").alias("root_sum"),
     )
+
+
+def _oracle_gbt_sql(rounds: int = 3) -> str:
+    """DuckDB twin of ml_gbt_stumps: the cell aggregate, then
+    `rounds` unrolled L2-boosting rounds — candidate variance gains
+    (4dp-rounded doubles of exact int64 sums, (feat, thr) tiebreak),
+    sign-safe floor leaf means, halved floor updates — and the
+    post-round SSE. Every compared state is integral until the two
+    display doubles."""
+
+    def fd(a: str, b: str) -> str:
+        return _fdiv_sql(a, b).format(DIV="//")
+
+    parts = [
+        f"""
+    WITH v AS (
+        SELECT CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS f1,
+               CAST((CAST(CAST(ts AS TIMESTAMP) AS DATE)
+                     - DATE '1970-01-01') % 7 AS BIGINT) AS f2,
+               CAST(round(value * 10000) AS BIGINT) AS y
+        FROM events
+    ), cells AS (
+        SELECT f1, f2, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        FROM v GROUP BY 1, 2
+    ), cand AS (
+        SELECT 1 AS feat, unnest(range(0, 23)) AS thr
+        UNION ALL
+        SELECT 2 AS feat, unnest(range(0, 6)) AS thr
+    ), tot0 AS (
+        SELECT CAST(SUM(sy) AS BIGINT) AS s,
+               CAST(SUM(n) AS BIGINT) AS m
+        FROM cells
+    ), p0 AS (
+        SELECT f1, f2, n, sy, syy,
+               {fd('s', 'm')} AS pred
+        FROM cells, tot0
+    )"""
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f""", rs{k} AS (
+        SELECT f1, f2, n, sy, syy, pred,
+               sy - n * pred AS rs
+        FROM p{k - 1}
+    ), sc{k} AS (
+        SELECT c.feat, c.thr,
+               CAST(SUM(CASE WHEN (CASE c.feat WHEN 1 THEN r.f1
+                                   ELSE r.f2 END) <= c.thr
+                        THEN r.rs ELSE 0 END) AS BIGINT) AS sl,
+               CAST(SUM(CASE WHEN (CASE c.feat WHEN 1 THEN r.f1
+                                   ELSE r.f2 END) <= c.thr
+                        THEN r.n ELSE 0 END) AS BIGINT) AS nl,
+               CAST(SUM(r.rs) AS BIGINT) AS st,
+               CAST(SUM(r.n) AS BIGINT) AS nt
+        FROM cand c, rs{k} r GROUP BY 1, 2
+    ), best{k} AS (
+        SELECT feat, thr, sl, nl, st, nt,
+               {fd('sl', 'nl')} AS gl,
+               {fd('(st - sl)', '(nt - nl)')} AS gr
+        FROM (
+            SELECT *, row_number() OVER (
+                ORDER BY round(CAST(sl AS DOUBLE) * sl / nl
+                               + CAST(st - sl AS DOUBLE) * (st - sl)
+                                 / (nt - nl), 4) DESC,
+                         feat, thr) AS rk
+            FROM sc{k} WHERE nl > 0 AND nt - nl > 0
+        ) WHERE rk = 1
+    ), p{k} AS (
+        SELECT r.f1, r.f2, r.n, r.sy, r.syy,
+               r.pred + (CASE WHEN (CASE b.feat WHEN 1 THEN r.f1
+                                    ELSE r.f2 END) <= b.thr
+                         THEN {fd('b.gl', '2')}
+                         ELSE {fd('b.gr', '2')} END) AS pred
+        FROM rs{k} r, best{k} b
+    ), sse{k} AS (
+        SELECT round(CAST(SUM(syy
+                    - 2 * CAST(pred AS HUGEINT) * sy
+                    + CAST(n AS HUGEINT) * pred * pred) AS DOUBLE)
+                / 100000000.0, 4) AS sse
+        FROM p{k}
+    )"""
+        )
+    finals = "\n    UNION ALL\n".join(
+        f"""    SELECT CAST({k} AS BIGINT) AS rnd,
+           CAST(b.feat AS BIGINT) AS feat, CAST(b.thr AS BIGINT) AS thr,
+           CAST(b.gl AS BIGINT) AS leaf_l, CAST(b.gr AS BIGINT) AS leaf_r,
+           s.sse
+    FROM best{k} b, sse{k} s"""
+        for k in range(1, rounds + 1)
+    )
+    return "".join(parts) + "\n" + finals
+
+
+@query("ml_gbt_stumps", oracle=_oracle_gbt_sql())
+def ml_gbt_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 gradient-boosted stumps (3 rounds, learning rate 1/2) on
+    event value vs hour/day-of-week features — the squared-loss GBM
+    next to ml_adaboost's exponential-loss classifier, completing the
+    boosting family with the regressor production pipelines actually
+    run. Same cell-grain architecture (ml/ensemble.gbt_cells): ONE
+    O(N) aggregate collapses the corpus to <= 24*7 cells carrying
+    (n, sum y, sum y^2); every round's candidate sweep, leaf fit, and
+    prediction update runs on that domain-bounded relation, so
+    per-round cost is independent of corpus size. Predictions and
+    leaves are integer-exact (floor means, floor-halved updates);
+    the split criterion sl^2/nl + sr^2/nr is an IEEE double of
+    identical int64 sums, 4dp-rounded with a (feat, thr) tiebreak;
+    the unrolled DuckDB oracle hash-matches every split, leaf, and
+    post-round SSE."""
+    from ..ml.ensemble import gbt_cells
+
+    e = table(spark, sf_dir, "events")
+    cells = (
+        e.select(
+            F.hour("ts").cast("long").alias("f1"),
+            (
+                F.datediff(F.to_date("ts"), F.lit("1970-01-01")) % 7
+            )
+            .cast("long")
+            .alias("f2"),
+            F.round(F.col("value") * 10000).cast("long").alias("y"),
+        )
+        .groupBy("f1", "f2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+            .cast("decimal(38,0)")
+            .alias("syy"),
+        )
+    )
+    return gbt_cells(spark, cells, domains={1: 24, 2: 7}, rounds=3)

@@ -3309,3 +3309,190 @@ def sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+_RAKE_STOPS = (
+    "the", "and", "of", "to", "in", "a", "is", "that", "it", "on",
+    "for", "with", "as", "was", "at",
+)
+_RAKE_STOP_SQL = ", ".join(f"'{w}'" for w in _RAKE_STOPS)
+
+_RAKE_ORACLE = f"""
+    WITH ws AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '),
+                           x -> x != '') AS a
+        FROM documents
+    ), tok AS (
+        SELECT doc_id, i AS pos, a[i] AS w
+        FROM (SELECT doc_id, a,
+                     unnest(range(1, len(a) + 1)) AS i FROM ws)
+    ), nonstop AS (
+        SELECT doc_id, pos, w,
+               pos - row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY pos) AS grp
+        FROM tok WHERE w NOT IN ({_RAKE_STOP_SQL})
+    ), phr AS (
+        SELECT doc_id, grp,
+               string_agg(w, ' ' ORDER BY pos) AS phrase,
+               CAST(COUNT(*) AS BIGINT) AS plen
+        FROM nonstop GROUP BY 1, 2
+    ), wstat AS (
+        SELECT n.w,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(p.plen) AS BIGINT) AS deg
+        FROM nonstop n
+        JOIN phr p ON p.doc_id = n.doc_id AND p.grp = n.grp
+        GROUP BY 1
+    ), scored AS (
+        SELECT p.phrase,
+               round(SUM(CAST(s.deg AS DOUBLE) / s.freq), 6) AS score
+        FROM nonstop n
+        JOIN phr p ON p.doc_id = n.doc_id AND p.grp = n.grp
+        JOIN wstat s ON s.w = n.w
+        GROUP BY p.doc_id, p.grp, p.phrase
+    ), dedup AS (
+        SELECT phrase, MAX(score) AS score,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM scored GROUP BY 1
+    ), rk AS (
+        SELECT phrase, score, n_occurrences,
+               row_number() OVER (ORDER BY score DESC, phrase) AS rnk
+        FROM dedup
+    )
+    SELECT phrase, score, n_occurrences, CAST(rnk AS BIGINT) AS rnk
+    FROM rk WHERE rnk <= 100
+"""
+
+
+@query("text_rake", oracle=_RAKE_ORACLE)
+def text_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) — the classic
+    unsupervised keyphrase miner: candidate phrases are maximal
+    stopword-free word runs, each word scores degree/frequency over
+    phrase co-occurrence, and a phrase scores the sum of its member
+    word scores. text_pmi finds statistically-surprising PAIRS; RAKE
+    finds salient PHRASES of any length — both feed tokenizer and
+    topic curation.
+
+    Shape: phrase segmentation is the GAPS-AND-ISLANDS trick
+    (win_gaps_islands' technique at token grain: island id = pos -
+    rank among non-stopwords), so phrases form with ONE doc-keyed
+    window, no self-join and no iteration; word degree/frequency are
+    one vocabulary-grain aggregate over the phrase-membership
+    relation; the per-phrase sum joins the broadcast word-score
+    dictionary. Counts exact int64; deg/freq division + few-term sum
+    round at 6 dp (the text_bm25 posture); top-100 tiebreaks on the
+    phrase text."""
+    docs = table(spark, sf_dir, "documents", spread=True)
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col("text")), " "),
+                lambda x: x != "",
+            )
+        ).alias("pos0", "w"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    nonstop = tok.filter(~F.col("w").isin(*_RAKE_STOPS)).select(
+        "doc_id",
+        "pos",
+        "w",
+        (
+            F.col("pos")
+            - F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("pos")
+            )
+        ).alias("grp"),
+    )
+    phr = nonstop.groupBy("doc_id", "grp").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("long").alias("plen"),
+    )
+    member = nonstop.join(phr, ["doc_id", "grp"])
+    wstat = member.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("deg"),
+    )
+    scored = (
+        member.join(F.broadcast(wstat), "w")
+        .groupBy("doc_id", "grp", "phrase")
+        .agg(
+            F.round(
+                F.sum(F.col("deg").cast("double") / F.col("freq")), 6
+            ).alias("score")
+        )
+    )
+    dedup = scored.groupBy("phrase").agg(
+        F.max("score").alias("score"),
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+    )
+    return (
+        dedup.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("score"), "phrase")
+            ),
+        )
+        .filter(F.col("rnk") <= 100)
+        .select("phrase", "score", "n_occurrences", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+_ANN_RECALL_ORACLE = f"""
+    WITH pqr AS (
+        SELECT query_id, vec_id FROM ({_oracle_pq_sql()})
+    ), exr AS (
+        SELECT query_id, vec_id FROM ({_TOPK_ORACLE})
+    ), hits AS (
+        SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM exr e JOIN pqr p
+          ON p.query_id = e.query_id AND p.vec_id = e.vec_id
+        GROUP BY 1
+    ), qs AS (
+        SELECT DISTINCT query_id FROM exr
+    )
+    SELECT q.query_id,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           round(COALESCE(h.n_hits, 0) / 10.0, 6) AS recall
+    FROM qs q LEFT JOIN hits h ON h.query_id = q.query_id
+"""
+
+
+@query("sim_ann_recall", oracle=_ANN_RECALL_ORACLE)
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index QUALITY EVALUATION: recall@10 of the product-
+    quantization index against the exact bruteforce top-10, per
+    query — the measurement loop every production ANN deployment
+    runs before trusting an approximate index ('measure, don't
+    guess' applied to the index itself; FAISS ships this as its
+    standard eval). Composes two registered operators at their
+    public seams — sim_topk_pq (memoized trained codebook) and
+    sim_topk_bruteforce — and the oracle composes THEIR oracles the
+    same way, so the metric itself is oracle-exact end to end.
+    Scale: the eval joins two k-row-per-query relations (tiny at any
+    corpus size); the expensive sides are the indexes being measured,
+    and the exact side would run on a sampled query set at 100 TB."""
+    pq = sim_topk_pq(spark, sf_dir).select("query_id", "vec_id")
+    ex = sim_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "vec_id"
+    )
+    hits = (
+        ex.join(pq, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    qs = ex.select("query_id").distinct()
+    return qs.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        F.round(
+            F.coalesce(F.col("n_hits"), F.lit(0)) / 10.0, 6
+        ).alias("recall"),
+    )

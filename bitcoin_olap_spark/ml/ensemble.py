@@ -249,6 +249,7 @@ def gbt_cells(
     state = cells.withColumn(
         "pred", F.lit(p0).cast("long")
     ).localCheckpoint()
+    states: list[DataFrame] = []
     fv = F.when(F.col("feat") == 1, F.col("f1")).otherwise(F.col("f2"))
     out_rows = []
     for rnd in range(1, rounds + 1):
@@ -298,7 +299,24 @@ def gbt_cells(
             F.col("pred")
             + F.when(cond, F.lit(inc_l)).otherwise(F.lit(inc_r)),
         ).localCheckpoint()
-        sse = state.agg(
+        states.append(state)
+        out_rows.append((rnd, feat, thr, gl, gr))
+    # ONE job computes every round's post-update SSE: the per-round
+    # states are tiny checkpointed cell relations, so a tagged union
+    # + one grouped aggregate replaces `rounds` separate scalar jobs
+    # (measured 1.99 s -> fewer sequential barriers on the floor-bound
+    # suite run)
+    tagged = None
+    for rnd_i, st in enumerate(states, start=1):
+        t = st.select(
+            F.lit(rnd_i).cast("long").alias("rnd"),
+            "syy", "pred", "sy", "n",
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    sses = {
+        int(r["rnd"]): float(r["sse"])
+        for r in tagged.groupBy("rnd")
+        .agg(
             F.round(
                 F.sum(
                     F.col("syy").cast(dec)
@@ -310,10 +328,11 @@ def gbt_cells(
                 / 100000000.0,
                 4,
             ).alias("sse")
-        ).collect()[0]["sse"]
-        out_rows.append((rnd, feat, thr, gl, gr, float(sse)))
+        )
+        .collect()
+    }
     return spark.createDataFrame(
-        out_rows,
+        [(r, f, t, gl, gr, sses[r]) for (r, f, t, gl, gr) in out_rows],
         "rnd long, feat long, thr long, leaf_l long, leaf_r long, "
         "sse double",
     )

@@ -3833,3 +3833,140 @@ def ml_gbt_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return gbt_cells(spark, cells, domains={1: 24, 2: 7}, rounds=3)
+
+
+@query(
+    "graph_modularity",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_orderkey, 1, 2
+    ), und AS (
+        SELECT u, v FROM pairs GROUP BY u, v HAVING COUNT(*) >= 2
+    ), sym AS (
+        SELECT u AS a, v AS b FROM und
+        UNION ALL SELECT v, u FROM und
+    ), nodes AS (
+        SELECT DISTINCT a AS node FROM sym
+    ), reach AS (
+        SELECT node, node AS m FROM nodes
+        UNION
+        SELECT r.node, s.b FROM reach r JOIN sym s ON s.a = r.m
+    ), cc AS (
+        SELECT node, MIN(m) AS comp FROM reach GROUP BY 1
+    ), deg AS (
+        SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM sym GROUP BY 1
+    ), dc AS (
+        SELECT cc.comp, CAST(SUM(deg.d) AS BIGINT) AS d_c
+        FROM deg JOIN cc ON cc.node = deg.node GROUP BY 1
+    ), lc AS (
+        SELECT ca.comp, CAST(COUNT(*) AS BIGINT) AS l_c
+        FROM und
+        JOIN cc ca ON ca.node = und.u
+        JOIN cc cb ON cb.node = und.v AND cb.comp = ca.comp
+        GROUP BY 1
+    ), m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m_edges FROM und
+    )
+    SELECT m.m_edges,
+           CAST(COUNT(*) AS BIGINT) AS n_communities,
+           round(CAST(SUM(4 * CAST(m.m_edges AS HUGEINT)
+                          * COALESCE(lc.l_c, 0)
+                          - CAST(dc.d_c AS HUGEINT) * dc.d_c)
+                      AS DOUBLE)
+                 / (4.0 * m.m_edges * m.m_edges), 6) AS modularity
+    FROM dc LEFT JOIN lc ON lc.comp = dc.comp, m
+    GROUP BY 1
+    """,
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the co-purchase graph's connected-
+    component partition — the community-QUALITY metric next to the
+    community-FINDING ops (doc_clusters, k_core): Q = sum_c(L_c/m -
+    (d_c/2m)^2), how much denser communities are than a degree-
+    preserving random rewiring. The eval-tier posture of
+    sim_ann_recall applied to graph clustering.
+
+    Exactness: Q's numerator folds to sum_c(4*m*L_c - d_c^2) —
+    INTEGER in HUGEINT/decimal(38,0) — over one component-grain
+    aggregate; a single division by 4m^2 rounds at 6dp. Shape: edges
+    + degrees are the shared co-purchase derivation; the partition
+    reuses operators/dedup.connected_components (min-label fixpoint);
+    intra-edge counts are one join of the edge list against the
+    broadcast-or-shuffled label map on BOTH endpoints — all
+    node/edge-grain exchanges, nothing quadratic."""
+    from ..operators.dedup import connected_components
+
+    li = table(spark, sf_dir, "lineitem", spread=True).select(
+        "l_orderkey", "l_partkey"
+    )
+    parts = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    p1 = parts.select(F.sort_array("ps").alias("ps")).select(
+        "ps", F.posexplode("ps").alias("i", "u")
+    )
+    und = (
+        p1.select(
+            "u",
+            F.explode(
+                F.slice("ps", F.col("i") + 2, F.size("ps"))
+            ).alias("v"),
+        )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+        .localCheckpoint()
+    )
+    nodes = (
+        und.select(F.col("u").alias("id"))
+        .unionByName(und.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    cc = connected_components(
+        und, nodes, id_col="id", src_col="u", dst_col="v"
+    ).localCheckpoint()
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    dec = "decimal(38,0)"
+    dc = (
+        deg.join(cc, "node")
+        .groupBy("component")
+        .agg(F.sum("d").cast("long").alias("d_c"))
+    )
+    lc = (
+        und.join(
+            cc.select(F.col("node").alias("u"), F.col("component").alias("ca")),
+            "u",
+        )
+        .join(
+            cc.select(F.col("node").alias("v"), F.col("component").alias("cb")),
+            "v",
+        )
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("component"))
+        .agg(F.count(F.lit(1)).cast("long").alias("l_c"))
+    )
+    m = und.agg(F.count(F.lit(1)).cast("long").alias("m_edges"))
+    per_c = dc.join(lc, "component", "left").crossJoin(F.broadcast(m))
+    num = (
+        4 * F.col("m_edges").cast(dec) * F.coalesce(F.col("l_c"), F.lit(0))
+        - F.col("d_c").cast(dec) * F.col("d_c")
+    )
+    return per_c.groupBy("m_edges").agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.round(
+            F.sum(num).cast("double")
+            / (4.0 * F.col("m_edges") * F.col("m_edges")),
+            6,
+        ).alias("modularity"),
+    )

@@ -2328,3 +2328,216 @@ def ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(fold, F.size("b")).cast("double") / 10000.0, 4
         ).alias("dtw"),
     )
+
+
+@query(
+    "ts_sax",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               CAST(SUM(CAST(round(value * 10000) AS BIGINT))
+                    AS BIGINT) AS v4
+        FROM events WHERE event_type IN ('purchase', 'view')
+        GROUP BY 1, 2
+    ), idx AS (
+        SELECT event_type, v4,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY day) - 1 AS i,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM daily
+    ), seg AS (
+        SELECT event_type, (i * 8) // n AS s,
+               CAST(SUM(v4) AS BIGINT) AS ssum,
+               CAST(COUNT(*) AS BIGINT) AS scnt
+        FROM idx GROUP BY 1, 2
+    ), stats AS (
+        SELECT event_type,
+               CAST(SUM(v4) AS BIGINT) AS tsum,
+               CAST(SUM(CAST(v4 AS HUGEINT) * v4) AS HUGEINT) AS tssq,
+               CAST(COUNT(*) AS BIGINT) AS tcnt
+        FROM daily GROUP BY 1
+    ), sym AS (
+        SELECT s.event_type, s.s,
+               CASE WHEN sig = 0.0 THEN 'b'
+                    WHEN paa - mu < -0.6745 * sig THEN 'a'
+                    WHEN paa - mu < 0.0 THEN 'b'
+                    WHEN paa - mu < 0.6745 * sig THEN 'c'
+                    ELSE 'd' END AS sym
+        FROM (
+          SELECT s.event_type, s.s,
+                 CAST(s.ssum AS DOUBLE) / s.scnt AS paa,
+                 CAST(t.tsum AS DOUBLE) / t.tcnt AS mu,
+                 sqrt(CAST(t.tssq AS DOUBLE) / t.tcnt
+                      - (CAST(t.tsum AS DOUBLE) / t.tcnt)
+                        * (CAST(t.tsum AS DOUBLE) / t.tcnt)) AS sig
+          FROM seg s JOIN stats t USING (event_type)
+        ) s
+    )
+    SELECT event_type,
+           string_agg(sym, '' ORDER BY s) AS sax,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM daily d
+            WHERE d.event_type = sym.event_type) AS n_days
+    FROM sym GROUP BY 1
+    """,
+)
+def ts_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolic discretization (Lin et al. 2003) of the daily
+    purchase/view flows: PAA into 8 equal-count segments, each
+    segment's mean z-scored against the series and mapped to a 4-
+    letter alphabet at the standard N(0,1) breakpoints (+/-0.6745,
+    0) — the representation that turns time series into strings so
+    the TEXT tier (shingles, fingerprints, edit distance) can index
+    them; motif discovery and HOT SAX anomaly mining run on exactly
+    this. Shape: one daily rollup, segment assignment (i*8)//n as
+    integer floor arithmetic, one segment-grain aggregate, and the
+    per-series moment row joined back — no window wider than the
+    DOMAIN-bounded daily grain. Determinism: every compared quantity
+    until the symbols is exact int64; paa/mu/sigma are IEEE doubles
+    of identical integers with the comparison stated in identical
+    form both sides (paa - mu < b * sigma), so the banding — and
+    therefore the string — is engine-identical (the ts_rsi flag
+    posture); constant series guard to 'b'."""
+    from .analytics import _fdiv_sql
+
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    daily = (
+        e.select(
+            "event_type",
+            F.col("ts").cast("timestamp").cast("date").alias("day"),
+            F.round(F.col("value") * 10000).cast("long").alias("v"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v").cast("long").alias("v4"))
+    )
+    idx = daily.select(
+        "event_type",
+        "v4",
+        (
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("day")
+            )
+            - 1
+        ).alias("i"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("n"),
+    )
+    dec = "decimal(38,0)"
+    seg = idx.groupBy(
+        "event_type",
+        F.expr(_fdiv_sql("i * 8", "n").format(DIV="div")).alias("s"),
+    ).agg(
+        F.sum("v4").cast("long").alias("ssum"),
+        F.count(F.lit(1)).cast("long").alias("scnt"),
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.sum("v4").cast("long").alias("tsum"),
+        F.sum(F.col("v4").cast(dec) * F.col("v4"))
+        .cast(dec)
+        .alias("tssq"),
+        F.count(F.lit(1)).cast("long").alias("tcnt"),
+    )
+    paa = F.col("ssum").cast("double") / F.col("scnt")
+    mu = F.col("tsum").cast("double") / F.col("tcnt")
+    sig = F.sqrt(
+        F.col("tssq").cast("double") / F.col("tcnt") - mu * mu
+    )
+    sym = (
+        seg.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "s",
+            F.when(sig == 0.0, F.lit("b"))
+            .when(paa - mu < -0.6745 * sig, F.lit("a"))
+            .when(paa - mu < 0.0, F.lit("b"))
+            .when(paa - mu < 0.6745 * sig, F.lit("c"))
+            .otherwise(F.lit("d"))
+            .alias("sym"),
+        )
+    )
+    return (
+        sym.groupBy("event_type")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("s", "sym"))),
+                    lambda x: x["sym"],
+                ),
+                "",
+            ).alias("sax")
+        )
+        .join(
+            stats.select(
+                "event_type", F.col("tcnt").alias("n_days")
+            ),
+            "event_type",
+        )
+    )
+
+
+@query(
+    "win_attribution",
+    oracle="""
+    WITH carried AS (
+        SELECT event_type,
+               CAST(round(value * 10000) AS BIGINT) AS v4,
+               last_value(CASE WHEN event_type IN ('click', 'view')
+                          THEN event_type END IGNORE NULLS)
+                 OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS touch
+        FROM events
+    )
+    SELECT COALESCE(touch, 'direct') AS touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           round(CAST(SUM(v4) AS BIGINT) / 10000.0, 4) AS credited
+    FROM carried WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def win_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH marketing attribution — the canonical funnel-credit
+    query: every purchase credits its value to the user's most recent
+    preceding touch (click or view), or 'direct' when none precedes.
+    The asof-join shape expressed as ONE user-keyed window: a
+    conditional last(ignorenulls) carries the latest touch type
+    forward (purchases themselves emit NULL into the carry, so the
+    current row never self-attributes), the purchase rows read the
+    carried value, and one aggregate rolls credit up per touch type.
+    Total order (ts, event_id) makes same-timestamp races
+    deterministic. Exact v4 credit sums; one fact-scale exchange on
+    user_id shared by the window and nothing else."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        "ts", "event_id"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    carried = e.select(
+        "event_type",
+        F.round(F.col("value") * 10000).cast("long").alias("v4"),
+        F.last(
+            F.when(
+                F.col("event_type").isin("click", "view"),
+                F.col("event_type"),
+            ),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("touch"),
+    )
+    return (
+        carried.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce(F.col("touch"), F.lit("direct")).alias(
+                "touch_type"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.round(
+                F.sum("v4").cast("long") / 10000.0, 4
+            ).alias("credited"),
+        )
+    )

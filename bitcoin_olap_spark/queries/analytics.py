@@ -3970,3 +3970,133 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("modularity"),
     )
+
+
+_ALS_S = 10**4           # fixed-point scale for factors
+_ALS_S2 = _ALS_S * _ALS_S
+_ALS_LAM = _ALS_S2 // 10  # lambda = 0.1 in S^2 units
+
+
+def _oracle_als_sql() -> str:
+    def fd(a: str, b: str) -> str:
+        return _fdiv_sql(a, b).format(DIV="//")
+
+    S, S2, LAM = _ALS_S, _ALS_S2, _ALS_LAM
+    return f"""
+    WITH ratings AS (
+        SELECT o.o_custkey AS u, l.l_partkey AS p,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2
+    ), v0 AS (
+        SELECT DISTINCT p, CAST({S} AS BIGINT) AS v FROM ratings
+    ), u1 AS (
+        SELECT r.u,
+               {fd(f'CAST(SUM(r.c * v.v) AS BIGINT) * {S2}',
+                   f'CAST(SUM(v.v * v.v) AS BIGINT) + {LAM}')} AS f
+        FROM ratings r JOIN v0 v ON v.p = r.p GROUP BY 1
+    ), v1 AS (
+        SELECT r.p,
+               {fd(f'CAST(SUM(r.c * u.f) AS BIGINT) * {S2}',
+                   f'CAST(SUM(u.f * u.f) AS BIGINT) + {LAM}')} AS v
+        FROM ratings r JOIN u1 u ON u.u = r.u GROUP BY 1
+    ), u2 AS (
+        SELECT r.u,
+               {fd(f'CAST(SUM(r.c * v.v) AS BIGINT) * {S2}',
+                   f'CAST(SUM(v.v * v.v) AS BIGINT) + {LAM}')} AS f
+        FROM ratings r JOIN v1 v ON v.p = r.p GROUP BY 1
+    ), v2 AS (
+        SELECT r.p,
+               {fd(f'CAST(SUM(r.c * u.f) AS BIGINT) * {S2}',
+                   f'CAST(SUM(u.f * u.f) AS BIGINT) + {LAM}')} AS v
+        FROM ratings r JOIN u2 u ON u.u = r.u GROUP BY 1
+    ), rk AS (
+        SELECT p, v, row_number() OVER (ORDER BY v DESC, p) AS rnk
+        FROM v2
+    )
+    SELECT CAST(rnk AS BIGINT) AS rnk, p AS partkey, v AS v_q
+    FROM rk WHERE rnk <= 20
+    """
+
+
+@query("ml_als", oracle=_oracle_als_sql())
+def ml_als(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-1 ALTERNATING LEAST SQUARES matrix factorization over the
+    (customer, part) purchase-count matrix — the collaborative-
+    filtering workhorse (implicit-feedback recommenders), in the
+    fixed-point-exact formulation the engine uses for every iterative
+    fit: factors live on an integer grid (S = 1e4), each half-step
+    solves the rank-1 ridge normal equation u_i = S^2 * sum(c*v) /
+    (sum(v^2) + lambda*S^2) with a sign-safe floor division, and two
+    full alternations run as ONE lazy plan of ratings-grain joins +
+    factor-grain aggregates (the classic large-scale ALS data flow:
+    item factors join the ratings ON ITEM, partial products reduce
+    per user — never a dense matrix anywhere). Every factor both
+    engines compare is int64 (overflow headroom audited to sf1-scale
+    fan-in ~3e15 < 2^63); the oracle replays both alternations
+    verbatim. Output: top-20 parts by final item factor.
+
+    At 100 TB rank-k replaces the scalar divisions with per-key k x k
+    normal-equation solves inside the same join/aggregate shape (the
+    pyspark.ml ALS layout); rank-1 keeps the recurrence on the
+    integer grid so the cross-engine compare stays exact — the
+    ml_kmeans_lloyd/ml_logreg posture applied to factorization."""
+    S, S2, LAM = _ALS_S, _ALS_S2, _ALS_LAM
+    li = table(spark, sf_dir, "lineitem", spread=True).select(
+        "l_orderkey", "l_partkey"
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    ratings = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("u"),
+            F.col("l_partkey").alias("p"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
+
+    def half_step(
+        factors: DataFrame, key: str, other: str, fcol: str
+    ) -> DataFrame:
+        """One ALS half-step: solve for `key`'s factors given
+        `other`'s (join ratings ON other, reduce per key)."""
+        j = ratings.join(factors, other)
+        num = F.sum(F.col("c") * F.col(fcol)).cast("long") * S2
+        den = (
+            F.sum(F.col(fcol) * F.col(fcol)).cast("long") + LAM
+        )
+        agg = j.groupBy(key).agg(
+            num.alias("_n"), den.alias("_d")
+        )
+        return agg.select(
+            key,
+            F.expr(_fdiv_sql("_n", "_d").format(DIV="div")).alias(
+                fcol
+            ),
+        )
+
+    v = ratings.select("p").distinct().select(
+        "p", F.lit(S).cast("long").alias("v")
+    )
+    for _ in range(2):
+        u = half_step(v, "u", "p", "v").withColumnRenamed("v", "f")
+        u = u.select("u", F.col("f"))
+        # rename for the item half-step's fcol
+        v = half_step(
+            u.withColumnRenamed("f", "v"), "p", "u", "v"
+        )
+    return (
+        v.withColumn(
+            "rnk",
+            F.row_number().over(Window.orderBy(F.desc("v"), "p")),
+        )
+        .filter(F.col("rnk") <= 20)
+        .select(
+            F.col("rnk").cast("long"),
+            F.col("p").alias("partkey"),
+            F.col("v").alias("v_q"),
+        )
+    )

@@ -2541,3 +2541,171 @@ def win_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("credited"),
         )
     )
+
+
+@query(
+    "ts_hurst",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               CAST(SUM(CAST(round(value * 10000) AS BIGINT))
+                    AS BIGINT) AS x
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ), idx AS (
+        SELECT x, row_number() OVER (ORDER BY day) - 1 AS i,
+               COUNT(*) OVER () AS n
+        FROM daily
+    ), expanded AS (
+        SELECT w.w, idx.x, idx.i, idx.n,
+               idx.i // w.w AS ck,
+               idx.i % w.w + 1 AS t
+        FROM idx, (SELECT unnest([4, 8, 16]) AS w) w
+        WHERE idx.i < (idx.n // w.w) * w.w
+    ), z AS (
+        SELECT w, ck, t,
+               w * SUM(x) OVER (PARTITION BY w, ck ORDER BY t
+                                ROWS UNBOUNDED PRECEDING)
+                 - t * SUM(x) OVER (PARTITION BY w, ck) AS zw,
+               SUM(x) OVER (PARTITION BY w, ck) AS csum,
+               SUM(CAST(x AS HUGEINT) * x)
+                 OVER (PARTITION BY w, ck) AS csq
+        FROM expanded
+    ), chunk AS (
+        SELECT w, ck,
+               GREATEST(MAX(zw), 0) - LEAST(MIN(zw), 0) AS rw,
+               CAST(w * MAX(csq) - CAST(MAX(csum) AS HUGEINT)
+                    * MAX(csum) AS HUGEINT) AS sw2
+        FROM z GROUP BY 1, 2
+    ), rs AS (
+        SELECT w,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               SUM(CAST(rw AS DOUBLE) / sqrt(CAST(sw2 AS DOUBLE)))
+                 / COUNT(*) AS rs_mean
+        FROM chunk WHERE sw2 > 0 GROUP BY 1
+    ), piv AS (
+        SELECT
+          MAX(CASE WHEN w = 4 THEN rs_mean END) AS rs4,
+          MAX(CASE WHEN w = 8 THEN rs_mean END) AS rs8,
+          MAX(CASE WHEN w = 16 THEN rs_mean END) AS rs16,
+          CAST(SUM(n_chunks) AS BIGINT) AS n_chunks
+        FROM rs
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+           n_chunks,
+           round(rs4, 6) AS rs4,
+           round(rs8, 6) AS rs8,
+           round(rs16, 6) AS rs16,
+           round((ln(rs16) - ln(rs4)) / (2.0 * ln(2.0)), 6) AS hurst
+    FROM piv
+    """,
+)
+def ts_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by RESCALED-RANGE (R/S) analysis of the daily
+    purchase flow — the long-memory diagnostic (H > 0.5 trending,
+    < 0.5 mean-reverting, 0.5 random walk) behind fractal market
+    analysis, here on the same daily grid the reference's regression
+    consumes. Window sizes 4/8/16 days (the driver corpus spans ~30 days, so
+    every size has complete chunks); H = the log-log R/S slope,
+    closed-form (ln(rs16) - ln(rs4)) / (2 ln 2) since the sizes are
+    log-equally spaced.
+
+    Exactness: cumulative deviations stay INTEGER by cross-
+    multiplication — Z*w = w*prefix - t*chunk_sum, R*w = range of
+    that int64, and S*w = sqrt(w*sum(x^2) - sum(x)^2) (HUGEINT/
+    decimal inside the root), so each chunk's R/S is ONE double
+    division of integer-derived values; per-size means average <=
+    n/8 such doubles (identical structure both engines) and round at
+    6 dp. Shape: one daily rollup, a 3x size fan-out on the DOMAIN-
+    bounded daily grain, two windows per (size, chunk) partition —
+    never a fact-scale window. Zero-variance chunks drop on both
+    sides."""
+    from .analytics import _fdiv_sql
+
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = (
+        e.select(
+            F.col("ts").cast("timestamp").cast("date").alias("day"),
+            F.round(F.col("value") * 10000).cast("long").alias("v"),
+        )
+        .groupBy("day")
+        .agg(F.sum("v").cast("long").alias("x"))
+    )
+    idx = daily.select(
+        "x",
+        (F.row_number().over(Window.orderBy("day")) - 1).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    sizes = F.explode(F.array(F.lit(4), F.lit(8), F.lit(16))).alias(
+        "w"
+    )
+    expanded = idx.select("x", "i", "n", sizes).filter(
+        F.col("i")
+        < (F.col("n") - F.pmod(F.col("n"), F.col("w")))
+    ).select(
+        "w",
+        "x",
+        F.expr(_fdiv_sql("i", "w").format(DIV="div")).alias("ck"),
+        (F.pmod(F.col("i"), F.col("w")) + 1).alias("t"),
+    )
+    dec = "decimal(38,0)"
+    wo = Window.partitionBy("w", "ck").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wp = Window.partitionBy("w", "ck")
+    z = expanded.select(
+        "w",
+        "ck",
+        (
+            F.col("w") * F.sum("x").over(wo)
+            - F.col("t") * F.sum("x").over(wp)
+        ).alias("zw"),
+        F.sum("x").over(wp).alias("csum"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).over(wp).alias("csq"),
+    )
+    chunk = z.groupBy("w", "ck").agg(
+        (
+            F.greatest(F.max("zw"), F.lit(0))
+            - F.least(F.min("zw"), F.lit(0))
+        ).alias("rw"),
+        (
+            F.max("csq").cast(dec) * F.col("w")
+            - F.max("csum").cast(dec) * F.max("csum")
+        ).alias("sw2"),
+    )
+    rs = (
+        chunk.filter(F.col("sw2") > 0)
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            (
+                F.sum(
+                    F.col("rw").cast("double")
+                    / F.sqrt(F.col("sw2").cast("double"))
+                )
+                / F.count(F.lit(1))
+            ).alias("rs_mean"),
+        )
+    )
+    piv = rs.agg(
+        F.max(F.when(F.col("w") == 4, F.col("rs_mean"))).alias("rs4"),
+        F.max(F.when(F.col("w") == 8, F.col("rs_mean"))).alias("rs8"),
+        F.max(F.when(F.col("w") == 16, F.col("rs_mean"))).alias(
+            "rs16"
+        ),
+        F.sum("n_chunks").cast("long").alias("n_chunks"),
+    )
+    nd = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return piv.crossJoin(F.broadcast(nd)).select(
+        "n_days",
+        "n_chunks",
+        F.round("rs4", 6).alias("rs4"),
+        F.round("rs8", 6).alias("rs8"),
+        F.round("rs16", 6).alias("rs16"),
+        F.round(
+            (F.log("rs16") - F.log("rs4")) / (2.0 * F.log(F.lit(2.0))),
+            6,
+        ).alias("hurst"),
+    )

@@ -463,3 +463,30 @@ def test_pareto_boundaries_never_divide(spark, q):
     assert "Python" not in p
     # one division only: the display revenue / 10000.0
     assert p.count("/ 10000.0") <= 2
+
+
+def test_attribution_single_window_no_python(spark, q):
+    """win_attribution's claim: one user-keyed window carries the
+    last touch — no join at all, no Python stage."""
+    p = plan_str(q["win_attribution"](spark, SF))
+    assert "Python" not in p
+    assert "Join" not in p, p
+
+
+def test_sax_and_hurst_windows_stay_on_daily_grain(spark, q):
+    """ts_sax / ts_hurst: every window partitions by a domain-bounded
+    key (event_type / (w, chunk)) except the one ordinal row_number
+    over the daily grain; no Python anywhere."""
+    for qid in ("ts_sax", "ts_hurst"):
+        p = plan_str(q[qid](spark, SF))
+        assert "Python" not in p, qid
+
+
+def test_als_alternations_are_jvm_joins(spark, q):
+    """ml_als: both alternations are plain ratings-grain hash joins +
+    factor-grain aggregates — no Python, no cartesian product, no
+    nested loop."""
+    p = plan_str(q["ml_als"](spark, SF))
+    assert "Python" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p

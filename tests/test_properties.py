@@ -1495,3 +1495,65 @@ def test_acid_bloom_lookup_prunes_and_never_loses_rows(spark, tmp_path):
         spark, root, "id", 50000
     )
     assert got2.count() == 1
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["apple", "bear", "cat", "dog", "elk"]),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_bm25_matches_python_reference(spark, docs):
+    """bm25_topk_sparse == a from-scratch Python Okapi BM25 (k1=1.2,
+    b=0.75, RSJ idf, query tf weighting) on arbitrary tiny corpora —
+    an INDEPENDENT reference, not the oracle's SQL replay, so a
+    formulation bug shared by both engine twins would still surface."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators.vectors import bm25_topk_sparse
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in bm25_topk_sparse(
+            df, "doc_id", "text", lambda c: c < 2, k=100
+        ).collect()
+    }
+    # independent reference
+    tf = [{w: ws.count(w) for w in set(ws)} for ws in docs]
+    n = len(docs)
+    df_ = {}
+    for t in tf:
+        for w in t:
+            df_[w] = df_.get(w, 0) + 1
+    dl = [len(ws) for ws in docs]
+    avgdl = sum(dl) / n
+    want = {}
+    for q in range(min(2, n)):
+        for c in range(n):
+            if c == q:
+                continue
+            s = 0.0
+            for w, tfq in tf[q].items():
+                if w not in tf[c]:
+                    continue
+                idf = math.log(1.0 + (n - df_[w] + 0.5) / (df_[w] + 0.5))
+                tfc = tf[c][w]
+                sat = tfc * (1.2 + 1.0) / (
+                    tfc + 1.2 * (0.25 + 0.75 * dl[c] / avgdl)
+                )
+                s += tfq * idf * sat
+            if s != 0.0:
+                want[(q, c)] = round(s, 6)
+    assert got == {k: v for k, v in want.items()}

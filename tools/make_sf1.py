@@ -16,6 +16,11 @@ workload character:
   the join fans out 10x at the same selectivity and the co-purchase
   graph becomes 10 disjoint copies (10x nodes and edges, not 10x edge
   multiplicity).
+- events (r6c): event_id += i*1e7, user_id += i*1e6, timestamps
+  UNCHANGED — 10x the users and events inside the same 30-day window,
+  so the time-grain queries keep their domain-bounded daily/weekly
+  grain with 10x heavier rows (how a real event stream grows) and the
+  feature-cell boosters see the same cell domains at 10x the counts.
 
 Output: /root/repo/sf1_data/{table}.parquet, single files with 50k-row
 row groups (splittable scans). Not committed — see .gitignore.
@@ -67,6 +72,11 @@ def main() -> None:
             i * 10_000_000,
         ),
         "orders": lambda t, i: shifted(t, "o_orderkey", i * 10_000_000),
+        "events": lambda t, i: shifted(
+            shifted(t, "event_id", i * 10_000_000),
+            "user_id",
+            i * 1_000_000,
+        ),
     }
     for name, fn in jobs.items():
         src = pq.read_table(os.path.join(SRC, f"{name}.parquet"))

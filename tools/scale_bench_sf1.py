@@ -37,7 +37,7 @@ QIDS = [
 SF1 = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "sf1_data"
 )
-TABLES = ("documents", "embeddings", "lineitem", "orders")
+TABLES = ("documents", "embeddings", "lineitem", "orders", "events")
 
 
 def main() -> None:

@@ -3496,3 +3496,64 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_hits"), F.lit(0)) / 10.0, 6
         ).alias("recall"),
     )
+
+
+_DEDUP_RECALL_ORACLE = f"""
+    WITH truth AS (
+        SELECT doc_a, doc_b FROM ({_JACCARD_ORACLE})
+    ), found AS (
+        SELECT doc_a, doc_b FROM ({_MINHASH_LSH_ORACLE})
+    ), hits AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM truth t JOIN found f
+          ON f.doc_a = t.doc_a AND f.doc_b = t.doc_b
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM found) AS n_found,
+           h.n_hits,
+           round(h.n_hits
+                 / GREATEST((SELECT COUNT(*) FROM truth), 1) * 1.0,
+                 6) AS recall
+    FROM hits h
+"""
+
+
+@query("sim_dedup_recall", oracle=_DEDUP_RECALL_ORACLE)
+def sim_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP-TIER QUALITY EVALUATION: recall of the MinHash+LSH
+    near-dup pairs against the exact n-gram Jaccard ground truth at
+    the same 0.8 threshold — sim_ann_recall's posture applied to the
+    dedup tier. Both tiers exact-verify their candidates, so the ONLY
+    possible loss is banding misses (a true pair whose signature
+    never collides in any of the 16 bands); this measures that
+    probabilistic guarantee instead of trusting it — the acceptance
+    gate a production pipeline runs before switching its exact tier
+    off. Composes the two registered operators at their public seams;
+    the oracle composes THEIR oracles identically, so the metric is
+    oracle-exact. Scale: both sides are pair-grain relations (tiny);
+    the expensive inputs are the tiers being compared, and the exact
+    side would run on a document sample at 100 TB."""
+    truth = dedup_ngram_jaccard(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    found = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    hits = truth.join(found, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    nf = found.agg(F.count(F.lit(1)).cast("long").alias("n_found"))
+    return (
+        nt.crossJoin(F.broadcast(nf))
+        .crossJoin(F.broadcast(hits))
+        .select(
+            "n_truth",
+            "n_found",
+            "n_hits",
+            F.round(
+                F.col("n_hits")
+                / F.greatest(F.col("n_truth"), F.lit(1))
+                * 1.0,
+                6,
+            ).alias("recall"),
+        )
+    )

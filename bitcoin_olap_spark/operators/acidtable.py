@@ -44,6 +44,8 @@ pruning behavior is unchanged.
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import json
 import os
 import shutil
@@ -182,6 +184,38 @@ def _earliest_version(root: str) -> int:
     )
 
 
+def _table_id_path(root: str) -> str:
+    return os.path.join(_log_dir(root), "_table_id")
+
+
+def table_id(root: str) -> str:
+    """Stable uuid identifying THIS incarnation of the table (Delta's
+    metadata.id): written once when the log is created, removed with
+    the table, so a table dropped and recreated at the same root gets
+    a DIFFERENT id. committed_ops keys its per-process cache on it —
+    an op-tag coincidence on a recreated table can no longer validate
+    a stale cache entry. Created lazily (atomic os.link, first writer
+    wins) for tables that predate the id file."""
+    p = _table_id_path(root)
+    try:
+        with open(p) as f:
+            return f.read().strip()
+    except FileNotFoundError:
+        pass
+    os.makedirs(_log_dir(root), exist_ok=True)
+    tmp = os.path.join(_log_dir(root), f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        f.write(uuid.uuid4().hex)
+    try:
+        os.link(tmp, p)
+    except FileExistsError:
+        pass  # a concurrent caller won the create race — use theirs
+    finally:
+        os.unlink(tmp)
+    with open(p) as f:
+        return f.read().strip()
+
+
 def _vacuum_marker_path(root: str) -> str:
     return os.path.join(_log_dir(root), "_last_vacuum.json")
 
@@ -253,6 +287,8 @@ def _commit(
     sidecar AFTER the commit point (crash between the two is safe:
     resolution just walks back to the previous checkpoint)."""
     os.makedirs(_log_dir(root), exist_ok=True)
+    if version == 0:
+        table_id(root)  # stamp this incarnation's identity at birth
     manifest = {
         "version": version,
         "op": op,
@@ -297,6 +333,49 @@ def _write_data_files(df: DataFrame, root: str) -> list[str]:
     ]
 
 
+def _stat_encode(v):
+    """JSON-safe encoding for a manifest min/max value. Timestamps and
+    dates become zero-padded ISO strings — ORDER-PRESERVING under the
+    plain string comparison the probe uses, so no decode is needed for
+    them. Decimals become exact strings (the probe decodes them back
+    to Decimal — string order is NOT numeric order). Bytes become hex
+    (order-preserving: fixed two digits per byte). Everything JSON
+    already handles passes through, including None for an all-NULL
+    file, which the probe treats as 'no stats'."""
+    if isinstance(v, datetime.datetime):
+        # naive and aware timestamps both isoformat; Spark returns
+        # session-local naive datetimes for TIMESTAMP columns
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    return v
+
+
+def _probe_coerce(lo, hi):
+    """Coerce the caller's probe bounds to the manifests' encoded
+    domain, returning (lo, hi, decode) where decode maps a STORED
+    value back into the comparison domain. For ISO-encoded types the
+    encoded strings compare correctly, so the bounds are encoded and
+    decode is identity; for Decimal the stored strings are decoded
+    back to Decimal instead."""
+    probe = lo if lo is not None else hi
+    if isinstance(probe, (datetime.datetime, datetime.date, bytes,
+                          bytearray)):
+        enc = _stat_encode
+        return (
+            enc(lo) if lo is not None else None,
+            enc(hi) if hi is not None else None,
+            lambda s: s,
+        )
+    if isinstance(probe, decimal.Decimal):
+        return lo, hi, lambda s: decimal.Decimal(s)
+    return lo, hi, lambda s: s
+
+
 def _collect_file_stats(
     spark: SparkSession, files: list[str], cols: tuple
 ) -> dict:
@@ -321,7 +400,8 @@ def _collect_file_stats(
         # plain paths — normalize identically to delete_where
         path = r["_f"].replace("file://", "").split("?")[0]
         out[path] = {
-            c: [r[f"_mn_{c}"], r[f"_mx_{c}"]] for c in cols
+            c: [_stat_encode(r[f"_mn_{c}"]), _stat_encode(r[f"_mx_{c}"])]
+            for c in cols
         }
     return out
 
@@ -393,10 +473,17 @@ def snapshot_pruned(
     v = current_version(root) if version is None else version
     files = _resolve_files(root, v)
     stats = _resolve_stats(root, v)
+    lo_c, hi_c, decode = _probe_coerce(lo, hi)
     kept = []
     for f in files:
         s = stats.get(f, {}).get(col)
-        if s is None or (s[0] <= hi and s[1] >= lo):
+        # a null min or max means the file's column is entirely NULL
+        # (or stats were unrecorded) — 'no stats', never skipped: the
+        # exact row filter below still excludes its rows, so keeping
+        # it is only less selective, never wrong
+        if s is None or s[0] is None or s[1] is None:
+            kept.append(f)
+        elif decode(s[0]) <= hi_c and decode(s[1]) >= lo_c:
             kept.append(f)
     df = (
         spark.read.parquet(*kept)
@@ -438,12 +525,16 @@ def append(
             continue
 
 
-#: per-process incremental scan state for committed_ops:
-#: root -> (last_scanned_version, op_of_that_version, frozenset(ops)).
+#: per-process incremental scan state for committed_ops: root ->
+#: (table_id, last_scanned_version, op_of_that_version, frozenset(ops)).
 #: Each call only reads manifests committed since the last scan, so a
 #: long-running stream's per-batch idempotence check is O(new commits),
-#: not O(#versions) — cumulative cost linear, not quadratic.
-_OPS_CACHE: dict[str, tuple[int, str, frozenset]] = {}
+#: not O(#versions) — cumulative cost linear, not quadratic. The
+#: table_id pins the entry to ONE table incarnation: a table removed
+#: and recreated at the same root gets a fresh uuid, so a same-numbered
+#: version carrying the same generic op tag (plain "append") can never
+#: validate a stale entry and silently skip a first-time batch.
+_OPS_CACHE: dict[str, tuple[str, int, str, frozenset]] = {}
 
 
 def clone(root: str, dest: str, version: int | None = None) -> int:
@@ -480,11 +571,12 @@ def committed_ops(root: str) -> set:
     ops = _vacuumed_ops(root)
     if head < 0:
         return ops
+    tid = table_id(root)
     start = _earliest_version(root)
     cached = _OPS_CACHE.get(root)
     if cached is not None:
-        last_v, last_op, cached_ops = cached
-        if start <= last_v <= head:
+        cached_tid, last_v, last_op, cached_ops = cached
+        if cached_tid == tid and start <= last_v <= head:
             try:
                 valid = _read_raw(root, last_v)["op"] == last_op
             except FileNotFoundError:
@@ -503,7 +595,7 @@ def committed_ops(root: str) -> set:
             ops |= _vacuumed_ops(root)
     try:
         head_op = _read_raw(root, head)["op"]
-        _OPS_CACHE[root] = (head, head_op, frozenset(ops))
+        _OPS_CACHE[root] = (tid, head, head_op, frozenset(ops))
     except FileNotFoundError:
         _OPS_CACHE.pop(root, None)
     return ops
@@ -681,7 +773,17 @@ def vacuum(root: str, keep_versions: int = 1, _max_rescans: int = 8) -> int:
         if dropped_ops:
             _record_vacuumed_ops(root, dropped_ops)
     removed = 0
+    # table-root containment (Delta's rule: VACUUM only ever deletes
+    # files under the table directory): a shallow clone's manifests
+    # reference the SOURCE table's absolute paths, so an uncontained
+    # unlink here would let delete/merge-then-vacuum on the CLONE
+    # physically destroy source-owned data files. Foreign files simply
+    # drop out of the clone's manifests; their lifecycle belongs to
+    # the table that owns them.
+    own_data = os.path.abspath(_data_dir(root)) + os.sep
     for f in sorted(dropped - live):
+        if not os.path.abspath(f).startswith(own_data):
+            continue
         if os.path.exists(f):
             os.unlink(f)
             removed += 1

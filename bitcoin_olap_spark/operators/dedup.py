@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from .cacheutil import scoped_cache
 from .text import fingerprint, shingle_array, words
 
 
@@ -91,7 +92,7 @@ def _capped_explode(
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > df_cap)
         .select("h")
-        .cache()
+        .transform(scoped_cache)
     )
     return ex.join(hot, "h", "left_anti")
 
@@ -175,7 +176,7 @@ def jaccard_pairs(
             arr.alias("arr"),
             F.size(arr).alias("n_shingles"),
         )
-        .cache()
+        .transform(scoped_cache)
     )
     hashes = F.transform("arr", lambda s: F.xxhash64(s))
     t = F.lit(threshold)
@@ -242,55 +243,54 @@ def jaccard_pairs(
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    n: int = 3,
-    num_hashes: int = 64,
-    bands: int = 16,
-    threshold: float = 0.8,
+def _shingle_arrs(
+    df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
-    """MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
-
-    Pipeline: shingle -> signature -> split into `bands` bands of
-    num_hashes/bands rows -> bucket-join on (band_idx, band_hash) ->
-    distinct candidate pairs -> exact-Jaccard verify -> threshold.
-    Returns (doc_a, doc_b, jaccard) — same shape as jaccard_pairs but
-    with candidate generation linear in corpus size.
-    """
-    rows_per_band = num_hashes // bands
-    # ONE cached compact relation (id, shingle array, set size) feeds
-    # every stage: the signature fold, the exact verify arrays, and
-    # the set sizes — the shingle text is computed and cached ONCE, and
-    # the verify tier needs no corpus re-explode / size aggregation.
+    """ONE cached compact relation (id, shingle array, set size) that
+    feeds every stage of an LSH pipeline: the signature fold, the
+    exact verify arrays, and the set sizes — the shingle text is
+    computed and cached ONCE, and the verify tier needs no corpus
+    re-explode / size aggregation."""
     arr = shingle_array(text_col, n, distinct=True)
-    arrs = (
+    return (
         _spread(df)
         .select(
             F.col(id_col),
             arr.alias("arr"),
             F.size(arr).alias("n_shingles"),
         )
-        .cache()
+        .transform(scoped_cache)
     )
-    # signatures fold MAP-SIDE over the cached array — min over the
-    # shingle set == min over the exploded relation, with ZERO
-    # exchange (minhash_signatures' explode + 64-min groupBy spends a
-    # whole corpus shuffle to arrive at one row per doc, which this
-    # row already is). One md5 per shingle feeds all num_hashes
-    # Kirsch-Mitzenmacher h_i = a + i*b values; the running element-
-    # wise min rides an array accumulator. Empty-shingle docs keep the
-    # sentinel signature and are excluded below, exactly as they had
-    # no rows to group before.
-    # Hash family: Kirsch-Mitzenmacher over one md5 per shingle —
-    # a = first 11 hex digits (44 bits), b = next 11, h_i = a + i*b
-    # (max < 2^50, no int64 overflow; two derived base hashes simulate
-    # an independent family). ONE digest per shingle regardless of
-    # num_hashes, and — unlike a seeded xxhash64 — every h_i is
-    # reproducible in ANSI SQL ('0x'||substr(md5(s),..))::BIGINT,
-    # which is what lets the driver's DuckDB oracle check the LSH
-    # pipeline end to end instead of rows-only.
+
+
+def _minhash_bands(
+    arrs: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band_idx, band_hash) LSH band keys from a _shingle_arrs
+    relation — the shared banding kernel of the full self-dedup
+    (minhash_lsh_pairs) and the incremental probe
+    (incremental_lsh_pairs): both sides of an incremental join MUST
+    come from the identical hash family and band layout, which this
+    single code path guarantees.
+
+    Signatures fold MAP-SIDE over the cached array — min over the
+    shingle set == min over the exploded relation, with ZERO exchange
+    (an explode + per-hash min groupBy spends a whole corpus shuffle
+    to arrive at one row per doc, which this row already is). One md5
+    per shingle feeds all num_hashes Kirsch-Mitzenmacher
+    h_i = a + i*b values (a = md5 hex digits 1-11 as a 44-bit int,
+    b = digits 12-22; max < 2^50, no int64 overflow); the running
+    element-wise min rides an array accumulator. Empty-shingle docs
+    keep the sentinel signature and are excluded. Unlike a seeded
+    xxhash64, every h_i is reproducible in ANSI SQL
+    ('0x'||substr(md5(s),..))::BIGINT — what lets the driver's DuckDB
+    oracle check the LSH pipeline end to end instead of rows-only.
+
+    Band key = the band's signature rows joined as a string: as
+    collision-exact as hashing them (equal iff the band rows are
+    equal), and reproducible in the oracle as
+    string_agg(mh, '|' ORDER BY i) where xxhash64(...) is not."""
+    rows_per_band = num_hashes // bands
     sentinel = F.lit(1 << 62).cast("long")
     ab = lambda s: F.struct(  # noqa: E731
         F.conv(F.substring(F.md5(s), 1, 11), 16, 10)
@@ -313,10 +313,6 @@ def minhash_lsh_pairs(
     sig = arrs.filter(F.col("n_shingles") > 0).select(
         id_col, sig_col.alias("sig")
     )
-    # band key = the band's signature rows joined as a string: as
-    # collision-exact as hashing them (equal iff the band rows are
-    # equal), and reproducible in the DuckDB oracle as
-    # string_agg(mh, '|' ORDER BY i) where xxhash64(...) is not
     band_arr = F.array(
         *[
             F.concat_ws(
@@ -329,41 +325,35 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = sig.select(
+    return sig.select(
         id_col, F.posexplode(band_arr).alias("band_idx", "band_hash")
     )
-    # candidate generation as ONE bucket aggregate, not a self-join:
-    # group by the band key, collect the (sorted, distinct) doc ids
-    # that share it, and explode every in-bucket pair map-side. Same
-    # candidate set as the equi-self-join, with one exchange instead
-    # of two join inputs plus an intermediate cache. Both forms are
-    # quadratic in a single bucket's size — a boilerplate-heavy hot
-    # band is the skew risk either way; the collect_list ceiling is
-    # the bucket size, which banding keeps small by construction.
-    ids = F.array_sort(F.collect_set(F.col(id_col)))
-    in_bucket_pairs = F.flatten(
+
+
+#: in-bucket unordered pair explode over a sorted id array `ids`:
+#: every (x, y) with x before y — map-side, no self-join.
+def _in_bucket_pairs():
+    return F.flatten(
         F.transform(
             F.col("ids"),
             lambda x, i: F.transform(
                 F.slice(
-                    F.col("ids"), i + 2, F.greatest(F.size("ids") - i - 1, F.lit(0))
+                    F.col("ids"),
+                    i + 2,
+                    F.greatest(F.size("ids") - i - 1, F.lit(0)),
                 ),
                 lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
             ),
         )
     )
-    cand = (
-        banded.groupBy("band_idx", "band_hash")
-        .agg(ids.alias("ids"))
-        .filter(F.size("ids") > 1)
-        .select(F.explode(in_bucket_pairs).alias("p"))
-        .select(F.col("p.doc_a"), F.col("p.doc_b"))
-        .distinct()
-    )
-    # exact-Jaccard verify restricted to candidates, against the cached
-    # compact arrays: one size(array_intersect) per pair — no corpus
-    # re-explode, no per-pair aggregation, no size joins (jaccard_pairs
-    # verify shape)
+
+
+def _verify_jaccard(
+    cand: DataFrame, arrs: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verify restricted to candidate pairs, against the
+    compact cached arrays: one size(array_intersect) per pair — no
+    corpus re-explode, no per-pair aggregation, no size joins."""
     A = arrs.select(
         F.col(id_col).alias("doc_a"),
         F.col("arr").alias("arr_a"),
@@ -381,6 +371,153 @@ def minhash_lsh_pairs(
         .join(B, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
+
+    Pipeline: shingle -> signature -> split into `bands` bands of
+    num_hashes/bands rows -> bucket-join on (band_idx, band_hash) ->
+    distinct candidate pairs -> exact-Jaccard verify -> threshold.
+    Returns (doc_a, doc_b, jaccard) — same shape as jaccard_pairs but
+    with candidate generation linear in corpus size.
+    """
+    arrs = _shingle_arrs(df, id_col, text_col, n)
+    banded = _minhash_bands(arrs, id_col, num_hashes, bands)
+    # candidate generation as ONE bucket aggregate, not a self-join:
+    # group by the band key, collect the (sorted, distinct) doc ids
+    # that share it, and explode every in-bucket pair map-side. Same
+    # candidate set as the equi-self-join, with one exchange instead
+    # of two join inputs plus an intermediate cache. Both forms are
+    # quadratic in a single bucket's size — a boilerplate-heavy hot
+    # band is the skew risk either way; the collect_list ceiling is
+    # the bucket size, which banding keeps small by construction.
+    ids = F.array_sort(F.collect_set(F.col(id_col)))
+    cand = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(ids.alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(_in_bucket_pairs()).alias("p"))
+        .select(F.col("p.doc_a"), F.col("p.doc_b"))
+        .distinct()
+    )
+    return _verify_jaccard(cand, arrs, id_col, threshold)
+
+
+def band_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """The PERSISTABLE corpus LSH index for incremental dedup:
+    (id, band_idx, band_hash), one row per document per band. A
+    production pipeline materializes this ONCE per corpus (e.g. an
+    ACID-table append alongside each ingested batch) and every later
+    batch probes it — the corpus is never re-shingled, re-signed, or
+    re-paired. Plain columns (long, int, string), so it round-trips
+    parquet losslessly; the probe side derives its bands from the
+    SAME kernel (_minhash_bands), which is what makes a stored index
+    and a freshly computed one interchangeable."""
+    return _minhash_bands(
+        _shingle_arrs(df, id_col, text_col, n), id_col, num_hashes, bands
+    )
+
+
+def incremental_lsh_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    corpus_index: DataFrame | None = None,
+) -> DataFrame:
+    """INCREMENTAL batch-vs-corpus MinHash/LSH dedup — the shape a
+    production ingest pipeline actually runs: each arriving batch is
+    deduplicated against the EXISTING corpus (and within itself)
+    without ever re-pairing corpus x corpus. Returns
+    (doc_a, doc_b, jaccard >= threshold) for every near-dup pair with
+    AT LEAST ONE side in the batch — exactly the full self-dedup
+    (minhash_lsh_pairs over corpus + batch) restricted to
+    batch-involving pairs (property-tested), because both sides band
+    with the identical hash family and layout (_minhash_bands).
+
+    `corpus_index`: a precomputed (id, band_idx, band_hash) relation —
+    the STORED index (band_index written to parquet/ACID at ingest
+    time). When given, the corpus text is touched ONLY to fetch the
+    shingle arrays of the few candidate-matched docs for the exact
+    verify; when None, the index is derived here (build + probe in
+    one plan — the oracle-checked path).
+
+    Work inventory at scale (batch of size b against a corpus of size
+    C): banding the batch is O(b) map work; the probe is ONE equi-join
+    on (band_idx, band_hash) whose corpus side is the stored index —
+    AQE broadcasts the banded batch when it is small (the common
+    case), so the probe is a map-side join over the index scan, no
+    corpus shuffle; batch-internal candidates reuse the bucket
+    aggregate on the batch's own bands, O(b); the exact verify
+    re-shingles ONLY candidate corpus docs (semi-join on candidate
+    ids). Nothing scales with C x C; corpus cost is the index scan
+    plus O(candidates). Ids must be unique across corpus + batch (the
+    ingest contract — batch rows are new documents)."""
+    batch_arrs = _shingle_arrs(batch, id_col, text_col, n)
+    batch_bands = _minhash_bands(batch_arrs, id_col, num_hashes, bands)
+    if corpus_index is None:
+        corpus_index = band_index(
+            corpus, id_col, text_col, n, num_hashes, bands
+        )
+    bb = batch_bands.select(
+        F.col(id_col).alias("_bid"), "band_idx", "band_hash"
+    )
+    ci = corpus_index.select(
+        F.col(id_col).alias("_cid"), "band_idx", "band_hash"
+    )
+    # batch x corpus candidates: the asymmetric probe join — un-hinted,
+    # AQE broadcasts the (small) banded batch against the index
+    cross = (
+        bb.join(ci, ["band_idx", "band_hash"])
+        .select(
+            F.least("_bid", "_cid").alias("doc_a"),
+            F.greatest("_bid", "_cid").alias("doc_b"),
+        )
+    )
+    # batch x batch candidates: the batch also self-dedups — same
+    # one-bucket-aggregate shape as minhash_lsh_pairs, batch-sized
+    ids = F.array_sort(F.collect_set(F.col("_bid")))
+    intra = (
+        bb.groupBy("band_idx", "band_hash")
+        .agg(ids.alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(_in_bucket_pairs()).alias("p"))
+        .select(F.col("p.doc_a"), F.col("p.doc_b"))
+    )
+    cand = scoped_cache(cross.unionByName(intra).distinct())
+    # exact verify: shingle arrays exist for the whole (small) batch;
+    # corpus docs are re-shingled ONLY if a candidate names them
+    cand_ids = (
+        cand.select(F.col("doc_a").alias(id_col))
+        .unionByName(cand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    corpus_arrs = _shingle_arrs(
+        corpus.join(cand_ids, id_col, "left_semi"), id_col, text_col, n
+    )
+    return _verify_jaccard(
+        cand, batch_arrs.unionByName(corpus_arrs), id_col, threshold
     )
 
 
@@ -456,7 +593,7 @@ def simhash_pairs(
                 ]
             )
         ).alias("chunk_idx", "chunk"),
-    ).cache()  # self-join below would otherwise run the 64-vote
+    ).transform(scoped_cache)  # self-join below would otherwise run the 64-vote
     # simhash aggregation once per side
     l, r = chunks.alias("l"), chunks.alias("r")
     cand = (
@@ -647,7 +784,7 @@ def containment_pairs(
             arr.alias("arr"),
             F.size(arr).alias("n_shingles"),
         )
-        .cache()
+        .transform(scoped_cache)
     )
     hashes = F.transform("arr", lambda s: F.xxhash64(s))
     t = F.lit(threshold)

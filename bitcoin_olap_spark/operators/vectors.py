@@ -30,6 +30,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .cacheutil import scoped_cache
+
 #: fixed-point scale for exact accumulation; SQL twin:
 #: SUM(CAST(floor(p * 1e16) AS BIGINT)). Unit-scale products * 1e16
 #: stay well under 2^63 even for thousands of dimensions.
@@ -1301,7 +1303,7 @@ def tfidf_topk_sparse(
             "w",
             (F.col("tf").cast("double") * idf).alias("wt"),
         )
-        .cache()
+        .transform(scoped_cache)
     )
     norms = wpost.groupBy(id_col).agg(
         F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
@@ -1437,7 +1439,7 @@ def bm25_topk_sparse(
         .join(dl, id_col)
         .crossJoin(F.broadcast(consts))
         .select(id_col, "w", "tf", (idf * sat).alias("wt"))
-        .cache()
+        .transform(scoped_cache)
     )
     qp = wpost.filter(query_pred(F.col(id_col))).select(
         F.col(id_col).alias("q"), "w", F.col("tf").alias("tfq")

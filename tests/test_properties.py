@@ -1341,6 +1341,138 @@ def test_acid_data_skipping_prunes_files(spark, tmp_path):
     assert pruned2.count() == 1010
 
 
+def test_acid_clone_vacuum_never_unlinks_source_files(spark, tmp_path):
+    """Vacuum obeys Delta's table-root containment rule: a shallow
+    clone's manifests reference the SOURCE's absolute file paths, so
+    delete/merge on the clone followed by vacuum ON THE CLONE must
+    drop those files from the clone's metadata only — never physically
+    unlink a file outside the clone's own data/ directory. (The
+    opposite direction — source vacuum breaking the clone — is the
+    documented Delta caveat, covered by
+    test_acid_clone_zero_copy_divergence.)"""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators import acidtable as AT
+
+    src = str(tmp_path / "src")
+    cln = str(tmp_path / "cln")
+    df = spark.range(0, 400).select(
+        F.col("id"), (F.col("id") % 3).alias("grp")
+    ).repartitionByRange(4, "id")
+    AT.init_table(spark, src, df)
+    AT.clone(src, cln)
+    src_files = AT.read_manifest(src)["files"]
+
+    # rewrite SOURCE-owned files through the clone, then vacuum the
+    # clone hard enough that those files leave its live set entirely
+    AT.delete_where(spark, cln, F.col("id") < 300)
+    AT.optimize(spark, cln, target_files=2)
+    AT.vacuum(cln, keep_versions=1)
+
+    # every source-owned file is physically intact; both tables read
+    for f in src_files:
+        assert os.path.exists(f), f"clone vacuum unlinked source file {f}"
+    assert AT.snapshot(spark, src).count() == 400
+    assert AT.snapshot(spark, cln).count() == 100
+    # and the clone's vacuum still reclaims its OWN dead files: the
+    # delete_where rewrite (pre-optimize) lived under cln's data/
+    # and must be gone now that only the head is retained
+    live = set(AT.read_manifest(cln)["files"])
+    cln_data = os.path.join(cln, "data")
+    on_disk = {
+        os.path.join(p, f)
+        for p, _, fs in os.walk(cln_data)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert on_disk == {f for f in live if f.startswith(cln_data)}
+
+
+def test_acid_stats_null_and_nonjson_types(spark, tmp_path):
+    """Write-side file stats must survive JSON serialization for
+    timestamp/date/decimal columns, and snapshot_pruned must (a) treat
+    a null min/max (all-NULL file) as 'no stats — keep', never crash,
+    (b) compare encoded timestamp stats correctly, (c) decode decimal
+    stats numerically (string order != numeric order: '9.5' > '10.5'
+    lexicographically)."""
+    import datetime
+    import decimal
+
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators import acidtable as AT
+
+    root = str(tmp_path / "tbl")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "id long, ts timestamp, dec decimal(10,2)"
+    ).coalesce(1)
+    jan = mk([(i, datetime.datetime(2024, 1, 10 + i),
+               decimal.Decimal(f"{9 + i}.50")) for i in range(3)])
+    nulls = mk([(100 + i, None, None) for i in range(3)])
+    mar = mk([(200 + i, datetime.datetime(2024, 3, 10 + i),
+               decimal.Decimal(f"{100 + i}.50")) for i in range(3)])
+    # json.dump of datetime/Decimal stats crashes without encoding —
+    # these three commits ARE the serialization regression test
+    AT.init_table(spark, root, jan, stats_cols=("ts", "dec"))
+    AT.append(spark, root, nulls, stats_cols=("ts", "dec"))
+    AT.append(spark, root, mar, stats_cols=("ts", "dec"))
+
+    # timestamp range over January: the March file skips, the all-NULL
+    # file is kept (no stats), and the exact filter still drops its rows
+    pruned, n_read, n_total = AT.snapshot_pruned(
+        spark, root, "ts",
+        datetime.datetime(2024, 1, 1), datetime.datetime(2024, 1, 31),
+    )
+    assert n_total == 3 and n_read == 2, (n_read, n_total)
+    assert sorted(r["id"] for r in pruned.collect()) == [0, 1, 2]
+
+    # decimal range [9.50, 11.50]: string-comparing '100.50' <= '11.50'
+    # would wrongly ADMIT March rows into the exact filter's input and
+    # wrongly looks like it could skip Jan — numeric decode keeps Jan
+    # (9.50-11.50) and skips Mar (100.50-102.50)
+    pruned, n_read, n_total = AT.snapshot_pruned(
+        spark, root, "dec",
+        decimal.Decimal("9.50"), decimal.Decimal("11.50"),
+    )
+    assert n_read == 2, (n_read, n_total)  # jan + null-stats file
+    assert sorted(r["id"] for r in pruned.collect()) == [0, 1, 2]
+
+
+def test_acid_ops_cache_ignores_recreated_table_tag_coincidence(
+    spark, tmp_path
+):
+    """The committed_ops cache is keyed on the table's identity uuid:
+    a table dropped and recreated at the same root whose SAME-NUMBERED
+    head version carries the SAME generic op tag ('append') must not
+    validate the stale cache — otherwise append_idempotent would
+    silently skip a legitimate first-time batch on the new table."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators import acidtable as AT
+
+    root = str(tmp_path / "tbl")
+    df = spark.range(3).select(F.col("id"))
+    AT.init_table(spark, root, df)                      # v0 'init'
+    AT.append_idempotent(spark, root, df, "batch-1")    # v1 'batch-1'
+    AT.append(spark, root, df)                          # v2 'append'
+    assert "batch-1" in AT.committed_ops(root)  # cache: head=2,'append'
+
+    shutil.rmtree(root)
+    AT.init_table(spark, root, df)                      # v0 'init'
+    AT.append(spark, root, df)                          # v1 'append'
+    AT.append(spark, root, df)                          # v2 'append'
+    # same head version, same tag — the op-tag re-read alone would
+    # validate coincidentally; the uuid check must reject it
+    assert "batch-1" not in AT.committed_ops(root)
+    v = AT.append_idempotent(spark, root, df, "batch-1")
+    assert v is not None, "first-time batch skipped on recreated table"
+    assert AT.snapshot(spark, root).count() == 12
+
+
 @SETTINGS
 @given(
     seq=st.lists(

@@ -3557,3 +3557,43 @@ def sim_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# The incremental oracle IS the full-corpus LSH oracle with its
+# candidate join restricted to batch-involving pairs (>= 1 side with
+# doc_id % 10 = 0) — the statement of the operator's contract: an
+# ingest batch deduplicated against the stored corpus index must find
+# exactly what a full self-dedup would have found about the batch.
+_INC_MARK = "AND l.doc_id < r.doc_id"
+assert _INC_MARK in _MINHASH_LSH_ORACLE
+_INCREMENTAL_LSH_ORACLE = _MINHASH_LSH_ORACLE.replace(
+    _INC_MARK,
+    _INC_MARK + "\n         AND (l.doc_id % 10 = 0 OR r.doc_id % 10 = 0)",
+)
+
+
+@query("sim_dedup_incremental", oracle=_INCREMENTAL_LSH_ORACLE)
+def sim_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL batch-vs-corpus dedup — the production ingest shape
+    (every 10th doc plays the arriving batch, the rest the existing
+    corpus): the batch is MinHash-banded with the corpus index's exact
+    parameters, probed against the index with ONE band-key equi-join
+    (AQE broadcasts the small banded batch), self-paired within the
+    batch, and exact-Jaccard-verified — re-shingling only candidate
+    corpus docs; corpus x corpus is never paired and the corpus is
+    never re-signed (operators/dedup.py incremental_lsh_pairs). The
+    oracle replays BOTH the index build and the probe; the stored-
+    index round-trip (band_index -> parquet -> probe) is
+    property-tested equal to this in-plan build
+    (tests/test_llmdata.py)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.incremental_lsh_pairs(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        "doc_id",
+        "text",
+        n=3,
+        num_hashes=64,
+        bands=16,
+        threshold=0.8,
+    )

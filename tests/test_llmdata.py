@@ -508,3 +508,53 @@ def test_rerank_recall_at_least_pq(spark):
     assert len(rr & exact) >= len(pq10 & exact), (
         f"rerank recall {len(rr & exact)} < pq {len(pq10 & exact)}"
     )
+
+
+def test_incremental_lsh_equals_restricted_full_dedup(spark, docs, tmp_path):
+    """incremental_lsh_pairs (batch vs corpus, batch-internal included)
+    must equal the FULL self-dedup over corpus+batch restricted to
+    pairs with >= 1 batch side — same hash family, same band layout,
+    same verify — and the STORED-index path (band_index -> parquet ->
+    probe) must reproduce the in-plan build exactly."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators.dedup import (
+        band_index,
+        incremental_lsh_pairs,
+        minhash_lsh_pairs,
+    )
+
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+
+    full = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.8
+        ).collect()
+        if r.doc_a % 10 == 0 or r.doc_b % 10 == 0
+    }
+    inc = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in incremental_lsh_pairs(
+            corpus, batch, "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+    assert inc == full and len(inc) > 0
+
+    # stored-index round trip: the index is plain columns, so parquet
+    # round-trips it losslessly and the probe can't tell the difference
+    idx_path = str(tmp_path / "band_index.parquet")
+    band_index(corpus, "doc_id", "text").write.parquet(idx_path)
+    stored = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in incremental_lsh_pairs(
+            corpus,
+            batch,
+            "doc_id",
+            "text",
+            threshold=0.8,
+            corpus_index=spark.read.parquet(idx_path),
+        ).collect()
+    }
+    assert stored == inc

@@ -159,14 +159,21 @@ def adaboost_cells(
             .drop("_raw")
             .localCheckpoint()
         )
-    # integer-quantized alphas -> deterministic sign votes
-    alphas = [
-        (f, t, p, e, mm)
-        for (f, t, p, e, mm) in chosen
-    ]
+    return _ada_output(spark, cells, chosen)
+
+
+def _ada_output(
+    spark: SparkSession,
+    cells: DataFrame,
+    chosen: list[tuple[int, int, int, int, int]],
+) -> DataFrame:
+    """Shared output tail of adaboost_cells / adaboost_cells_fused:
+    (round, feat, thr, pol, eps, alpha, train_acc) from the chosen
+    (feat, thr, pol, E, M) stumps — integer-quantized alphas drive a
+    deterministic sign vote for the ensemble accuracy."""
     vote = F.lit(0).cast("long")
     out_rows = []
-    for i, (f, t, p, e, mm) in enumerate(alphas, start=1):
+    for i, (f, t, p, e, mm) in enumerate(chosen, start=1):
         a_scaled = F.expr(
             f"CAST(round(0.5 * ln(CAST({mm - e} AS DOUBLE) / {e}) "
             f"* 1000000) AS BIGINT)"
@@ -304,11 +311,20 @@ def gbt_cells(
         ).localCheckpoint(eager=False)
         states.append(state)
         out_rows.append((rnd, feat, thr, gl, gr))
-    # ONE job computes every round's post-update SSE: the per-round
-    # states are tiny checkpointed cell relations, so a tagged union
-    # + one grouped aggregate replaces `rounds` separate scalar jobs
-    # (measured 1.99 s -> fewer sequential barriers on the floor-bound
-    # suite run)
+    return _gbt_output(spark, states, out_rows)
+
+
+def _gbt_output(
+    spark: SparkSession,
+    states: list[DataFrame],
+    out_rows: list[tuple[int, int, int, int, int]],
+) -> DataFrame:
+    """Shared output tail of gbt_cells / gbt_cells_fused. ONE job
+    computes every round's post-update SSE: the per-round states are
+    tiny checkpointed cell relations, so a tagged union + one grouped
+    aggregate replaces `rounds` separate scalar jobs (measured 1.99 s
+    -> fewer sequential barriers on the floor-bound suite run)."""
+    dec = "decimal(38,0)"
     tagged = None
     for rnd_i, st in enumerate(states, start=1):
         t = st.select(
@@ -339,3 +355,305 @@ def gbt_cells(
         "rnd long, feat long, thr long, leaf_l long, leaf_r long, "
         "sse double",
     )
+
+
+# ------------------------------------------------------- fused variants
+
+#: sign-safe floor-division SQL fragments (Python // semantics; SQL
+#: `div` truncates toward zero, which differs on negative numerators —
+#: the same guard the v4 fixed-point convention uses everywhere else).
+def _fdiv_sql(a: str, b: str) -> str:
+    return f"(({a} - ((({a} % {b}) + {b}) % {b})) div {b})"
+
+
+def adaboost_cells_fused(
+    spark: SparkSession,
+    cells: DataFrame,
+    domains: dict[int, int],
+    rounds: int = 3,
+    fuse: int = 2,
+) -> DataFrame:
+    """adaboost_cells with the boosting loop's driver round trips cut
+    by fusing `fuse` consecutive rounds into ONE collect job: round
+    r+1's stump choice is computed IN-PLAN from round r's 1-row argmin
+    relation — the argmin (orderBy + limit 1) stays a RELATION, a
+    broadcast crossJoin applies its mass update to the cell grain, and
+    the next argmin runs on the updated relation, all inside one plan.
+    The per-round total also folds in-plan (one sum aggregate branch),
+    so a fused group costs ZERO driver round trips beyond its single
+    collect; between groups the collected stumps re-enter as literals
+    and the mass relation re-materializes flat (lazy checkpoint), so
+    lineage never snowballs past one group. Identical integer algebra
+    and output to adaboost_cells (property-tested); a zero weighted
+    error raises executor-side via raise_error — the loop form's
+    stump-separable guard, kept on the fused path."""
+    S = ADA_SCALE
+    dec = "DECIMAL(38,0)"
+    cand = stump_candidates(spark, domains)
+    n_tot = cells.agg(F.sum("cnt").alias("_n"))
+    m = (
+        cells.crossJoin(F.broadcast(n_tot))
+        .select(
+            "f1", "f2", "f3", "y", "cnt",
+            F.expr(f"(cnt * {S}) div _n").alias("m"),
+        )
+        .localCheckpoint()
+    )
+
+    def best_of(mrel: DataFrame) -> DataFrame:
+        """1-row (feat, thr, pol, _e, _tot) argmin relation."""
+        tot = mrel.agg(F.sum("m").alias("_tot"))
+        scored = (
+            F.broadcast(cand)
+            .crossJoin(mrel)
+            .groupBy("feat", "thr", "pol")
+            .agg(
+                F.sum(
+                    F.when(
+                        _h(
+                            _feat(F.col("feat")),
+                            F.col("thr"),
+                            F.col("pol"),
+                        )
+                        != F.col("y"),
+                        F.col("m"),
+                    ).otherwise(0)
+                ).alias("_e")
+            )
+        )
+        return (
+            scored.orderBy("_e", "feat", "thr", "pol")
+            .limit(1)
+            .crossJoin(F.broadcast(tot))
+        )
+
+    def updated_inplan(mrel: DataFrame, best: DataFrame) -> DataFrame:
+        """Mass update with the stump as COLUMNS from the 1-row best
+        relation — the fusion seam."""
+        mis = (
+            _h(_feat(F.col("feat")), F.col("thr"), F.col("pol"))
+            != F.col("y")
+        )
+        return (
+            mrel.crossJoin(F.broadcast(best))
+            .withColumn(
+                "_factor",
+                F.when(
+                    F.col("_e") == 0,
+                    F.raise_error(
+                        F.lit(
+                            "adaboost_cells: zero weighted error — "
+                            "data is stump-separable; boosting "
+                            "degenerates"
+                        )
+                    ).cast("long"),
+                ).otherwise(
+                    F.when(mis, F.col("_tot") - F.col("_e")).otherwise(
+                        F.col("_e")
+                    )
+                ),
+            )
+            .withColumn(
+                "m",
+                F.expr(
+                    f"CAST((CAST(m AS {dec}) * CAST(_factor AS {dec})"
+                    f" * CAST({S} AS {dec})) div"
+                    f" (2 * CAST(_e AS {dec})"
+                    f" * CAST(_tot - _e AS {dec})) AS BIGINT)"
+                ),
+            )
+            .select("f1", "f2", "f3", "y", "cnt", "m")
+        )
+
+    def updated_lit(
+        mrel: DataFrame, feat: int, thr: int, pol: int, e: int, tot: int
+    ) -> DataFrame:
+        mis = (
+            _h(_feat(F.lit(feat)), F.lit(thr), F.lit(pol)) != F.col("y")
+        )
+        factor = F.when(mis, F.lit(tot - e)).otherwise(F.lit(e))
+        return (
+            mrel.withColumn(
+                "_raw", F.col("m").cast(dec) * factor.cast(dec)
+            )
+            .withColumn(
+                "m",
+                F.expr(
+                    f"CAST((_raw * {S}) div (2 * CAST({e} AS {dec})"
+                    f" * {tot - e}) AS BIGINT)"
+                ),
+            )
+            .drop("_raw")
+        )
+
+    chosen: list[tuple[int, int, int, int, int]] = []
+    r = 0
+    while r < rounds:
+        group = min(fuse, rounds - r)
+        # chain `group` rounds lazily; union their 1-row bests and
+        # collect ONCE
+        bests: list[DataFrame] = []
+        cur = m
+        for g in range(group):
+            b = best_of(cur)
+            bests.append(b.withColumn("_g", F.lit(g)))
+            if g + 1 < group:
+                cur = updated_inplan(cur, b)
+        pair = bests[0]
+        for b in bests[1:]:
+            pair = pair.unionByName(b)
+        rows = sorted(pair.collect(), key=lambda x: x["_g"])
+        for row in rows:
+            feat, thr, pol, e, tot = (
+                int(row["feat"]),
+                int(row["thr"]),
+                int(row["pol"]),
+                int(row["_e"]),
+                int(row["_tot"]),
+            )
+            if e == 0:
+                raise ValueError(
+                    "adaboost_cells: zero weighted error — data is "
+                    "stump-separable; boosting degenerates"
+                )
+            chosen.append((feat, thr, pol, e, tot))
+        r += group
+        if r < rounds:
+            # re-materialize the group's updates as flat literals
+            for feat, thr, pol, e, tot in chosen[-group:]:
+                m = updated_lit(m, feat, thr, pol, e, tot)
+            m = m.localCheckpoint(eager=False)
+    return _ada_output(spark, cells, chosen)
+
+
+def gbt_cells_fused(
+    spark: SparkSession,
+    cells: DataFrame,
+    domains: dict[int, int],
+    rounds: int = 3,
+    fuse: int = 2,
+) -> DataFrame:
+    """gbt_cells with `fuse` consecutive boosting rounds per collect
+    job — the same fusion seam as adaboost_cells_fused: the argmax
+    stays a 1-row RELATION (orderBy gain + limit 1), a broadcast
+    crossJoin applies its leaf update to the cell grain with SIGN-SAFE
+    in-plan floor divisions (SQL `div` truncates toward zero; residual
+    sums go negative, so Python's // semantics are restated as
+    a - ((a % b + b) % b) over b > 0), and the next argmax runs on the
+    updated relation inside the same plan. Between groups the
+    collected splits re-enter as literals and the state re-materializes
+    flat (lazy checkpoint). Identical integer state and output to
+    gbt_cells (property-tested)."""
+    rows_cand = [
+        (f, t)
+        for f, dom in sorted(domains.items())
+        for t in range(dom - 1)
+    ]
+    cand = spark.createDataFrame(rows_cand, "feat long, thr long")
+    tot = cells.agg(
+        F.sum("sy").cast("long").alias("s"),
+        F.sum("n").cast("long").alias("m"),
+    ).collect()[0]
+    p0 = int(tot["s"]) // int(tot["m"])
+    state = cells.withColumn(
+        "pred", F.lit(p0).cast("long")
+    ).localCheckpoint(eager=False)
+    fv = F.when(F.col("feat") == 1, F.col("f1")).otherwise(F.col("f2"))
+
+    def best_of(st: DataFrame) -> DataFrame:
+        """1-row (feat, thr, sl, nl, st, nt) argmax relation."""
+        rs = st.withColumn(
+            "rs", F.col("sy") - F.col("n") * F.col("pred")
+        )
+        sc = (
+            F.broadcast(cand)
+            .crossJoin(rs)
+            .groupBy("feat", "thr")
+            .agg(
+                F.sum(
+                    F.when(fv <= F.col("thr"), F.col("rs")).otherwise(0)
+                )
+                .cast("long")
+                .alias("sl"),
+                F.sum(
+                    F.when(fv <= F.col("thr"), F.col("n")).otherwise(0)
+                )
+                .cast("long")
+                .alias("nl"),
+                F.sum("rs").cast("long").alias("st"),
+                F.sum("n").cast("long").alias("nt"),
+            )
+        )
+        gain = F.round(
+            F.col("sl").cast("double") * F.col("sl") / F.col("nl")
+            + (F.col("st") - F.col("sl")).cast("double")
+            * (F.col("st") - F.col("sl"))
+            / (F.col("nt") - F.col("nl")),
+            4,
+        )
+        return (
+            sc.filter(
+                (F.col("nl") > 0) & (F.col("nt") - F.col("nl") > 0)
+            )
+            .orderBy(gain.desc(), "feat", "thr")
+            .limit(1)
+        )
+
+    _gl = _fdiv_sql("sl", "nl")
+    _gr = _fdiv_sql("(st - sl)", "(nt - nl)")
+    _inc_l = _fdiv_sql(f"({_gl})", "2")
+    _inc_r = _fdiv_sql(f"({_gr})", "2")
+
+    def updated_inplan(st: DataFrame, best: DataFrame) -> DataFrame:
+        cond = (
+            F.when(F.col("feat") == 1, F.col("f1")).otherwise(
+                F.col("f2")
+            )
+            <= F.col("thr")
+        )
+        return (
+            st.crossJoin(F.broadcast(best))
+            .withColumn(
+                "pred",
+                F.col("pred")
+                + F.when(cond, F.expr(_inc_l)).otherwise(
+                    F.expr(_inc_r)
+                ),
+            )
+            .select("f1", "f2", "n", "sy", "syy", "pred")
+        )
+
+    out_rows: list[tuple[int, int, int, int, int]] = []
+    states: list[DataFrame] = []
+    rnd = 0
+    while rnd < rounds:
+        group = min(fuse, rounds - rnd)
+        bests: list[DataFrame] = []
+        cur = state
+        for g in range(group):
+            b = best_of(cur)
+            bests.append(b.withColumn("_g", F.lit(g)))
+            if g + 1 < group:
+                cur = updated_inplan(cur, b)
+        u = bests[0]
+        for b in bests[1:]:
+            u = u.unionByName(b)
+        rows = sorted(u.collect(), key=lambda x: x["_g"])
+        for row in rows:
+            rnd += 1
+            feat, thr = int(row["feat"]), int(row["thr"])
+            sl, nl = int(row["sl"]), int(row["nl"])
+            sr, nr = int(row["st"]) - sl, int(row["nt"]) - nl
+            gl, gr = sl // nl, sr // nr
+            inc_l, inc_r = gl // 2, gr // 2
+            cond = (
+                F.col("f1") if feat == 1 else F.col("f2")
+            ) <= F.lit(thr)
+            state = state.withColumn(
+                "pred",
+                F.col("pred")
+                + F.when(cond, F.lit(inc_l)).otherwise(F.lit(inc_r)),
+            ).localCheckpoint(eager=False)
+            states.append(state)
+            out_rows.append((rnd, feat, thr, gl, gr))
+    return _gbt_output(spark, states, out_rows)

@@ -2797,7 +2797,7 @@ def ml_adaboost(spark: SparkSession, sf_dir: str) -> DataFrame:
     every chosen stump and error mass; alpha and accuracy are IEEE
     functions of identical integers, 6dp. Control plane: one 1-row
     argmin collect per round."""
-    from ..ml.ensemble import adaboost_cells
+    from ..ml.ensemble import adaboost_cells_fused
 
     e = table(spark, sf_dir, "events")
     cells = (
@@ -2818,8 +2818,12 @@ def ml_adaboost(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("f1", "f2", "f3", "y")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
-    return adaboost_cells(
-        spark, cells, domains={1: 24, 2: 7, 3: 10}, rounds=3
+    # fused control plane: two rounds per collect job (interleaved
+    # A/B at sf0.1, min of 3: loop 2.72 s vs fuse=2 2.64 s vs fuse=3
+    # 3.04 s — the 3-wide plan's recomputed argmin branches cost more
+    # than the saved round trip)
+    return adaboost_cells_fused(
+        spark, cells, domains={1: 24, 2: 7, 3: 10}, rounds=3, fuse=2
     )
 
 
@@ -3834,7 +3838,7 @@ def ml_gbt_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical int64 sums, 4dp-rounded with a (feat, thr) tiebreak;
     the unrolled DuckDB oracle hash-matches every split, leaf, and
     post-round SSE."""
-    from ..ml.ensemble import gbt_cells
+    from ..ml.ensemble import gbt_cells_fused
 
     e = table(spark, sf_dir, "events")
     cells = (
@@ -3856,7 +3860,13 @@ def ml_gbt_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("syy"),
         )
     )
-    return gbt_cells(spark, cells, domains={1: 24, 2: 7}, rounds=3)
+    # fused control plane: all three rounds in ONE collect job
+    # (interleaved A/B at sf0.1, min of 3: loop 2.61 s vs fuse=2
+    # 2.34 s vs fuse=3 2.25 s — gbt's argmax branches are cheap
+    # enough that full fusion wins, unlike adaboost's)
+    return gbt_cells_fused(
+        spark, cells, domains={1: 24, 2: 7}, rounds=3, fuse=3
+    )
 
 
 @query(

@@ -1689,3 +1689,64 @@ def test_bm25_matches_python_reference(spark, docs):
             if s != 0.0:
                 want[(q, c)] = round(s, 6)
     assert got == {k: v for k, v in want.items()}
+
+
+def test_boosters_fused_equal_loop(spark):
+    """The fused-control-plane boosters (N rounds per collect job,
+    argmin/argmax as in-plan 1-row relations) must produce EXACTLY the
+    loop versions' output — same integer mass/prediction algebra, same
+    stumps, same eps/alpha/sse — at every fuse width."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.catalog import table
+    from bitcoin_olap_spark.ml import ensemble as E
+
+    from .conftest import SF_TEST
+
+    e = table(spark, SF_TEST, "events")
+    ada_cells = (
+        e.select(
+            F.hour("ts").cast("long").alias("f1"),
+            (F.datediff(F.to_date("ts"), F.lit("1970-01-01")) % 7)
+            .cast("long")
+            .alias("f2"),
+            F.least(
+                F.floor(F.col("value") / 50).cast("long"), F.lit(9)
+            ).alias("f3"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(-1)
+            .alias("y"),
+        )
+        .groupBy("f1", "f2", "f3", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    gbt_cells = (
+        e.select(
+            F.hour("ts").cast("long").alias("f1"),
+            (F.datediff(F.to_date("ts"), F.lit("1970-01-01")) % 7)
+            .cast("long")
+            .alias("f2"),
+            F.round(F.col("value") * 10000).cast("long").alias("y"),
+        )
+        .groupBy("f1", "f2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+            .cast("decimal(38,0)")
+            .alias("syy"),
+        )
+    )
+    ada = sorted(
+        map(tuple, E.adaboost_cells(spark, ada_cells, {1: 24, 2: 7, 3: 10}, 3).collect())
+    )
+    gbt = sorted(
+        map(tuple, E.gbt_cells(spark, gbt_cells, {1: 24, 2: 7}, 3).collect())
+    )
+    for fuse in (1, 2, 3):
+        assert ada == sorted(map(tuple, E.adaboost_cells_fused(
+            spark, ada_cells, {1: 24, 2: 7, 3: 10}, 3, fuse=fuse
+        ).collect()))
+        assert gbt == sorted(map(tuple, E.gbt_cells_fused(
+            spark, gbt_cells, {1: 24, 2: 7}, 3, fuse=fuse
+        ).collect()))

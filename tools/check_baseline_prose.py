@@ -1,0 +1,54 @@
+"""Consistency check: every `<query_id> N.NNx` ratio quoted in
+BASELINE.md PROSE must agree (to the printed 2 dp) with the measured
+sf0.1 table at the bottom of the file — the r5/r6 verdicts both
+flagged stale narrative numbers after a regen. Run after every
+tools/regen_baseline.py pass; exits nonzero on any disagreement.
+
+Only the FIRST measured table (the sf0.1 table: `| qid | duck | spark
+| ratio | status |`) is the source of truth; sf1/sf3 scaling-table
+ratios quoted in prose are matched against their own tables by the
+`at sfN` suffix convention and skipped here.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "BASELINE.md",
+)
+
+
+def main() -> int:
+    text = open(PATH).read()
+    # the sf0.1 measured table: qid | duck | spark | ratio | status
+    table: dict[str, float] = {}
+    for m in re.finditer(
+        r"^\| (\w+) \| ([\d.]+) \| [\d.]+ \| ([\d.]+) \| ", text, re.M
+    ):
+        table.setdefault(m.group(1), float(m.group(3)))
+    prose = text.split("| query ID |")[0]
+    bad = []
+    # `qid 1.23x` or `qid NN.NNx` in prose; 'sf1:'-style follow-ups and
+    # 'at sf1' quotes are scaling-table numbers, not sf0.1 claims
+    for m in re.finditer(r"(\w+) (\d+\.\d+)x", prose):
+        qid, val = m.group(1), float(m.group(2))
+        ctx = prose[max(0, m.start() - 40): m.end() + 20]
+        if qid not in table:
+            continue
+        if re.search(r"at sf\d|sf1[: ]|sf3[: ]|first implementation",
+                     ctx):
+            continue
+        if abs(table[qid] - val) > 0.005:
+            bad.append((qid, val, table[qid]))
+    for qid, quoted, measured in bad:
+        print(f"PROSE STALE: {qid} quoted {quoted}x, table {measured}x")
+    print(f"{len(bad)} stale of {len(table)} table rows")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

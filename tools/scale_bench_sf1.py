@@ -34,8 +34,12 @@ QIDS = [
     "sim_containment",
     "agg_array_agg",
 ]
-SF1 = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "sf1_data"
+SF1 = os.environ.get(
+    "SCALE_BENCH_DIR",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "sf1_data",
+    ),
 )
 TABLES = ("documents", "embeddings", "lineitem", "orders", "events")
 
@@ -53,9 +57,12 @@ def main() -> None:
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF1}/{t}.parquet'"
-        )
+        # a partial scale dir (sf3_data carries only the tables its
+        # target queries read) registers what exists
+        if os.path.exists(f"{SF1}/{t}.parquet"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{SF1}/{t}.parquet'"
+            )
     for qid in qids:
         sql = oracles[qid]
         con.execute(sql).fetchall()  # warm

@@ -2882,13 +2882,20 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core extraction by 4 PEELING rounds over the strong part
     co-purchase graph — the community-pruning primitive (drop nodes
     with degree < k, repeat; survivors are the densely-embedded
-    core). Each round is one degree aggregate + two LEFT-SEMI edge
-    restrictions — O(E) per round with no driver data movement at
-    all; edges localCheckpoint between rounds (the doc_clusters
-    posture) so each round's plan reads the previous round's
-    materialized edge set once instead of re-deriving the whole
-    lineage (a union references edges twice per round — unchecked,
-    the final plan re-evaluates the base derivation exponentially). A production run swaps the fixed unroll for
+    core). Each round is one degree aggregate + two ANTI-join edge
+    restrictions against the DROPPED node set (REWRITTEN r7 after the
+    measured sf3 refutation of the semi-join form — 2.70 s at sf1 but
+    9.89 s at sf3: semi-joining against the KEEP set shuffles the
+    whole edge relation on u and again on v every round, because keep
+    is nearly all nodes; the set of nodes peeling actually REMOVES is
+    tiny and shrinks to empty, so anti-joining against it lets AQE
+    broadcast the drop list and both restrictions run map-side — one
+    edge-scale exchange per round instead of three); edges
+    localCheckpoint between rounds (the doc_clusters posture) so each
+    round's plan reads the previous round's materialized edge set
+    once instead of re-deriving the whole lineage (a union references
+    edges twice per round — unchecked, the final plan re-evaluates
+    the base derivation exponentially). A production run swaps the fixed unroll for
     dedup_doc_clusters' convergence-sum loop over the identical
     round body; 4 rounds suffice for this graph (verified by the
     oracle match — a 5th round would change nothing, see test).
@@ -2922,18 +2929,22 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         adj = edges.unionByName(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         ).select(F.col("u").alias("node"))
-        keep = (
+        # anti-join against the DROPPED nodes (degree < K): the drop
+        # list is small and empties as peeling converges, so AQE
+        # broadcasts it and both edge restrictions are map-side — the
+        # semi-join-on-keep form shuffled all edges twice per round
+        drop = (
             adj.groupBy("node")
             .agg(F.count(F.lit(1)).alias("d"))
-            .filter(F.col("d") >= K)
+            .filter(F.col("d") < K)
             .select("node")
         )
         edges = (
             edges.join(
-                keep.select(F.col("node").alias("u")), "u", "left_semi"
+                drop.select(F.col("node").alias("u")), "u", "left_anti"
             )
             .join(
-                keep.select(F.col("node").alias("v")), "v", "left_semi"
+                drop.select(F.col("node").alias("v")), "v", "left_anti"
             )
             .localCheckpoint()
         )
@@ -3005,57 +3016,57 @@ def stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal(38,0)/HUGEINT (rx2*ry2*n overflows int64 past sf0.3) and
     only the final rho divides into IEEE double, rounded 6dp.
 
-    Measured posture (sf1, tools/scale_bench_sf1.py): DuckDB 0.22 s /
-    Spark 1.9 s — the one lazy plan (two fact aggregates + one fact
-    join) beat every staged alternative tried (cell-grain moments
-    with a checkpointed joint: 2.3 s; distributed prefix-sum rank
-    maps: 3.1 s — barrier jobs cost more than they saved), and the
-    un-spread scan beat the spread one (1.9 vs 2.5 s: three consumers
-    re-ran the round-robin exchange). The gap is engine-floor, not
-    plan shape: the rank domain (~583k price cells) is bounded by the
-    VALUE GRID, so Spark's cost stops growing with the corpus while
-    the single-process engine's fact scan grows linearly — the
-    crossover lands ~sf10, the stat_mannwhitney trajectory."""
-    v = table(spark, sf_dir, "lineitem").select(
-        F.round(F.col("l_quantity") * 10000).cast("long").alias("q4"),
-        F.round(F.col("l_extendedprice") * 100)
-        .cast("long")
-        .alias("p4"),
+    Plan (REWRITTEN r7 after the measured sf3 refutation of the lazy
+    3-scan form — 1.80 s at sf1 but 3.99 s at sf3, 7.2x, growing
+    faster than DuckDB): the fact table collapses ONCE to the JOINT
+    (q4, p4) cell grain — the minimal sufficient statistic, bounded
+    by the value grid like stat_mannwhitney's cells — and everything
+    downstream is cell-side: both midrank maps fall out of the SAME
+    cells relation as ties-inclusive cumulative windows (orderBy's
+    default RANGE frame sums all cells with key' <= key, so
+    midrank2 = 2*cum - t + 1 with t the key's marginal count), and
+    the five moment sums weight each cell by its count. ONE fact
+    scan + ONE fact exchange total; the previous shape paid three
+    fact scans plus a fact-scale join on the 583k-value price key.
+    The r6 'checkpointed joint' rejection (2.3 s) was a different
+    plan: it joined separately aggregated rank maps back to a
+    checkpointed joint — the windows-over-cells form needs no
+    checkpoint, no join, and no second fact pass. Measured numbers
+    at sf0.1 / sf1 / sf3: BASELINE.md scaling tables
+    (tools/scale_bench_sf1.py)."""
+    cells = (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            F.round(F.col("l_quantity") * 10000)
+            .cast("long")
+            .alias("q4"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("p4"),
+        )
+        .groupBy("q4", "p4")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-
-    def rank_map(col: str, out: str) -> DataFrame:
-        cells = v.groupBy(col).agg(
-            F.count(F.lit(1)).cast("long").alias("t")
-        )
-        w = Window.orderBy(col).rowsBetween(
-            Window.unboundedPreceding, -1
-        )
-        return cells.select(
-            col,
-            (
-                2 * F.coalesce(F.sum("t").over(w), F.lit(0))
-                + F.col("t")
-                + 1
-            ).alias(out),
-        )
-
-    j = v.join(F.broadcast(rank_map("q4", "rx2")), "q4").join(
-        rank_map("p4", "ry2"), "p4"
+    # ties-inclusive cumulative counts: orderBy's default window frame
+    # is RANGE UNBOUNDED PRECEDING .. CURRENT ROW, which groups equal
+    # keys — cum includes every fact with key' <= key
+    wq, wp = Window.orderBy("q4"), Window.orderBy("p4")
+    tq = F.sum("c").over(Window.partitionBy("q4"))
+    tp = F.sum("c").over(Window.partitionBy("p4"))
+    ranked = cells.select(
+        "c",
+        (2 * F.sum("c").over(wq) - tq + 1).alias("rx2"),
+        (2 * F.sum("c").over(wp) - tp + 1).alias("ry2"),
     )
     dec = "decimal(38,0)"
-    mo = j.agg(
-        F.count(F.lit(1)).cast(dec).alias("n"),
-        F.sum("rx2").cast(dec).alias("sx"),
-        F.sum("ry2").cast(dec).alias("sy"),
-        F.sum(F.col("rx2").cast(dec) * F.col("rx2"))
-        .cast(dec)
-        .alias("sxx"),
-        F.sum(F.col("ry2").cast(dec) * F.col("ry2"))
-        .cast(dec)
-        .alias("syy"),
-        F.sum(F.col("rx2").cast(dec) * F.col("ry2"))
-        .cast(dec)
-        .alias("sxy"),
+    cd = F.col("c").cast(dec)
+    mo = ranked.agg(
+        F.sum("c").cast(dec).alias("n"),
+        F.sum(cd * F.col("rx2")).cast(dec).alias("sx"),
+        F.sum(cd * F.col("ry2")).cast(dec).alias("sy"),
+        F.sum(cd * F.col("rx2") * F.col("rx2")).cast(dec).alias("sxx"),
+        F.sum(cd * F.col("ry2") * F.col("ry2")).cast(dec).alias("syy"),
+        F.sum(cd * F.col("rx2") * F.col("ry2")).cast(dec).alias("sxy"),
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
         "double"

@@ -22,9 +22,19 @@ from ..operators import multimodal as MM
 from ..registry import query
 
 
-def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _media(
+    spark: SparkSession, sf_dir: str, spread: bool = False
+) -> DataFrame:
+    """spread=True parallelizes the scan feeding a DECODE-heavy Arrow
+    stage (catalog.table's sharded copy / round-robin): a 5 MB
+    single-file documents scan otherwise plans 1-2 splits and the
+    per-payload codec work runs on 2 of 32 cores. Metadata-only
+    queries (mm_blob_meta, frame sampling) keep the unspread scan —
+    their claim is precisely that payload bytes are never moved."""
     return MM.attach_blob(
-        table(spark, sf_dir, "documents"), "doc_id", "text"
+        table(spark, sf_dir, "documents", spread=spread),
+        "doc_id",
+        "text",
     )
 
 
@@ -519,7 +529,12 @@ def mm_imghash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     and blocking keeps it off the all-pairs product. The oracle
     replays decode (hex byte pairs + container zero-padding), mean,
     bit-packing, blocking, and verify bit-for-bit in SQL."""
-    imgs = _media(spark, sf_dir).filter(F.col("doc_id") % 3 == 0)
+    # spread: the hash stage decodes every image payload — without it
+    # the single-file scan plans 2 splits and 30 cores idle (measured
+    # at sf1: the heavy stage ran 2 tasks)
+    imgs = _media(spark, sf_dir, spread=True).filter(
+        F.col("doc_id") % 3 == 0
+    )
     hashes = MM.imghash_arrow(
         MM.transcode(imgs, "doc_id"), "doc_id"
     )

@@ -2882,20 +2882,25 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core extraction by 4 PEELING rounds over the strong part
     co-purchase graph — the community-pruning primitive (drop nodes
     with degree < k, repeat; survivors are the densely-embedded
-    core). Each round is one degree aggregate + two ANTI-join edge
-    restrictions against the DROPPED node set (REWRITTEN r7 after the
-    measured sf3 refutation of the semi-join form — 2.70 s at sf1 but
-    9.89 s at sf3: semi-joining against the KEEP set shuffles the
-    whole edge relation on u and again on v every round, because keep
-    is nearly all nodes; the set of nodes peeling actually REMOVES is
-    tiny and shrinks to empty, so anti-joining against it lets AQE
-    broadcast the drop list and both restrictions run map-side — one
-    edge-scale exchange per round instead of three); edges
-    localCheckpoint between rounds (the doc_clusters posture) so each
-    round's plan reads the previous round's materialized edge set
-    once instead of re-deriving the whole lineage (a union references
-    edges twice per round — unchecked, the final plan re-evaluates
-    the base derivation exponentially). A production run swaps the fixed unroll for
+    core). Each round is one degree aggregate + two LEFT-SEMI edge
+    restrictions, with LAZY checkpoints between rounds (REWRITTEN r7
+    after the measured sf3 blow-up of the eager form — 9.89 s at sf3:
+    the EAGER localCheckpoint materialized every round's shrinking
+    edge set as its own barrier job; eager=False folds each
+    materialization into the next round's aggregate job. Interleaved
+    A/B at sf0.1/sf3, min of 3: eager 1.94/6.42 s, lazy 1.52/5.44 s.
+    An anti-join-against-the-dropped-set variant was measured
+    equivalent — 1.52/5.78 s — because the edge relation collapses
+    ~30x in round 1, so rounds 2-4 are floor-bound either way;
+    semi-join kept for the simpler NULL story). Remaining cost is the
+    BASE derivation's two fact-scale exchanges (order-grouped part
+    sets, then the (u,v) pair aggregate) — the measured ratio vs
+    DuckDB is FLAT at ~4.4x from sf0.1 to sf3 (30x data): a
+    constant-factor single-box exchange tax, not a degrading plan;
+    the exchanges are exactly what shards across a real cluster.
+    Edge counts per round at sf3: 107k -> 10.9k -> 1.6k -> 300 ->
+    120 — no early convergence inside the 4-round spec, and rounds
+    past the first are scheduling-floor. A production run swaps the fixed unroll for
     dedup_doc_clusters' convergence-sum loop over the identical
     round body; 4 rounds suffice for this graph (verified by the
     oracle match — a 5th round would change nothing, see test).
@@ -2929,24 +2934,23 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         adj = edges.unionByName(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         ).select(F.col("u").alias("node"))
-        # anti-join against the DROPPED nodes (degree < K): the drop
-        # list is small and empties as peeling converges, so AQE
-        # broadcasts it and both edge restrictions are map-side — the
-        # semi-join-on-keep form shuffled all edges twice per round
-        drop = (
+        keep = (
             adj.groupBy("node")
             .agg(F.count(F.lit(1)).alias("d"))
-            .filter(F.col("d") < K)
+            .filter(F.col("d") >= K)
             .select("node")
         )
+        # lazy checkpoint: the materialization rides the next round's
+        # aggregate job instead of being its own barrier (measured
+        # eager 6.42 s vs lazy 5.44 s at sf3, same at sf0.1)
         edges = (
             edges.join(
-                drop.select(F.col("node").alias("u")), "u", "left_anti"
+                keep.select(F.col("node").alias("u")), "u", "left_semi"
             )
             .join(
-                drop.select(F.col("node").alias("v")), "v", "left_anti"
+                keep.select(F.col("node").alias("v")), "v", "left_semi"
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     final_adj = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -3017,23 +3021,33 @@ def stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the final rho divides into IEEE double, rounded 6dp.
 
     Plan (REWRITTEN r7 after the measured sf3 refutation of the lazy
-    3-scan form — 1.80 s at sf1 but 3.99 s at sf3, 7.2x, growing
-    faster than DuckDB): the fact table collapses ONCE to the JOINT
+    3-scan form — 1.80 s at sf1 but 3.99 s at sf3, growing faster
+    than DuckDB): the fact table collapses ONCE to the JOINT
     (q4, p4) cell grain — the minimal sufficient statistic, bounded
-    by the value grid like stat_mannwhitney's cells — and everything
-    downstream is cell-side: both midrank maps fall out of the SAME
-    cells relation as ties-inclusive cumulative windows (orderBy's
-    default RANGE frame sums all cells with key' <= key, so
-    midrank2 = 2*cum - t + 1 with t the key's marginal count), and
-    the five moment sums weight each cell by its count. ONE fact
-    scan + ONE fact exchange total; the previous shape paid three
-    fact scans plus a fact-scale join on the 583k-value price key.
-    The r6 'checkpointed joint' rejection (2.3 s) was a different
-    plan: it joined separately aggregated rank maps back to a
-    checkpointed joint — the windows-over-cells form needs no
-    checkpoint, no join, and no second fact pass. Measured numbers
-    at sf0.1 / sf1 / sf3: BASELINE.md scaling tables
-    (tools/scale_bench_sf1.py)."""
+    by the value grid like stat_mannwhitney's cells — LAZY-
+    checkpointed so its three consumers (two marginal aggregates +
+    the weighting join) read one materialization instead of
+    re-running the fact aggregate (plain exchange reuse does NOT
+    dedupe it: ReusedExchange verified absent; EAGER checkpointing
+    adds a barrier job, 2.64 vs 2.16 s at sf0.1). Everything
+    downstream is cell-side: each midrank map is its own marginal
+    aggregate plus ONE skinny cumulative window (orderBy's default
+    RANGE frame is ties-inclusive, midrank2 = 2*cum - t + 1), the
+    ~50-value quantity map broadcasts, and the five moment sums
+    weight each cell by its count. ONE fact scan + ONE fact exchange
+    total; the r6 shape paid three fact scans plus a FACT-scale join
+    on the 583k-value price key. Alternatives measured and rejected
+    (min of 3 at sf0.1/sf1/sf3): four chained windows over the joint
+    collapse to one partition, 2.49/2.43/3.94 s; spread scan
+    1.97/1.98/2.78 s (wins only the sf0.1 floor, loses both scale
+    points to shard-read overhead); ADOPTED lazy-checkpoint unspread
+    2.16/1.73/2.51 s vs the r6 form's 2.13/1.80/3.99 s. The residual
+    ratio vs DuckDB (~6x, flattening with scale) is the fact
+    exchange itself: the joint-cell partial aggregate barely
+    combines map-side (~30 rows/cell spread across all tasks), so
+    the shuffle carries near-fact volume a single-box engine never
+    serializes — exactly the cost that shards across a real
+    cluster."""
     cells = (
         table(spark, sf_dir, "lineitem")
         .select(
@@ -3046,17 +3060,19 @@ def stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("q4", "p4")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
     )
-    # ties-inclusive cumulative counts: orderBy's default window frame
-    # is RANGE UNBOUNDED PRECEDING .. CURRENT ROW, which groups equal
-    # keys — cum includes every fact with key' <= key
-    wq, wp = Window.orderBy("q4"), Window.orderBy("p4")
-    tq = F.sum("c").over(Window.partitionBy("q4"))
-    tp = F.sum("c").over(Window.partitionBy("p4"))
-    ranked = cells.select(
-        "c",
-        (2 * F.sum("c").over(wq) - tq + 1).alias("rx2"),
-        (2 * F.sum("c").over(wp) - tp + 1).alias("ry2"),
+    # orderBy's default frame is RANGE UNBOUNDED PRECEDING..CURRENT
+    # ROW: ties-inclusive cum, midrank2 = 2*cum - t + 1.
+    def rank_map(key: str, out: str) -> DataFrame:
+        marg = cells.groupBy(key).agg(F.sum("c").alias("t"))
+        cum = F.sum("t").over(Window.orderBy(key))
+        return marg.select(key, (2 * cum - F.col("t") + 1).alias(out))
+
+    ranked = (
+        cells.join(F.broadcast(rank_map("q4", "rx2")), "q4")
+        .join(rank_map("p4", "ry2"), "p4")
+        .select("c", "rx2", "ry2")
     )
     dec = "decimal(38,0)"
     cd = F.col("c").cast(dec)

@@ -2796,7 +2796,7 @@ def ml_adaboost(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e9 integer simplex), so the unrolled DuckDB oracle hash-matches
     every chosen stump and error mass; alpha and accuracy are IEEE
     functions of identical integers, 6dp. Control plane: one 1-row
-    argmin collect per round."""
+    collect per FUSED PAIR of rounds (adaboost_cells_fused)."""
     from ..ml.ensemble import adaboost_cells_fused
 
     e = table(spark, sf_dir, "events")
@@ -4101,7 +4101,17 @@ def ml_als(spark: SparkSession, sf_dir: str) -> DataFrame:
     normal-equation solves inside the same join/aggregate shape (the
     pyspark.ml ALS layout); rank-1 keeps the recurrence on the
     integer grid so the cross-engine compare stays exact — the
-    ml_kmeans_lloyd/ml_logreg posture applied to factorization."""
+    ml_kmeans_lloyd/ml_logreg posture applied to factorization.
+
+    Measured r7 (tools/scale_bench_sf1.py): 7.76x at sf0.1 -> 5.30x
+    at sf1 (duck 0.784 / spark 4.156 s) — documented improving slope,
+    not an inversion. Rejected with numbers (interleaved A/B, min of
+    3 at sf1): maintaining TWO pre-partitioned checkpointed ratings
+    copies (by u and by p) so each half-step's join avoids its
+    ratings exchange — 5.95 s vs 4.55 s for this form; the two extra
+    checkpoint materializations of the fact-scale ratings cost more
+    than the four join exchanges they remove, and the factor-side
+    aggregates still re-exchange on their group keys either way."""
     S, S2, LAM = _ALS_S, _ALS_S2, _ALS_LAM
     li = table(spark, sf_dir, "lineitem", spread=True).select(
         "l_orderkey", "l_partkey"

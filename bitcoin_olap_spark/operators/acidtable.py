@@ -874,6 +874,94 @@ def optimize(
     return base + 1
 
 
+def zorder_key(cols: list[str], bits: int = 8):
+    """Z-ORDER (Morton) key of `cols` as a Column over `df` — the
+    multi-dimensional clustering kernel behind Delta's OPTIMIZE
+    ZORDER BY: each column min/max-normalizes to a `bits`-bit bucket
+    (integer-exact: ((x - mn) * 2^bits) div (mx - mn + 1), all
+    int64), and the buckets' bits INTERLEAVE (col k contributes bit i
+    to z-bit i*n_cols + k), so nearby z-values are nearby in EVERY
+    dimension at once. Sorting a table by z and cutting it into
+    range-contiguous files gives each file a tight min/max envelope
+    on ALL the clustered columns — the property that lets per-file
+    stats skipping (snapshot_pruned) prune range queries on any of
+    them, where a single-column sort serves only its own column. The
+    min/max normalization needs one tiny aggregate; pass its 1-row
+    relation in by crossJoin before calling (see optimize_zorder) —
+    the z expression itself is pure JVM bit arithmetic, reproducible
+    in ANSI SQL for the oracle. Returns the Column; caller aliases.
+    2 cols x 8 bits = 16-bit z (int64-safe to 4 cols x 15 bits)."""
+    z = F.lit(0).cast("long")
+    n = len(cols)
+    for i in range(bits):
+        for k, c in enumerate(cols):
+            bit = F.shiftright(F.col(f"_zb_{c}"), i).bitwiseAND(
+                F.lit(1)
+            )
+            z = z + F.shiftleft(bit, i * n + k)
+    return z
+
+
+def optimize_zorder(
+    spark: SparkSession,
+    root: str,
+    cols: list[str],
+    target_files: int = 8,
+    bits: int = 8,
+) -> int:
+    """OPTIMIZE ZORDER BY: rewrite the current snapshot clustered on
+    the interleaved z-key of `cols` and re-commit with fresh per-file
+    min/max stats on those columns — content-identical, layout-only,
+    through the same manifest protocol as optimize(). After it, a
+    range predicate on ANY clustered column prunes files via
+    snapshot_pruned (~sqrt locality per dimension for 2 columns),
+    where a plain range-partitioned layout prunes only its sort
+    column — at 100 TB this is the difference between opening
+    O(matching) and O(all) files for the second dimension
+    (property-tested: tests/test_properties.py). One pass: a 1-row
+    min/max aggregate broadcasts onto the scan, rows range-partition
+    by z (contiguous z-interval per output file) and sort within
+    partitions, and the rewrite commits as remove(old)+add(new).
+    Returns the committed version."""
+    base = current_version(root)
+    old_files = _resolve_files(root, base)
+    snap = spark.read.parquet(*old_files)
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).cast("long").alias(f"_mn_{c}"))
+        aggs.append(F.max(c).cast("long").alias(f"_mx_{c}"))
+    mm = snap.agg(*aggs)
+    j = snap.crossJoin(F.broadcast(mm))
+    for c in cols:
+        j = j.withColumn(
+            f"_zb_{c}",
+            F.expr(
+                f"(( (CAST({c} AS BIGINT) - _mn_{c}) * {1 << bits} )"
+                f" div (_mx_{c} - _mn_{c} + 1))"
+            ),
+        )
+    j = j.withColumn("_z", zorder_key(cols, bits))
+    helper = [f"_mn_{c}" for c in cols] + [f"_mx_{c}" for c in cols] + [
+        f"_zb_{c}" for c in cols
+    ]
+    clustered = (
+        j.repartitionByRange(target_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z", *helper)
+    )
+    files = _write_data_files(clustered, root)
+    stats = _collect_file_stats(spark, files, tuple(cols))
+    _commit(
+        root,
+        base + 1,
+        "optimize-zorder",
+        add=files,
+        remove=old_files,
+        stats=stats,
+    )
+    return base + 1
+
+
 def add_columns(
     spark: SparkSession, root: str, new_df: DataFrame
 ) -> int:

@@ -1468,3 +1468,102 @@ def snk_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pruned.select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
     )
+
+
+def _zorder_interleave_sql(bits: int = 8) -> str:
+    """DuckDB twin of operators/acidtable.zorder_key for two columns
+    bp/bs: bit i of each bucket lands at z-bit 2i / 2i+1."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((bp >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((bs >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+_ZORDER_ORACLE = f"""
+    WITH mm AS (
+        SELECT CAST(MIN(l_partkey) AS BIGINT) AS mn_p,
+               CAST(MAX(l_partkey) AS BIGINT) AS mx_p,
+               CAST(MIN(l_suppkey) AS BIGINT) AS mn_s,
+               CAST(MAX(l_suppkey) AS BIGINT) AS mx_s
+        FROM lineitem
+    ), b AS (
+        SELECT l_partkey, l_suppkey,
+               ((CAST(l_partkey AS BIGINT) - mn_p) * 256)
+                   // (mx_p - mn_p + 1) AS bp,
+               ((CAST(l_suppkey AS BIGINT) - mn_s) * 256)
+                   // (mx_s - mn_s + 1) AS bs
+        FROM lineitem, mm
+    ), z AS (
+        SELECT l_partkey, l_suppkey,
+               {_zorder_interleave_sql()} AS zv
+        FROM b
+    )
+    SELECT zv // 256 AS zbucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(l_partkey) AS BIGINT) AS mn_part,
+           CAST(MAX(l_partkey) AS BIGINT) AS mx_part,
+           CAST(MIN(l_suppkey) AS BIGINT) AS mn_supp,
+           CAST(MAX(l_suppkey) AS BIGINT) AS mx_supp
+    FROM z GROUP BY 1
+"""
+
+
+@query("snk_zorder_cluster", oracle=_ZORDER_ORACLE)
+def snk_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustering kernel (Delta's OPTIMIZE ZORDER BY) over
+    (l_partkey, l_suppkey): min/max-normalize each column to an 8-bit
+    bucket (integer-exact floor division off ONE broadcast 1-row
+    min/max aggregate), interleave the bucket bits into a 16-bit
+    Morton key (operators/acidtable.zorder_key — pure JVM bit
+    arithmetic, replayed bit-for-bit by the SQL twin), and return the
+    per-z-bucket histogram with each bucket's min/max envelope on
+    BOTH columns. The envelopes are the point: files cut from
+    contiguous z-ranges carry tight per-file stats on EVERY clustered
+    dimension, so snapshot_pruned prunes range queries on any of them
+    — the table-level behavior is optimize_zorder
+    (operators/acidtable.py), property-tested to read ~sqrt-fraction
+    files on the SECOND dimension where a single-column sort reads
+    all of them (tests/test_properties.py). Scale: one fact scan, one
+    broadcast, one bucket-grain aggregate; the rewrite itself is one
+    range exchange — exactly Delta's OPTIMIZE cost shape."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    mm = li.agg(
+        F.min("l_partkey").cast("long").alias("_mn_p"),
+        F.max("l_partkey").cast("long").alias("_mx_p"),
+        F.min("l_suppkey").cast("long").alias("_mn_s"),
+        F.max("l_suppkey").cast("long").alias("_mx_s"),
+    )
+    j = (
+        li.crossJoin(F.broadcast(mm))
+        .withColumn(
+            "_zb_p",
+            F.expr(
+                "(((CAST(l_partkey AS BIGINT) - _mn_p) * 256)"
+                " div (_mx_p - _mn_p + 1))"
+            ),
+        )
+        .withColumn(
+            "_zb_s",
+            F.expr(
+                "(((CAST(l_suppkey AS BIGINT) - _mn_s) * 256)"
+                " div (_mx_s - _mn_s + 1))"
+            ),
+        )
+    )
+    from ..operators.acidtable import zorder_key
+
+    return (
+        j.withColumn("_z", zorder_key(["p", "s"]))
+        .withColumn("zbucket", F.expr("_z div 256"))
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("l_partkey").cast("long").alias("mn_part"),
+            F.max("l_partkey").cast("long").alias("mx_part"),
+            F.min("l_suppkey").cast("long").alias("mn_supp"),
+            F.max("l_suppkey").cast("long").alias("mx_supp"),
+        )
+    )

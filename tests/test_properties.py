@@ -1750,3 +1750,53 @@ def test_boosters_fused_equal_loop(spark):
         assert gbt == sorted(map(tuple, E.gbt_cells_fused(
             spark, gbt_cells, {1: 24, 2: 7}, 3, fuse=fuse
         ).collect()))
+
+
+def test_acid_zorder_improves_second_dimension_skipping(spark, tmp_path):
+    """optimize_zorder must (a) preserve content exactly, (b) keep
+    first-dimension pruning effective, and (c) make range queries on
+    the SECOND clustered column prune files where the original
+    single-column-clustered layout read every file (the whole point
+    of multi-dimensional clustering: each z-contiguous file has a
+    tight min/max envelope on every clustered dimension)."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators import acidtable as AT
+
+    root = str(tmp_path / "tbl")
+    # c2 is a deterministic pseudo-random permutation of the domain —
+    # on a c1-range-clustered layout every file spans ~all of c2
+    df = spark.range(0, 64_000).select(
+        F.col("id").alias("c1"),
+        ((F.col("id") * 2654435761) % 64_000).alias("c2"),
+    ).repartitionByRange(16, "c1")
+    AT.init_table(spark, root, df, stats_cols=("c1", "c2"))
+
+    _, read_c1_before, total_before = AT.snapshot_pruned(
+        spark, root, "c1", 1000, 4999
+    )
+    pr_c2_before, read_c2_before, _ = AT.snapshot_pruned(
+        spark, root, "c2", 1000, 4999
+    )
+    assert read_c1_before < total_before          # c1 prunes already
+    assert read_c2_before == total_before         # c2 reads everything
+    n_c2 = pr_c2_before.count()
+
+    v = AT.optimize_zorder(spark, root, ["c1", "c2"], target_files=16)
+    assert AT.read_manifest(root, v, resolve=False)["op"] == "optimize-zorder"
+
+    pr_c1, read_c1_after, total_after = AT.snapshot_pruned(
+        spark, root, "c1", 1000, 4999
+    )
+    pr_c2, read_c2_after, _ = AT.snapshot_pruned(
+        spark, root, "c2", 1000, 4999
+    )
+    # content identical (layout-only rewrite)
+    assert AT.snapshot(spark, root).count() == 64_000
+    assert pr_c2.count() == n_c2
+    assert sorted(r["c1"] for r in pr_c1.collect()) == list(range(1000, 5000))
+    # both dimensions now prune: the 1/16th-domain probe on c2 must
+    # read a strict subset of files (z-order gives ~sqrt locality)
+    assert read_c2_after < total_after, (read_c2_after, total_after)
+    # and c1 pruning survives the re-clustering
+    assert read_c1_after < total_after, (read_c1_after, total_after)

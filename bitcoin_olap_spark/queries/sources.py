@@ -1567,3 +1567,134 @@ def snk_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_suppkey").cast("long").alias("mx_supp"),
         )
     )
+
+
+_FP_SQL = (
+    "md5(trim(regexp_replace(regexp_replace(lower(text),"
+    " '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))"
+)
+
+_INGEST_ORACLE = f"""
+    WITH corpus AS (
+        SELECT DISTINCT {_FP_SQL} AS fp
+        FROM documents WHERE doc_id % 10 != 0
+    ), batch AS (
+        SELECT doc_id, {_FP_SQL} AS fp
+        FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 100000, {_FP_SQL}
+        FROM documents WHERE doc_id % 20 = 1
+        UNION ALL
+        SELECT doc_id + 200000, {_FP_SQL}
+        FROM documents WHERE doc_id % 30 = 0
+    ), cls AS (
+        SELECT b.doc_id, b.fp,
+               MIN(b.doc_id) OVER (PARTITION BY b.fp) AS min_id,
+               CASE WHEN c.fp IS NOT NULL THEN 1 ELSE 0 END AS inc
+        FROM batch b LEFT JOIN corpus c ON c.fp = b.fp
+    )
+    SELECT doc_id, fp AS fingerprint,
+           CASE WHEN inc = 1 THEN 'dup_corpus'
+                WHEN doc_id > min_id THEN 'dup_batch'
+                ELSE 'insert' END AS action
+    FROM cls
+"""
+
+
+@query("snk_ingest_dedup", oracle=_INGEST_ORACLE)
+def snk_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE INGEST-DEDUP LOOP — the composite every production
+    pipeline runs on arrival, closing the loop between the dedup tier
+    and the ACID table: an arriving batch (fresh docs + planted exact
+    clones of corpus docs under shifted ids + a clone of a batch doc)
+    is classified against the STORED corpus fingerprint index AS OF
+    the pre-batch version (time travel — replays must see the
+    snapshot the batch was ingested against, or a replayed batch
+    reclassifies its own inserts as dup_corpus; an acidtable holding
+    one md5 fingerprint per corpus doc, the operators/text.fingerprint
+    kernel dedup_exact uses) into
+    'insert' / 'dup_corpus' (fingerprint already in the index) /
+    'dup_batch' (a smaller-id batch doc carries the same fingerprint),
+    and ONLY the inserts append to the index via append_idempotent
+    keyed by a batch op tag — a replayed batch (driver warm pass +
+    timed passes, a restarted job, a foreachBatch retry) classifies
+    identically and the append SKIPS, so the index advances exactly
+    once per batch id (property-tested: two runs, one committed
+    version). Work inventory: fingerprints are map-side; the corpus
+    probe is ONE equi-join on the 32-char fingerprint against the
+    index snapshot (AQE broadcasts the small batch); batch-internal
+    dedup is one fingerprint-partitioned window over the batch; the
+    index append is O(inserts). Nothing re-pairs or re-reads the
+    corpus text — at 100 TB the corpus appears only as its stored
+    fingerprint index scan, the asymmetric posture of
+    sim_dedup_incremental applied to the exact tier."""
+    from ..operators.text import fingerprint
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus_fp = (
+        docs.filter(F.col("doc_id") % 10 != 0)
+        .select(fingerprint("text").alias("fp"))
+        .distinct()
+    )
+    batch = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 20 == 1).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 30 == 0).select(
+                (F.col("doc_id") + 200000).alias("doc_id"), "text"
+            )
+        )
+        .select("doc_id", fingerprint("text").alias("fp"))
+    )
+    root = _tmp(
+        f"acid_ingest_{os.path.basename(os.path.abspath(sf_dir))}"
+    )
+    # fixture states: v0 = freshly built index, v1 = index after this
+    # batch's exactly-once ingest (a prior pass in this process).
+    # Anything else is a torn build — rebuild from scratch.
+    head = AT.current_version(root)
+    ok0 = head == 0 and AT.read_manifest(root, 0, resolve=False)[
+        "op"
+    ] == "init"
+    ok1 = head == 1 and AT.read_manifest(root, 1, resolve=False)[
+        "op"
+    ].startswith("ingest-")
+    if not (ok0 or ok1):
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        AT.init_table(spark, root, corpus_fp)
+    # classify against the PRE-BATCH snapshot (version 0) — time
+    # travel makes replays see the index state this batch was ingested
+    # against, so a doc inserted by pass 1 does not reclassify as
+    # dup_corpus on the replay (Delta's txn-version reading discipline)
+    idx = AT.snapshot(spark, root, 0).select("fp").distinct()
+    # classify: corpus probe flag + batch-internal min-id survivor
+    flagged = batch.join(
+        idx.withColumn("_inc", F.lit(1)), "fp", "left"
+    )
+    min_id = F.min("doc_id").over(Window.partitionBy("fp"))
+    cls = flagged.select(
+        "doc_id",
+        F.col("fp").alias("fingerprint"),
+        F.when(F.col("_inc").isNotNull(), F.lit("dup_corpus"))
+        .when(F.col("doc_id") > min_id, F.lit("dup_batch"))
+        .otherwise(F.lit("insert"))
+        .alias("action"),
+    )
+    # exactly-once index advance: only the inserts' fingerprints land,
+    # keyed by the batch tag — replays skip (acidtable.append_idempotent)
+    AT.append_idempotent(
+        spark,
+        root,
+        cls.filter(F.col("action") == "insert").select(
+            F.col("fingerprint").alias("fp")
+        ),
+        op=f"ingest-{os.path.basename(os.path.abspath(sf_dir))}-batch0",
+    )
+    return cls

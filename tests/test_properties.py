@@ -1800,3 +1800,55 @@ def test_acid_zorder_improves_second_dimension_skipping(spark, tmp_path):
     assert read_c2_after < total_after, (read_c2_after, total_after)
     # and c1 pruning survives the re-clustering
     assert read_c1_after < total_after, (read_c1_after, total_after)
+
+
+def test_ingest_dedup_is_exactly_once(spark):
+    """snk_ingest_dedup: replaying the SAME batch must (a) classify
+    identically, (b) advance the fingerprint index exactly once — the
+    second run's append_idempotent sees its op tag already committed
+    and skips (the foreachBatch replay contract applied to the
+    ingest-dedup composite). Also pins the classification contract:
+    the planted clone tiers land in their classes."""
+    import os
+
+    from bitcoin_olap_spark.operators import acidtable as AT
+    from bitcoin_olap_spark.queries.sources import _tmp, snk_ingest_dedup
+
+    from .conftest import SF_TEST
+
+    root = _tmp(
+        f"acid_ingest_{os.path.basename(os.path.abspath(SF_TEST))}"
+    )
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)  # force a fresh fixture
+
+    first = sorted(map(tuple, snk_ingest_dedup(spark, SF_TEST).collect()))
+    v_after_first = AT.current_version(root)
+    assert v_after_first == 1  # init + exactly one ingest commit
+
+    second = sorted(map(tuple, snk_ingest_dedup(spark, SF_TEST).collect()))
+    assert second == first
+    assert AT.current_version(root) == 1  # replay did NOT re-commit
+
+    actions = {}
+    for _, _, a in first:
+        actions[a] = actions.get(a, 0) + 1
+    # +100000 clones of corpus docs -> dup_corpus; the +200000 clone
+    # of a batch doc -> dup_batch; fresh %10 docs -> insert
+    assert actions.get("dup_corpus", 0) > 0
+    assert actions.get("dup_batch", 0) > 0
+    assert actions.get("insert", 0) > 0
+    # and the index grew by exactly the insert count
+    n_idx = AT.snapshot(spark, root).count()
+    from bitcoin_olap_spark.catalog import table
+    from bitcoin_olap_spark.operators.text import fingerprint
+
+    n_corpus = (
+        table(spark, SF_TEST, "documents")
+        .filter("doc_id % 10 != 0")
+        .select(fingerprint("text"))
+        .distinct()
+        .count()
+    )
+    assert n_idx == n_corpus + actions["insert"]

@@ -387,6 +387,8 @@ def adaboost_cells_fused(
     and output to adaboost_cells (property-tested); a zero weighted
     error raises executor-side via raise_error — the loop form's
     stump-separable guard, kept on the fused path."""
+    if fuse < 1:
+        raise ValueError(f"adaboost_cells_fused: fuse must be >= 1, got {fuse}")
     S = ADA_SCALE
     dec = "DECIMAL(38,0)"
     cand = stump_candidates(spark, domains)
@@ -544,6 +546,8 @@ def gbt_cells_fused(
     collected splits re-enter as literals and the state re-materializes
     flat (lazy checkpoint). Identical integer state and output to
     gbt_cells (property-tested)."""
+    if fuse < 1:
+        raise ValueError(f"gbt_cells_fused: fuse must be >= 1, got {fuse}")
     rows_cand = [
         (f, t)
         for f, dom in sorted(domains.items())

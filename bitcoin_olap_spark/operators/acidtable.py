@@ -363,8 +363,27 @@ def _probe_coerce(lo, hi):
     decode is identity; for Decimal the stored strings are decoded
     back to Decimal instead."""
     probe = lo if lo is not None else hi
-    if isinstance(probe, (datetime.datetime, datetime.date, bytes,
-                          bytearray)):
+    if isinstance(probe, (datetime.datetime, datetime.date)):
+        # Compare in the DATETIME domain, never the encoded-string
+        # one: a date probe against a TIMESTAMP column's stats (or a
+        # datetime probe against a DATE column's) mixes 10-char and
+        # 19+-char ISO encodings, and plain string order then FALSELY
+        # PRUNES boundary files — a stored min '2024-01-31T00:00:00'
+        # sorts after the 10-char hi '2024-01-31' even though its
+        # midnight rows satisfy the exact filter (SQL casts the date
+        # bound to midnight). Decoding both sides to datetime makes
+        # the boundary compare equal instead of skipped.
+        def _to_dt(v):
+            if isinstance(v, datetime.datetime):
+                return v
+            return datetime.datetime(v.year, v.month, v.day)
+
+        return (
+            _to_dt(lo) if lo is not None else None,
+            _to_dt(hi) if hi is not None else None,
+            lambda s: datetime.datetime.fromisoformat(s),
+        )
+    if isinstance(probe, (bytes, bytearray)):
         enc = _stat_encode
         return (
             enc(lo) if lo is not None else None,
@@ -373,6 +392,16 @@ def _probe_coerce(lo, hi):
         )
     if isinstance(probe, decimal.Decimal):
         return lo, hi, lambda s: decimal.Decimal(s)
+    if isinstance(probe, (int, float)) and not isinstance(probe, bool):
+        # the STORED stat decides the decode branch too: a DECIMAL
+        # column's stats are exact strings ('9.50'), and an int/float
+        # probe falling through to identity would compare str-vs-number
+        # (TypeError) instead of pruning
+        return (
+            lo,
+            hi,
+            lambda s: decimal.Decimal(s) if isinstance(s, str) else s,
+        )
     return lo, hi, lambda s: s
 
 
@@ -780,9 +809,14 @@ def vacuum(root: str, keep_versions: int = 1, _max_rescans: int = 8) -> int:
     # physically destroy source-owned data files. Foreign files simply
     # drop out of the clone's manifests; their lifecycle belongs to
     # the table that owns them.
-    own_data = os.path.abspath(_data_dir(root)) + os.sep
+    # realpath (not abspath) on BOTH sides: a table opened via a
+    # symlinked root stores manifest paths under the symlink while the
+    # data dir resolves elsewhere (or vice versa) — abspath comparison
+    # would then skip unlinking the table's OWN dead files, a silent
+    # storage leak with `removed` undercounting
+    own_data = os.path.realpath(_data_dir(root)) + os.sep
     for f in sorted(dropped - live):
-        if not os.path.abspath(f).startswith(own_data):
+        if not os.path.realpath(f).startswith(own_data):
             continue
         if os.path.exists(f):
             os.unlink(f)

@@ -1852,3 +1852,131 @@ def test_ingest_dedup_is_exactly_once(spark):
         .count()
     )
     assert n_idx == n_corpus + actions["insert"]
+
+
+def test_acid_stats_mixed_width_probes_never_falsely_prune(spark, tmp_path):
+    """r7 ADVICE regressions in _probe_coerce: (a) a datetime.date
+    probe against a TIMESTAMP column's stats (and a datetime probe
+    against a DATE column's) must compare in the datetime domain —
+    string order over mixed 10-char/19-char ISO encodings falsely
+    pruned a file whose stored min '...T00:00:00' carries the exact
+    midnight rows the filter admits; (b) an int/float probe against a
+    DECIMAL column's stats must prune numerically, not raise TypeError
+    on str-vs-number comparison."""
+    import datetime
+    import decimal
+
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators import acidtable as AT
+
+    root = str(tmp_path / "tbl")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "id long, ts timestamp, d date, dec decimal(10,2)"
+    ).coalesce(1)
+    jan = mk([
+        (i,
+         datetime.datetime(2024, 1, 31, 0, 0) if i == 0
+         else datetime.datetime(2024, 1, 31, 6, i),
+         datetime.date(2024, 1, 28 + i),
+         decimal.Decimal(f"{9 + i}.50"))
+        for i in range(3)
+    ])
+    mar = mk([
+        (200 + i, datetime.datetime(2024, 3, 10 + i),
+         datetime.date(2024, 3, 10 + i),
+         decimal.Decimal(f"{100 + i}.50"))
+        for i in range(3)
+    ])
+    AT.init_table(spark, root, jan, stats_cols=("ts", "d", "dec"))
+    AT.append(spark, root, mar, stats_cols=("ts", "d", "dec"))
+
+    # (a1) DATE probe on the TIMESTAMP column, hi == the jan file's
+    # min date: '2024-01-31T00:00:00' > '2024-01-31' as strings, so
+    # the buggy compare skipped jan entirely and lost the midnight row
+    pruned, n_read, n_total = AT.snapshot_pruned(
+        spark, root, "ts",
+        datetime.date(2024, 1, 1), datetime.date(2024, 1, 31),
+    )
+    assert n_total == 2 and n_read == 1, (n_read, n_total)
+    assert [r["id"] for r in pruned.collect()] == [0]
+
+    # (a2) TIMESTAMP probe on the DATE column: stored max '2024-01-30'
+    # vs lo '2024-01-30T00:00:00' failed the >= check as strings
+    pruned, n_read, n_total = AT.snapshot_pruned(
+        spark, root, "d",
+        datetime.datetime(2024, 1, 30, 0, 0),
+        datetime.datetime(2024, 2, 15, 0, 0),
+    )
+    assert n_read == 1, (n_read, n_total)
+    assert sorted(r["id"] for r in pruned.collect()) == [2]
+
+    # (b) float and int probes on the DECIMAL column: must skip the
+    # march file (100.50-102.50) numerically, and never TypeError
+    pruned, n_read, n_total = AT.snapshot_pruned(
+        spark, root, "dec", 9.0, 11.9
+    )
+    assert n_read == 1, (n_read, n_total)
+    assert sorted(r["id"] for r in pruned.collect()) == [0, 1, 2]
+    pruned, n_read, n_total = AT.snapshot_pruned(
+        spark, root, "dec", 100, 102
+    )
+    assert n_read == 1, (n_read, n_total)
+    assert sorted(r["id"] for r in pruned.collect()) == [200, 201]
+
+
+def test_acid_vacuum_via_symlinked_root_reclaims_dead_files(spark, tmp_path):
+    """r7 ADVICE regression: vacuum's containment guard must resolve
+    symlinks (realpath, not abspath) on both sides — a table vacuumed
+    through a symlinked root otherwise judges its OWN dead files as
+    foreign and leaks them on disk forever."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators import acidtable as AT
+
+    real = str(tmp_path / "real_tbl")
+    link = str(tmp_path / "link_tbl")
+    df = spark.range(0, 400).select(
+        F.col("id"), (F.col("id") % 3).alias("grp")
+    ).repartitionByRange(4, "id")
+    AT.init_table(spark, real, df)
+    AT.delete_where(spark, real, F.col("id") < 300)
+    AT.optimize(spark, real, target_files=1)
+    os.symlink(real, link)
+
+    dead_before = {
+        os.path.join(p, f)
+        for p, _, fs in os.walk(os.path.join(real, "data"))
+        for f in fs
+        if f.endswith(".parquet")
+    } - set(AT.read_manifest(real)["files"])
+    assert dead_before, "setup must leave dead files to reclaim"
+
+    removed = AT.vacuum(link, keep_versions=1)
+    assert removed >= len(dead_before), (removed, len(dead_before))
+    for f in dead_before:
+        assert not os.path.exists(f), f"leaked dead file {f}"
+    assert AT.snapshot(spark, real).count() == 100
+
+
+def test_boosters_fused_reject_fuse_below_one(spark):
+    """r7 ADVICE regression: fuse=0 made the fused group empty and
+    crashed with IndexError on bests[0]; both fused boosters must
+    raise a clear ValueError at entry instead."""
+    from bitcoin_olap_spark.ml import ensemble as E
+
+    cells = spark.createDataFrame(
+        [(0, 0, 0, 1, 5)], "f1 long, f2 long, f3 long, y long, cnt long"
+    )
+    from decimal import Decimal as _D
+
+    gcells = spark.createDataFrame(
+        [(0, 0, 2, 10, _D(60))],
+        "f1 long, f2 long, n long, sy long, syy decimal(38,0)",
+    )
+    with pytest.raises(ValueError, match="fuse"):
+        E.adaboost_cells_fused(spark, cells, {1: 2, 2: 2, 3: 2}, 2, fuse=0)
+    with pytest.raises(ValueError, match="fuse"):
+        E.gbt_cells_fused(spark, gcells, {1: 2, 2: 2}, 2, fuse=-1)

@@ -383,21 +383,47 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct", oracle=None)
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           COUNT(*) AS n_rows,
+           TRUE AS est_within_bound
+    FROM lineitem GROUP BY 1
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct counting (HyperLogLog++): sketch-based,
     mergeable, constant memory — the 100 TB answer to COUNT(DISTINCT)
-    whose exact form needs a full shuffle of the key space. Rows-only
-    for the driver (sketches are engine-specific); tests pin the
-    estimate within rsd of the exact count."""
+    whose exact form needs a full shuffle of the key space.
+
+    BOUNDS ORACLE (upgraded from rows-only): the HLL estimate itself
+    is engine-specific, so the driver-visible columns are the exact
+    distinct count (computable in any engine) plus a boolean asserting
+    the estimate landed within the published envelope — |est - exact|
+    <= max(5*rsd*exact, 50) (5 sigma of rsd=0.02 plus a small-count
+    floor; Spark's HLL hashing is deterministic, so on fixed data this
+    is a stable fact, verified at sf0.001/0.01/0.1). DuckDB states the
+    exact side and TRUE in SQL; a drifting estimate breaks the hash.
+    The exact COUNT(DISTINCT) here serves the oracle harness — the
+    production form of the operator emits only the estimate."""
+    est = F.approx_count_distinct("l_orderkey", rsd=0.02)
+    exact = F.count_distinct("l_orderkey").alias("exact_orders")
     return (
         table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_orderkey", rsd=0.02).alias(
-                "approx_orders"
-            ),
+            exact,
             F.count(F.lit(1)).alias("n_rows"),
+            (
+                F.abs(est - F.count_distinct("l_orderkey"))
+                <= F.greatest(
+                    F.count_distinct("l_orderkey")
+                    * F.lit(5 * 0.02),
+                    F.lit(50.0),
+                )
+            ).alias("est_within_bound"),
         )
     )
 
@@ -646,7 +672,22 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_sketch_partial", oracle=None)
+@query(
+    "agg_sketch_partial",
+    oracle="""
+    WITH d AS (
+        SELECT date_trunc('day', ts) AS d,
+               COUNT(DISTINCT user_id) AS u
+        FROM events GROUP BY 1
+    )
+    SELECT COUNT(*) AS n_days,
+           (SELECT COUNT(DISTINCT user_id) FROM events) AS exact_users,
+           MAX(u) AS max_daily_exact,
+           TRUE AS merged_within_bound,
+           TRUE AS max_daily_within_bound
+    FROM d
+    """,
+)
 def agg_sketch_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level mergeable-sketch rollup: per-day HLL sketches of the
     active user set, UNIONED into one estimate — the pre-aggregation
@@ -658,18 +699,51 @@ def agg_sketch_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate is final and two estimates cannot be combined. In a
     production layout the per-day sketch table is the materialized
     ingest summary; hll_union_agg over an arbitrary slice is the query.
-    Output is scalar-only: the merged estimate, the day count, and the
-    max per-day estimate. Rows-only for the driver (sketch bytes are
-    engine-specific); tests pin the merged estimate against the exact
-    distinct count."""
+
+    BOUNDS ORACLE (upgraded from rows-only): sketch bytes and the raw
+    estimate are engine-specific, so the driver-visible columns are the
+    exact sides (day count, exact distinct users, exact max daily
+    users) plus booleans asserting both the MERGED estimate and the
+    max per-day estimate landed within |est - exact| <=
+    max(10*rsd*exact, 50), rsd = 1.04/sqrt(2^14) ~= 0.81% for
+    lgConfigK=14 (Datasketches' published envelope; deterministic
+    hashing makes it a stable fact on fixed data, verified at
+    sf0.001/0.01/0.1). DuckDB states the exact sides and TRUE in SQL;
+    a drifting estimate breaks the hash. The exact distincts here
+    serve the oracle harness — the production form emits estimates
+    only, which is the whole point of the sketch tier."""
+    rsd = 1.04 / (2 ** 14) ** 0.5
     e = table(spark, sf_dir, "events")
     daily = e.groupBy(day("ts").alias("d")).agg(
-        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
+        F.count_distinct("user_id").alias("u_exact"),
     )
-    return daily.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
-        F.count(F.lit(1)).alias("n_days"),
-        F.max(F.hll_sketch_estimate("sk")).alias("max_daily_users"),
+    exact = e.agg(F.count_distinct("user_id").alias("exact_users"))
+
+    def within(est, ex):
+        return F.abs(est - ex) <= F.greatest(
+            ex * F.lit(10 * rsd), F.lit(50.0)
+        )
+
+    return (
+        daily.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est"),
+            F.count(F.lit(1)).alias("n_days"),
+            F.max(F.hll_sketch_estimate("sk")).alias("_max_est"),
+            F.max("u_exact").alias("max_daily_exact"),
+        )
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "n_days",
+            "exact_users",
+            "max_daily_exact",
+            within(F.col("_est"), F.col("exact_users")).alias(
+                "merged_within_bound"
+            ),
+            within(F.col("_max_est"), F.col("max_daily_exact")).alias(
+                "max_daily_within_bound"
+            ),
+        )
     )
 
 

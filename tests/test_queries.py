@@ -47,19 +47,16 @@ def test_oracle_keys_subset():
 
 
 def test_approx_distinct_within_rsd(spark):
-    """HLL++ estimate must sit within ~3x the requested rsd of the
-    exact distinct count per group."""
+    """The bounds-oracle output must assert the HLL++ estimate sits
+    inside the published envelope per group (est_within_bound TRUE
+    everywhere — the same boolean the driver hash-matches against the
+    DuckDB oracle's literal TRUE) and carry the true exact counts."""
     from pyspark.sql import functions as F
 
     from bitcoin_olap_spark.catalog import table
     from bitcoin_olap_spark.registry import all_queries
 
-    got = {
-        r["l_returnflag"]: r["approx_orders"]
-        for r in all_queries()["agg_approx_distinct"](
-            spark, SF_ORACLE
-        ).collect()
-    }
+    rows = all_queries()["agg_approx_distinct"](spark, SF_ORACLE).collect()
     exact = {
         r["l_returnflag"]: r["n"]
         for r in table(spark, SF_ORACLE, "lineitem")
@@ -67,9 +64,10 @@ def test_approx_distinct_within_rsd(spark):
         .agg(F.countDistinct("l_orderkey").alias("n"))
         .collect()
     }
-    assert set(got) == set(exact)
-    for k, est in got.items():
-        assert abs(est - exact[k]) / exact[k] < 0.06, (k, est, exact[k])
+    assert {r["l_returnflag"] for r in rows} == set(exact)
+    for r in rows:
+        assert r["est_within_bound"] is True, r
+        assert r["exact_orders"] == exact[r["l_returnflag"]], r
 
 
 def test_approx_quantile_near_exact(spark, duck):
@@ -96,9 +94,10 @@ def test_approx_quantile_near_exact(spark, duck):
 
 
 def test_sketch_partial_merge_near_exact(spark):
-    """The merged per-day HLL sketches must estimate the all-time
-    distinct user count within HLL(lgK=14) error of exact (~1%, loose
-    bound 5%), and the max daily estimate can never exceed it."""
+    """The bounds-oracle output must assert both the merged HLL
+    estimate and the max per-day estimate sit inside the lgK=14
+    envelope (the booleans the driver hash-matches against DuckDB's
+    literal TRUE), and carry the true exact sides."""
     from pyspark.sql import functions as F
 
     from bitcoin_olap_spark.catalog import table
@@ -109,8 +108,10 @@ def test_sketch_partial_merge_near_exact(spark):
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()[0]["n"]
     )
-    assert abs(row["approx_users"] - exact) / exact < 0.05
-    assert row["max_daily_users"] <= row["approx_users"] * 1.05
+    assert row["exact_users"] == exact
+    assert row["merged_within_bound"] is True
+    assert row["max_daily_within_bound"] is True
+    assert 0 < row["max_daily_exact"] <= exact
     assert row["n_days"] > 0
 
 

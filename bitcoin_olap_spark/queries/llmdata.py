@@ -3597,3 +3597,102 @@ def sim_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=16,
         threshold=0.8,
     )
+
+
+_TWO_BATCH_ORACLE = _MINHASH_LSH_ORACLE.replace(
+    _INC_MARK,
+    _INC_MARK + "\n         AND (l.doc_id % 5 = 0 OR r.doc_id % 5 = 0)",
+).replace(
+    "SELECT doc_a, doc_b,\n",
+    "SELECT doc_a, doc_b,\n"
+    "           CAST(CASE WHEN doc_a % 10 = 0 OR doc_b % 10 = 0\n"
+    "                     THEN 2 ELSE 1 END AS INT) AS batch,\n",
+)
+assert "AS batch," in _TWO_BATCH_ORACLE
+
+
+@query("snk_ingest_lsh_loop", oracle=_TWO_BATCH_ORACLE)
+def snk_ingest_lsh_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STEADY-STATE INGEST-DEDUP LOOP over the STORED LSH index — the
+    100 TB production cycle run end-to-end across TWO ingest batches:
+    probe batch1 against the ACID-persisted corpus band index
+    (band_index rows as a table, operators/dedup.py), APPEND batch1's
+    bands to the index (exactly-once, op-tagged), then probe batch2
+    against the UPDATED index — so batch2 finds its near-dups in
+    batch1 through the index alone. Every probe classifies against a
+    PINNED snapshot version (v0 for batch1, v1 for batch2 — the
+    snk_ingest_dedup time-travel discipline), so driver replays (warm
+    pass + timed passes) re-derive identical pairs while
+    append_idempotent skips the already-committed band appends: the
+    index advances exactly once per batch tag. The corpus text is
+    never re-shingled or re-signed — it enters each probe only as its
+    stored (id, band_idx, band_hash) scan plus the exact-verify
+    semi-join on candidate ids; nothing is ever corpus x corpus
+    (incremental_lsh_pairs work inventory). Output: every near-dup
+    pair with >= 1 side in batch1 or batch2, tagged by the ingest
+    cycle that surfaced it — equal to the full self-dedup restricted
+    to batch-involving pairs (property-tested:
+    tests/test_properties.py two-batch loop vs minhash_lsh_pairs)."""
+    import os
+    import shutil
+
+    from ..operators import acidtable as AT
+    from ..session import scratch_root
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus0 = docs.filter(F.col("doc_id") % 5 != 0)
+    batch1 = docs.filter(F.col("doc_id") % 10 == 5)
+    batch2 = docs.filter(F.col("doc_id") % 10 == 0)
+    root = os.path.join(
+        scratch_root("sink"),
+        f"acid_lshidx_{os.path.basename(os.path.abspath(sf_dir))}",
+    )
+    # fixture states: v0 = corpus band index, v(k) = index after
+    # batch k's exactly-once band append. Anything else is torn —
+    # rebuild from scratch.
+    head = AT.current_version(root)
+    ok = (
+        0 <= head <= 2
+        and AT.read_manifest(root, 0, resolve=False)["op"] == "init"
+        and all(
+            AT.read_manifest(root, v, resolve=False)["op"]
+            == f"lsh-batch{v}"
+            for v in range(1, head + 1)
+        )
+    )
+    if not ok:
+        shutil.rmtree(root, ignore_errors=True)
+        AT.init_table(
+            spark, root, D.band_index(corpus0, "doc_id", "text")
+        )
+    pairs1 = D.incremental_lsh_pairs(
+        corpus0,
+        batch1,
+        "doc_id",
+        "text",
+        threshold=0.8,
+        corpus_index=AT.snapshot(spark, root, 0),
+    )
+    AT.append_idempotent(
+        spark,
+        root,
+        D.band_index(batch1, "doc_id", "text"),
+        op="lsh-batch1",
+    )
+    pairs2 = D.incremental_lsh_pairs(
+        corpus0.unionByName(batch1),
+        batch2,
+        "doc_id",
+        "text",
+        threshold=0.8,
+        corpus_index=AT.snapshot(spark, root, 1),
+    )
+    AT.append_idempotent(
+        spark,
+        root,
+        D.band_index(batch2, "doc_id", "text"),
+        op="lsh-batch2",
+    )
+    return pairs1.withColumn("batch", F.lit(1).cast("int")).unionByName(
+        pairs2.withColumn("batch", F.lit(2).cast("int"))
+    )

@@ -558,3 +558,66 @@ def test_incremental_lsh_equals_restricted_full_dedup(spark, docs, tmp_path):
         ).collect()
     }
     assert stored == inc
+
+
+def test_two_batch_loop_equals_restricted_full_dedup(spark, docs, tmp_path):
+    """The steady-state ingest loop (probe batch1 against the STORED
+    ACID band index, append batch1's bands, probe batch2 against the
+    UPDATED index) must equal the full self-dedup over all docs
+    restricted to batch-involving pairs — i.e. the index-update step
+    loses nothing: batch2 finds its near-dups in batch1 purely through
+    the index. Also pins replay idempotence: rerunning both probes
+    against the same pinned versions reproduces the pair set while the
+    append skips (head version unchanged)."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators import acidtable as AT
+    from bitcoin_olap_spark.operators.dedup import (
+        band_index,
+        incremental_lsh_pairs,
+        minhash_lsh_pairs,
+    )
+
+    corpus0 = docs.filter(F.col("doc_id") % 5 != 0)
+    batch1 = docs.filter(F.col("doc_id") % 10 == 5)
+    batch2 = docs.filter(F.col("doc_id") % 10 == 0)
+
+    want = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.8
+        ).collect()
+        if r.doc_a % 5 == 0 or r.doc_b % 5 == 0
+    }
+
+    root = str(tmp_path / "lsh_index")
+    AT.init_table(spark, root, band_index(corpus0, "doc_id", "text"))
+
+    def run_loop():
+        p1 = incremental_lsh_pairs(
+            corpus0, batch1, "doc_id", "text", threshold=0.8,
+            corpus_index=AT.snapshot(spark, root, 0),
+        )
+        AT.append_idempotent(
+            spark, root, band_index(batch1, "doc_id", "text"),
+            op="lsh-batch1",
+        )
+        p2 = incremental_lsh_pairs(
+            corpus0.unionByName(batch1), batch2, "doc_id", "text",
+            threshold=0.8, corpus_index=AT.snapshot(spark, root, 1),
+        )
+        AT.append_idempotent(
+            spark, root, band_index(batch2, "doc_id", "text"),
+            op="lsh-batch2",
+        )
+        return {
+            (r.doc_a, r.doc_b, round(r.jaccard, 9))
+            for r in p1.unionByName(p2).collect()
+        }
+
+    got = run_loop()
+    assert got == want and len(want) > 0
+    assert AT.current_version(root) == 2
+    # replay: identical pairs, no new index versions
+    assert run_loop() == want
+    assert AT.current_version(root) == 2

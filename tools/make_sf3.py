@@ -39,6 +39,10 @@ def main() -> None:
             "user_id",
             i * 1_000_000,
         ),
+        # r8: ml_als's sf3 point needs the orders dimension too —
+        # same orderkey shift as lineitem so the join fans out 30x at
+        # unchanged selectivity
+        "orders": lambda t, i: shifted(t, "o_orderkey", i * 10_000_000),
     }
     for name, fn in jobs.items():
         src = pq.read_table(os.path.join(SRC, f"{name}.parquet"))

@@ -412,23 +412,31 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact side and TRUE in SQL; a drifting estimate breaks the hash.
     The exact COUNT(DISTINCT) here serves the oracle harness — the
     production form of the operator emits only the estimate."""
-    est = F.approx_count_distinct("l_orderkey", rsd=0.02)
-    exact = F.count_distinct("l_orderkey").alias("exact_orders")
-    return (
-        table(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            exact,
-            F.count(F.lit(1)).alias("n_rows"),
-            (
-                F.abs(est - F.count_distinct("l_orderkey"))
-                <= F.greatest(
-                    F.count_distinct("l_orderkey")
-                    * F.lit(5 * 0.02),
-                    F.lit(50.0),
-                )
-            ).alias("est_within_bound"),
-        )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey"
+    )
+    # TWO clean aggregates joined on the 3-row group key instead of
+    # one mixed distinct+HLL aggregate: mixing count_distinct with
+    # other aggregates plans an Expand that triples the fact rows
+    # through the shuffle (measured 2.61 s vs 0.74 s at sf0.1, min of
+    # 3); two column-pruned scans are the cheaper shape at any scale
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    est = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("_est")
+    )
+    return exact.join(F.broadcast(est), "l_returnflag").select(
+        "l_returnflag",
+        "exact_orders",
+        "n_rows",
+        (
+            F.abs(F.col("_est") - F.col("exact_orders"))
+            <= F.greatest(
+                F.col("exact_orders") * F.lit(5 * 0.02), F.lit(50.0)
+            )
+        ).alias("est_within_bound"),
     )
 
 

@@ -556,17 +556,21 @@ def snk_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     unique (date, orderkey) tiebreaks make the history deterministic on
     both engines."""
     w = Window.partitionBy("o_custkey").orderBy("ts", "o_orderkey")
-    obs = table(spark, sf_dir, "orders").select(
+    # alias o_orderdate -> ts BEFORE the first window so BOTH windows
+    # order by the identical (ts, o_orderkey) attributes: Catalyst then
+    # proves the post-filter child ordering satisfies the second
+    # window's sort and elides the second Sort node entirely (with the
+    # pre-alias form the lag window sorted on o_orderdate while the
+    # lead/version window sorted on its alias ts — same data, but alias
+    # equivalence is invisible to SortOrder matching, so the plan paid
+    # a second full sort; measured sf3: 1.13 -> 0.94 s)
+    w0 = table(spark, sf_dir, "orders").select(
         "o_custkey",
         "o_orderpriority",
         F.col("o_orderdate").alias("ts"),
         "o_orderkey",
-        F.lag("o_orderpriority").over(
-            Window.partitionBy("o_custkey").orderBy(
-                F.col("o_orderdate"), F.col("o_orderkey")
-            )
-        ).alias("prev_prio"),
     )
+    obs = w0.withColumn("prev_prio", F.lag("o_orderpriority").over(w))
     changes = obs.filter(
         F.col("prev_prio").isNull()
         | (F.col("o_orderpriority") != F.col("prev_prio"))

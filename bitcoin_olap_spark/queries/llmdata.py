@@ -3699,3 +3699,133 @@ def snk_ingest_lsh_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs1.withColumn("batch", F.lit(1).cast("int")).unionByName(
         pairs2.withColumn("batch", F.lit(2).cast("int"))
     )
+
+
+def _lsh_stream_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 3,
+    tag: str = "lshstream",
+) -> DataFrame:
+    """Core of stream_ingest_lsh, parameterized on the batch split so
+    the property test can prove batch-split invariance (K=2 vs K=3
+    converge to the identical pair set = the batch full self-dedup).
+
+    The documents table is laid out as `n_batches` parquet files (file
+    k = docs with doc_id % n_batches == k) with strictly increasing
+    fixed mtimes — FileStreamSource orders files by modification time,
+    so delivery order is deterministic across runs and rebuilds. Each
+    micro-batch k (a) probes the band index PINNED at version k (the
+    state before its own append — exactly the snapshot the batch's
+    docs must dedup against), (b) appends its bands exactly-once
+    (op-tagged, so foreachBatch retries skip), and (c) appends the
+    pairs it surfaced to a results ACID table under the same
+    exactly-once protocol. Every fixture artifact (source files, both
+    tables, the checkpoint) lives under ONE root: any torn state fails
+    the entry validation and the whole root is rebuilt from scratch,
+    so a complete run is always a fresh stream over a fresh index."""
+    import os
+    import shutil
+
+    from ..operators import acidtable as AT
+    from ..session import scratch_root
+
+    fixture = os.path.join(
+        scratch_root("sink"),
+        f"{tag}_{n_batches}_{os.path.basename(os.path.abspath(sf_dir))}",
+    )
+    src = os.path.join(fixture, "src")
+    idx_root = os.path.join(fixture, "band_index")
+    pairs_root = os.path.join(fixture, "pairs")
+    ckpt = os.path.join(fixture, "ckpt")
+
+    def _complete(root: str, prefix: str) -> bool:
+        head = AT.current_version(root)
+        return (
+            head == n_batches
+            and AT.read_manifest(root, 0, resolve=False)["op"] == "init"
+            and all(
+                AT.read_manifest(root, v, resolve=False)["op"]
+                == f"{prefix}{v - 1}"
+                for v in range(1, head + 1)
+            )
+        )
+
+    if not (_complete(idx_root, "lsh-stream-b") and _complete(pairs_root, "pairs-b")):
+        shutil.rmtree(fixture, ignore_errors=True)
+        docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+        # source layout: one parquet file per batch, fixed staggered
+        # mtimes (the file source's ordering key)
+        os.makedirs(src, exist_ok=True)
+        pdf = docs.toPandas()
+        base = 1_700_000_000
+        for k in range(n_batches):
+            path = os.path.join(src, f"batch-{k}.parquet")
+            pdf[pdf["doc_id"] % n_batches == k].to_parquet(path, index=False)
+            os.utime(path, (base + 60 * k, base + 60 * k))
+        AT.init_table(
+            spark, idx_root,
+            spark.createDataFrame([], "doc_id bigint, band_idx int, band_hash string"),
+        )
+        AT.init_table(
+            spark, pairs_root,
+            spark.createDataFrame([], "doc_a bigint, doc_b bigint, jaccard double"),
+        )
+
+        def ingest(batch: DataFrame, batch_id: int) -> None:
+            kmod = batch.select(
+                (F.col("doc_id") % n_batches).cast("int").alias("k")
+            ).first()
+            if kmod is None:  # empty batch: nothing to probe or append
+                return
+            corpus = docs.filter(F.col("doc_id") % n_batches != kmod["k"])
+            pairs = D.incremental_lsh_pairs(
+                corpus,
+                batch,
+                "doc_id",
+                "text",
+                threshold=0.8,
+                corpus_index=AT.snapshot(spark, idx_root, batch_id),
+            )
+            AT.append_idempotent(
+                spark, pairs_root, pairs, op=f"pairs-b{batch_id}"
+            )
+            AT.append_idempotent(
+                spark,
+                idx_root,
+                D.band_index(batch, "doc_id", "text"),
+                op=f"lsh-stream-b{batch_id}",
+            )
+
+        (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    return AT.snapshot(spark, pairs_root).select("doc_a", "doc_b", "jaccard")
+
+
+@query("stream_ingest_lsh", oracle=_MINHASH_LSH_ORACLE)
+def stream_ingest_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ingest-dedup: the snk_ingest_lsh_loop cycle as a
+    Structured Streaming pipeline — documents arrive as micro-batches
+    (file source, maxFilesPerTrigger=1), and each batch in foreachBatch
+    probes the ACID band index pinned at its pre-append version,
+    appends its bands exactly-once, and lands its surfaced pairs in a
+    results ACID table under the same op-tagged commit protocol (the
+    stream_acid_sink discipline applied to the dedup loop). The
+    converged pair set is BATCH-SPLIT INVARIANT: a pair (a, b)
+    surfaces exactly once — intra-batch, or when the later side's
+    batch probes an index already holding the earlier side — so ANY
+    split converges to the batch full self-dedup, which is what the
+    oracle states (the dedup_minhash_lsh semantics verbatim;
+    property-tested for K=2 vs K=3 in tests/test_llmdata.py). At
+    100 TB this is the steady-state shape: bounded per-batch work
+    (band the batch, one index equi-join probe, verify candidates),
+    index growth = append-only, nothing ever corpus x corpus."""
+    return _lsh_stream_ingest(spark, sf_dir, n_batches=3)

@@ -621,3 +621,66 @@ def test_two_batch_loop_equals_restricted_full_dedup(spark, docs, tmp_path):
     # replay: identical pairs, no new index versions
     assert run_loop() == want
     assert AT.current_version(root) == 2
+
+
+def test_stream_ingest_lsh_split_invariant_and_rebuild(spark, docs):
+    """The streaming ingest-dedup loop converges to the batch full
+    self-dedup for ANY micro-batch split — K=2 and K=3 file layouts
+    produce the identical pair set (each pair surfaces exactly once:
+    intra-batch, or when the later side's batch probes an index already
+    holding the earlier side) — and a torn fixture (a manifest deleted
+    from under the pairs table) fails the entry validation and rebuilds
+    from scratch to the same converged result."""
+    import os
+    import shutil
+
+    from bitcoin_olap_spark.operators.dedup import minhash_lsh_pairs
+    from bitcoin_olap_spark.queries.llmdata import _lsh_stream_ingest
+    from bitcoin_olap_spark.session import scratch_root
+
+    want = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+    assert len(want) > 0
+
+    tag = "lshstream_t"
+    # fresh fixtures for both splits
+    for k in (2, 3):
+        shutil.rmtree(
+            os.path.join(
+                scratch_root("sink"),
+                f"{tag}_{k}_{os.path.basename(SF_ORACLE)}",
+            ),
+            ignore_errors=True,
+        )
+    got = {
+        k: {
+            (r.doc_a, r.doc_b, round(r.jaccard, 9))
+            for r in _lsh_stream_ingest(
+                spark, SF_ORACLE, n_batches=k, tag=tag
+            ).collect()
+        }
+        for k in (2, 3)
+    }
+    assert got[2] == want
+    assert got[3] == want
+
+    # torn state: delete the pairs table's newest manifest -> the
+    # entry validation must reject and rebuild the WHOLE fixture
+    fixture = os.path.join(
+        scratch_root("sink"), f"{tag}_3_{os.path.basename(SF_ORACLE)}"
+    )
+    manifests = sorted(
+        os.listdir(os.path.join(fixture, "pairs", "_log"))
+    )
+    os.remove(os.path.join(fixture, "pairs", "_log", manifests[-1]))
+    rebuilt = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in _lsh_stream_ingest(
+            spark, SF_ORACLE, n_batches=3, tag=tag
+        ).collect()
+    }
+    assert rebuilt == want

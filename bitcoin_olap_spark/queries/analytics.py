@@ -4128,19 +4128,25 @@ def ml_als(spark: SparkSession, sf_dir: str) -> DataFrame:
     ml_kmeans_lloyd/ml_logreg posture applied to factorization.
 
     Measured r7 (tools/scale_bench_sf1.py): 7.76x at sf0.1 -> 5.30x
-    at sf1 (duck 0.784 / spark 4.156 s); r8 adds the asked-for third
-    point: **5.12x at sf3** (duck 2.386 / spark 12.217 s) — FLAT, the
-    stat_spearman/graph_k_core exchange-tax class: both engines grow
-    an identical 3.06x from sf1 to sf3, and the constant gap is the
-    ratings-grain join exchanges (near-fact volume re-serialized each
-    half-step) that a single-process engine never pays and a real
-    cluster shards. Rejected with numbers (interleaved A/B, min of
-    3 at sf1): maintaining TWO pre-partitioned checkpointed ratings
-    copies (by u and by p) so each half-step's join avoids its
-    ratings exchange — 5.95 s vs 4.55 s for this form; the two extra
-    checkpoint materializations of the fact-scale ratings cost more
-    than the four join exchanges they remove, and the factor-side
-    aggregates still re-exchange on their group keys either way."""
+    at sf1 (duck 0.784 / spark 4.156 s); the first r8 pass added the
+    asked-for third point (5.12x at sf3, duck 2.386 / spark 12.217 s
+    — flat, the exchange-tax class). Late r8 then FUSED the first
+    user half-step: v0 is the constant S for every part in ratings,
+    so the v0 build (distinct + p-exchange) and the first ratings
+    join fold into one per-user aggregate, bit-identically (the
+    oracle keeps the explicit join). Measured: sf0.1 interleaved A/B
+    (one session, min of 5 alternating passes) 1.895 -> 1.462 s
+    (-23%); sf1 4.156 -> 4.007 s; sf3 12.217 -> **7.973 s (-35%,
+    ratio 5.12x -> 3.34x)** — the slope now DECLINES with scale
+    (5.11x sf1 -> 3.34x sf3) instead of sitting flat: one of the
+    three fact-grain join exchanges was the removable one. Rejected
+    earlier with numbers (interleaved A/B, min of 3 at sf1):
+    maintaining TWO pre-partitioned checkpointed ratings copies (by u
+    and by p) so each half-step's join avoids its ratings exchange —
+    5.95 s vs 4.55 s; the two extra checkpoint materializations of
+    the fact-scale ratings cost more than the four join exchanges
+    they remove, and the factor-side aggregates still re-exchange on
+    their group keys either way."""
     S, S2, LAM = _ALS_S, _ALS_S2, _ALS_LAM
     li = table(spark, sf_dir, "lineitem", spread=True).select(
         "l_orderkey", "l_partkey"
@@ -4178,16 +4184,26 @@ def ml_als(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
 
-    v = ratings.select("p").distinct().select(
-        "p", F.lit(S).cast("long").alias("v")
-    )
-    for _ in range(2):
-        u = half_step(v, "u", "p", "v").withColumnRenamed("v", "f")
-        u = u.select("u", F.col("f"))
-        # rename for the item half-step's fcol
-        v = half_step(
-            u.withColumnRenamed("f", "v"), "p", "u", "v"
+    # First user half-step FUSED: v0 is the constant S for every part
+    # present in ratings, so the v0 build (a distinct + exchange on p)
+    # and the first ratings-join (two more p-exchanges) fold into ONE
+    # per-user aggregate over the checkpointed ratings: sum(c*v) =
+    # S*sum(c), sum(v*v) = S^2*count — bit-identical to the joined
+    # form (the oracle keeps the explicit v0 join; same integers).
+    u = (
+        ratings.groupBy("u")
+        .agg(
+            (F.sum("c").cast("long") * S * S2).alias("_n"),
+            (F.count(F.lit(1)).cast("long") * S2 + LAM).alias("_d"),
         )
+        .select(
+            "u",
+            F.expr(_fdiv_sql("_n", "_d").format(DIV="div")).alias("f"),
+        )
+    )
+    v = half_step(u.withColumnRenamed("f", "v"), "p", "u", "v")
+    u = half_step(v, "u", "p", "v").withColumnRenamed("v", "f")
+    v = half_step(u.withColumnRenamed("f", "v"), "p", "u", "v")
     return (
         v.withColumn(
             "rnk",

@@ -2894,10 +2894,13 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~30x in round 1, so rounds 2-4 are floor-bound either way;
     semi-join kept for the simpler NULL story). Remaining cost is the
     BASE derivation's two fact-scale exchanges (order-grouped part
-    sets, then the (u,v) pair aggregate) — the measured ratio vs
-    DuckDB is FLAT at ~4.4x from sf0.1 to sf3 (30x data): a
-    constant-factor single-box exchange tax, not a degrading plan;
-    the exchanges are exactly what shards across a real cluster.
+    sets, then the (u,v) pair aggregate) — the measured trajectory
+    vs DuckDB ends in an OUTRIGHT INVERSION: ~4.4-5x sf0.1-sf3,
+    7.6x sf10, 4.2x sf30, **0.29x at sf100** (600M rows: duck's
+    in-process peel loop blows up 36x superlinearly past cache,
+    20.9 -> 750.5 s, while the per-round exchanges grow 2.5x,
+    87 -> 220 s) — the single-box exchange tax amortizes and the
+    exchanges are exactly what shards across a real cluster.
     r8 map-side-combine experiment on that base (VERDICT item 6, min
     of 3): (a) Arrow partition-local pre-count of (u,v) pairs before
     the global aggregate REJECTED — 2.77 s sf0.1, 30.5 s sf3 vs
@@ -3071,7 +3074,11 @@ def stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     form's joint-cell exchange is domain-bounded, so its partials
     combine BETTER as multiplicity rises (sf3 == sf0.1 == 3.30 s,
     duck 0.574 s at sf3 -> flat ~5.7x, the documented single-box
-    exchange tax)."""
+    exchange tax). Late-r8 endgame: the trajectory measured out to
+    five decades CROSSES UNDER THE BAR — 8.26x sf1, 5.80x sf3,
+    3.58x sf10, **1.38x at sf30** (180M rows: duck's cell aggregate
+    goes superlinear, 1.02 -> 5.31 s on 3x data, while this plan's
+    one exchange merely doubles, 3.66 -> 7.32 s)."""
     cells = (
         table(spark, sf_dir, "lineitem")
         .select(

@@ -76,6 +76,15 @@ def classify(d: float | None, s: float) -> str:
     return "over 2x"
 
 
+def _annotate(qid: str, label: str) -> str:
+    """Carry the measured scale-evidence note (tools/scale_evidence.py)
+    into the status column so a regen can never drop it."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from scale_evidence import annotate
+
+    return annotate(qid, label)
+
+
 def _min_merge(dicts: list[dict[str, float]]) -> dict[str, float]:
     """Per-query min across runs; negative (failed) entries only win
     when every run failed."""
@@ -128,7 +137,8 @@ def main() -> None:
             ratio = "—"
             dcell = "—"
         rows.append(
-            f"| {qid} | {dcell} | {s:.4f} | {ratio} | {classify(d, s)} |"
+            f"| {qid} | {dcell} | {s:.4f} | {ratio} | "
+            f"{_annotate(qid, classify(d, s))} |"
         )
 
     n_ok = sum(1 for q in spark_t if duck_t.get(q, -1) > 0)

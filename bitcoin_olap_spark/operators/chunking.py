@@ -76,6 +76,80 @@ def chunk_words(
     )
 
 
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    modulus: int = 16,
+) -> DataFrame:
+    """CONTENT-DEFINED chunking (FastCDC/LBFS boundary rule at word
+    grain): a new chunk starts at every ANCHOR word — one whose
+    md5-derived 32-bit hash is 0 mod `modulus` — so chunks average
+    `modulus` words and boundaries depend only on local content.
+    Inserting or deleting words resynchronizes at the next anchor:
+    every chunk outside the edited region keeps its exact text (the
+    dedup-under-edits property fixed windows lack — they shift every
+    downstream chunk). Returns (id, idx, chunk), idx = 0-based chunk
+    position within the document.
+
+    Map-only per document: boundary positions via `filter` over the
+    word-index sequence, chunk strings via `transform` + `slice`
+    between consecutive boundaries — no per-word explode before the
+    chunk-grain output, no shuffle. The md5 anchor rule is chosen for
+    ANSI-SQL replayability (('0x'||substr(md5(w),1,8))::BIGINT), so a
+    DuckDB oracle can re-derive identical boundaries; a
+    non-oracle-checked deployment would use xxhash64."""
+    ws = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("ws")
+    )
+    is_anchor = lambda i: (i > 0) & (  # noqa: E731 — inline lambda-col
+        F.conv(
+            F.substring(F.md5(F.element_at("ws", (i + 1).cast("int"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % modulus
+        == 0
+    )
+    bounds = ws.select(
+        id_col,
+        "ws",
+        F.concat(
+            F.array(F.lit(0).cast("long")),
+            F.filter(
+                F.sequence(
+                    F.lit(0).cast("long"), F.size("ws").cast("long") - 1
+                ),
+                is_anchor,
+            ),
+            F.array(F.size("ws").cast("long")),
+        ).alias("bs"),
+    )
+    return bounds.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0).cast("long"), F.size("bs").cast("long") - 2
+                ),
+                lambda j: F.array_join(
+                    F.slice(
+                        "ws",
+                        (F.element_at("bs", (j + 1).cast("int")) + 1).cast(
+                            "int"
+                        ),
+                        (
+                            F.element_at("bs", (j + 2).cast("int"))
+                            - F.element_at("bs", (j + 1).cast("int"))
+                        ).cast("int"),
+                    ),
+                    " ",
+                ),
+            )
+        ).alias("idx", "chunk"),
+    ).select(id_col, F.col("idx").cast("long").alias("idx"), "chunk")
+
+
 def pack_sequential(
     df: DataFrame,
     id_col: str,

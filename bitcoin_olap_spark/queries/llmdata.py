@@ -2094,6 +2094,127 @@ def text_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_cdc_dedup",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    bounds AS (
+        SELECT doc_id, ws,
+               list_concat(
+                   list_concat(
+                       [CAST(0 AS BIGINT)],
+                       list_filter(
+                           range(len(ws)),
+                           i -> i > 0
+                            AND ('0x' || substr(md5(ws[i + 1]), 1, 8))
+                                    ::BIGINT % 16 = 0)),
+                   [CAST(len(ws) AS BIGINT)]) AS bs
+        FROM w
+    ),
+    chunks AS (
+        SELECT doc_id, u.i AS idx, u.c AS chunk FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(len(bs) - 1),
+                       j -> struct_pack(
+                           i := CAST(j AS BIGINT),
+                           c := array_to_string(
+                               ws[(bs[j + 1] + 1):(bs[j + 2])], ' ')))) AS u
+            FROM bounds)
+    ),
+    boiler AS (
+        SELECT chunk FROM chunks
+        GROUP BY chunk HAVING MIN(doc_id) <> MAX(doc_id)
+    ),
+    kept AS (
+        SELECT c.doc_id, c.idx, c.chunk
+        FROM chunks c ANTI JOIN boiler b USING (chunk)
+    ),
+    agg AS (
+        SELECT doc_id,
+               array_to_string(list(chunk ORDER BY idx), ' ')
+                   AS cleaned_text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY 1
+    ),
+    totals AS (
+        SELECT doc_id, CAST(len(bs) - 1 AS BIGINT) AS n_chunks FROM bounds
+    )
+    SELECT t.doc_id,
+           COALESCE(a.cleaned_text, '') AS cleaned_text,
+           t.n_chunks,
+           t.n_chunks - COALESCE(a.n_kept, 0) AS n_removed
+    FROM totals t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def text_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-DEFINED chunk deduplication — text_dedup_chunks with
+    FastCDC/LBFS-style boundaries instead of fixed 10-word windows: a
+    chunk starts at every ANCHOR word (md5-derived hash % 16 == 0, so
+    chunks average ~16 words). Because boundaries depend only on local
+    content, inserting or deleting words resynchronizes at the next
+    anchor and every chunk outside the edited region keeps its
+    identity — the property that makes CDC the standard grain for
+    dedup under edits (rsync/LBFS; fixed windows shift EVERY
+    downstream chunk and miss all of them). Same corpus-frequency
+    rule as text_dedup_chunks: a chunk appearing verbatim in more than
+    one document is boilerplate, removed everywhere; survivors are
+    reassembled in document order.
+
+    Plan: the chunking (operators/chunking.cdc_chunks) is entirely
+    MAP-SIDE ARRAY WORK per document — boundary positions via `filter`
+    over the word-index sequence, chunk strings via `transform` +
+    `slice` between consecutive boundaries; no per-word explode, no
+    per-word shuffle, document grain in and chunk grain out
+    (insertion-robustness property-tested:
+    tests/test_properties.py::test_cdc_chunks_resync_after_edit). The only corpus-wide exchanges are
+    the chunk-frequency aggregate (min!=max doc-id instead of
+    COUNT(DISTINCT) — 2-long state, no Expand), the anti-join against
+    the aggregate-sized boilerplate set (AQE broadcasts it), and the
+    per-doc reassembly aggregate — identical shuffle inventory to
+    text_dedup_chunks (3.39x sf0.1 -> 0.72x sf1, inverts), whose plan
+    this shares downstream of the chunker."""
+    docs = table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "text"
+    )
+    # boiler and kept both consume the chunk relation (same cache
+    # lifetime contract as text_dedup_chunks: harnesses release it)
+    chunks = C.cdc_chunks(docs, "doc_id", "text", modulus=16).cache()
+    boiler = (
+        chunks.groupBy("chunk")
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .filter(F.col("d0") != F.col("d1"))
+        .select("chunk")
+    )
+    kept = chunks.join(boiler, "chunk", "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                lambda x: x["chunk"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    # every doc yields >= 1 chunk, so its chunk count IS len(bs)-1 —
+    # derived from the cached chunk relation instead of a second pass
+    # over the documents scan
+    totals = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks")
+    )
+    return totals.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        "n_chunks",
+        (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0))).alias(
+            "n_removed"
+        ),
+    )
+
+
 def _oracle_zipf_sql() -> str:
     from ..ml.regression import ORACLE_OLS
 
@@ -3559,6 +3680,93 @@ def sim_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("recall"),
         )
+    )
+
+
+# Canonical-keep decision: extend the connected-components oracle with
+# the survivor election (longest text, then smallest doc_id).
+_CC_FINAL = "SELECT node AS doc_id, MIN(m) AS component FROM reach GROUP BY 1"
+assert _CC_FINAL in _CC_ORACLE
+_CANONICAL_KEEP_ORACLE = _CC_ORACLE.replace(
+    _CC_FINAL,
+    f""", comp AS (
+        {_CC_FINAL}
+    ), scored AS (
+        SELECT c.doc_id, c.component,
+               CAST(len(d.text) AS BIGINT) AS n_chars
+        FROM comp c JOIN documents d USING (doc_id)
+    ), keeper AS (
+        SELECT component, doc_id AS kept_doc_id
+        FROM (
+            SELECT component, doc_id,
+                   row_number() OVER (
+                       PARTITION BY component
+                       ORDER BY n_chars DESC, doc_id ASC) AS rn
+            FROM scored)
+        WHERE rn = 1
+    )
+    SELECT s.doc_id, s.component, s.n_chars, k.kept_doc_id,
+           s.doc_id = k.kept_doc_id AS keep
+    FROM scored s JOIN keeper k USING (component)""",
+)
+
+
+@query("sim_canonical_keep", oracle=_CANONICAL_KEEP_ORACLE)
+def sim_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KEEP/DROP DECISION a dedup pipeline actually ships: per
+    near-dup cluster (connected components over the exact-Jaccard pair
+    graph at 0.5, as dedup_doc_clusters), elect ONE canonical survivor
+    — the longest document, ties to the smallest doc_id (the common
+    production prior: near-dup groups usually contain truncated or
+    boilerplate-padded variants of one best copy; "keep the longest"
+    is the C4/CCNet-era heuristic, and the scoring seam swaps in any
+    quality column). Emits every document with its cluster, the
+    elected canonical id, and the keep flag — the relation the
+    downstream filter joins on, and the audit trail a pipeline owner
+    reads when a document disappears.
+
+    Plan: pair generation + min-label propagation are
+    dedup_doc_clusters' audited shapes (operators/dedup.py); the
+    election adds ONE component-grain aggregate (max of a
+    (n_chars, -doc_id, doc_id) struct — no window, no sort) and one
+    join back, both on the component key; the keeper relation is
+    cluster-count-sized, so AQE broadcasts it. In production the pair
+    relation seam takes minhash_lsh_pairs / incremental_lsh_pairs
+    output instead of the exact tier — the election is identical."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    comp = D.connected_components(
+        pairs,
+        docs.select("doc_id"),
+        id_col="doc_id",
+        src_col="doc_a",
+        dst_col="doc_b",
+    ).select(F.col("node").alias("doc_id"), "component")
+    scored = comp.join(
+        docs.select(
+            "doc_id", F.length("text").cast("long").alias("n_chars")
+        ),
+        "doc_id",
+    )
+    keeper = (
+        scored.groupBy("component")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("n_chars"),
+                    (-F.col("doc_id")).alias("neg_id"),
+                    F.col("doc_id").alias("kid"),
+                )
+            ).alias("m")
+        )
+        .select("component", F.col("m.kid").alias("kept_doc_id"))
+    )
+    return scored.join(keeper, "component").select(
+        "doc_id",
+        "component",
+        "n_chars",
+        "kept_doc_id",
+        (F.col("doc_id") == F.col("kept_doc_id")).alias("keep"),
     )
 
 

@@ -1980,3 +1980,102 @@ def test_boosters_fused_reject_fuse_below_one(spark):
         E.adaboost_cells_fused(spark, cells, {1: 2, 2: 2, 3: 2}, 2, fuse=0)
     with pytest.raises(ValueError, match="fuse"):
         E.gbt_cells_fused(spark, gcells, {1: 2, 2: 2}, 2, fuse=-1)
+
+
+@SETTINGS
+@given(
+    n_words=st.integers(min_value=1, max_value=60),
+    edit_pos=st.integers(min_value=0, max_value=59),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_cdc_chunks_resync_after_edit(spark, n_words, edit_pos, seed):
+    """Content-defined chunking must RESYNCHRONIZE after an edit: when
+    one word is inserted into a document, every chunk that does not
+    contain the insertion point survives verbatim — at most the single
+    edited chunk differs between the two chunkings (the property fixed
+    windows lack: a 1-word insert shifts every downstream fixed chunk).
+    Also: chunks reassemble to the document exactly, in idx order."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators.chunking import cdc_chunks
+
+    rng = random.Random(seed)
+    vocab = [f"w{rng.randrange(200)}" for _ in range(n_words)]
+    base = " ".join(vocab)
+    pos = min(edit_pos, n_words)
+    edited = " ".join(vocab[:pos] + ["INSERTED"] + vocab[pos:])
+
+    df = spark.createDataFrame(
+        [(0, base), (1, edited)], "doc_id long, text string"
+    )
+    rows = (
+        cdc_chunks(df, "doc_id", "text", modulus=4)
+        .sort("doc_id", "idx")
+        .collect()
+    )
+    chunks = {0: [], 1: []}
+    for r in rows:
+        chunks[r["doc_id"]].append(r["chunk"])
+    # lossless reassembly in idx order
+    assert " ".join(chunks[0]) == base
+    assert " ".join(chunks[1]) == edited
+    # resync: multiset difference is at most ONE chunk per side (the
+    # chunk containing the edit; an anchor INSERTED word can split it
+    # into two on the edited side)
+    from collections import Counter
+
+    only_base = Counter(chunks[0]) - Counter(chunks[1])
+    only_edit = Counter(chunks[1]) - Counter(chunks[0])
+    assert sum(only_base.values()) <= 1, (chunks[0], chunks[1])
+    assert sum(only_edit.values()) <= 2, (chunks[0], chunks[1])
+
+
+@SETTINGS
+@given(
+    lens=st.lists(
+        st.integers(min_value=0, max_value=30), min_size=1, max_size=12
+    ),
+    n_comp=st.integers(min_value=1, max_value=4),
+)
+def test_canonical_keep_election(spark, lens, n_comp):
+    """Canonical-keep election invariants for ANY cluster structure:
+    exactly one kept document per component; the kept document has the
+    component's maximum text length, ties broken by smallest doc_id;
+    kept_doc_id always names a member of the component."""
+    from pyspark.sql import functions as F
+
+    docs = [(i, "x" * ln) for i, ln in enumerate(lens)]
+    comp = [(i, i % n_comp) for i in range(len(lens))]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    cdf = spark.createDataFrame(comp, "doc_id long, component long")
+    scored = cdf.join(
+        ddf.select("doc_id", F.length("text").cast("long").alias("n_chars")),
+        "doc_id",
+    )
+    keeper = (
+        scored.groupBy("component")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("n_chars"),
+                    (-F.col("doc_id")).alias("neg_id"),
+                    F.col("doc_id").alias("kid"),
+                )
+            ).alias("m")
+        )
+        .select("component", F.col("m.kid").alias("kept_doc_id"))
+    )
+    out = scored.join(keeper, "component").collect()
+    by_comp: dict[int, list] = {}
+    for r in out:
+        by_comp.setdefault(r["component"], []).append(r)
+    for c, rows in by_comp.items():
+        members = {r["doc_id"] for r in rows}
+        kept = {r["kept_doc_id"] for r in rows}
+        assert len(kept) == 1
+        k = kept.pop()
+        assert k in members
+        best = max(rows, key=lambda r: (r["n_chars"], -r["doc_id"]))
+        assert k == best["doc_id"]

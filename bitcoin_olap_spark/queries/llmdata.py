@@ -3742,12 +3742,15 @@ def sim_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         src_col="doc_a",
         dst_col="doc_b",
     ).select(F.col("node").alias("doc_id"), "component")
+    # keeper and the output join both consume scored (3 longs per doc)
+    # — cached so the component/length join subtree runs once (same
+    # harness-owned lifetime contract as the chunk caches)
     scored = comp.join(
         docs.select(
             "doc_id", F.length("text").cast("long").alias("n_chars")
         ),
         "doc_id",
-    )
+    ).cache()
     keeper = (
         scored.groupBy("component")
         .agg(

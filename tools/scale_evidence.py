@@ -91,6 +91,7 @@ ANNOTATIONS: dict[str, str] = {
         " — CROSSES UNDER THE BAR"
     ),
     "stat_weighted_median": "bucket rank-pick; sf1 **0.66x** — inverts",
+    "text_cdc_dedup": "sf1 **0.34x** — inverts",
     "text_dedup_chunks": "sf1 **0.72x** — inverts",
     "text_rake": "sf1 **0.70x** — inverts",
     "text_tfidf": "sf1 **0.36x** — inverts",

@@ -509,3 +509,19 @@ def test_scd2_single_exchange_single_sort(spark, q):
     assert len(exchanges) == 1, p
     assert len(sorts) == 1, p
     assert "Python" not in p
+
+
+def test_cdc_chunker_is_map_side_jvm(spark, q):
+    """text_cdc_dedup's claim: the content-defined chunker is map-side
+    array work — document grain in, chunk grain out, with NO exchange
+    of word-grain rows and no Python stage. The only plain exchanges
+    are the deliberate spread repartition and the three chunk/doc
+    aggregates (boilerplate frequency, reassembly, totals)."""
+    import re
+
+    p = plan_str(q["text_cdc_dedup"](spark, SF))
+    assert "Python" not in p, p
+    real = [
+        ln for ln in p.splitlines() if re.search(r"\(\d+\) Exchange", ln)
+    ]
+    assert len(real) <= 4, p

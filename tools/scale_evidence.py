@@ -80,7 +80,8 @@ ANNOTATIONS: dict[str, str] = {
     "sim_topk_pq": "sf1 **0.14x** — inverts (codebook training included)",
     "snk_ingest_lsh_loop": "sf1 **1.57x** — crosses under the bar",
     "snk_scd2": (
-        "single-sort plan; sf1 2.79x, sf3 2.07x — window-sort exchange class"
+        "single-sort plan; sf1 2.79x, sf3 2.07x, sf10 **1.95x**"
+        " — crosses under the bar"
     ),
     "snk_zorder_cluster": (
         "duck 0.11 s at sf1 too; spark flat 0.60 -> 0.46 s"

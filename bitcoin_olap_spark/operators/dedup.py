@@ -507,11 +507,13 @@ def incremental_lsh_pairs(
     )
     cand = scoped_cache(cross.unionByName(intra).distinct())
     # exact verify: shingle arrays exist for the whole (small) batch;
-    # corpus docs are re-shingled ONLY if a candidate names them
-    cand_ids = (
-        cand.select(F.col("doc_a").alias(id_col))
-        .unionByName(cand.select(F.col("doc_b").alias(id_col)))
-        .distinct()
+    # corpus docs are re-shingled ONLY if a candidate names them.
+    # cand_ids feeds a LEFT SEMI join only, which dedupes inherently —
+    # a .distinct() here would spend a whole exchange+aggregate job to
+    # shrink an already-candidate-sized relation (measured: removing
+    # it is flat-to-better at sf0.1 on both consumers of this path)
+    cand_ids = cand.select(F.col("doc_a").alias(id_col)).unionByName(
+        cand.select(F.col("doc_b").alias(id_col))
     )
     corpus_arrs = _shingle_arrs(
         corpus.join(cand_ids, id_col, "left_semi"), id_col, text_col, n

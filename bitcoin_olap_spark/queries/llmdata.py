@@ -3894,7 +3894,10 @@ def snk_ingest_lsh_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         op="lsh-batch1",
     )
     pairs2 = D.incremental_lsh_pairs(
-        corpus0.unionByName(batch1),
+        # corpus0 ∪ batch1 == doc_id % 10 != 0: ONE scan + one filter
+        # instead of a two-branch union that scans documents twice in
+        # the verify's semi-join subtree
+        docs.filter(F.col("doc_id") % 10 != 0),
         batch2,
         "doc_id",
         "text",

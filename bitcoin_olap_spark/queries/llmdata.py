@@ -3773,6 +3773,60 @@ def sim_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CLUSTER_SPLIT_ORACLE = _CC_ORACLE.replace(
+    _CC_FINAL,
+    f""", comp AS (
+        {_CC_FINAL}
+    )
+    SELECT doc_id, component,
+           substr(md5(CAST(component AS VARCHAR)), 1, 2) AS h2,
+           CASE WHEN substr(md5(CAST(component AS VARCHAR)), 1, 2) < '1a'
+                THEN 'eval' ELSE 'train' END AS split
+    FROM comp""",
+)
+
+
+@query("sample_cluster_split", oracle=_CLUSTER_SPLIT_ORACLE)
+def sample_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUP-AWARE train/eval split: hash-split by CLUSTER, not by
+    document. sample_hash_split's per-doc assignment leaks through
+    near-duplicates — two 0.9-Jaccard copies of one document hash to
+    independent splits, so the eval set contains soft copies of
+    training documents (the contamination text_contamination measures
+    after the fact). Splitting on the connected-component id instead
+    makes the guarantee structural: every near-dup pair shares a
+    component, every component shares a split, so NO near-dup pair can
+    straddle train/eval (property-tested, including a witness that the
+    doc-level split DOES straddle on the same corpus). ~10% eval via
+    the same md5-hex-prefix threshold idiom as sample_hash_split —
+    deterministic, RNG-free, engine-portable.
+
+    Plan: pair generation + min-label propagation are
+    dedup_doc_clusters' audited shapes; the split itself is one
+    map-side expression on the component id — no extra shuffle. In
+    production the pair seam takes the LSH tier's output
+    (minhash_lsh_pairs / incremental_lsh_pairs) and the split column
+    feeds partitionBy on the training-shard write."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    comp = D.connected_components(
+        pairs,
+        docs.select("doc_id"),
+        id_col="doc_id",
+        src_col="doc_a",
+        dst_col="doc_b",
+    ).select(F.col("node").alias("doc_id"), "component")
+    h2 = F.substring(
+        F.md5(F.col("component").cast("string").cast("binary")), 1, 2
+    )
+    return comp.select(
+        "doc_id",
+        "component",
+        h2.alias("h2"),
+        F.when(h2 < "1a", "eval").otherwise("train").alias("split"),
+    )
+
+
 # The incremental oracle IS the full-corpus LSH oracle with its
 # candidate join restricted to batch-involving pairs (>= 1 side with
 # doc_id % 10 = 0) — the statement of the operator's contract: an

@@ -2079,3 +2079,53 @@ def test_canonical_keep_election(spark, lens, n_comp):
         assert k in members
         best = max(rows, key=lambda r: (r["n_chars"], -r["doc_id"]))
         assert k == best["doc_id"]
+
+
+def test_cluster_split_never_straddles_near_dup_pairs(spark):
+    """sample_cluster_split's structural guarantee on the real corpus:
+    every near-dup pair (the same exact-Jaccard pair relation the
+    operator clusters) has BOTH endpoints in the same split — and the
+    per-document hash split (sample_hash_split's assignment rule)
+    DOES straddle at least one near-dup pair on the same corpus, the
+    leak the cluster split exists to close."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.catalog import table
+    from bitcoin_olap_spark.operators import dedup as D
+    from bitcoin_olap_spark.queries.llmdata import sample_cluster_split
+
+    sf = "/root/testdata/sf0.01"
+    splits = sample_cluster_split(spark, sf).select("doc_id", "split")
+    docs = table(spark, sf, "documents")
+    pairs = D.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    sa = splits.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    joined = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    n_pairs = joined.count()
+    assert n_pairs > 0, "corpus must contain near-dup pairs"
+    straddling = joined.filter(
+        F.col("split_a") != F.col("split_b")
+    ).count()
+    assert straddling == 0, f"{straddling} of {n_pairs} pairs leak"
+
+    # witness: the DOC-level hash rule straddles on this corpus
+    doc_h2 = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
+    )
+    doc_split = F.when(doc_h2 < "1a", "eval").otherwise("train")
+    da = docs.select(
+        F.col("doc_id").alias("doc_a"), doc_split.alias("split_a")
+    )
+    db = docs.select(
+        F.col("doc_id").alias("doc_b"), doc_split.alias("split_b")
+    )
+    doc_straddling = (
+        pairs.join(da, "doc_a").join(db, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+    assert doc_straddling > 0, "doc-level split did not leak here"

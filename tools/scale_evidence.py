@@ -70,6 +70,8 @@ ANNOTATIONS: dict[str, str] = {
     "pipeline_mm_e2e": "sf1 **0.40x** — inverts",
     "pipeline_rag_e2e": "sf1 **1.62x** — crosses under the bar",
     "sample_ccnet_buckets": "sf1 **0.79x** — inverts",
+    "sample_cluster_split": "sf1 **0.51x** — inverts",
+    "sim_canonical_keep": "sf1 **0.32x** — inverts",
     "sim_containment": "sf1 **0.63x** — inverts",
     "sim_containment_dfcap": "sf1 **1.53x** — crosses under the bar",
     "sim_dedup_incremental": "sf1 **1.44x** — crosses under the bar",

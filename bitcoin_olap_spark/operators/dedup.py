@@ -515,8 +515,18 @@ def incremental_lsh_pairs(
     cand_ids = cand.select(F.col("doc_a").alias(id_col)).unionByName(
         cand.select(F.col("doc_b").alias(id_col))
     )
+    # broadcast the candidate ids: without a shuffle boundary on this
+    # side AQE cannot re-plan the semi-join, and the static planner
+    # SORT-MERGES — shuffling the whole CORPUS to probe a relation
+    # bounded by the batch's candidate count (executed-plan audit,
+    # tests/test_plans.py::test_incremental_probe_and_verify_join_shapes).
+    # Size regime: cand_ids ≤ 2x candidate pairs of ONE ingest batch —
+    # the same small-batch bound the probe join's broadcast relies on.
     corpus_arrs = _shingle_arrs(
-        corpus.join(cand_ids, id_col, "left_semi"), id_col, text_col, n
+        corpus.join(F.broadcast(cand_ids), id_col, "left_semi"),
+        id_col,
+        text_col,
+        n,
     )
     return _verify_jaccard(
         cand, batch_arrs.unionByName(corpus_arrs), id_col, threshold

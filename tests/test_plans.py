@@ -525,3 +525,19 @@ def test_cdc_chunker_is_map_side_jvm(spark, q):
         ln for ln in p.splitlines() if re.search(r"\(\d+\) Exchange", ln)
     ]
     assert len(real) <= 4, p
+
+
+def test_incremental_probe_and_verify_join_shapes(spark, q):
+    """incremental_lsh_pairs' two scale claims, pinned on the EXECUTED
+    adaptive plan (static explain cannot see AQE's runtime choice):
+    the band-key probe join against the corpus index broadcasts the
+    small banded batch, and the exact-verify's corpus semi-join
+    broadcasts the candidate ids — the corpus relation is never
+    shuffled on the id key (un-hinted, the static planner sort-merged
+    it: a fact-scale exchange to probe a batch-bounded set)."""
+    df = q["sim_dedup_incremental"](spark, SF)
+    df.write.format("noop").mode("overwrite").save()
+    ep = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in ep
+    assert "SortMergeJoin" not in ep, ep
+    assert "BroadcastHashJoin" in ep

@@ -640,7 +640,12 @@ def pipeline_rag_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         dots.join(cnorm, "cid")
-        .join(qnorm, "q")
+        # query-side norms are query-batch-bounded (3 rows here):
+        # un-hinted the planner SORT-MERGED this join, sorting the
+        # (q, cid) score relation on q for a 3-row probe (executed-plan
+        # sweep); broadcast is the retrieval-serving discipline — the
+        # query batch is the small side at any corpus size
+        .join(F.broadcast(qnorm), "q")
         .join(corp.select("cid", "doc_id", "chunk_id"), "cid")
         .filter(F.col("doc_id") != F.col("q"))
         .select(

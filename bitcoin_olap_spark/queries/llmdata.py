@@ -3607,13 +3607,16 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = sim_topk_bruteforce(spark, sf_dir).select(
         "query_id", "vec_id"
     )
+    # both relations are (query batch x k)-bounded at ANY corpus size
+    # — the executed plan sort-merged them un-hinted (sorting k-row
+    # relations); broadcast is the eval-join discipline
     hits = (
-        ex.join(pq, ["query_id", "vec_id"], "left_semi")
+        ex.join(F.broadcast(pq), ["query_id", "vec_id"], "left_semi")
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
     )
     qs = ex.select("query_id").distinct()
-    return qs.join(hits, "query_id", "left").select(
+    return qs.join(F.broadcast(hits), "query_id", "left").select(
         "query_id",
         F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
         F.round(

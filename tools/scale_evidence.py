@@ -68,19 +68,20 @@ ANNOTATIONS: dict[str, str] = {
     "mm_imghash_dedup": "spread decode scan; sf1 **0.24x** — inverts",
     "mm_video_interframe": "sf1 **0.71x** — inverts",
     "pipeline_mm_e2e": "sf1 **0.40x** — inverts",
-    "pipeline_rag_e2e": "sf1 **1.62x** — crosses under the bar",
+    "pipeline_rag_e2e": "sf1 **1.56x** — crosses under the bar",
     "sample_ccnet_buckets": "sf1 **0.79x** — inverts",
     "sample_cluster_split": "sf1 **0.51x** — inverts",
     "sim_canonical_keep": "sf1 **0.32x** — inverts",
     "sim_containment": "sf1 **0.63x** — inverts",
     "sim_containment_dfcap": "sf1 **1.53x** — crosses under the bar",
-    "sim_dedup_incremental": "sf1 **1.44x** — crosses under the bar",
+    "sim_ann_recall": "sf1 **0.24x** — inverts",
+    "sim_dedup_incremental": "sf1 **1.14x** — crosses under the bar",
     "sim_jaccard_dfcap": "sf1 **1.31x** — crosses under the bar",
     "sim_maxsim": "sf1 **0.86x** — inverts",
     "sim_tfidf_topk": "sf1 **1.98x** — crosses under the bar",
     "sim_topk_ivf": "sf1 **0.27x** — inverts",
     "sim_topk_pq": "sf1 **0.14x** — inverts (codebook training included)",
-    "snk_ingest_lsh_loop": "sf1 **1.57x** — crosses under the bar",
+    "snk_ingest_lsh_loop": "sf1 **1.15x** — crosses under the bar",
     "snk_scd2": (
         "single-sort plan; sf1 2.79x, sf3 2.07x, sf10 **1.95x**"
         " — crosses under the bar"

@@ -1208,6 +1208,111 @@ def snk_acid_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _diff_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Once per (process, sf_dir): a keyed CoW table with three
+    versions — v0 = lineitem deduplicated to one row per
+    (l_orderkey, l_linenumber) (max-pick, the same PK contract
+    snk_acid_merge uses), v1 = DELETE of the low-orderkey range,
+    v2 = MERGE of bumped quantities for [3000, 5000) plus fresh
+    +10M-offset keys — so the v0 -> v2 diff exercises all three
+    change kinds at once."""
+    root = _tmp(f"acid_diff_{os.path.basename(os.path.abspath(sf_dir))}")
+    if not _fixture_ready(root, 2, "merge"):
+        base = (
+            table(spark, sf_dir, "lineitem")
+            .groupBy("l_orderkey", "l_linenumber")
+            .agg(
+                F.max("l_quantity").alias("qty"),
+                F.max("l_returnflag").alias("flag"),
+            )
+            .repartitionByRange(8, "l_orderkey")
+        )
+        AT.init_table(spark, root, base)
+        AT.delete_where(spark, root, F.col("l_orderkey") < 3000)
+        updates = base.filter(
+            (F.col("l_orderkey") >= 3000) & (F.col("l_orderkey") < 5000)
+        ).select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("qty") + 100).alias("qty"),
+            "flag",
+        )
+        inserts = base.filter(F.col("l_orderkey") % 97 == 0).select(
+            (F.col("l_orderkey") + 10000000).alias("l_orderkey"),
+            "l_linenumber",
+            F.lit(999.0).alias("qty"),
+            F.lit("Z").alias("flag"),
+        )
+        AT.merge_upsert(
+            spark,
+            root,
+            updates.unionByName(inserts),
+            ["l_orderkey", "l_linenumber"],
+        )
+    return root
+
+
+@query(
+    "snk_table_diff",
+    oracle="""
+    WITH base AS (
+        SELECT l_orderkey, l_linenumber,
+               MAX(l_quantity) AS qty, MAX(l_returnflag) AS flag
+        FROM lineitem GROUP BY 1, 2
+    ),
+    v2 AS (
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_orderkey >= 3000 AND l_orderkey < 5000
+                    THEN qty + 100 ELSE qty END AS qty,
+               flag
+        FROM base WHERE l_orderkey >= 3000
+        UNION ALL
+        SELECT l_orderkey + 10000000, l_linenumber,
+               CAST(999.0 AS DOUBLE), 'Z'
+        FROM base WHERE l_orderkey % 97 = 0
+    )
+    SELECT COALESCE(o.l_orderkey, n.l_orderkey) AS l_orderkey,
+           COALESCE(o.l_linenumber, n.l_linenumber) AS l_linenumber,
+           CASE WHEN o.l_orderkey IS NULL THEN 'insert'
+                WHEN n.l_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change,
+           o.qty AS old_qty, n.qty AS new_qty,
+           o.flag AS old_flag, n.flag AS new_flag
+    FROM base o FULL OUTER JOIN v2 n
+      ON o.l_orderkey = n.l_orderkey
+     AND o.l_linenumber = n.l_linenumber
+    WHERE o.l_orderkey IS NULL OR n.l_orderkey IS NULL
+       OR o.qty IS DISTINCT FROM n.qty
+       OR o.flag IS DISTINCT FROM n.flag
+    """,
+)
+def snk_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE-DATA-FEED read between two ACID snapshots
+    (operators/acidtable.table_changes — the public design of Delta's
+    `table_changes`/CDF re-derived): the v0 -> v2 row-level diff of
+    the keyed CoW fixture, classifying every changed key as
+    insert / update / delete with old/new values side by side —
+    the producer half of CDC, whose consumer half snk_cdc_apply
+    already covers. The oracle states the full-relational semantic
+    (both snapshots reconstructed from lineitem, full-outer join,
+    value-distinct filter).
+
+    The engine never joins snapshot-vs-snapshot: files present in
+    both manifests are immutable and cannot contribute changes, so
+    table_changes scans ONLY the manifest-level file difference
+    (removed files = old rows, added files = new rows) and runs one
+    keyed full-outer join over that subset — cost proportional to
+    what the commits touched, never to the table. On a 100 TB table
+    where a day's commits rewrite 0.1% of files this is the only
+    CDC-read shape that works; the carried-verbatim rows a CoW
+    rewrite copies into new files join equal and are filtered by the
+    null-safe value compare."""
+    root = _diff_fixture(spark, sf_dir)
+    return AT.table_changes(
+        spark, root, ["l_orderkey", "l_linenumber"], v_from=0
+    )
+
+
 @query(
     "snk_acid_optimize",
     oracle="""

@@ -2129,3 +2129,146 @@ def test_cluster_split_never_straddles_near_dup_pairs(spark):
         .count()
     )
     assert doc_straddling > 0, "doc-level split did not leak here"
+
+
+def test_table_changes_reconstructs_and_scans_only_changed_files(
+    spark, tmp_path
+):
+    """operators/acidtable.table_changes (the CDF read) contract:
+    (a) classification is exact per change kind and unchanged keys
+    never emit; (b) applying the diff to the older snapshot
+    reconstructs the newer one (delete the 'delete' keys, upsert the
+    new values of the rest); (c) the diff plan reads ONLY the
+    manifest-level file difference — a file carried between the two
+    versions never enters the scan, which is the whole scale
+    property."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators import acidtable as AT
+
+    root = str(tmp_path / "tbl")
+    base = spark.range(0, 400).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    ).repartitionByRange(4, "id")
+    AT.init_table(spark, root, base)
+    AT.delete_where(spark, root, F.col("id") < 50)  # v1
+    ups = spark.range(100, 140).select(
+        F.col("id"), F.lit(-1).cast("long").alias("v")
+    )
+    ins = spark.range(1000, 1020).select(
+        F.col("id"), F.lit(7).cast("long").alias("v")
+    )
+    AT.merge_upsert(spark, root, ups.unionByName(ins), ["id"])  # v2
+
+    diff = AT.table_changes(spark, root, ["id"], v_from=0)
+    rows = {r["id"]: r for r in diff.collect()}
+    assert {r for r in rows if rows[r]["change"] == "delete"} == set(
+        range(0, 50)
+    )
+    assert {r for r in rows if rows[r]["change"] == "update"} == set(
+        range(100, 140)
+    )
+    assert {r for r in rows if rows[r]["change"] == "insert"} == set(
+        range(1000, 1020)
+    )
+    assert all(
+        r["new_v"] == -1 and r["old_v"] == 2 * r["id"]
+        for r in rows.values()
+        if r["change"] == "update"
+    )
+    assert len(rows) == 50 + 40 + 20  # unchanged keys never emit
+
+    # (b) v0 + diff == v2
+    v0 = AT.snapshot(spark, root, version=0)
+    upserts = diff.filter(F.col("change") != "delete").select(
+        "id", F.col("new_v").alias("v")
+    )
+    applied = v0.join(diff.select("id"), "id", "left_anti").unionByName(
+        upserts
+    )
+    v2 = AT.snapshot(spark, root)
+    assert applied.exceptAll(v2).count() == 0
+    assert v2.exceptAll(applied).count() == 0
+
+    # (c) scan inventory == manifest-level file difference
+    f0 = set(AT._resolve_files(root, 0))
+    f2 = set(AT._resolve_files(root, AT.current_version(root)))
+    expect = {os.path.realpath(p) for p in (f0 ^ f2)}
+    scanned = {
+        os.path.realpath(p.replace("file://", "").split("?")[0])
+        for p in diff.inputFiles()
+    }
+    assert scanned == expect, (scanned, expect)
+
+
+def test_table_changes_noop_versions_emit_nothing(spark, tmp_path):
+    """Diffing a version against itself (or across commits that only
+    carried files) yields an empty relation without scanning data."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators import acidtable as AT
+
+    root = str(tmp_path / "tbl")
+    AT.init_table(
+        spark, root, spark.range(0, 10).select(F.col("id"))
+    )
+    diff = AT.table_changes(spark, root, ["id"], v_from=0, v_to=0)
+    assert diff.count() == 0
+
+
+def test_graph_cc_is_a_fixpoint_partition(spark):
+    """graph_connected_components invariants (sf0.001): (a) both
+    endpoints of every strong edge share a component, (b) every
+    component's label equals the MINIMUM of its member ids, (c) every
+    label is itself a member of its component — together: the labels
+    are exactly the min-reachable fixpoint, independent of the oracle
+    compare."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    labels = all_queries()["graph_connected_components"](spark, sf)
+
+    li = (
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+            "l_orderkey",
+        )
+        .distinct()
+        .groupBy("u", "v")
+        .count()
+        .filter(F.col("count") >= 2)
+        .select("u", "v")
+    )
+    lu = labels.select(
+        F.col("node").alias("u"), F.col("component").alias("cu")
+    )
+    lv = labels.select(
+        F.col("node").alias("v"), F.col("component").alias("cv")
+    )
+    joined = edges.join(lu, "u").join(lv, "v")
+    assert joined.count() == edges.count(), "edge endpoints missing"
+    assert joined.filter(F.col("cu") != F.col("cv")).count() == 0
+
+    mins = labels.groupBy("component").agg(F.min("node").alias("mn"))
+    assert mins.filter(F.col("component") != F.col("mn")).count() == 0
+    member = labels.join(
+        labels.select(
+            F.col("node").alias("component"),
+            F.col("component").alias("c2"),
+        ),
+        "component",
+    ).filter(F.col("c2") != F.col("component"))
+    assert member.count() == 0, "a label is not a member of its own component"

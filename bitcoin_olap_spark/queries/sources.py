@@ -1314,6 +1314,61 @@ def snk_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "snk_cdc_feed",
+    oracle="""
+    WITH base AS (
+        SELECT l_orderkey, l_linenumber,
+               MAX(l_quantity) AS qty, MAX(l_returnflag) AS flag
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_orderkey, l_linenumber, 'delete' AS change,
+           qty AS old_qty, CAST(NULL AS DOUBLE) AS new_qty,
+           flag AS old_flag, CAST(NULL AS VARCHAR) AS new_flag,
+           CAST(1 AS BIGINT) AS version
+    FROM base WHERE l_orderkey < 3000
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'update',
+           qty, qty + 100, flag, flag, 2
+    FROM base WHERE l_orderkey >= 3000 AND l_orderkey < 5000
+    UNION ALL
+    SELECT l_orderkey + 10000000, l_linenumber, 'insert',
+           CAST(NULL AS DOUBLE), CAST(999.0 AS DOUBLE),
+           CAST(NULL AS VARCHAR), 'Z', 2
+    FROM base WHERE l_orderkey % 97 = 0
+    """,
+)
+def snk_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL change feed from the commit log: one
+    table_changes(v-1, v) relation PER COMMIT, tagged with its
+    version — the producer loop of a streaming CDF source (Delta's
+    readStream CDF resolves new log versions on the driver, metadata
+    only, and schedules each commit's file-difference scan as a
+    micro-batch; this is that loop unrolled over the fixture's log).
+    Completes the CDC triangle: snk_cdc_apply consumes a feed,
+    snk_table_diff reads one point-to-point diff, this emits the
+    per-commit feed a downstream subscriber replays — and version ids
+    make consumption idempotent (the exactly-once offset contract).
+
+    The oracle states the expected feed literally: commit 1 (the
+    range DELETE) emits only deletes, commit 2 (the MERGE) emits only
+    updates and inserts. Scale inventory is per-commit, not
+    per-table: each union term scans that commit's added+removed
+    files and joins on the key — a day of commits on a 100 TB table
+    costs the day's touched files, replayed from closed immutable
+    manifests so a late subscriber reconstructs the identical feed."""
+    root = _diff_fixture(spark, sf_dir)
+    head = AT.current_version(root)
+    keys = ["l_orderkey", "l_linenumber"]
+    feed = None
+    for v in range(1, head + 1):
+        d = AT.table_changes(
+            spark, root, keys, v_from=v - 1, v_to=v
+        ).withColumn("version", F.lit(v).cast("long"))
+        feed = d if feed is None else feed.unionByName(d)
+    return feed
+
+
+@query(
     "snk_acid_optimize",
     oracle="""
     WITH full_t AS (

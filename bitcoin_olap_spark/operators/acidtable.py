@@ -277,6 +277,7 @@ def _commit(
     add: list[str] = (),
     remove: list[str] = (),
     stats: dict | None = None,
+    cdc: list[str] | None = None,
 ) -> None:
     """Atomically publish `version` as a DELTA manifest — only the
     files added/removed vs version-1, so the commit write is
@@ -301,6 +302,12 @@ def _commit(
         # stats is simply never skipped), so old manifests and new
         # readers interoperate in both directions
         manifest["stats"] = stats
+    if cdc is not None:
+        # OPTIONAL write-time materialized change data (Delta's
+        # _change_data design): same compatibility posture as stats —
+        # snapshot readers never look at it, CDF readers require it
+        # only for commits that removed files
+        manifest["cdc"] = sorted(cdc)
     tmp = os.path.join(_log_dir(root), f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:
         json.dump(manifest, f)
@@ -777,11 +784,90 @@ def table_changes(
     )
 
 
-def delete_where(spark: SparkSession, root: str, cond) -> int:
+def _change_dir(root: str, version: int) -> str:
+    """Per-commit materialized change-data directory (the design of
+    Delta's `_change_data` folder): rows describing what commit
+    `version` did, written BY the commit, so CDF reads are pure file
+    scans with no read-time join."""
+    return os.path.join(root, "_change_data", f"v{version}")
+
+
+def _write_change_files(df: DataFrame, root: str, version: int) -> list[str]:
+    """Persist change rows for `version` as immutable parquet under
+    _change_data/ (outside data/, so they are never part of any
+    snapshot) and return their paths."""
+    sub = _change_dir(root, version)
+    # a crashed/lost-race writer may have left this version's change
+    # dir torn; it is only authoritative once version <= head, so an
+    # uncommitted leftover is safe to rebuild from scratch
+    if os.path.isdir(sub) and version > current_version(root):
+        shutil.rmtree(sub)
+    df.write.mode("error").parquet(sub)
+    return [
+        os.path.join(sub, f)
+        for f in os.listdir(sub)
+        if f.endswith(".parquet")
+    ]
+
+
+class ChangeDataUnavailable(RuntimeError):
+    """A commit in the requested CDF range rewrote files without
+    materializing change data (cdf=False) — same contract as Delta's
+    'change data was not recorded' error. Point-to-point diffs are
+    still available via the join-based table_changes()."""
+
+
+def change_inventory(
+    root: str, v_from: int, v_to: int | None = None
+) -> list[tuple[str, str | None, int]]:
+    """Driver-side (metadata-only) plan of a CDF read over versions
+    (v_from, v_to]: one (file, derived_change_type, version) task per
+    change file. Commits that only ADD files (init/append/ingest) need
+    no materialized change data — their added data files ARE the
+    insert rows, tagged at read time (Delta's exact optimization); a
+    `restore` is the same carry-forward shape (its adds re-expose rows
+    from older, immutable files) so its re-added files read as
+    inserts too. Commits that REMOVE files must have been written with
+    cdf=True, else ChangeDataUnavailable. Cost: O(log entries) driver
+    metadata; every yielded task is an independent file scan — the
+    whole feed is embarrassingly parallel with NO read-time join."""
+    v_to = current_version(root) if v_to is None else v_to
+    out: list[tuple[str, str | None, int]] = []
+    for v in range(v_from + 1, v_to + 1):
+        m = _read_raw(root, v)
+        cdc = m.get("cdc")
+        if cdc is not None:
+            out += [(f, None, v) for f in sorted(cdc)]
+        elif not m.get("remove") and "files" not in m:
+            out += [(f, "insert", v) for f in sorted(m.get("add", ()))]
+        else:
+            raise ChangeDataUnavailable(
+                f"version {v} ({m.get('op')}) rewrote files without "
+                "materialized change data; re-run the writer with "
+                "cdf=True or use table_changes() for a join-based diff"
+            )
+    return out
+
+
+def changes_since(root: str, v_from: int) -> tuple[int, int]:
+    """(head version, number of change files after v_from) — the
+    metadata poll a CDF subscriber runs per micro-batch."""
+    head = current_version(root)
+    return head, len(change_inventory(root, v_from, head))
+
+
+def delete_where(spark: SparkSession, root: str, cond, cdf: bool = False) -> int:
     """ACID DELETE via file-level copy-on-write: only files that
     contain at least one matching row are rewritten (without their
     matching rows); every other file carries over into the new
-    manifest untouched. Returns the committed version."""
+    manifest untouched. Returns the committed version.
+
+    cdf=True additionally materializes the deleted rows (plus a
+    `_change_type='delete'` column) under _change_data/ and records
+    them in the manifest — write-time CDC. The change scan reads the
+    SAME affected files the rewrite already reads (one extra filtered
+    pass over O(touched files), never the table), and downstream CDF
+    reads become pure parallel file scans with no join at all."""
     base = current_version(root)
     files = _resolve_files(root, base)
     snap = spark.read.parquet(*files)
@@ -808,10 +894,23 @@ def delete_where(spark: SparkSession, root: str, cond) -> int:
             ~F.coalesce(cond, F.lit(False))
         )
         new_files = _write_data_files(rewritten, root)
+    change_files: list[str] = []
+    if cdf and affected:
+        deleted = (
+            spark.read.parquet(*sorted(affected))
+            .filter(F.coalesce(cond, F.lit(False)))
+            .withColumn("_change_type", F.lit("delete"))
+        )
+        change_files = _write_change_files(deleted, root, base + 1)
     # delta commit: untouched files carry over implicitly — the
     # manifest write is O(affected files), not O(table files)
     _commit(
-        root, base + 1, "delete", add=new_files, remove=sorted(affected)
+        root,
+        base + 1,
+        "delete",
+        add=new_files,
+        remove=sorted(affected),
+        cdc=change_files if cdf else None,
     )
     return base + 1
 
@@ -914,6 +1013,13 @@ def vacuum(root: str, keep_versions: int = 1, _max_rescans: int = 8) -> int:
         for path in (_manifest_path(root, v), _checkpoint_path(root, v)):
             if os.path.exists(path):
                 os.unlink(path)
+        # a dropped version's materialized change data goes with its
+        # manifest — CDF history shares time travel's retention window
+        # (Delta's rule). Always under this table's own root, so no
+        # containment question arises.
+        cdir = _change_dir(root, v)
+        if os.path.isdir(cdir):
+            shutil.rmtree(cdir, ignore_errors=True)
     # drop now-empty data subdirectories
     ddir = _data_dir(root)
     if os.path.isdir(ddir):
@@ -931,6 +1037,7 @@ def merge_upsert(
     root: str,
     updates: DataFrame,
     key_cols: list[str],
+    cdf: bool = False,
 ) -> int:
     """ACID MERGE (upsert) via the same file-level copy-on-write as
     delete_where: files containing a matched key are rewritten with
@@ -939,7 +1046,15 @@ def merge_upsert(
     file probe is one semi-join keyed scan (update keys are typically
     tiny vs the table, so AQE broadcasts them), and the rewrite reads
     ONLY affected files — O(touched files + updates), never O(table).
-    Returns the committed version."""
+    Returns the committed version.
+
+    cdf=True materializes write-time change data under _change_data/:
+    matched old rows as `update_preimage`, their replacement update
+    rows as `update_postimage`, unmatched update rows as `insert` —
+    Delta's exact CDF row vocabulary. The split reuses relations the
+    merge already computes (affected-file rows + the updates), so the
+    extra cost is O(touched files + updates); CDF reads then never
+    join at all."""
     base = current_version(root)
     snap = spark.read.parquet(*_resolve_files(root, base))
     keys = updates.select(*key_cols).distinct()
@@ -972,9 +1087,32 @@ def merge_upsert(
         new_files += _write_data_files(survivors, root)
     # matched updates replace their old rows; unmatched updates insert
     new_files += _write_data_files(updates, root)
+    change_files: list[str] = []
+    if cdf:
+        if affected:
+            old_rows = spark.read.parquet(*sorted(affected))
+            old_keys = old_rows.select(*key_cols).distinct()
+            pre = old_rows.join(keys, key_cols, "left_semi").withColumn(
+                "_change_type", F.lit("update_preimage")
+            )
+            post = updates.join(
+                old_keys, key_cols, "left_semi"
+            ).withColumn("_change_type", F.lit("update_postimage"))
+            ins = updates.join(
+                old_keys, key_cols, "left_anti"
+            ).withColumn("_change_type", F.lit("insert"))
+            changes = pre.unionByName(post).unionByName(ins)
+        else:
+            changes = updates.withColumn("_change_type", F.lit("insert"))
+        change_files = _write_change_files(changes, root, base + 1)
     # delta commit: O(touched files + updates) metadata, not O(table)
     _commit(
-        root, base + 1, "merge", add=new_files, remove=sorted(affected)
+        root,
+        base + 1,
+        "merge",
+        add=new_files,
+        remove=sorted(affected),
+        cdc=change_files if cdf else None,
     )
     return base + 1
 

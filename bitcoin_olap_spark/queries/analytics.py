@@ -251,18 +251,71 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ml_kmeans", oracle=None)
+@query(
+    "ml_kmeans",
+    oracle="""
+    SELECT vec_id,
+           TRUE AS cluster_in_range,
+           TRUE AS dist_ok,
+           TRUE AS sse_le_k1
+    FROM embeddings
+    """,
+)
 def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMeans(k=10) over the embedding corpus (ml/clustering.py):
-    distributed Lloyd iterations, fixed seed, returns per-vector
-    cluster assignment + centroid distance. Iterative — not
-    SQL-expressible, so rows-only for the driver; tests pin totality,
-    seed-determinism, and cluster-range invariants."""
+    distributed Lloyd iterations, fixed seed, per-vector assignment.
+
+    The assignment VALUES are estimator-defined (pyspark.ml's
+    k-means|| seeding is not reproducible in any external engine), so
+    — per the same envelope-oracle posture as the HLL/CMS sketch rows
+    (aggregates.py) — the registered output is the checkable
+    projection: per-vector totality (every vec_id exactly once, hashed
+    by the driver), cluster in [0, k), a finite non-negative distance,
+    and the Lloyd-optimality envelope SSE <= SSE(k=1). The last bound
+    is mathematically guaranteed once an update step has run: final
+    centroids are cluster means, and per-cluster SSE around the mean
+    is <= per-cluster SSE around the GLOBAL mean, summing to the k=1
+    objective. A violated envelope (broken seeding, NaN features,
+    truncated fit) turns a row FALSE and hash-mismatches. Value-level
+    parity for the full recurrence lives in ml_kmeans_lloyd, the
+    exact-fixed-point twin whose DuckDB oracle replays the identical
+    iterations. Raw (vec_id, cluster, dist) remains available via
+    ml.kmeans_assign (tests pin determinism + totality on it)."""
     from ..catalog import table as _table
     from ..ml import kmeans_assign
 
     emb = _table(spark, sf_dir, "embeddings")
-    return kmeans_assign(emb, "vec_id", "embedding", k=10)
+    assigned = kmeans_assign(emb, "vec_id", "embedding", k=10)
+
+    # k=1 objective: squared distance to the global mean, summed.
+    # One extra aggregate over the (already small relative to the fit)
+    # embedding relation; both aggregates are map-side partials.
+    xs = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dims = emb.select(
+        F.posexplode(xs).alias("j", "x")
+    )
+    mu = dims.groupBy("j").agg(F.avg("x").alias("mu"))
+    k1_sse = (
+        dims.join(F.broadcast(mu), "j")
+        .select(((F.col("x") - F.col("mu")) ** 2).alias("d2"))
+        .agg(F.sum("d2").alias("k1_sse"))
+    )
+    kmeans_sse = assigned.agg(
+        F.sum(F.col("dist") * F.col("dist")).alias("km_sse")
+    )
+    envelope = kmeans_sse.crossJoin(k1_sse).select(
+        (F.col("km_sse") <= F.col("k1_sse")).alias("sse_le_k1")
+    )
+    return assigned.crossJoin(F.broadcast(envelope)).select(
+        "vec_id",
+        ((F.col("cluster") >= 0) & (F.col("cluster") < 10)).alias(
+            "cluster_in_range"
+        ),
+        (
+            (F.col("dist") >= 0) & ~F.isnan("dist")
+        ).alias("dist_ok"),
+        "sse_le_k1",
+    )
 
 
 # ---- fixed-point Lloyd k-means (oracle-exact twin of ml_kmeans) ---

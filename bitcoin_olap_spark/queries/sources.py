@@ -1208,15 +1208,20 @@ def snk_acid_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _diff_fixture(spark: SparkSession, sf_dir: str) -> str:
+def _diff_fixture(
+    spark: SparkSession, sf_dir: str, cdf: bool = False
+) -> str:
     """Once per (process, sf_dir): a keyed CoW table with three
     versions — v0 = lineitem deduplicated to one row per
     (l_orderkey, l_linenumber) (max-pick, the same PK contract
     snk_acid_merge uses), v1 = DELETE of the low-orderkey range,
     v2 = MERGE of bumped quantities for [3000, 5000) plus fresh
     +10M-offset keys — so the v0 -> v2 diff exercises all three
-    change kinds at once."""
-    root = _tmp(f"acid_diff_{os.path.basename(os.path.abspath(sf_dir))}")
+    change kinds at once. cdf=True builds the same log at a separate
+    root with write-time change data materialized (the acid_cdf
+    source's fixture)."""
+    tag = "acid_cdf" if cdf else "acid_diff"
+    root = _tmp(f"{tag}_{os.path.basename(os.path.abspath(sf_dir))}")
     if not _fixture_ready(root, 2, "merge"):
         base = (
             table(spark, sf_dir, "lineitem")
@@ -1228,7 +1233,9 @@ def _diff_fixture(spark: SparkSession, sf_dir: str) -> str:
             .repartitionByRange(8, "l_orderkey")
         )
         AT.init_table(spark, root, base)
-        AT.delete_where(spark, root, F.col("l_orderkey") < 3000)
+        AT.delete_where(
+            spark, root, F.col("l_orderkey") < 3000, cdf=cdf
+        )
         updates = base.filter(
             (F.col("l_orderkey") >= 3000) & (F.col("l_orderkey") < 5000)
         ).select(
@@ -1248,6 +1255,7 @@ def _diff_fixture(spark: SparkSession, sf_dir: str) -> str:
             root,
             updates.unionByName(inserts),
             ["l_orderkey", "l_linenumber"],
+            cdf=cdf,
         )
     return root
 
@@ -1366,6 +1374,124 @@ def snk_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).withColumn("version", F.lit(v).cast("long"))
         feed = d if feed is None else feed.unionByName(d)
     return feed
+
+
+_CDF_ORACLE_CHANGES = """
+    WITH base AS (
+        SELECT l_orderkey, l_linenumber,
+               MAX(l_quantity) AS qty, MAX(l_returnflag) AS flag
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_orderkey, l_linenumber, qty, flag,
+           'delete' AS "_change_type", CAST(1 AS BIGINT) AS "_commit_version"
+    FROM base WHERE l_orderkey < 3000
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, qty, flag, 'update_preimage', 2
+    FROM base WHERE l_orderkey >= 3000 AND l_orderkey < 5000
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, qty + 100, flag, 'update_postimage', 2
+    FROM base WHERE l_orderkey >= 3000 AND l_orderkey < 5000
+    UNION ALL
+    SELECT l_orderkey + 10000000, l_linenumber, CAST(999.0 AS DOUBLE),
+           'Z', 'insert', 2
+    FROM base WHERE l_orderkey % 97 = 0
+"""
+
+
+@query(
+    "src_cdf_batch",
+    oracle=_CDF_ORACLE_CHANGES,
+)
+def src_cdf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-TIME-MATERIALIZED change-data-feed, batch read:
+    `spark.read.format("acid_cdf")` over the cdf-enabled fixture's
+    versions (0, 2] (sources/cdcfeed.py; Delta's `readChangeFeed`
+    design re-derived). delete_where/merge_upsert with cdf=True
+    persist their change rows under _change_data/ AT COMMIT TIME —
+    the writer already holds both sides of every change in the
+    relations it rewrites, so materialization costs O(touched files)
+    — and the read becomes a pure parallel file scan: the driver walks
+    the commit log (metadata only) and plans one Arrow-batched
+    partition per change file. NO read-time join, unlike
+    snk_table_diff's reconstruction path — the difference is exactly
+    Delta's documented cdf-enabled vs point-diff trade. Emits Delta's
+    CDF vocabulary (insert / delete / update_preimage /
+    update_postimage) + the commit version."""
+    from ..sources.cdcfeed import register_cdcfeed
+
+    root = _diff_fixture(spark, sf_dir, cdf=True)
+    register_cdcfeed(spark)
+    return (
+        spark.read.format("acid_cdf")
+        .option("path", root)
+        .option("v_from", 0)
+        .load()
+    )
+
+
+@query(
+    "stream_cdf_feed",
+    oracle="""
+    WITH base AS (
+        SELECT l_orderkey, l_linenumber,
+               MAX(l_quantity) AS qty, MAX(l_returnflag) AS flag
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_orderkey, l_linenumber, qty, flag,
+           'insert' AS "_change_type", CAST(0 AS BIGINT) AS "_commit_version"
+    FROM base
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, qty, flag, 'delete', 1
+    FROM base WHERE l_orderkey < 3000
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, qty, flag, 'update_preimage', 2
+    FROM base WHERE l_orderkey >= 3000 AND l_orderkey < 5000
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, qty + 100, flag, 'update_postimage', 2
+    FROM base WHERE l_orderkey >= 3000 AND l_orderkey < 5000
+    UNION ALL
+    SELECT l_orderkey + 10000000, l_linenumber, CAST(999.0 AS DOUBLE),
+           'Z', 'insert', 2
+    FROM base WHERE l_orderkey % 97 = 0
+    """,
+)
+def stream_cdf_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING change-data-feed subscription:
+    `spark.readStream.format("acid_cdf")` from startingVersion=0, so
+    the init commit's data files replay as tagged inserts (Delta's
+    derived-insert optimization — append-shaped commits never
+    materialize change rows) followed by the materialized delete and
+    merge changes. Offsets are table VERSIONS: `latestOffset` is one
+    metadata poll, each micro-batch plans (start, end]'s change-file
+    inventory on the driver and scans it on executors as Arrow
+    batches — per-batch cost is the commits' touched files, never the
+    table, and immutable manifests + change files make every offset
+    range exactly replayable (the checkpointed-source half of
+    end-to-end exactly-once; tests replay a version range and a
+    restart). The oracle states the full feed a late subscriber must
+    reconstruct."""
+    from ..sources.cdcfeed import register_cdcfeed
+    from ..streaming.pipeline import _MEMSINK_SEQ, _few_state_partitions
+
+    root = _diff_fixture(spark, sf_dir, cdf=True)
+    register_cdcfeed(spark)
+    feed = (
+        spark.readStream.format("acid_cdf")
+        .option("path", root)
+        .option("startingVersion", 0)
+        .load()
+    )
+    name = f"stream_sink_{next(_MEMSINK_SEQ)}"
+    with _few_state_partitions(spark):
+        q = (
+            feed.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
 
 
 @query(

@@ -10,3 +10,4 @@ scripts.
 """
 
 from .blockfeed import BlockFeedDataSource, register_blockfeed  # noqa: F401
+from .cdcfeed import CdcFeedDataSource, register_cdcfeed  # noqa: F401

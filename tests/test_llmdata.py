@@ -153,18 +153,40 @@ def test_kmeans_assignment_invariants(spark):
     structure — intra vs inter label cosine is 0.0016 vs 0.0003 — so
     purity cannot be asserted; determinism and totality can.)"""
     from bitcoin_olap_spark.catalog import table
-    from bitcoin_olap_spark.registry import all_queries
+    from bitcoin_olap_spark.ml import kmeans_assign
 
     sf = "/root/testdata/sf0.01"
+    emb = table(spark, sf, "embeddings")
     run = lambda: {
         r["vec_id"]: (r["cluster"], round(r["dist"], 9))
-        for r in all_queries()["ml_kmeans"](spark, sf).collect()
+        for r in kmeans_assign(emb, "vec_id", "embedding", k=10).collect()
     }
     a, b = run(), run()
     assert a == b  # fixed seed -> reproducible end to end
-    n = table(spark, sf, "embeddings").count()
+    n = emb.count()
     assert len(a) == n
     assert all(0 <= c < 10 and d >= 0 for c, d in a.values())
+
+
+def test_kmeans_envelope_all_true(spark):
+    """The registered ml_kmeans envelope (per-vector totality +
+    cluster-range + distance-sanity + the Lloyd-optimality bound
+    SSE <= SSE(k=1)) must hold everywhere: final centroids are
+    cluster means, and per-cluster SSE around the mean is <= SSE
+    around the global mean — a real fit can only make the k=1
+    objective an upper bound."""
+    from bitcoin_olap_spark.catalog import table
+    from bitcoin_olap_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.01"
+    rows = all_queries()["ml_kmeans"](spark, sf).collect()
+    n = table(spark, sf, "embeddings").count()
+    assert len(rows) == n
+    assert len({r["vec_id"] for r in rows}) == n
+    assert all(
+        r["cluster_in_range"] and r["dist_ok"] and r["sse_le_k1"]
+        for r in rows
+    )
 
 
 def test_exact_allpairs_gate_redirects_large_corpora(spark):

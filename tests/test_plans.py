@@ -541,3 +541,14 @@ def test_incremental_probe_and_verify_join_shapes(spark, q):
     assert "isFinalPlan=true" in ep
     assert "SortMergeJoin" not in ep, ep
     assert "BroadcastHashJoin" in ep
+
+
+def test_cdf_batch_read_is_pure_scan(spark, q):
+    """src_cdf_batch's whole claim: a cdf-enabled CDF read is a pure
+    parallel file scan — change rows were materialized at write time,
+    so the read plan has NO join and NO exchange of any kind (compare
+    snk_table_diff, whose reconstruction path must full-outer join
+    old vs new files)."""
+    p = plan_str(q["src_cdf_batch"](spark, SF))
+    assert "Join" not in p, p
+    assert "Exchange" not in p, p

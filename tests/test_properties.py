@@ -2272,3 +2272,140 @@ def test_graph_cc_is_a_fixpoint_partition(spark):
         "component",
     ).filter(F.col("c2") != F.col("component"))
     assert member.count() == 0, "a label is not a member of its own component"
+
+
+def test_cdf_materialized_feed_reconstructs_snapshots(spark, tmp_path):
+    """Write-time CDC contract (operators/acidtable cdf=True +
+    sources/cdcfeed): (a) the full acid_cdf feed replayed version by
+    version onto an empty state reconstructs the head snapshot
+    exactly; (b) rewrite commits' change rows come from materialized
+    _change_data files and append-shaped commits derive inserts from
+    their own added data files — no change task ever references a
+    carried file (the no-read-time-join scale property); (c) the feed
+    is offset-split invariant: any partition of the version range into
+    consecutive batch reads unions to the same rows, which is the
+    exactly-once replay contract a checkpoint-restarted stream relies
+    on."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators import acidtable as AT
+    from bitcoin_olap_spark.sources.cdcfeed import register_cdcfeed
+
+    root = str(tmp_path / "tbl")
+    base = spark.range(0, 400).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    ).repartitionByRange(4, "id")
+    AT.init_table(spark, root, base)
+    AT.delete_where(spark, root, F.col("id") < 50, cdf=True)  # v1
+    ups = spark.range(100, 140).select(
+        F.col("id"), F.lit(-1).cast("long").alias("v")
+    )
+    ins = spark.range(1000, 1020).select(
+        F.col("id"), F.lit(7).cast("long").alias("v")
+    )
+    AT.merge_upsert(
+        spark, root, ups.unionByName(ins), ["id"], cdf=True
+    )  # v2
+    AT.append(
+        spark,
+        root,
+        spark.range(2000, 2010).select(
+            F.col("id"), F.lit(9).cast("long").alias("v")
+        ),
+    )  # v3: append-shaped, derives inserts with no materialization
+
+    register_cdcfeed(spark)
+    feed = (
+        spark.read.format("acid_cdf").option("path", root).load()
+    )
+    rows = feed.collect()
+
+    # (a) replay onto empty state == head snapshot
+    state: dict[int, int] = {}
+    for r in sorted(rows, key=lambda r: r["_commit_version"]):
+        if r["_change_type"] in ("insert", "update_postimage"):
+            state[r["id"]] = r["v"]
+        elif r["_change_type"] == "delete":
+            del state[r["id"]]
+    head = {
+        r["id"]: r["v"] for r in AT.snapshot(spark, root).collect()
+    }
+    assert state == head
+
+    # (b) task inventory: rewrite commits read _change_data files,
+    # append-shaped commits read their OWN added files, and no task
+    # references a carried file
+    inv = AT.change_inventory(root, -1)
+    cdir = os.path.join(root, "_change_data")
+    for f, ctype, v in inv:
+        if v in (1, 2):
+            assert ctype is None and f.startswith(cdir), (f, v)
+        else:
+            assert ctype == "insert" and not f.startswith(cdir), (f, v)
+            assert f in AT._read_raw(root, v)["add"]
+
+    # (c) offset-split invariance: (−1,1] ∪ (1,3] == (−1,3]
+    def feed_rows(v_from, v_to):
+        return (
+            spark.read.format("acid_cdf")
+            .option("path", root)
+            .option("v_from", v_from)
+            .option("v_to", v_to)
+            .load()
+        )
+
+    split = feed_rows(-1, 1).unionByName(feed_rows(1, 3))
+    assert split.exceptAll(feed).count() == 0
+    assert feed.exceptAll(split).count() == 0
+
+
+def test_cdf_requires_materialization_for_rewrite_commits(
+    spark, tmp_path
+):
+    """A commit that removed files without cdf=True makes the CDF
+    range unreadable with a descriptive error (Delta's 'change data
+    not recorded' contract) — never a silent wrong feed. The
+    join-based table_changes path stays available."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators import acidtable as AT
+
+    root = str(tmp_path / "tbl")
+    AT.init_table(
+        spark,
+        root,
+        spark.range(0, 100).select(F.col("id")),
+    )
+    AT.delete_where(spark, root, F.col("id") < 10)  # cdf=False
+    with _pytest.raises(AT.ChangeDataUnavailable):
+        AT.change_inventory(root, 0)
+    # the init commit alone is still readable
+    assert all(v == 0 for _, _, v in AT.change_inventory(root, -1, 0))
+
+
+def test_cdf_vacuum_drops_change_data_with_manifests(spark, tmp_path):
+    """CDF history shares time travel's retention: vacuuming past a
+    version removes its _change_data along with its manifest, while
+    surviving versions keep theirs readable."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators import acidtable as AT
+
+    root = str(tmp_path / "tbl")
+    AT.init_table(
+        spark, root, spark.range(0, 100).select(F.col("id"))
+    )
+    AT.delete_where(spark, root, F.col("id") < 10, cdf=True)  # v1
+    AT.delete_where(spark, root, F.col("id") < 20, cdf=True)  # v2
+    assert os.path.isdir(AT._change_dir(root, 1))
+    AT.vacuum(root, keep_versions=1)  # drops v0, v1
+    assert not os.path.isdir(AT._change_dir(root, 1))
+    assert os.path.isdir(AT._change_dir(root, 2))
+    inv = AT.change_inventory(root, 1, 2)
+    assert inv and all(v == 2 for _, _, v in inv)

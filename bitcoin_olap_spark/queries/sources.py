@@ -1495,6 +1495,101 @@ def stream_cdf_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_cdf_apply",
+    oracle="""
+    WITH base AS (
+        SELECT l_orderkey, l_linenumber,
+               MAX(l_quantity) AS qty, MAX(l_returnflag) AS flag
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_orderkey >= 3000 AND l_orderkey < 5000
+                THEN qty + 100 ELSE qty END AS qty,
+           flag
+    FROM base WHERE l_orderkey >= 3000
+    UNION ALL
+    SELECT l_orderkey + 10000000, l_linenumber,
+           CAST(999.0 AS DOUBLE), 'Z'
+    FROM base WHERE l_orderkey % 97 = 0
+    """,
+)
+def stream_cdf_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end CDC REPLICATION: subscribe to the source table's
+    streaming change feed (stream_cdf_feed's acid_cdf source), LAND
+    each micro-batch's change rows exactly-once into a changelog ACID
+    table (op-tagged append_idempotent — a replayed batch commits
+    nothing twice), then FOLD the landed log into the replica
+    relation: per key, the highest-(version, change-priority) change
+    wins (postimage > insert > delete > preimage), survivors are the
+    rows whose last change materializes them — the snk_cdc_apply
+    window shape driven by a real subscription instead of a handed-in
+    changelog. The oracle states the source head's content, so the
+    replica must equal the table it mirrors exactly.
+
+    Scale inventory: per-batch cost is the source commits' touched
+    files (the CDF contract); the landing append is O(batch); the
+    fold is ONE key-partitioned window over the changelog — and an
+    incremental replica would merge_upsert each batch instead of
+    re-folding, using the identical per-key winner rule."""
+    from ..sources.cdcfeed import register_cdcfeed
+
+    src = _diff_fixture(spark, sf_dir, cdf=True)
+    fixture = _tmp(f"cdf_apply_{os.path.basename(os.path.abspath(sf_dir))}")
+    land = os.path.join(fixture, "changelog")
+    ckpt = os.path.join(fixture, "ckpt")
+    register_cdcfeed(spark)
+
+    complete = (
+        AT.current_version(land) >= 1
+        and "cdf-land-b0" in AT.committed_ops(land)
+    )
+    if not complete:
+        import shutil
+
+        shutil.rmtree(fixture, ignore_errors=True)
+        feed_schema = (
+            spark.read.format("acid_cdf").option("path", src).load().schema
+        )
+        AT.init_table(spark, land, spark.createDataFrame([], feed_schema))
+
+        def land_batch(batch: DataFrame, batch_id: int) -> None:
+            AT.append_idempotent(
+                spark, land, batch, op=f"cdf-land-b{batch_id}"
+            )
+
+        (
+            spark.readStream.format("acid_cdf")
+            .option("path", src)
+            .option("startingVersion", 0)
+            .load()
+            .writeStream.foreachBatch(land_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    chg = AT.snapshot(spark, land)
+    prio = (
+        F.when(F.col("_change_type") == "update_postimage", 3)
+        .when(F.col("_change_type") == "insert", 2)
+        .when(F.col("_change_type") == "delete", 1)
+        .otherwise(0)
+    )
+    w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+        F.desc("_commit_version"), F.desc("__prio")
+    )
+    last = (
+        chg.withColumn("__prio", prio)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    return last.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select("l_orderkey", "l_linenumber", "qty", "flag")
+
+
+@query(
     "snk_acid_optimize",
     oracle="""
     WITH full_t AS (

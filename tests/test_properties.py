@@ -2409,3 +2409,36 @@ def test_cdf_vacuum_drops_change_data_with_manifests(spark, tmp_path):
     assert os.path.isdir(AT._change_dir(root, 2))
     inv = AT.change_inventory(root, 1, 2)
     assert inv and all(v == 2 for _, _, v in inv)
+
+
+def test_cdf_replication_mirrors_source_and_lands_exactly_once(spark):
+    """stream_cdf_apply's replication contract: (a) the folded replica
+    equals the source table's head snapshot EXACTLY (multiset compare,
+    not just the oracle hash); (b) re-running the subscription lands
+    nothing new — the changelog table's version head is stable because
+    batch op tags make the landing idempotent (exactly-once across
+    restarts without relying on the streaming checkpoint)."""
+    from bitcoin_olap_spark.operators import acidtable as AT
+    from bitcoin_olap_spark.queries.sources import (
+        _diff_fixture,
+        _tmp,
+    )
+    from bitcoin_olap_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.01"
+    import os
+
+    replica = all_queries()["stream_cdf_apply"](spark, sf)
+    land = os.path.join(
+        _tmp(f"cdf_apply_{os.path.basename(os.path.abspath(sf))}"),
+        "changelog",
+    )
+    head_before = AT.current_version(land)
+
+    src = _diff_fixture(spark, sf, cdf=True)
+    source_head = AT.snapshot(spark, src)
+    assert replica.exceptAll(source_head).count() == 0
+    assert source_head.exceptAll(replica).count() == 0
+
+    all_queries()["stream_cdf_apply"](spark, sf)  # re-subscribe
+    assert AT.current_version(land) == head_before

@@ -824,11 +824,15 @@ def change_inventory(
     (v_from, v_to]: one (file, derived_change_type, version) task per
     change file. Commits that only ADD files (init/append/ingest) need
     no materialized change data — their added data files ARE the
-    insert rows, tagged at read time (Delta's exact optimization); a
-    `restore` is the same carry-forward shape (its adds re-expose rows
-    from older, immutable files) so its re-added files read as
-    inserts too. Commits that REMOVE files must have been written with
-    cdf=True, else ChangeDataUnavailable. Cost: O(log entries) driver
+    insert rows, tagged at read time (Delta's exact optimization):
+    added rows genuinely appear, whatever the op name — so an
+    add-only restore reads as inserts too. ANY commit that removed
+    files (delete, merge, optimize, a typical restore) must have been
+    written with cdf=True, else ChangeDataUnavailable — never a
+    silently wrong feed. Layout-only commits (optimize /
+    optimize_zorder) record an EMPTY change set (cdc=[]): content-
+    identical rewrites have no row-level delta, so the feed skips
+    them instead of erroring — Delta's OPTIMIZE-emits-no-events rule. Cost: O(log entries) driver
     metadata; every yielded task is an independent file scan — the
     whole feed is embarrassingly parallel with NO read-time join."""
     v_to = current_version(root) if v_to is None else v_to
@@ -1131,7 +1135,12 @@ def optimize(
     old_files = _resolve_files(root, base)
     snap = spark.read.parquet(*old_files)
     files = _write_data_files(snap.repartition(target_files), root)
-    _commit(root, base + 1, "optimize", add=files, remove=old_files)
+    # layout-only: content-identical rewrites have no row-level delta,
+    # so the commit records an EMPTY change set (cdc=[]) — a CDF feed
+    # skips it instead of erroring (Delta: OPTIMIZE emits no events)
+    _commit(
+        root, base + 1, "optimize", add=files, remove=old_files, cdc=[]
+    )
     return base + 1
 
 
@@ -1219,6 +1228,7 @@ def optimize_zorder(
         add=files,
         remove=old_files,
         stats=stats,
+        cdc=[],  # layout-only, like optimize: no row-level delta
     )
     return base + 1
 

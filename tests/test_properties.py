@@ -2315,6 +2315,7 @@ def test_cdf_materialized_feed_reconstructs_snapshots(spark, tmp_path):
             F.col("id"), F.lit(9).cast("long").alias("v")
         ),
     )  # v3: append-shaped, derives inserts with no materialization
+    AT.optimize(spark, root, target_files=2)  # v4: layout-only, no delta
 
     register_cdcfeed(spark)
     feed = (
@@ -2339,6 +2340,7 @@ def test_cdf_materialized_feed_reconstructs_snapshots(spark, tmp_path):
     # references a carried file
     inv = AT.change_inventory(root, -1)
     cdir = os.path.join(root, "_change_data")
+    assert all(v != 4 for _, _, v in inv)  # layout-only commit: no events
     for f, ctype, v in inv:
         if v in (1, 2):
             assert ctype is None and f.startswith(cdir), (f, v)
@@ -2346,7 +2348,7 @@ def test_cdf_materialized_feed_reconstructs_snapshots(spark, tmp_path):
             assert ctype == "insert" and not f.startswith(cdir), (f, v)
             assert f in AT._read_raw(root, v)["add"]
 
-    # (c) offset-split invariance: (−1,1] ∪ (1,3] == (−1,3]
+    # (c) offset-split invariance: (−1,1] ∪ (1,4] == (−1,4]
     def feed_rows(v_from, v_to):
         return (
             spark.read.format("acid_cdf")
@@ -2356,7 +2358,7 @@ def test_cdf_materialized_feed_reconstructs_snapshots(spark, tmp_path):
             .load()
         )
 
-    split = feed_rows(-1, 1).unionByName(feed_rows(1, 3))
+    split = feed_rows(-1, 1).unionByName(feed_rows(1, 4))
     assert split.exceptAll(feed).count() == 0
     assert feed.exceptAll(split).count() == 0
 

@@ -158,9 +158,13 @@ def write_checkpoint(root: str, version: int | None = None) -> int:
     a concurrent reader never sees a partial listing. Idempotent."""
     v = current_version(root) if version is None else version
     files = _resolve_files(root, v)
+    # the dvs union rides in every checkpoint so merge-on-read deletes
+    # survive vacuum (the cutoff checkpoint is written before the
+    # delta manifests carrying the 'dv' keys are dropped)
+    dvs = _resolve_dv_files(root, v)
     tmp = os.path.join(_log_dir(root), f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:
-        json.dump({"version": v, "files": files}, f)
+        json.dump({"version": v, "files": files, "dvs": dvs}, f)
     os.replace(tmp, _checkpoint_path(root, v))
     return v
 
@@ -278,6 +282,7 @@ def _commit(
     remove: list[str] = (),
     stats: dict | None = None,
     cdc: list[str] | None = None,
+    dv: list[str] | None = None,
 ) -> None:
     """Atomically publish `version` as a DELTA manifest — only the
     files added/removed vs version-1, so the commit write is
@@ -308,6 +313,10 @@ def _commit(
         # snapshot readers never look at it, CDF readers require it
         # only for commits that removed files
         manifest["cdc"] = sorted(cdc)
+    if dv is not None:
+        # deletion-vector files this commit adds (merge-on-read
+        # DELETE); snapshot readers subtract the accumulated union
+        manifest["dv"] = sorted(dv)
     tmp = os.path.join(_log_dir(root), f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:
         json.dump(manifest, f)
@@ -521,9 +530,11 @@ def snapshot_pruned(
             kept.append(f)
         elif decode(s[0]) <= hi_c and decode(s[1]) >= lo_c:
             kept.append(f)
+    dvs = _resolve_dv_files(root, v)
     df = (
-        spark.read.parquet(*kept)
-        .filter((F.col(col) >= lo) & (F.col(col) <= hi))
+        _apply_dvs(spark, spark.read.parquet(*kept), dvs).filter(
+            (F.col(col) >= lo) & (F.col(col) <= hi)
+        )
         if kept
         else spark.read.parquet(*files).filter(F.lit(False))
     )
@@ -591,7 +602,15 @@ def clone(root: str, dest: str, version: int | None = None) -> int:
     v = current_version(root) if version is None else version
     files = _resolve_files(root, v)
     os.makedirs(_data_dir(dest), exist_ok=True)
-    _commit(dest, 0, f"clone:{root}@{v}", add=files)
+    # deletion vectors are part of the snapshot's logical content —
+    # a clone that dropped them would resurrect MoR-deleted rows
+    _commit(
+        dest,
+        0,
+        f"clone:{root}@{v}",
+        add=files,
+        dv=_resolve_dv_files(root, v) or None,
+    )
     return 0
 
 
@@ -690,9 +709,15 @@ def snapshot(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:
     """The table AS OF `version` (latest if None) — time travel is
-    just resolving an older version's closed file list."""
+    just resolving an older version's closed file list, minus any
+    accumulated deletion vectors (merge-on-read deletes; a no-op
+    branch when the table has none)."""
     v = current_version(root) if version is None else version
-    return spark.read.parquet(*_resolve_files(root, v))
+    return _apply_dvs(
+        spark,
+        spark.read.parquet(*_resolve_files(root, v)),
+        _resolve_dv_files(root, v),
+    )
 
 
 def table_changes(
@@ -725,6 +750,16 @@ def table_changes(
     snapshot (add_columns evolution widens old rows with NULLs, which
     null-safe compare treats as a change — the CDF convention)."""
     v_to = current_version(root) if v_to is None else v_to
+    for v in range(v_from + 1, v_to + 1):
+        if _read_raw(root, v).get("dv"):
+            # a merge-on-read delete changes rows WITHOUT changing the
+            # file sets this diff compares — silently missing those
+            # deletes would be wrong, so refuse and point at the feed
+            raise ChangeDataUnavailable(
+                f"version {v} deleted rows via deletion vectors; the "
+                "file-difference diff cannot see MoR deletes — use "
+                "the CDF feed (delete_where_mor(cdf=True)) instead"
+            )
     f_from = set(_resolve_files(root, v_from))
     f_to = set(_resolve_files(root, v_to))
     removed = sorted(f_from - f_to)
@@ -842,11 +877,17 @@ def change_inventory(
         cdc = m.get("cdc")
         if cdc is not None:
             out += [(f, None, v) for f in sorted(cdc)]
-        elif not m.get("remove") and "files" not in m:
+        elif (
+            not m.get("remove")
+            and not m.get("dv")
+            and "files" not in m
+        ):
             out += [(f, "insert", v) for f in sorted(m.get("add", ()))]
         else:
+            # removed files OR deletion vectors: rows changed in a way
+            # the added files alone cannot describe
             raise ChangeDataUnavailable(
-                f"version {v} ({m.get('op')}) rewrote files without "
+                f"version {v} ({m.get('op')}) changed rows without "
                 "materialized change data; re-run the writer with "
                 "cdf=True or use table_changes() for a join-based diff"
             )
@@ -858,6 +899,185 @@ def changes_since(root: str, v_from: int) -> tuple[int, int]:
     metadata poll a CDF subscriber runs per micro-batch."""
     head = current_version(root)
     return head, len(change_inventory(root, v_from, head))
+
+
+# ------------------------------------------- deletion vectors (MoR)
+#
+# Merge-on-read DELETE: instead of rewriting every touched file
+# (copy-on-write), the commit records the deleted rows' POSITIONS —
+# (file, row_index) pairs, the public design of Iceberg v2 positional
+# delete files and Delta deletion vectors — and readers subtract them
+# with one broadcast anti-join. Write cost collapses from O(touched
+# files' rows) to O(deleted positions); the read pays the anti-join
+# until OPTIMIZE materializes the vectors into compacted files (after
+# which the old vectors reference removed files and become inert).
+
+
+class DeletionVectorsPending(RuntimeError):
+    """A copy-on-write rewrite (delete_where / merge_upsert / clone)
+    was asked to run against files that live deletion vectors still
+    target: the raw rewrite would copy vector-hidden rows into fresh
+    files, resurrecting them. Run optimize() first to materialize the
+    vectors."""
+
+
+def _dv_dir(root: str, version: int) -> str:
+    return os.path.join(root, "_deletes", f"v{version}")
+
+
+def _write_dv_files(df: DataFrame, root: str, version: int) -> list[str]:
+    sub = _dv_dir(root, version)
+    # torn leftover from a crashed/lost-race writer (same rule as
+    # _write_change_files): only authoritative once version <= head
+    if os.path.isdir(sub) and version > current_version(root):
+        shutil.rmtree(sub)
+    df.write.mode("error").parquet(sub)
+    return [
+        os.path.join(sub, f)
+        for f in os.listdir(sub)
+        if f.endswith(".parquet")
+    ]
+
+
+def _resolve_dv_files(root: str, version: int) -> list[str]:
+    """Accumulated deletion-vector files visible at `version`: walk
+    back to the nearest checkpoint (its optional 'dvs' key carries the
+    union — which is also what keeps MoR deletes durable across
+    vacuum: the cutoff checkpoint is written before old manifests
+    drop), then union the 'dv' keys of the newer delta manifests.
+    Vectors are add-only; ones targeting since-removed files are
+    inert, not invalid (the anti-join simply never matches them)."""
+    dvs: set[str] = set()
+    deltas: list[dict] = []
+    v = version
+    while True:
+        if v < 0:
+            return sorted(dvs)
+        cp = _checkpoint_path(root, v)
+        if os.path.exists(cp):
+            with open(cp) as f:
+                dvs = set(json.load(f).get("dvs", []))
+            break
+        m = _read_raw(root, v)
+        if "files" in m:  # legacy full manifest predates DV support
+            break
+        deltas.append(m)
+        if v == 0:
+            break
+        v -= 1
+    for m in deltas:
+        dvs.update(m.get("dv", ()))
+    return sorted(dvs)
+
+
+def _dv_row_count(dvs: list[str]) -> int:
+    import pyarrow.parquet as pq
+
+    return sum(pq.read_metadata(f).num_rows for f in dvs)
+
+
+#: above this many positions the anti-join side is left un-hinted so
+#: AQE can pick a shuffle join instead of an oversized broadcast
+DV_BROADCAST_MAX_ROWS = 5_000_000
+
+
+def _apply_dvs(spark: SparkSession, df: DataFrame, dvs: list[str]) -> DataFrame:
+    """Subtract deletion vectors from a RAW file scan (df must be the
+    scan itself so the _metadata pseudo-column binds): one anti-join
+    on (file, position). Vectors are bounded by deleted-not-yet-
+    compacted rows, so the delete side broadcasts below
+    DV_BROADCAST_MAX_ROWS (a production format would pack them as
+    roaring bitmaps; the parquet pair relation keeps the oracle
+    compare and the join shape identical)."""
+    if not dvs:
+        return df
+    dv = spark.read.parquet(*dvs).select("_dv_file", "_dv_pos")
+    if _dv_row_count(dvs) <= DV_BROADCAST_MAX_ROWS:
+        dv = F.broadcast(dv)
+    stamped = df.select(
+        F.col("_metadata.file_path").alias("_dv_file"),
+        F.col("_metadata.row_index").alias("_dv_pos"),
+        "*",
+    )
+    return stamped.join(dv, ["_dv_file", "_dv_pos"], "left_anti").drop(
+        "_dv_file", "_dv_pos"
+    )
+
+
+def _live_dv_targets(root: str, version: int | None = None) -> set[str]:
+    """Data files of `version` that some deletion vector still
+    targets (plain paths). Metadata-cheap: one footer-column read per
+    vector file."""
+    v = current_version(root) if version is None else version
+    dvs = _resolve_dv_files(root, v)
+    if not dvs:
+        return set()
+    import pyarrow.parquet as pq
+
+    def _strip_scheme(p: str) -> str:
+        # _metadata.file_path is a URI ("file:/x" or "file:///x");
+        # manifests store plain paths
+        if p.startswith("file:"):
+            p = p[5:]
+            while p.startswith("//"):
+                p = p[1:]
+        return p
+
+    targets: set[str] = set()
+    for f in dvs:
+        targets.update(
+            _strip_scheme(str(p))
+            for p in pq.read_table(f, columns=["_dv_file"]).column(0)
+        )
+    return targets & set(_resolve_files(root, v))
+
+
+def delete_where_mor(
+    spark: SparkSession, root: str, cond, cdf: bool = False
+) -> int:
+    """ACID DELETE via MERGE-ON-READ deletion vectors: no data file is
+    rewritten — the commit stores the matching rows' (file, row_index)
+    positions under _deletes/ and readers subtract them. Write cost is
+    O(matching positions) regardless of how many files they live in,
+    the trade Iceberg v2 positional deletes / Delta deletion vectors
+    make for delete-heavy workloads; reads pay one anti-join until
+    optimize() materializes the vectors. Positions already covered by
+    earlier vectors are not re-recorded (idempotent under re-matching
+    predicates). cdf=True also materializes the deleted rows as
+    change data, so the CDF feed sees MoR deletes exactly like CoW
+    ones. Returns the committed version."""
+    base = current_version(root)
+    files = _resolve_files(root, base)
+    scan = spark.read.parquet(*files).select(
+        F.col("_metadata.file_path").alias("_dv_file"),
+        F.col("_metadata.row_index").alias("_dv_pos"),
+        "*",
+    )
+    prior = _resolve_dv_files(root, base)
+    live = scan
+    if prior:
+        pr = spark.read.parquet(*prior).select("_dv_file", "_dv_pos")
+        if _dv_row_count(prior) <= DV_BROADCAST_MAX_ROWS:
+            pr = F.broadcast(pr)
+        live = scan.join(pr, ["_dv_file", "_dv_pos"], "left_anti")
+    hits = live.filter(F.coalesce(cond, F.lit(False)))
+    dv_files = _write_dv_files(
+        hits.select("_dv_file", "_dv_pos"), root, base + 1
+    )
+    change_files: list[str] = []
+    if cdf:
+        deleted = hits.drop("_dv_file", "_dv_pos").withColumn(
+            "_change_type", F.lit("delete")
+        )
+        change_files = _write_change_files(deleted, root, base + 1)
+    _commit(
+        root,
+        base + 1,
+        "delete-mor",
+        dv=dv_files,
+        cdc=change_files if cdf else None,
+    )
+    return base + 1
 
 
 def delete_where(spark: SparkSession, root: str, cond, cdf: bool = False) -> int:
@@ -873,6 +1093,11 @@ def delete_where(spark: SparkSession, root: str, cond, cdf: bool = False) -> int
     pass over O(touched files), never the table), and downstream CDF
     reads become pure parallel file scans with no join at all."""
     base = current_version(root)
+    if _live_dv_targets(root, base):
+        raise DeletionVectorsPending(
+            "copy-on-write DELETE on a table with live deletion "
+            "vectors; run optimize() first to materialize them"
+        )
     files = _resolve_files(root, base)
     snap = spark.read.parquet(*files)
     # one filtered scan finds the affected files; the predicate pushes
@@ -1060,6 +1285,11 @@ def merge_upsert(
     extra cost is O(touched files + updates); CDF reads then never
     join at all."""
     base = current_version(root)
+    if _live_dv_targets(root, base):
+        raise DeletionVectorsPending(
+            "copy-on-write MERGE on a table with live deletion "
+            "vectors; run optimize() first to materialize them"
+        )
     snap = spark.read.parquet(*_resolve_files(root, base))
     keys = updates.select(*key_cols).distinct()
     # SQL MERGE (and Delta) error when multiple source rows match one
@@ -1133,7 +1363,14 @@ def optimize(
     the committed version."""
     base = current_version(root)
     old_files = _resolve_files(root, base)
-    snap = spark.read.parquet(*old_files)
+    # DV-aware read: compaction MATERIALIZES merge-on-read deletes —
+    # vector-hidden rows never enter the compacted files, after which
+    # the old vectors target only removed files and are inert
+    snap = _apply_dvs(
+        spark,
+        spark.read.parquet(*old_files),
+        _resolve_dv_files(root, base),
+    )
     files = _write_data_files(snap.repartition(target_files), root)
     # layout-only: content-identical rewrites have no row-level delta,
     # so the commit records an EMPTY change set (cdc=[]) — a CDF feed
@@ -1195,7 +1432,13 @@ def optimize_zorder(
     Returns the committed version."""
     base = current_version(root)
     old_files = _resolve_files(root, base)
-    snap = spark.read.parquet(*old_files)
+    # DV-aware, like optimize: clustering must not resurrect
+    # vector-hidden rows
+    snap = _apply_dvs(
+        spark,
+        spark.read.parquet(*old_files),
+        _resolve_dv_files(root, base),
+    )
     aggs = []
     for c in cols:
         aggs.append(F.min(c).cast("long").alias(f"_mn_{c}"))
@@ -1288,8 +1531,12 @@ def snapshot_merged(
     """snapshot() with schema merging across the version's files —
     needed once add_columns has widened the table."""
     v = current_version(root) if version is None else version
-    return spark.read.option("mergeSchema", "true").parquet(
-        *_resolve_files(root, v)
+    return _apply_dvs(
+        spark,
+        spark.read.option("mergeSchema", "true").parquet(
+            *_resolve_files(root, v)
+        ),
+        _resolve_dv_files(root, v),
     )
 
 
@@ -1417,8 +1664,11 @@ def snapshot_bloom_lookup(
         )
         if hit:
             kept.append(f)
+    dvs = _resolve_dv_files(root, v)
     df = (
-        spark.read.parquet(*kept).filter(F.col(col) == value)
+        _apply_dvs(spark, spark.read.parquet(*kept), dvs).filter(
+            F.col(col) == value
+        )
         if kept
         else spark.read.parquet(*files).filter(F.lit(False))
     )

@@ -1058,6 +1058,65 @@ def snk_acid_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "snk_acid_delete_dv",
+    oracle="""
+    WITH kept AS (
+        SELECT l_returnflag, l_quantity FROM lineitem
+        WHERE NOT (l_orderkey < 2000) AND NOT (l_quantity > 45)
+    ),
+    agg AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                   AS total_qty
+        FROM kept GROUP BY 1
+    )
+    SELECT 'mor' AS phase, * FROM agg
+    UNION ALL
+    SELECT 'materialized', * FROM agg
+    """,
+)
+def snk_acid_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACID DELETE via MERGE-ON-READ deletion vectors
+    (operators/acidtable.delete_where_mor — Iceberg v2 positional
+    delete files / Delta deletion vectors, the public designs,
+    re-derived): two successive deletes commit ONLY the matching
+    rows' (file, row_index) positions — zero data files rewritten,
+    write cost O(deleted positions) however many files they touch
+    (the inverse trade of snk_acid_delete's copy-on-write, which
+    pays O(touched files' rows) to keep reads join-free). Readers
+    subtract the accumulated vectors with one broadcast anti-join on
+    the position key; OPTIMIZE then materializes the vectors into
+    compacted files and retires the read-time join. The query reads
+    the SAME logical content through BOTH paths — phase 'mor'
+    (anti-join read, live vectors) and phase 'materialized'
+    (post-compaction plain scan) — and the oracle states one
+    relation twice: any disagreement between the two physical read
+    strategies hash-fails. Vector durability across vacuum
+    (checkpointed dv union), CoW/MoR interlock, and CDF/diff refusal
+    semantics are property-tested."""
+    root = _tmp(f"acid_dv_{os.path.basename(os.path.abspath(sf_dir))}")
+    if not _fixture_ready(root, 3, "optimize"):
+        li = table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+        )
+        AT.init_table(spark, root, li.repartition(8))
+        AT.delete_where_mor(spark, root, F.col("l_orderkey") < 2000)
+        AT.delete_where_mor(spark, root, F.col("l_quantity") > 45)
+        AT.optimize(spark, root, target_files=4)
+
+    def agg(df: DataFrame, phase: str) -> DataFrame:
+        return df.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum("l_quantity", "total_qty"),
+        ).select(F.lit(phase).alias("phase"), "*")
+
+    mor = agg(AT.snapshot(spark, root, version=2), "mor")
+    mat = agg(AT.snapshot(spark, root, version=3), "materialized")
+    return mor.unionByName(mat)
+
+
+@query(
     "src_time_travel",
     oracle="""
     SELECT l_returnflag,

@@ -552,3 +552,22 @@ def test_cdf_batch_read_is_pure_scan(spark, q):
     p = plan_str(q["src_cdf_batch"](spark, SF))
     assert "Join" not in p, p
     assert "Exchange" not in p, p
+
+
+def test_mor_read_is_broadcast_anti_join(spark, q):
+    """The deletion-vector read path's scale claim: the fact scan is
+    never shuffled — vectors (bounded by deleted-not-yet-compacted
+    positions) broadcast into one LeftAnti hash join. Pinned on the
+    v2 snapshot read inside snk_acid_delete_dv's fixture."""
+    import os
+
+    from bitcoin_olap_spark.operators import acidtable as AT
+    from bitcoin_olap_spark.queries.sources import _tmp
+
+    q["snk_acid_delete_dv"](spark, SF)  # ensure fixture
+    root = _tmp(f"acid_dv_{os.path.basename(os.path.abspath(SF))}")
+    df = AT.snapshot(spark, root, version=2)
+    p = plan_str(df)
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "Exchange hashpartitioning" not in p, p

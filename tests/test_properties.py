@@ -2444,3 +2444,81 @@ def test_cdf_replication_mirrors_source_and_lands_exactly_once(spark):
 
     all_queries()["stream_cdf_apply"](spark, sf)  # re-subscribe
     assert AT.current_version(land) == head_before
+
+
+def test_deletion_vectors_full_lifecycle(spark, tmp_path):
+    """Merge-on-read DELETE contract (operators/acidtable
+    delete_where_mor + deletion vectors): (a) a MoR delete rewrites NO
+    data files — the commit's add/remove lists are empty and only
+    position files land; (b) reads subtract the accumulated vectors
+    (snapshot, snapshot_pruned, time travel all agree), and positions
+    already vectored are never re-recorded; (c) copy-on-write
+    DELETE/MERGE refuse while vectors target live files (raw rewrites
+    would resurrect hidden rows) and work again after OPTIMIZE
+    materializes them; (d) MoR deletes survive vacuum because the
+    cutoff checkpoint carries the dv union; (e) a shallow clone
+    carries the vectors (a clone that dropped them would resurrect
+    rows); (f) the file-difference diff and the derived-insert CDF
+    path both REFUSE dv commits (cdf=True materializes change rows
+    and the feed works)."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators import acidtable as AT
+
+    root = str(tmp_path / "tbl")
+    base = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    ).repartition(4)
+    AT.init_table(spark, root, base)
+    AT.delete_where_mor(spark, root, F.col("id") < 100, cdf=True)  # v1
+    AT.delete_where_mor(spark, root, F.col("id") < 150)  # v2 overlaps
+
+    # (a) no data-file churn
+    m1 = AT._read_raw(root, 1)
+    assert m1.get("add", []) == [] and m1.get("remove", []) == []
+    assert m1["dv"]
+
+    # (b) reads agree; overlap not double-recorded; time travel exact
+    assert AT.snapshot(spark, root).count() == 850
+    assert AT.snapshot(spark, root).filter(F.col("id") < 150).count() == 0
+    assert AT._dv_row_count(AT._resolve_dv_files(root, 2)) == 150
+    assert AT.snapshot(spark, root, 1).count() == 900
+    assert AT.snapshot(spark, root, 0).count() == 1000
+    pruned, _, _ = AT.snapshot_pruned(spark, root, "id", 0, 200)
+    assert pruned.count() == 51  # 150..200 inclusive
+
+    # (f) diff/CDF refusal + cdf=True feed works
+    assert AT.change_inventory(root, 0, 1)  # v1 materialized changes
+    with _pytest.raises(AT.ChangeDataUnavailable):
+        AT.change_inventory(root, 1, 2)  # v2 was cdf=False
+    with _pytest.raises(AT.ChangeDataUnavailable):
+        AT.table_changes(spark, root, ["id"], 0)
+
+    # (c) CoW interlock
+    with _pytest.raises(AT.DeletionVectorsPending):
+        AT.delete_where(spark, root, F.col("id") < 500)
+    with _pytest.raises(AT.DeletionVectorsPending):
+        AT.merge_upsert(
+            spark,
+            root,
+            spark.range(1, 2).select(
+                F.col("id"), F.lit(0).cast("long").alias("v")
+            ),
+            ["id"],
+        )
+    AT.optimize(spark, root, target_files=2)  # v3 materializes
+    assert AT.snapshot(spark, root).count() == 850
+    assert not AT._live_dv_targets(root)
+    AT.delete_where(spark, root, F.col("id") < 200)  # CoW works again
+    assert AT.snapshot(spark, root).count() == 800
+
+    # (d) vacuum durability and (e) clone
+    AT.delete_where_mor(spark, root, F.col("id") >= 990)
+    assert AT.snapshot(spark, root).count() == 790
+    AT.vacuum(root, keep_versions=1)
+    assert AT.snapshot(spark, root).count() == 790
+    dest = str(tmp_path / "clone")
+    AT.clone(root, dest)
+    assert AT.snapshot(spark, dest).count() == 790

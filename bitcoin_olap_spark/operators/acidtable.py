@@ -1080,6 +1080,78 @@ def delete_where_mor(
     return base + 1
 
 
+def merge_upsert_mor(
+    spark: SparkSession,
+    root: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    cdf: bool = False,
+) -> int:
+    """ACID MERGE (upsert) via MERGE-ON-READ: matched target rows are
+    deletion-vectored by position and ALL update rows append as new
+    files — no existing file is ever rewritten. Write cost is
+    O(updates + matched positions), the Iceberg v2 MoR MERGE trade
+    (copy-on-write merge_upsert pays O(touched files' rows) instead);
+    reads pay the same position anti-join as delete_where_mor until
+    optimize() compacts. Enforces the one-source-row-per-key MERGE
+    contract. cdf=True materializes update_preimage / update_postimage
+    / insert change rows so the CDF feed sees the merge exactly like
+    the CoW path's. Returns the committed version."""
+    base = current_version(root)
+    files = _resolve_files(root, base)
+    keys = updates.select(*key_cols).distinct()
+    n_updates, n_keys = updates.count(), keys.count()
+    if n_updates != n_keys:
+        raise ValueError(
+            f"merge_upsert_mor: updates contain {n_updates - n_keys} "
+            f"duplicate rows for {key_cols}; pre-deduplicate on the "
+            "merge key (one source row per target key, as SQL MERGE "
+            "requires)"
+        )
+    scan = spark.read.parquet(*files).select(
+        F.col("_metadata.file_path").alias("_dv_file"),
+        F.col("_metadata.row_index").alias("_dv_pos"),
+        "*",
+    )
+    prior = _resolve_dv_files(root, base)
+    live = scan
+    if prior:
+        pr = spark.read.parquet(*prior).select("_dv_file", "_dv_pos")
+        if _dv_row_count(prior) <= DV_BROADCAST_MAX_ROWS:
+            pr = F.broadcast(pr)
+        live = scan.join(pr, ["_dv_file", "_dv_pos"], "left_anti")
+    # matched old rows: still-live rows whose key is in the update set
+    matched = live.join(F.broadcast(keys), key_cols, "left_semi")
+    dv_files = _write_dv_files(
+        matched.select("_dv_file", "_dv_pos"), root, base + 1
+    )
+    new_files = _write_data_files(updates, root)
+    change_files: list[str] = []
+    if cdf:
+        old_keys = matched.select(*key_cols).distinct()
+        pre = matched.drop("_dv_file", "_dv_pos").withColumn(
+            "_change_type", F.lit("update_preimage")
+        )
+        post = updates.join(old_keys, key_cols, "left_semi").withColumn(
+            "_change_type", F.lit("update_postimage")
+        )
+        ins = updates.join(old_keys, key_cols, "left_anti").withColumn(
+            "_change_type", F.lit("insert")
+        )
+        change_files = _write_change_files(
+            pre.unionByName(post).unionByName(ins), root, base + 1
+        )
+    _commit(
+        root,
+        base + 1,
+        "merge-mor",
+        add=new_files,
+        dv=dv_files,
+        cdc=change_files if cdf else None,
+    )
+    return base + 1
+
+
 def delete_where(spark: SparkSession, root: str, cond, cdf: bool = False) -> int:
     """ACID DELETE via file-level copy-on-write: only files that
     contain at least one matching row are rewritten (without their

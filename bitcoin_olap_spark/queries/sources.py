@@ -1117,6 +1117,105 @@ def snk_acid_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "snk_acid_merge_dv",
+    oracle="""
+    WITH base AS (
+        SELECT l_orderkey, l_linenumber,
+               MAX(l_quantity) AS qty, MAX(l_returnflag) AS flag
+        FROM lineitem GROUP BY 1, 2
+    ),
+    alive AS (
+        SELECT * FROM base WHERE NOT (l_orderkey < 3000)
+    ),
+    updates AS (
+        SELECT l_orderkey, l_linenumber, qty + 100 AS qty, flag
+        FROM base WHERE l_orderkey >= 2000 AND l_orderkey < 5000
+        UNION ALL
+        SELECT l_orderkey + 10000000, l_linenumber,
+               CAST(999.0 AS DOUBLE), 'Z'
+        FROM base WHERE l_orderkey % 97 = 0
+    ),
+    final AS (
+        SELECT * FROM alive a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM updates u
+            WHERE u.l_orderkey = a.l_orderkey
+              AND u.l_linenumber = a.l_linenumber)
+        UNION ALL
+        SELECT * FROM updates
+    ),
+    agg AS (
+        SELECT flag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(qty AS DECIMAL(18,4))) AS DOUBLE)
+                   AS total_qty
+        FROM final GROUP BY 1
+    )
+    SELECT 'mor' AS phase, * FROM agg
+    UNION ALL
+    SELECT 'materialized', * FROM agg
+    """,
+)
+def snk_acid_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACID MERGE via MERGE-ON-READ (operators/acidtable
+    merge_upsert_mor — Iceberg v2's MoR MERGE shape): matched target
+    rows are deletion-vectored BY POSITION and all update rows append
+    as fresh files — zero rewrites, write cost O(updates + matched
+    positions) vs the CoW merge's O(touched files' rows). Composed ON
+    TOP of a live MoR DELETE: the update range [2000, 5000) overlaps
+    the deleted range (< 3000), so keys in [2000, 3000) are unmatched
+    against the CURRENT (vector-subtracted) snapshot and come back as
+    INSERTS — MERGE's matched/unmatched contract evaluated through
+    the vectors, which is exactly what distinguishes a position-aware
+    merge from a blind append. Phase 'mor' reads through the stacked
+    delete+merge vectors; phase 'materialized' reads the
+    post-OPTIMIZE compaction; the oracle states one relation twice so
+    the two physical strategies must agree."""
+    root = _tmp(f"acid_mdv_{os.path.basename(os.path.abspath(sf_dir))}")
+    keys = ["l_orderkey", "l_linenumber"]
+    if not _fixture_ready(root, 3, "optimize"):
+        base = (
+            table(spark, sf_dir, "lineitem")
+            .groupBy(*keys)
+            .agg(
+                F.max("l_quantity").alias("qty"),
+                F.max("l_returnflag").alias("flag"),
+            )
+            .repartitionByRange(8, "l_orderkey")
+        )
+        AT.init_table(spark, root, base)
+        AT.delete_where_mor(spark, root, F.col("l_orderkey") < 3000)
+        updates = base.filter(
+            (F.col("l_orderkey") >= 2000) & (F.col("l_orderkey") < 5000)
+        ).select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("qty") + 100).alias("qty"),
+            "flag",
+        )
+        inserts = base.filter(F.col("l_orderkey") % 97 == 0).select(
+            (F.col("l_orderkey") + 10000000).alias("l_orderkey"),
+            "l_linenumber",
+            F.lit(999.0).alias("qty"),
+            F.lit("Z").alias("flag"),
+        )
+        AT.merge_upsert_mor(
+            spark, root, updates.unionByName(inserts), keys
+        )
+        AT.optimize(spark, root, target_files=4)
+
+    def agg(df: DataFrame, phase: str) -> DataFrame:
+        return df.groupBy("flag").agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum("qty", "total_qty"),
+        ).select(F.lit(phase).alias("phase"), "*")
+
+    mor = agg(AT.snapshot(spark, root, version=2), "mor")
+    mat = agg(AT.snapshot(spark, root, version=3), "materialized")
+    return mor.unionByName(mat)
+
+
+@query(
     "src_time_travel",
     oracle="""
     SELECT l_returnflag,

@@ -2522,3 +2522,64 @@ def test_deletion_vectors_full_lifecycle(spark, tmp_path):
     dest = str(tmp_path / "clone")
     AT.clone(root, dest)
     assert AT.snapshot(spark, dest).count() == 790
+
+
+def test_mor_merge_equals_cow_merge_and_rewrites_nothing(spark, tmp_path):
+    """merge_upsert_mor contract: (a) final content is IDENTICAL to
+    the copy-on-write merge_upsert of the same batch (multiset
+    compare); (b) the commit removes NO files — only the matched
+    positions' vectors plus the appended update files; (c) the
+    matched/unmatched split is evaluated through LIVE vectors: a key
+    MoR-deleted earlier is unmatched and comes back as an insert;
+    (d) cdf=True emits the same pre/post/insert vocabulary as the CoW
+    path so the feed replays the merge."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators import acidtable as AT
+
+    def build(root, mor: bool):
+        base = spark.range(0, 400).select(
+            F.col("id"), (F.col("id") * 2).alias("v")
+        ).repartition(4)
+        AT.init_table(spark, root, base)
+        ups = spark.range(50, 150).select(
+            F.col("id"), F.lit(-1).cast("long").alias("v")
+        )
+        if mor:
+            AT.delete_where_mor(spark, root, F.col("id") < 100)
+            AT.merge_upsert_mor(spark, root, ups, ["id"], cdf=True)
+        else:
+            AT.delete_where(spark, root, F.col("id") < 100)
+            AT.merge_upsert(spark, root, ups, ["id"])
+
+    r_mor = str(tmp_path / "mor")
+    r_cow = str(tmp_path / "cow")
+    build(r_mor, True)
+    build(r_cow, False)
+    a = AT.snapshot(spark, r_mor)
+    b = AT.snapshot(spark, r_cow)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    m = AT._read_raw(r_mor, 2)
+    assert m.get("remove", []) == [] and m["dv"] and m["add"]
+
+    # (c) keys 50..99 were MoR-deleted then merged -> present with -1
+    got = {r["id"]: r["v"] for r in a.collect()}
+    assert all(got[i] == -1 for i in range(50, 150))
+    assert all(i not in got for i in range(0, 50))
+
+    # (d) the merge commit's change rows: deleted keys return as
+    # inserts, live keys as update pre/post pairs
+    import pyarrow.parquet as pq
+
+    rows = []
+    for f, ctype, v in AT.change_inventory(r_mor, 1, 2):
+        assert ctype is None
+        t = pq.read_table(f)
+        rows += t.to_pylist()
+    by_type: dict[str, set] = {}
+    for r in rows:
+        by_type.setdefault(r["_change_type"], set()).add(r["id"])
+    assert by_type["insert"] == set(range(50, 100))
+    assert by_type["update_preimage"] == set(range(100, 150))
+    assert by_type["update_postimage"] == set(range(100, 150))

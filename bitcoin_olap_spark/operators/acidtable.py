@@ -1152,6 +1152,40 @@ def merge_upsert_mor(
     return base + 1
 
 
+def table_history(spark: SparkSession, root: str) -> DataFrame:
+    """DESCRIBE HISTORY as a relation (Delta's public command): one
+    row per commit from the surviving log — version, op, and what the
+    commit carried (adds / removes / materialized change data /
+    deletion vectors, as booleans plus file counts). Metadata-only:
+    the driver reads O(log entries) JSON manifests and never touches
+    a data file — the audit read every lakehouse ships."""
+    first_v = _earliest_version(root)
+    head = current_version(root)
+    rows = []
+    for v in range(first_v, head + 1):
+        m = _read_raw(root, v)
+        legacy = m.get("files")
+        add = m.get("add", legacy or ())
+        rows.append(
+            (
+                v,
+                str(m.get("op", "")),
+                len(add),
+                len(m.get("remove", ())),
+                bool(add),
+                bool(m.get("remove")),
+                m.get("cdc") is not None,
+                bool(m.get("dv")),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version bigint, op string, n_added int, n_removed int, "
+        "has_adds boolean, has_removes boolean, has_cdc boolean, "
+        "has_dv boolean",
+    )
+
+
 def delete_where(spark: SparkSession, root: str, cond, cdf: bool = False) -> int:
     """ACID DELETE via file-level copy-on-write: only files that
     contain at least one matching row are rewritten (without their

@@ -1117,6 +1117,35 @@ def snk_acid_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "src_table_history",
+    oracle="""
+    SELECT CAST(0 AS BIGINT) AS version, 'init' AS op,
+           TRUE AS has_adds, FALSE AS has_removes,
+           FALSE AS has_cdc, FALSE AS has_dv
+    UNION ALL
+    SELECT 1, 'delete', TRUE, TRUE, TRUE, FALSE
+    UNION ALL
+    SELECT 2, 'merge', TRUE, TRUE, TRUE, FALSE
+    """,
+)
+def src_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY (operators/acidtable.table_history — Delta's
+    audit command re-derived): the commit log of the cdf-enabled
+    fixture as a relation, one row per version with the commit's op
+    and payload flags (adds / removes / change data / deletion
+    vectors). Metadata-only — O(log entries) JSON reads on the
+    driver, no data file opened — which is what makes the history
+    read constant-cost on a 100 TB table. File COUNTS are layout-
+    dependent (range-partitioner sampling), so the oracle pins the
+    layout-independent projection: versions, ops, and payload
+    booleans."""
+    root = _diff_fixture(spark, sf_dir, cdf=True)
+    return AT.table_history(spark, root).select(
+        "version", "op", "has_adds", "has_removes", "has_cdc", "has_dv"
+    )
+
+
+@query(
     "snk_acid_merge_dv",
     oracle="""
     WITH base AS (

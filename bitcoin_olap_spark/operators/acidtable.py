@@ -283,6 +283,7 @@ def _commit(
     stats: dict | None = None,
     cdc: list[str] | None = None,
     dv: list[str] | None = None,
+    dv_reset: list[str] | None = None,
 ) -> None:
     """Atomically publish `version` as a DELTA manifest — only the
     files added/removed vs version-1, so the commit write is
@@ -317,6 +318,13 @@ def _commit(
         # deletion-vector files this commit adds (merge-on-read
         # DELETE); snapshot readers subtract the accumulated union
         manifest["dv"] = sorted(dv)
+    if dv_reset is not None:
+        # REPLACE the accumulated vector set as of this commit —
+        # restore rewinds it to the target version's set (else deletes
+        # committed after the target would survive the rewind), and
+        # layout rewrites (optimize) empty it, since their fresh files
+        # made every old vector inert
+        manifest["dv_reset"] = sorted(dv_reset)
     tmp = os.path.join(_log_dir(root), f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:
         json.dump(manifest, f)
@@ -751,14 +759,20 @@ def table_changes(
     null-safe compare treats as a change — the CDF convention)."""
     v_to = current_version(root) if v_to is None else v_to
     for v in range(v_from + 1, v_to + 1):
-        if _read_raw(root, v).get("dv"):
-            # a merge-on-read delete changes rows WITHOUT changing the
-            # file sets this diff compares — silently missing those
-            # deletes would be wrong, so refuse and point at the feed
+        m = _read_raw(root, v)
+        # a merge-on-read delete — or a restore rewinding the vector
+        # set — changes rows WITHOUT changing the file sets this diff
+        # compares; silently missing those rows would be wrong, so
+        # refuse and point at the feed. Layout rewrites' empty resets
+        # are content-identical and stay diffable.
+        if m.get("dv") or (
+            m.get("dv_reset") is not None
+            and not str(m.get("op", "")).startswith("optimize")
+        ):
             raise ChangeDataUnavailable(
-                f"version {v} deleted rows via deletion vectors; the "
-                "file-difference diff cannot see MoR deletes — use "
-                "the CDF feed (delete_where_mor(cdf=True)) instead"
+                f"version {v} changed rows via deletion vectors; the "
+                "file-difference diff cannot see MoR changes — use "
+                "the CDF feed (cdf=True writers) instead"
             )
     f_from = set(_resolve_files(root, v_from))
     f_to = set(_resolve_files(root, v_to))
@@ -880,6 +894,7 @@ def change_inventory(
         elif (
             not m.get("remove")
             and not m.get("dv")
+            and m.get("dv_reset") is None
             and "files" not in m
         ):
             out += [(f, "insert", v) for f in sorted(m.get("add", ()))]
@@ -959,13 +974,17 @@ def _resolve_dv_files(root: str, version: int) -> list[str]:
                 dvs = set(json.load(f).get("dvs", []))
             break
         m = _read_raw(root, v)
+        deltas.append(m)
         if "files" in m:  # legacy full manifest predates DV support
             break
-        deltas.append(m)
+        if "dv_reset" in m:  # replacement point: nothing older matters
+            break
         if v == 0:
             break
         v -= 1
-    for m in deltas:
+    for m in reversed(deltas):  # oldest first: resets must apply in order
+        if "dv_reset" in m:
+            dvs = set(m["dv_reset"])
         dvs.update(m.get("dv", ()))
     return sorted(dvs)
 
@@ -1482,7 +1501,16 @@ def optimize(
     # so the commit records an EMPTY change set (cdc=[]) — a CDF feed
     # skips it instead of erroring (Delta: OPTIMIZE emits no events)
     _commit(
-        root, base + 1, "optimize", add=files, remove=old_files, cdc=[]
+        root,
+        base + 1,
+        "optimize",
+        add=files,
+        remove=old_files,
+        cdc=[],
+        # every old file is gone, so every vector is inert: empty the
+        # set so readers skip the anti-join branch entirely (recorded
+        # only when there was anything to empty)
+        dv_reset=[] if _resolve_dv_files(root, base) else None,
     )
     return base + 1
 
@@ -1578,6 +1606,7 @@ def optimize_zorder(
         remove=old_files,
         stats=stats,
         cdc=[],  # layout-only, like optimize: no row-level delta
+        dv_reset=[] if _resolve_dv_files(root, base) else None,
     )
     return base + 1
 
@@ -1621,12 +1650,19 @@ def restore(spark: SparkSession, root: str, version: int) -> int:
     head = current_version(root)
     cur = set(_resolve_files(root, head))
     tgt = set(_resolve_files(root, version))
+    # the deletion-vector set rewinds WITH the file set: vectors
+    # committed after the target would otherwise keep hiding rows the
+    # restored snapshot must show. Recorded only when it actually
+    # changes, so DV-free restores stay file-diffable.
+    cur_dvs = _resolve_dv_files(root, head)
+    tgt_dvs = _resolve_dv_files(root, version)
     _commit(
         root,
         head + 1,
         f"restore-v{version}",
         add=sorted(tgt - cur),
         remove=sorted(cur - tgt),
+        dv_reset=tgt_dvs if tgt_dvs != cur_dvs else None,
     )
     return head + 1
 

@@ -2583,3 +2583,47 @@ def test_mor_merge_equals_cow_merge_and_rewrites_nothing(spark, tmp_path):
     assert by_type["insert"] == set(range(50, 100))
     assert by_type["update_preimage"] == set(range(100, 150))
     assert by_type["update_postimage"] == set(range(100, 150))
+
+
+def test_restore_rewinds_deletion_vectors(spark, tmp_path):
+    """RESTORE must rewind the deletion-vector set with the file set:
+    restoring to a pre-delete version shows the MoR-deleted rows
+    again, restoring forward re-hides them, and a restore that
+    rewound vectors refuses the file-difference diff (rows changed
+    with no file evidence). After OPTIMIZE the resolved vector set is
+    EMPTY (dv_reset), so readers skip the anti-join branch outright;
+    a DV-free table's restore records no reset and stays diffable."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators import acidtable as AT
+
+    root = str(tmp_path / "tbl")
+    AT.init_table(
+        spark,
+        root,
+        spark.range(0, 1000).select(F.col("id")).repartition(4),
+    )
+    AT.delete_where_mor(spark, root, F.col("id") < 100)  # v1
+    assert AT.snapshot(spark, root).count() == 900
+    AT.restore(spark, root, 0)  # v2: rows must come BACK
+    assert AT.snapshot(spark, root).count() == 1000
+    with _pytest.raises(AT.ChangeDataUnavailable):
+        AT.table_changes(spark, root, ["id"], 1, 2)
+    AT.restore(spark, root, 1)  # v3: re-hidden
+    assert AT.snapshot(spark, root).count() == 900
+    AT.optimize(spark, root, target_files=2)  # v4
+    assert AT._resolve_dv_files(root, 4) == []
+    assert AT.snapshot(spark, root).count() == 900
+
+    # DV-free table: restore stays diffable (no dv_reset recorded)
+    clean = str(tmp_path / "clean")
+    AT.init_table(
+        spark, clean, spark.range(0, 10).select(F.col("id"))
+    )
+    AT.append(spark, clean, spark.range(10, 20).select(F.col("id")))
+    AT.restore(spark, clean, 0)
+    assert "dv_reset" not in AT._read_raw(clean, 2)
+    diff = AT.table_changes(spark, clean, ["id"], 1, 2)
+    assert {r["id"] for r in diff.collect()} == set(range(10, 20))

@@ -34,6 +34,21 @@ import sys
 # measured point that settles the classification.
 ANNOTATIONS: dict[str, str] = {
     "agg_array_agg": "sf1 **1.22x** — crosses under the bar",
+    "graph_connected_components": (
+        "sf1 disjoint-copy decade 10.0x — copy-COUNT growth, the"
+        " dimension the O(sum comp^2) oracle is immune to; on the"
+        " merged-component decade (6M rows, shared parts) Spark"
+        " **13.0 s vs oracle DNF > 30 min — INVERTS OUTRIGHT"
+        " >= 140x** on the component-SIZE dimension a growing"
+        " corpus actually follows"
+    ),
+    "snk_acid_merge_dv": "sf1 **2.23x**, declining",
+    "snk_table_diff": "sf1 **3.30x**, flat fixture-build floor",
+    "stream_cdf_feed": (
+        "sf1 **3.09x**, declining; the memory-sink collect is the"
+        " fixture artifact — the source scan itself is the"
+        " plan-pinned parallel file scan"
+    ),
     "agg_having_array": "sf1 2.44x, sf3 **1.38x** — crosses under the bar",
     "dedup_doc_clusters": "sf1 **0.54x** — inverts",
     "dedup_minhash_lsh": "sf1 **0.59x** — inverts",

@@ -3080,7 +3080,16 @@ def graph_connected_components(
     note: min-label needs diameter rounds; on adversarial
     high-diameter graphs the O(log n)-round large-star/small-star
     alternation is the published upgrade (same per-round shuffle
-    inventory), which connected_components' docstring already cites."""
+    inventory), which connected_components' docstring already cites.
+
+    Measured (r8d, BASELINE.md r8d scaling section): the synthetic
+    disjoint-copy decade grows component COUNT only — the one
+    dimension the quadratic oracle is immune to — and reads 10.0x;
+    on a merged-component decade (6M rows, partkeys shared across
+    copies so components fuse) the engine finishes in 13.0 s while
+    the oracle did not complete one run in 30 wall-clock minutes
+    (>= 140x inversion) — the component-SIZE dimension a growing
+    corpus actually follows, the k_core-sf100 result's analogue."""
     from ..operators.dedup import connected_components
 
     li = table(spark, sf_dir, "lineitem", spread=True).select(

@@ -344,6 +344,34 @@ class ConcurrentCommitError(RuntimeError):
     """Another writer won the race to this version number."""
 
 
+def _strip_uri(p: str) -> str:
+    """Reduce an executor-reported file URI (input_file_name() /
+    _metadata.file_path, "file:/x" or "file:///x", possibly with a
+    query suffix) to a plain absolute path."""
+    if p.startswith("file:"):
+        p = p[5:]
+        while p.startswith("//"):
+            p = p[1:]
+    return p.split("?")[0]
+
+
+def _manifest_form(uris, manifest_files: list[str]) -> set[str]:
+    """Map executor-reported file URIs back to the EXACT path strings
+    the manifest stores. input_file_name()/_metadata.file_path are
+    always absolute, but manifests keep paths as the table root was
+    given — under a relative root, recording or intersecting the
+    absolute form would silently never match a manifest entry (the
+    ADVICE r8 resurrection bug class), so every comparison goes
+    through realpath on both sides."""
+    by_real = {os.path.realpath(f): f for f in manifest_files}
+    out: set[str] = set()
+    for u in uris:
+        rp = os.path.realpath(_strip_uri(u))
+        if rp in by_real:
+            out.add(by_real[rp])
+    return out
+
+
 def _write_data_files(df: DataFrame, root: str) -> list[str]:
     """Write df as immutable parquet files under data/ (a fresh
     UUID-named subdirectory per write — files are never overwritten)
@@ -448,10 +476,13 @@ def _collect_file_stats(
         .collect()
     )
     out: dict = {}
+    # stats dict keys must be the manifest's OWN path strings (relative
+    # under a relative root), else the pruning probe never matches
+    by_real = {os.path.realpath(f): f for f in files}
     for r in rows:
-        # input_file_name returns URIs (file://...); manifests store
-        # plain paths — normalize identically to delete_where
-        path = r["_f"].replace("file://", "").split("?")[0]
+        path = by_real.get(
+            os.path.realpath(_strip_uri(r["_f"])), _strip_uri(r["_f"])
+        )
         out[path] = {
             c: [_stat_encode(r[f"_mn_{c}"]), _stat_encode(r[f"_mx_{c}"])]
             for c in cols
@@ -834,23 +865,26 @@ def table_changes(
 
 
 def _change_dir(root: str, version: int) -> str:
-    """Per-commit materialized change-data directory (the design of
-    Delta's `_change_data` folder): rows describing what commit
-    `version` did, written BY the commit, so CDF reads are pure file
-    scans with no read-time join."""
-    return os.path.join(root, "_change_data", f"v{version}")
+    """Per-commit-ATTEMPT materialized change-data directory (the
+    design of Delta's `_change_data` folder): rows describing what
+    commit `version` did, written BY the commit, so CDF reads are pure
+    file scans with no read-time join. The uuid suffix makes the dir
+    per-attempt: under the optimistic-concurrency protocol two racers
+    can both target version N — a fixed vN dir would let the loser's
+    rmtree-and-rewrite destroy files the eventual winner's committed
+    manifest references (same reason _write_data_files uses a fresh
+    uuid subdir per write). Orphans from lost attempts are
+    garbage-collected by vacuum's referenced-by-no-surviving-manifest
+    sweep."""
+    return os.path.join(root, "_change_data", f"v{version}-{uuid.uuid4().hex}")
 
 
 def _write_change_files(df: DataFrame, root: str, version: int) -> list[str]:
     """Persist change rows for `version` as immutable parquet under
     _change_data/ (outside data/, so they are never part of any
-    snapshot) and return their paths."""
+    snapshot) and return their paths. Never overwrites: each attempt
+    gets a fresh uuid dir."""
     sub = _change_dir(root, version)
-    # a crashed/lost-race writer may have left this version's change
-    # dir torn; it is only authoritative once version <= head, so an
-    # uncommitted leftover is safe to rebuild from scratch
-    if os.path.isdir(sub) and version > current_version(root):
-        shutil.rmtree(sub)
     df.write.mode("error").parquet(sub)
     return [
         os.path.join(sub, f)
@@ -937,15 +971,13 @@ class DeletionVectorsPending(RuntimeError):
 
 
 def _dv_dir(root: str, version: int) -> str:
-    return os.path.join(root, "_deletes", f"v{version}")
+    # per-attempt uuid dir, same rationale as _change_dir: a racing
+    # loser must never clobber files the winner's manifest references
+    return os.path.join(root, "_deletes", f"v{version}-{uuid.uuid4().hex}")
 
 
 def _write_dv_files(df: DataFrame, root: str, version: int) -> list[str]:
     sub = _dv_dir(root, version)
-    # torn leftover from a crashed/lost-race writer (same rule as
-    # _write_change_files): only authoritative once version <= head
-    if os.path.isdir(sub) and version > current_version(root):
-        shutil.rmtree(sub)
     df.write.mode("error").parquet(sub)
     return [
         os.path.join(sub, f)
@@ -1033,22 +1065,19 @@ def _live_dv_targets(root: str, version: int | None = None) -> set[str]:
         return set()
     import pyarrow.parquet as pq
 
-    def _strip_scheme(p: str) -> str:
-        # _metadata.file_path is a URI ("file:/x" or "file:///x");
-        # manifests store plain paths
-        if p.startswith("file:"):
-            p = p[5:]
-            while p.startswith("//"):
-                p = p[1:]
-        return p
-
+    # _manifest_form realpath-normalizes BOTH sides (same rule as
+    # vacuum's containment check): _metadata.file_path is always an
+    # absolute URI, but manifests store paths as the table root was
+    # given — a relative root would otherwise make the intersection
+    # empty, silently disabling the DeletionVectorsPending interlock
+    # and letting a CoW rewrite resurrect vector-hidden rows.
     targets: set[str] = set()
     for f in dvs:
         targets.update(
-            _strip_scheme(str(p))
+            str(p)
             for p in pq.read_table(f, columns=["_dv_file"]).column(0)
         )
-    return targets & set(_resolve_files(root, v))
+    return _manifest_form(targets, _resolve_files(root, v))
 
 
 def delete_where_mor(
@@ -1228,15 +1257,16 @@ def delete_where(spark: SparkSession, root: str, cond, cdf: bool = False) -> int
     # one filtered scan finds the affected files; the predicate pushes
     # into the parquet scan, so unaffected files are mostly skipped by
     # row-group stats before they are even read
-    affected = {
-        r["f"]
-        for r in snap.filter(cond)
-        .select(F.input_file_name().alias("f"))
-        .distinct()
-        .collect()
-    }
-    # input_file_name returns URIs (file://...); normalize to paths
-    affected = {f.replace("file://", "").split("?")[0] for f in affected}
+    affected = _manifest_form(
+        (
+            r["f"]
+            for r in snap.filter(cond)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        ),
+        files,
+    )
     new_files: list[str] = []
     if affected:
         # DELETE removes rows where cond is TRUE only; under three-
@@ -1367,13 +1397,45 @@ def vacuum(root: str, keep_versions: int = 1, _max_rescans: int = 8) -> int:
         for path in (_manifest_path(root, v), _checkpoint_path(root, v)):
             if os.path.exists(path):
                 os.unlink(path)
-        # a dropped version's materialized change data goes with its
-        # manifest — CDF history shares time travel's retention window
-        # (Delta's rule). Always under this table's own root, so no
-        # containment question arises.
-        cdir = _change_dir(root, v)
-        if os.path.isdir(cdir):
-            shutil.rmtree(cdir, ignore_errors=True)
+    # Garbage-collect _change_data and _deletes by the same
+    # dropped-minus-live pattern as data files: a dir survives iff a
+    # surviving manifest (cdc/dv key) or a surviving version's resolved
+    # DV set still references one of its files. This reclaims (a)
+    # dropped versions' change data — CDF history shares time travel's
+    # retention window (Delta's rule), (b) DV files a dv_reset
+    # (optimize/restore) orphaned once no surviving version resolves
+    # them, and (c) per-attempt uuid dirs abandoned by lost commit
+    # races. Dirs whose encoded version exceeds the head observed at
+    # scan time are kept — they may belong to an in-flight commit
+    # racing this vacuum (the winner's manifest lands after our scan).
+    # Always under this table's own root, so no containment question
+    # arises.
+    live_aux: set[str] = set()
+    for v in range(cutoff, latest + 1):
+        m = _read_raw(root, v)
+        live_aux.update(m.get("cdc") or ())
+        # dv keys alone under-count: checkpoint-carried unions and
+        # dv_reset truncation make per-version resolution the truth
+        live_aux.update(_resolve_dv_files(root, v))
+    live_aux = {os.path.realpath(p) for p in live_aux}
+    for aux_name in ("_change_data", "_deletes"):
+        adir = os.path.join(root, aux_name)
+        if not os.path.isdir(adir):
+            continue
+        for sub in sorted(os.listdir(adir)):
+            p = os.path.join(adir, sub)
+            if not os.path.isdir(p) or not sub.startswith("v"):
+                continue
+            v_str = sub[1:].split("-", 1)[0]
+            if v_str.isdigit() and int(v_str) > latest:
+                continue
+            referenced = any(
+                os.path.realpath(os.path.join(p, f)) in live_aux
+                for f in os.listdir(p)
+                if f.endswith(".parquet")
+            )
+            if not referenced:
+                shutil.rmtree(p, ignore_errors=True)
     # drop now-empty data subdirectories
     ddir = _data_dir(root)
     if os.path.isdir(ddir):
@@ -1415,7 +1477,8 @@ def merge_upsert(
             "copy-on-write MERGE on a table with live deletion "
             "vectors; run optimize() first to materialize them"
         )
-    snap = spark.read.parquet(*_resolve_files(root, base))
+    base_files = _resolve_files(root, base)
+    snap = spark.read.parquet(*base_files)
     keys = updates.select(*key_cols).distinct()
     # SQL MERGE (and Delta) error when multiple source rows match one
     # target key; appending duplicates verbatim would silently corrupt
@@ -1431,14 +1494,16 @@ def merge_upsert(
     # input_file_name() must bind while the plan has ONE source — stamp
     # it on the snapshot scan BEFORE joining the update keys
     stamped = snap.withColumn("__f", F.input_file_name())
-    affected = {
-        r["__f"]
-        for r in stamped.join(keys, key_cols, "left_semi")
-        .select("__f")
-        .distinct()
-        .collect()
-    }
-    affected = {f.replace("file://", "").split("?")[0] for f in affected}
+    affected = _manifest_form(
+        (
+            r["__f"]
+            for r in stamped.join(keys, key_cols, "left_semi")
+            .select("__f")
+            .distinct()
+            .collect()
+        ),
+        base_files,
+    )
     new_files: list[str] = []
     if affected:
         old_rows = spark.read.parquet(*sorted(affected))
@@ -1744,8 +1809,12 @@ def collect_file_blooms(
             .agg(F.bit_or("_b").alias("_m"))
             .collect()
         )
+        by_real = {os.path.realpath(f): f for f in files}
         for r in words:
-            path = r["_f"].replace("file://", "").split("?")[0]
+            # same manifest-form keying as _collect_file_stats
+            path = by_real.get(
+                os.path.realpath(_strip_uri(r["_f"])), _strip_uri(r["_f"])
+            )
             ent = out.setdefault(path, {}).setdefault(
                 f"bloom:{c}", {"b": bits, "k": k, "w": {}}
             )

@@ -279,12 +279,13 @@ def encode_media(data: bytes, fmt: str) -> bytes:
 
 
 def decode_media(payload: bytes, fmt: str):
-    """REAL pure-Python decoder for the three uncompressed container
-    formats: validates magic, parses the actual header fields, and
-    returns ``(samples, info)`` — samples an int64 numpy array of
-    decoded pixel/sample values, info a dict of parsed geometry.
-    Raises ValueError on malformed containers (wrong magic, truncated
-    data), NotImplementedError (gated STUB) for compressed formats."""
+    """REAL pure-Python decoder for every shipped media format (PNG
+    with zlib+Paeth, baseline JPEG, WAV/PPM/Y4M, MJPEG-AVI, RLE8
+    inter-frame AVI): validates magic, parses the actual header
+    fields, and returns ``(samples, info)`` — samples an int64 numpy
+    array of decoded pixel/sample values, info a dict of parsed
+    geometry. Raises ValueError on malformed containers (wrong magic,
+    truncated data) and on formats outside the shipped list."""
     import struct
 
     import numpy as np

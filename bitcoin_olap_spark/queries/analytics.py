@@ -2977,6 +2977,16 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph_jaccard_nbrs: map-side pair explode from sorted per-order
     part arrays, one (u, v) exchange."""
     K, ROUNDS = 2, 4
+    edges = _strong_edges(spark, sf_dir)
+    for _ in range(ROUNDS):
+        edges = _peel_round(edges, K)
+    return _core_degrees(edges)
+
+
+def _strong_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strong part co-purchase edge list (co-ordered >= 2), the shared
+    base of graph_k_core / graph_k_core_converged: map-side pair
+    explode from sorted per-order part arrays, one (u, v) exchange."""
     li = table(spark, sf_dir, "lineitem", spread=True).select(
         "l_orderkey", "l_partkey"
     )
@@ -2986,7 +2996,7 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     p1 = parts.select(F.sort_array("ps").alias("ps")).select(
         "ps", F.posexplode("ps").alias("i", "u")
     )
-    edges = (
+    return (
         p1.select(
             "u",
             F.explode(
@@ -2998,34 +3008,74 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") >= 2)
         .select("u", "v")
     )
-    for _ in range(ROUNDS):
-        adj = edges.unionByName(
-            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ).select(F.col("u").alias("node"))
-        keep = (
-            adj.groupBy("node")
-            .agg(F.count(F.lit(1)).alias("d"))
-            .filter(F.col("d") >= K)
-            .select("node")
+
+
+def _peel_round(edges: DataFrame, k: int) -> DataFrame:
+    """One k-core peel round: degree aggregate + two left-semi edge
+    restrictions, lazily checkpointed (the materialization rides the
+    next round's aggregate job instead of being its own barrier —
+    measured eager 6.42 s vs lazy 5.44 s at sf3, same at sf0.1)."""
+    adj = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).select(F.col("u").alias("node"))
+    keep = (
+        adj.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") >= k)
+        .select("node")
+    )
+    return (
+        edges.join(
+            keep.select(F.col("node").alias("u")), "u", "left_semi"
         )
-        # lazy checkpoint: the materialization rides the next round's
-        # aggregate job instead of being its own barrier (measured
-        # eager 6.42 s vs lazy 5.44 s at sf3, same at sf0.1)
-        edges = (
-            edges.join(
-                keep.select(F.col("node").alias("u")), "u", "left_semi"
-            )
-            .join(
-                keep.select(F.col("node").alias("v")), "v", "left_semi"
-            )
-            .localCheckpoint(eager=False)
+        .join(
+            keep.select(F.col("node").alias("v")), "v", "left_semi"
         )
+        .localCheckpoint(eager=False)
+    )
+
+
+def _core_degrees(edges: DataFrame) -> DataFrame:
     final_adj = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).select(F.col("u").alias("node"))
     return final_adj.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("deg")
     )
+
+
+@query("graph_k_core_converged", oracle=_oracle_kcore_sql(rounds=6))
+def graph_k_core_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE 2-core: graph_k_core's peel round body run to FIXPOINT —
+    the production form its docstring promises (dedup_doc_clusters'
+    convergence-sum loop applied to peeling). Each round is the
+    identical degree-aggregate + two left-semi restrictions; the loop
+    stops when a round removes no edge, detected by ONE count action
+    per round over the lazily-checkpointed (already shrunken) edge
+    relation — O(surviving edges) per check, never the base graph.
+    Peeling only ever REMOVES edges, so an unchanged count IS the
+    fixpoint, and the fixpoint is the k-core regardless of peel order
+    (Matula/Beck) — which is why the unrolled-6-rounds oracle states
+    the same relation on any graph that converges within 6 (the
+    fixture converges in 4; test_properties pins fixpoint equality
+    with the registered 4-round unroll, and a hard cap of 50 rounds
+    guards pathological chains: a path graph peels one layer per
+    round, so production graphs with adversarial diameter should
+    raise the cap or pre-bucket by degeneracy).
+    Scale posture: identical to graph_k_core (whose measured decades
+    end 0.29x at sf100) plus one count job per round — each a
+    metadata-cheap reduce over the checkpointed relation that
+    collapses ~30x in round 1."""
+    K = 2
+    edges = _strong_edges(spark, sf_dir).localCheckpoint(eager=False)
+    prev = -1
+    for _ in range(50):
+        n = edges.count()  # materializes the pending lazy checkpoint
+        if n == prev:
+            break
+        prev = n
+        edges = _peel_round(edges, K)
+    return _core_degrees(edges)
 
 
 @query(
@@ -4370,6 +4420,179 @@ def ml_als(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("long"),
             F.col("p").alias("partkey"),
             F.col("v").alias("v_q"),
+        )
+    )
+
+
+def _oracle_als2_sql() -> str:
+    S, S2, LAM = _ALS_S, _ALS_S2, _ALS_LAM
+    H = "HUGEINT"
+
+    def fd(a: str, b: str) -> str:
+        return _fdiv_sql(a, b).format(DIV="//")
+
+    def solve(src: str, key: str, other: str) -> str:
+        # per-key 2x2 ridge normal-equation solve, all moments HUGEINT
+        det = "(a11 * a22 - a12 * a12)"
+        return f"""
+        SELECT {key},
+               CAST({fd('(a22 * b1 - a12 * b2)', det)} AS BIGINT) AS f1,
+               CAST({fd('(a11 * b2 - a12 * b1)', det)} AS BIGINT) AS f2
+        FROM (
+          SELECT r.{key},
+                 CAST(SUM(CAST(g.f1 AS {H}) * g.f1) AS {H}) + {LAM} AS a11,
+                 CAST(SUM(CAST(g.f1 AS {H}) * g.f2) AS {H}) AS a12,
+                 CAST(SUM(CAST(g.f2 AS {H}) * g.f2) AS {H}) + {LAM} AS a22,
+                 CAST(SUM(CAST(r.c AS {H}) * g.f1) AS {H}) * {S2} AS b1,
+                 CAST(SUM(CAST(r.c AS {H}) * g.f2) AS {H}) * {S2} AS b2
+          FROM ratings r JOIN {src} g ON g.{other} = r.{other}
+          GROUP BY 1
+        ) s
+        """
+
+    return f"""
+    WITH ratings AS (
+        SELECT o.o_custkey AS u, l.l_partkey AS p,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2
+    ), v0 AS (
+        SELECT DISTINCT p,
+               CAST({S} AS BIGINT) AS f1,
+               CAST({S} + ((p % 97) - 48) * {S // 100} AS BIGINT) AS f2
+        FROM ratings
+    ), u1 AS ({solve('v0', 'u', 'p')}
+    ), v1 AS ({solve('u1', 'p', 'u')}
+    ), u2 AS ({solve('v1', 'u', 'p')}
+    ), v2 AS ({solve('u2', 'p', 'u')}
+    ), rk AS (
+        SELECT p, f1, f2,
+               row_number() OVER (ORDER BY f1 DESC, f2 DESC, p) AS rnk
+        FROM v2
+    )
+    SELECT CAST(rnk AS BIGINT) AS rnk, p AS partkey,
+           f1 AS v1_q, f2 AS v2_q
+    FROM rk WHERE rnk <= 20
+    """
+
+
+@query("ml_als_rank2", oracle=_oracle_als2_sql())
+def ml_als_rank2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-2 ALTERNATING LEAST SQUARES over the (customer, part)
+    purchase-count matrix — the production generalization ml_als's
+    docstring promises: each half-step solves a per-key 2x2 ridge
+    normal equation A f = b with A = sum(g g^T) + lambda*S^2*I and
+    b = S^2 * sum(c*g), via the closed-form adjugate (det = a11*a22 -
+    a12^2 > 0 since lambda > 0) and the sign-safe floor division —
+    the same join-ratings-on-other / reduce-per-key data flow as
+    rank-1 (pyspark.ml's ALS layout: factors are rows co-partitioned
+    with their key, never a dense matrix), with TWO factor columns
+    riding the same exchanges, so rank-k costs the same shuffle
+    structure as rank-1.
+
+    Integer-grid discipline: factors are int64 on the S = 1e4 grid
+    between half-steps; within a solve every moment is
+    decimal(38,0)/HUGEINT (overflow audit at sf1 fan-in ~1e3,
+    |f| <~ 1e6: a_ij <= 1e15, b_i <= S^2*1e12 = 1e20, adjugate
+    products <= 1e35 < 1e38). Init breaks rank symmetry
+    deterministically — f2_0 = S + ((p % 97) - 48) * S/100 — because
+    identical columns would keep A singular up to lambda forever;
+    the fused first half-step evaluates (f1_0, f2_0) as expressions
+    OF THE RATINGS' p COLUMN, so the v0 build needs no join at all
+    (the rank-2 extension of ml_als's fused constant half-step; the
+    oracle keeps the explicit v0 CTE + join, same integers). Two full
+    alternations; output: top-20 parts by final (f1, f2).
+
+    Reference parity: generalizes the regression-over-aggregates
+    pattern of btc_logregression_pre.py:80-86 to factorization, per
+    SURVEY.md §2.11."""
+    S, S2, LAM = _ALS_S, _ALS_S2, _ALS_LAM
+    D = "decimal(38,0)"
+    li = table(spark, sf_dir, "lineitem", spread=True).select(
+        "l_orderkey", "l_partkey"
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    ratings = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("u"),
+            F.col("l_partkey").alias("p"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
+
+    def _solve_exprs(g1: str, g2: str):
+        """Aggregate the five 2x2-normal-equation moments of (g1, g2)
+        and return the two solved factor columns (decimal-exact
+        adjugate, floor-div back onto the int64 grid)."""
+        a11 = (
+            F.sum(F.col(g1).cast(D) * F.col(g1)).cast(D)
+            + F.lit(LAM).cast(D)
+        ).alias("a11")
+        a12 = F.sum(F.col(g1).cast(D) * F.col(g2)).cast(D).alias("a12")
+        a22 = (
+            F.sum(F.col(g2).cast(D) * F.col(g2)).cast(D)
+            + F.lit(LAM).cast(D)
+        ).alias("a22")
+        b1 = (
+            F.sum(F.col("c").cast(D) * F.col(g1)).cast(D)
+            * F.lit(S2).cast(D)
+        ).alias("b1")
+        b2 = (
+            F.sum(F.col("c").cast(D) * F.col(g2)).cast(D)
+            * F.lit(S2).cast(D)
+        ).alias("b2")
+        det = "(a11 * a22 - a12 * a12)"
+        f1 = F.expr(
+            _fdiv_sql("(a22 * b1 - a12 * b2)", det).format(DIV="div")
+        ).cast("long")
+        f2 = F.expr(
+            _fdiv_sql("(a11 * b2 - a12 * b1)", det).format(DIV="div")
+        ).cast("long")
+        return (a11, a12, a22, b1, b2), (f1, f2)
+
+    def half_step(factors: DataFrame, key: str, other: str) -> DataFrame:
+        j = ratings.join(factors, other)
+        moments, (f1, f2) = _solve_exprs("f1", "f2")
+        return (
+            j.groupBy(key)
+            .agg(*moments)
+            .select(key, f1.alias("f1"), f2.alias("f2"))
+        )
+
+    # fused first half-step: v0's factors are EXPRESSIONS of p, so no
+    # v0 relation and no join — aggregate straight off ratings
+    r0 = ratings.withColumn("f1", F.lit(S).cast("long")).withColumn(
+        "f2",
+        (
+            F.lit(S) + ((F.col("p") % 97) - 48) * F.lit(S // 100)
+        ).cast("long"),
+    )
+    moments, (f1, f2) = _solve_exprs("f1", "f2")
+    u = (
+        r0.groupBy("u")
+        .agg(*moments)
+        .select("u", f1.alias("f1"), f2.alias("f2"))
+    )
+    v = half_step(u, "p", "u")
+    u = half_step(v, "u", "p")
+    v = half_step(u, "p", "u")
+    return (
+        v.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("f1"), F.desc("f2"), "p")
+            ),
+        )
+        .filter(F.col("rnk") <= 20)
+        .select(
+            F.col("rnk").cast("long"),
+            F.col("p").alias("partkey"),
+            F.col("f1").alias("v1_q"),
+            F.col("f2").alias("v2_q"),
         )
     )
 

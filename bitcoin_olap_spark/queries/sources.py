@@ -1668,17 +1668,25 @@ def stream_cdf_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("startingVersion", 0)
         .load()
     )
-    name = f"stream_sink_{next(_MEMSINK_SEQ)}"
+    # Land each micro-batch EXECUTOR-SIDE (foreachBatch parquet
+    # append) instead of the memory sink: the r7/r8 sf1 measurements
+    # blamed the feed's >2x ratio on the memory sink's driver collect
+    # — a fixture artifact the production landing shape doesn't have
+    # (stream_cdf_apply lands into an ACID table the same way). The
+    # subscription result is then a distributed relation, and the
+    # oracle compare reads it back like any other table.
+    out = _tmp(f"cdf_feed_land_{next(_MEMSINK_SEQ)}")
     with _few_state_partitions(spark):
         q = (
-            feed.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
+            feed.writeStream.foreachBatch(
+                lambda df, _eid: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", out + "_ckpt")
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
-    return spark.table(name)
+    return spark.read.parquet(out)
 
 
 @query(

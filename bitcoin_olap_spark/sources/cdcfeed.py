@@ -59,8 +59,15 @@ DDL_BY_ARROW = {
 
 
 def _table_ddl(root: str) -> str:
-    """Table-column DDL derived from the head snapshot's first data
-    file (driver-side, one parquet footer read)."""
+    """Table-column DDL derived from the UNION of the head snapshot's
+    data-file footers (driver-side, metadata-only — O(files) footer
+    reads, the same cost Spark's mergeSchema pays). A single-footer
+    derivation would be wrong after add-column evolution: path order
+    can put a pre-evolution narrow file first, silently dropping the
+    evolved columns from the whole feed, contradicting
+    _read_change_file's null-fill widening. Field order: first file's
+    order, later-seen columns appended — mirroring snapshot reads'
+    mergeSchema semantics."""
     import pyarrow.parquet as pq
 
     from ..operators import acidtable as AT
@@ -69,9 +76,15 @@ def _table_ddl(root: str) -> str:
     files = AT._resolve_files(root, head)
     if not files:
         raise ValueError(f"acid_cdf: table at {root} has no data files")
-    schema = pq.read_schema(files[0])
+    merged: list = []
+    seen: set[str] = set()
+    for path in files:
+        for f in pq.read_schema(path):
+            if f.name not in seen:
+                seen.add(f.name)
+                merged.append(f)
     cols = []
-    for f in schema:
+    for f in merged:
         t = str(f.type)
         if t.startswith("timestamp"):
             ddl = "timestamp"

@@ -2405,10 +2405,18 @@ def test_cdf_vacuum_drops_change_data_with_manifests(spark, tmp_path):
     )
     AT.delete_where(spark, root, F.col("id") < 10, cdf=True)  # v1
     AT.delete_where(spark, root, F.col("id") < 20, cdf=True)  # v2
-    assert os.path.isdir(AT._change_dir(root, 1))
+
+    def cdirs(v):
+        # _change_data dirs are per-attempt (vN-<uuid>): match by prefix
+        base = os.path.join(root, "_change_data")
+        if not os.path.isdir(base):
+            return []
+        return [d for d in os.listdir(base) if d.startswith(f"v{v}-")]
+
+    assert cdirs(1)
     AT.vacuum(root, keep_versions=1)  # drops v0, v1
-    assert not os.path.isdir(AT._change_dir(root, 1))
-    assert os.path.isdir(AT._change_dir(root, 2))
+    assert not cdirs(1)
+    assert cdirs(2)
     inv = AT.change_inventory(root, 1, 2)
     assert inv and all(v == 2 for _, _, v in inv)
 
@@ -2692,3 +2700,192 @@ def test_cdf_stream_checkpoint_restart_resumes_from_offset(
         spark.read.format("acid_cdf").option("path", root).load()
     ).collect()
     assert sorted(map(key, both)) == sorted(map(key, full))
+
+
+def test_acid_change_dv_dirs_are_per_attempt(spark, tmp_path):
+    """ADVICE r8 regression (acidtable _write_change_files /
+    _write_dv_files): two commit attempts racing to the SAME version
+    number must write change/DV files into DISJOINT dirs — a fixed
+    _change_data/vN dir let the loser's rmtree-and-rewrite destroy
+    files the eventual winner's committed manifest references, so a
+    committed version's CDF/DV reads failed. Per-attempt uuid dirs
+    (the _write_data_files pattern) make attempts collision-free."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators import acidtable as AT
+
+    root = str(tmp_path / "tbl")
+    AT.init_table(spark, root, spark.range(0, 10).select("id"))
+    change = spark.range(0, 3).select(
+        "id", F.lit("delete").alias("_change_type")
+    )
+    dv = spark.range(0, 3).select(
+        F.lit("f").alias("_dv_file"), F.col("id").alias("_dv_pos")
+    )
+    # both "attempts" target version 1 (> head) — the old code rmtree'd
+    # the first attempt's dir here
+    a_cdc = AT._write_change_files(change, root, 1)
+    a_dv = AT._write_dv_files(dv, root, 1)
+    b_cdc = AT._write_change_files(change, root, 1)
+    b_dv = AT._write_dv_files(dv, root, 1)
+    import os
+
+    for f in a_cdc + a_dv + b_cdc + b_dv:
+        assert os.path.exists(f), f"attempt clobbered {f}"
+    assert {os.path.dirname(p) for p in a_cdc}.isdisjoint(
+        {os.path.dirname(p) for p in b_cdc}
+    )
+    assert {os.path.dirname(p) for p in a_dv}.isdisjoint(
+        {os.path.dirname(p) for p in b_dv}
+    )
+    # winner commits attempt A's files: the feed over them still reads
+    AT._commit(root, 1, "delete", add=[], cdc=a_cdc, dv=a_dv)
+    inv = AT.change_inventory(root, 0)
+    assert [p for p, _, _ in inv] == sorted(a_cdc)
+    assert AT._resolve_dv_files(root, 1) == sorted(a_dv)
+
+
+def test_acid_cdf_schema_includes_evolved_columns(spark, tmp_path):
+    """ADVICE r8 regression (cdcfeed._table_ddl): the feed schema must
+    be the UNION of the head snapshot's file footers, not files[0] —
+    after add_columns evolution, path order can put a pre-evolution
+    narrow file first and the evolved columns silently vanished from
+    the entire CDF feed. Pre-evolution change rows surface the new
+    column as NULL (the same widening snapshot reads do)."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators import acidtable as AT
+    from bitcoin_olap_spark.sources.cdcfeed import register_cdcfeed
+
+    root = str(tmp_path / "tbl")
+    AT.init_table(
+        spark, root, spark.range(0, 8).select("id", F.lit(1).alias("v"))
+    )
+    AT.add_columns(
+        spark,
+        root,
+        spark.range(100, 104).select(
+            "id", F.lit(2).alias("v"), F.lit("x").alias("extra")
+        ),
+    )
+    register_cdcfeed(spark)
+    feed = spark.read.format("acid_cdf").option("path", root).load()
+    assert "extra" in feed.columns, feed.columns
+    rows = feed.collect()
+    # v0 inserts (pre-evolution) widen with NULL extra; v1 inserts carry it
+    assert {r["extra"] for r in rows if r["_commit_version"] == 0} == {None}
+    assert {r["extra"] for r in rows if r["_commit_version"] == 1} == {"x"}
+
+
+def test_acid_mor_interlock_fires_with_relative_root(spark, tmp_path):
+    """ADVICE r8 regression (acidtable._live_dv_targets): with the
+    table opened via a RELATIVE root, manifests store relative paths
+    while _metadata.file_path is always an absolute URI — the
+    unnormalized intersection was always empty, the
+    DeletionVectorsPending interlock never fired, and a CoW
+    delete_where silently resurrected MoR-deleted rows. Both sides now
+    realpath-normalize."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators import acidtable as AT
+
+    rel_root = os.path.relpath(str(tmp_path / "tbl"))
+    AT.init_table(spark, rel_root, spark.range(0, 20).select("id"))
+    AT.delete_where_mor(spark, rel_root, F.col("id") < 5)
+    assert AT._live_dv_targets(rel_root), "interlock input empty"
+    with pytest.raises(AT.DeletionVectorsPending):
+        AT.delete_where(spark, rel_root, F.col("id") >= 15)
+    # after optimize materializes the vectors, CoW proceeds
+    AT.optimize(spark, rel_root, target_files=2)
+    AT.delete_where(spark, rel_root, F.col("id") >= 15)
+    assert AT.snapshot(spark, rel_root).count() == 10
+
+
+def test_acid_vacuum_reclaims_unreferenced_dv_and_change_files(
+    spark, tmp_path
+):
+    """ADVICE r8 regression (acidtable.vacuum): _deletes files made
+    unreferenced by a dv_reset (optimize) and orphaned per-attempt
+    dirs from lost commit races must be reclaimed by vacuum (the same
+    dropped-minus-live pattern as data files) — otherwise delete-heavy
+    MoR tables grow without bound. Dirs targeting versions NEWER than
+    the scanned head (a possible in-flight racer) must survive."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators import acidtable as AT
+
+    root = str(tmp_path / "tbl")
+    AT.init_table(spark, root, spark.range(0, 100).select("id"))
+    AT.delete_where_mor(spark, root, F.col("id") < 10, cdf=True)  # v1
+    old_dvs = AT._resolve_dv_files(root, 1)
+    assert old_dvs
+    AT.optimize(spark, root, target_files=2)  # v2: dv_reset
+    # orphan from a lost race at an old version number
+    orphan = AT._write_dv_files(
+        spark.range(0, 1).select(
+            F.lit("f").alias("_dv_file"), F.col("id").alias("_dv_pos")
+        ),
+        root,
+        2,
+    )
+    # in-flight attempt targeting a FUTURE version: must survive vacuum
+    inflight = AT._write_dv_files(
+        spark.range(0, 1).select(
+            F.lit("f").alias("_dv_file"), F.col("id").alias("_dv_pos")
+        ),
+        root,
+        99,
+    )
+    AT.vacuum(root, keep_versions=1)
+    for f in old_dvs + orphan:
+        assert not os.path.exists(f), f"unreclaimed {f}"
+    for f in inflight:
+        assert os.path.exists(f), "in-flight racer's files reclaimed"
+    # dropped v1's change data goes with its manifest
+    cdir = os.path.join(root, "_change_data")
+    assert not os.path.isdir(cdir) or not os.listdir(cdir)
+    assert AT.snapshot(spark, root).count() == 90
+
+
+def test_acid_vacuum_keeps_dvs_referenced_by_surviving_versions(
+    spark, tmp_path
+):
+    """Companion guard for the vacuum DV sweep: a DV file referenced by
+    ANY surviving version (keep_versions > 1 time travel window) must
+    survive vacuum even though the head has dv_reset past it."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators import acidtable as AT
+
+    root = str(tmp_path / "tbl")
+    AT.init_table(spark, root, spark.range(0, 50).select("id"))
+    AT.delete_where_mor(spark, root, F.col("id") < 5)  # v1
+    dvs = AT._resolve_dv_files(root, 1)
+    AT.optimize(spark, root, target_files=1)  # v2: dv_reset
+    AT.vacuum(root, keep_versions=2)  # v1 survives -> its DVs must too
+    import os
+
+    for f in dvs:
+        assert os.path.exists(f), f"DV of surviving version v1 gone: {f}"
+    assert AT.snapshot(spark, root, version=1).count() == 45
+
+
+def test_k_core_converged_equals_unrolled_fixpoint(spark):
+    """graph_k_core_converged (the production convergence-sum loop)
+    must reach exactly the relation the registered 4-round unroll
+    computes on the fixture — peeling is order-insensitive and only
+    removes edges, so an unchanged edge count IS the fixpoint, and the
+    fixture converges within the unroll."""
+    from bitcoin_olap_spark.registry import all_queries
+
+    q = all_queries()
+    sf = "/root/testdata/sf0.01"
+    a = q["graph_k_core"](spark, sf)
+    b = q["graph_k_core_converged"](spark, sf)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0

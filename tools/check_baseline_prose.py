@@ -47,7 +47,20 @@ def main() -> int:
     for qid, quoted, measured in bad:
         print(f"PROSE STALE: {qid} quoted {quoted}x, table {measured}x")
     print(f"{len(bad)} stale of {len(table)} table rows")
-    return 1 if bad else 0
+
+    # Classification-debt gate (r8 verdict): a bare `over 2x` status —
+    # no parenthetical floor tag / measured scale point — is an
+    # unclassified weak row. The r8d regen silently reintroduced 63 of
+    # them; fail so a future regen can't. Evidence lives in
+    # tools/scale_evidence.py's ANNOTATIONS map, which regen re-emits.
+    bare = [
+        m.group(1)
+        for m in re.finditer(r"^\| (\w+) \| [\d.]+ \| [\d.]+ \| [\d.]+ \| over 2x \|$", text, re.M)
+    ]
+    for qid in bare:
+        print(f"BARE STATUS: {qid} is 'over 2x' with no measured evidence")
+    print(f"{len(bare)} bare over-2x rows")
+    return 1 if (bad or bare) else 0
 
 
 if __name__ == "__main__":

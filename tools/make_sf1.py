@@ -77,10 +77,26 @@ def main() -> None:
             "user_id",
             i * 1_000_000,
         ),
+        # part scales WITH lineitem (l_partkey is copy-shifted, so the
+        # part side must shift identically or 9/10 of the probe rows
+        # would dangle); the remaining dims stay FIXED single copies —
+        # l_suppkey / o_custkey are NOT shifted, so supplier/customer/
+        # nation/region keep matching, the classic facts-grow-dims-
+        # don't production shape.
+        "part": lambda t, i: shifted(t, "p_partkey", i * 10_000_000),
+        "customer": lambda t, i: t if i == 0 else None,
+        "supplier": lambda t, i: t if i == 0 else None,
+        "nation": lambda t, i: t if i == 0 else None,
+        "region": lambda t, i: t if i == 0 else None,
     }
+    only = set(sys.argv[1:])
     for name, fn in jobs.items():
+        if only and name not in only:
+            continue
         src = pq.read_table(os.path.join(SRC, f"{name}.parquet"))
-        parts = [fn(src, i) for i in range(COPIES)]
+        parts = [
+            p for p in (fn(src, i) for i in range(COPIES)) if p is not None
+        ]
         out = pa.concat_tables(parts)
         pq.write_table(
             out,

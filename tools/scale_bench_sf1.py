@@ -41,7 +41,18 @@ SF1 = os.environ.get(
         "sf1_data",
     ),
 )
-TABLES = ("documents", "embeddings", "lineitem", "orders", "events")
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
 
 
 def main() -> None:

@@ -164,12 +164,27 @@ def fingerprint(text: str | Column) -> Column:
     """Deterministic document fingerprint: md5 of the
     lowercased/punct-stripped/whitespace-collapsed text.
     DuckDB twin: md5(trim(regexp_replace(regexp_replace(lower(t),
-    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))."""
+    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))).
+
+    Spelled WORD-WISE (split on space, strip each token's non-alnum
+    chars, drop empties, rejoin) rather than as one whole-string
+    negated-class regexp_replace: bit-identical output — stripping
+    then collapsing spaces commutes with splitting on them, and
+    non-space whitespace inside a token is removed without inserting
+    a space either way — but measured 15x faster (r9, sf3 documents,
+    32-way scan: whole-string '[^a-z0-9 ]' replace 4.5 s, word-wise
+    0.29 s; Spark's regex replace rebuilds the string per match, and
+    punctuation-dense text matches constantly)."""
     c = F.col(text) if isinstance(text, str) else text
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(c), "[^a-z0-9 ]", ""), " +", " "
-        )
+    norm = F.concat_ws(
+        " ",
+        F.filter(
+            F.transform(
+                F.split(F.lower(c), " "),
+                lambda w: F.regexp_replace(w, "[^a-z0-9]+", ""),
+            ),
+            lambda w: w != "",
+        ),
     )
     return F.md5(norm)
 
@@ -184,21 +199,33 @@ def shingle_array(text_col: str, n: int = 3, distinct: bool = True) -> Column:
     ZERO shuffles — a posexplode + lead-window formulation would
     shuffle every word in the corpus just to pair neighbors that were
     already adjacent in the array. At 100 TB this is the difference
-    between a map-only stage and a corpus-wide sort."""
-    arr = words(text_col)
-    m = F.size(arr) - (n - 1)
-    shingle_arr = F.when(
-        m >= 1,
-        F.transform(
-            F.sequence(F.lit(1), m),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(arr, i + j) for j in range(n)]
+    between a map-only stage and a corpus-wide sort.
+
+    The word array is LET-BOUND by wrapping it in a one-element array
+    and binding it as a transform lambda variable: referenced as a
+    plain subexpression, the split() would re-evaluate at every one
+    of the n+1 references per shingle — Spark's interpreted
+    higher-order-function path does no common-subexpression
+    elimination across lambda bodies. Measured r9 (sf3 documents,
+    32-way scan, identical output): 7.6 s -> 0.55 s for the n=5
+    build. The trick is semantics-free: transform evaluates the
+    1-element array once per row and the body sees it as a bound
+    variable."""
+
+    def body(arr: Column) -> Column:
+        m = F.size(arr) - (n - 1)
+        sh = F.when(
+            m >= 1,
+            F.transform(
+                F.sequence(F.lit(1), m),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(arr, i + j) for j in range(n)]
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    if distinct:
-        shingle_arr = F.array_distinct(shingle_arr)
-    return shingle_arr
+        ).otherwise(F.array().cast("array<string>"))
+        return F.array_distinct(sh) if distinct else sh
+
+    return F.element_at(F.transform(F.array(words(text_col)), body), 1)
 
 
 def shingles(

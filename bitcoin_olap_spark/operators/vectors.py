@@ -1397,16 +1397,18 @@ def bm25_topk_sparse(
 
     Returns (query_id, doc_id, score, rnk), rnk 1..k per query,
     self-pairs excluded."""
-    ex = (
-        docs.select(
-            F.col(id_col),
-            F.explode(
-                F.split(F.lower(F.col(text_col)), " ")
-            ).alias("w"),
-        )
-        .filter(F.col("w") != "")
-        .repartition("w")
-    )
+    # No pre-repartition: a doc's words co-locate after the explode,
+    # so the (doc, term) tf aggregate combines map-side and its
+    # exchange carries POSTINGS (distinct terms per doc), not word
+    # occurrences — the r9 rewrite dropped an occurrence-grain string
+    # exchange that the old plan paid before this same aggregate
+    # re-shuffled everything anyway.
+    ex = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(F.col(text_col)), " ")
+        ).alias("w"),
+    ).filter(F.col("w") != "")
     post = ex.groupBy(id_col, "w").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
@@ -1432,10 +1434,14 @@ def bm25_topk_sparse(
             / (F.col("total_len") / F.col("n_docs"))
         )
     )
+    # df as a postings-grain aggregate + join (not a count window: the
+    # window sorts every posting within its term partition, an
+    # ordering df does not need)
+    dfrel = post.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
     wpost = (
-        post.withColumn(
-            "df", F.count(F.lit(1)).over(Window.partitionBy("w"))
-        )
+        post.join(dfrel, "w")
         .join(dl, id_col)
         .crossJoin(F.broadcast(consts))
         .select(id_col, "w", "tf", (idf * sat).alias("wt"))

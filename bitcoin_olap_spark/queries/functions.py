@@ -292,8 +292,19 @@ def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     where CAST would throw (ANSI mode) or silently corrupt — the
     ingest-hygiene primitive for semi-trusted feeds. The synthetic
     string column interleaves clean integers, ISO dates, and plain
-    words; each TRY_CAST salvages its own slice and nulls the rest,
-    all JVM-side inside codegen."""
+    words; each salvage expression keeps its own slice and nulls the
+    rest, all JVM-side inside codegen.
+
+    The date salvage is format-pinned (try_to_timestamp 'yyyy-MM-dd')
+    rather than a bare try_cast to DATE: Spark's string->date cast
+    parses bare 4+-digit integers as YEAR dates where DuckDB's
+    TRY_CAST nulls them — a dialect divergence invisible at the
+    sf0.01 compare (user_id < 1000 there) that both diverges the
+    engines at sf0.1+ and CRASHES at sf1, where 7-digit user_ids
+    parse as year ~1e6 dates whose midnight timestamp overflows
+    daysToMicros (measured: the r9 sf1 campaign died here). The
+    pinned format states the intended semantics — only the ISO slice
+    is a date — identically at every scale."""
     e = table(spark, sf_dir, "events")
     s = (
         F.when(
@@ -314,7 +325,7 @@ def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         # date -> midnight timestamp: a DATE column's nulls surface as
         # object-dtype None in Spark's toPandas but NaT in DuckDB's —
         # timestamp-typed nulls canonicalize identically on both sides
-        s.try_cast("date").cast("timestamp").alias("as_date"),
+        F.try_to_timestamp(s, F.lit("yyyy-MM-dd")).alias("as_date"),
     )
 
 

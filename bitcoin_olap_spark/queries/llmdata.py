@@ -59,7 +59,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic min-id survivor. Duplicates are synthesized (testdata
     has near-dups but no exact dups) by re-adding every 5th doc under a
     shifted id."""
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "text"
+    )
     dupes = docs.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
@@ -1353,8 +1355,11 @@ def text_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 over normalized text, grouped to
     (fingerprint, keep_id, n_docs) — the join key for cross-corpus
-    exact dedup."""
-    docs = table(spark, sf_dir, "documents")
+    exact dedup. spread=True (r9): the normalize+md5 map stage is the
+    whole cost and the fixture's 50k-row row groups starve it of
+    tasks one decade up — measured 2.0 s sf1 / 5.7 s sf3 on the
+    unspread scan."""
+    docs = table(spark, sf_dir, "documents", spread=True)
     return docs.groupBy(TX.fingerprint("text").alias("fingerprint")).agg(
         F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_docs")
     )
@@ -1573,34 +1578,63 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id % 10 != 0), the fraction of its distinct word-5-grams that
     appear anywhere in the holdout set (doc_id % 10 == 0) — the
     standard n-gram-overlap decontamination pass before training.
-    Holdout shingles collapse to a distinct set FIRST (one aggregate,
-    ~1/10 of the corpus), then a left join + conditional count per
-    train doc; contamination = one integer->double division,
-    bit-stable. Only contaminated docs are emitted. At 100 TB the
-    holdout-distinct relation is the small side and broadcasts (AQE
-    decides from its measured size, not a guess)."""
+    Exchange discipline (r9 rewrite, measured): the naive form joined
+    the exploded TRAIN shingle relation against the holdout set ON THE
+    5-GRAM STRING and then re-shuffled every joined row by doc_id —
+    two corpus-scale exchanges of ~50-byte string keys, measured
+    superlinear wall growth (5.6 s sf1 -> 14.7 s sf3). But the
+    holdout-distinct vocabulary is SMALL BY CONSTRUCTION — a
+    benchmark/eval suite, not a second corpus (39k shingles at sf3,
+    ~2 MB) — so the production shape is an explicit BROADCAST
+    semi-join: the train side never exchanges at all. The whole query
+    is now (1) per-doc totals straight off the in-row shingle array
+    (F.size, no exchange), (2) one broadcast semi-join tagging
+    contaminated (doc, shingle) rows map-side, (3) a doc-grain count
+    whose map-side combine ships at most one row per contaminated doc
+    per partition, and (4) an AQE-broadcast join of the (small)
+    contaminated set back to the totals. A holdout too large to
+    broadcast is a different workload (corpus-vs-corpus overlap =
+    dedup_ngram_jaccard's banded tier); this operator states the
+    decontamination case.
+
+    The 5-gram array relation is scoped_cache'd: two consumers (the
+    per-doc totals and the explode) would otherwise each re-evaluate
+    the higher-order shingle construction — and Spark's Generate
+    re-evaluates an expensive generator child catastrophically
+    (measured r9 at sf3: 21.5 s exploding the inline expression vs
+    0.26 s exploding the cached array; the build itself is 8.5 s,
+    paid once here)."""
+    from ..operators.cacheutil import scoped_cache
+
     docs = table(spark, sf_dir, "documents", spread=True)
-    tr = TX.shingles(
-        docs.filter(F.col("doc_id") % 10 != 0), "doc_id", "text", n=5
+    base = scoped_cache(
+        docs.filter(F.col("doc_id") % 10 != 0).select(
+            "doc_id", TX.shingle_array("text", 5).alias("arr")
+        )
     )
+    sizes = base.select(
+        "doc_id", F.size("arr").cast("long").alias("n_shingles")
+    )
+    tr = base.select("doc_id", F.explode("arr").alias("shingle"))
     ho = (
         TX.shingles(
             docs.filter(F.col("doc_id") % 10 == 0), "doc_id", "text", n=5
         )
         .select("shingle")
         .distinct()
-        .withColumn("hit", F.lit(1))
     )
-    hit = F.coalesce(F.col("hit"), F.lit(0))
-    return (
-        tr.join(ho, "shingle", "left")
+    hits = (
+        tr.join(F.broadcast(ho), "shingle", "left_semi")
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(hit).alias("n_contaminated"),
-            (F.sum(hit) * 1.0 / F.count(F.lit(1))).alias("contamination"),
-        )
-        .filter(F.col("n_contaminated") > 0)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return hits.join(sizes, "doc_id").select(
+        "doc_id",
+        "n_shingles",
+        "n_contaminated",
+        (F.col("n_contaminated") * 1.0 / F.col("n_shingles")).alias(
+            "contamination"
+        ),
     )
 
 

@@ -108,7 +108,9 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     form of the reference's dedup-DELETE maintenance
     (btcolap.sql:1-15)."""
     ev = stream_events(spark, sf_dir)
-    return run_to_batch(dedup_stream(ev.unionByName(ev)), spark)
+    return run_to_batch(
+        dedup_stream(ev.unionByName(ev)), spark, sink="parquet"
+    )
 
 
 @query(
@@ -130,6 +132,7 @@ def stream_stateful_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
         running_user_sequence(stream_events(spark, sf_dir)),
         spark,
         n_partitions=32,
+        sink="parquet",
     )
 
 
@@ -175,7 +178,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     only up to watermark + bound; the oracle states the converged batch
     interval join."""
     ev = stream_events(spark, sf_dir)
-    return run_to_batch(purchase_view_join(ev), spark)
+    return run_to_batch(purchase_view_join(ev), spark, sink="parquet")
 
 
 @query(
@@ -305,7 +308,11 @@ def stream_dropdup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving row's projection is deterministic either way."""
     ev = stream_events(spark, sf_dir)
     restated = ev.withColumn("props", F.lit("{}"))
-    return run_to_batch(dedup_within_watermark(ev.unionByName(restated)), spark)
+    return run_to_batch(
+        dedup_within_watermark(ev.unionByName(restated)),
+        spark,
+        sink="parquet",
+    )
 
 
 @query(

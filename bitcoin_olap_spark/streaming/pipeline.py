@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import itertools
 import os
+import tempfile
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
@@ -269,16 +270,52 @@ def run_to_batch(
     spark: SparkSession,
     mode: str = "append",
     n_partitions: int = 8,
+    sink: str = "memory",
 ) -> DataFrame:
-    """Execute a streaming DataFrame to completion (availableNow) into
-    a memory sink; return the batch result. Aggregations pass
-    mode='complete' so windows still open at end-of-stream (watermark
-    never passes the final window on a finite input) are emitted.
-    `n_partitions` sizes the state/shuffle partitioning: 8 suits the
-    JVM-side operators (state-store instances are the cost); Python
-    stateful operators (applyInPandasWithState) pass more — their
-    bottleneck is Python-worker throughput, which scales with
-    partitions."""
+    """Execute a streaming DataFrame to completion (availableNow);
+    return the batch result. Aggregations pass mode='complete' so
+    windows still open at end-of-stream (watermark never passes the
+    final window on a finite input) are emitted. `n_partitions` sizes
+    the state/shuffle partitioning: 8 suits the JVM-side operators
+    (state-store instances are the cost); Python stateful operators
+    (applyInPandasWithState) pass more — their bottleneck is
+    Python-worker throughput, which scales with partitions.
+
+    sink='parquet' (append mode only) lands micro-batches
+    EXECUTOR-SIDE and returns a distributed read-back — the right
+    shape for ROW-GRAIN outputs: the memory sink materializes every
+    output row on the driver heap, which the r9 sf1 campaign measured
+    as the entire gap on stream_dedup (13.4 s at sf1, 9.1x — the
+    deduped stream is fact-sized; the dedup state machine itself is
+    watermark-bounded and flat). Aggregated outputs stay on the
+    memory sink: they are small by construction and complete mode
+    needs a table sink."""
+    if sink == "parquet":
+        if mode != "append":
+            raise ValueError("parquet landing requires append mode")
+        from ..session import scratch_root
+
+        root = tempfile.mkdtemp(
+            prefix="stream_land_", dir=scratch_root("sink")
+        )
+        data = os.path.join(root, "data")
+        with _few_state_partitions(spark, n_partitions):
+            q = (
+                sdf.writeStream.format("parquet")
+                .option("path", data)
+                .option(
+                    "checkpointLocation", os.path.join(root, "_ckpt")
+                )
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        try:
+            return spark.read.parquet(data)
+        except Exception:
+            # an all-filtered stream writes no data files
+            return spark.createDataFrame([], sdf.schema)
     name = f"stream_sink_{next(_MEMSINK_SEQ)}"
     with _few_state_partitions(spark, n_partitions):
         q = (

@@ -43,8 +43,27 @@ def main() -> None:
         # same orderkey shift as lineitem so the join fans out 30x at
         # unchanged selectivity
         "orders": lambda t, i: shifted(t, "o_orderkey", i * 10_000_000),
+        # r9: the text/dedup rows still over the bar at sf1 need the
+        # documents corpus — same per-copy text prefix as make_sf1 so
+        # near-dup structure stays within-copy
+        "documents": lambda t, i: shifted(
+            t.set_column(
+                t.column_names.index("text"),
+                "text",
+                __import__("pyarrow").compute.binary_join_element_wise(
+                    pa.array([f"copy{i}"] * len(t)), t.column("text"), " "
+                )
+                if i
+                else t.column("text"),
+            ),
+            "doc_id",
+            i * 1_000_000,
+        ),
     }
+    only = set(sys.argv[1:])
     for name, fn in jobs.items():
+        if only and name not in only:
+            continue
         src = pq.read_table(os.path.join(SRC, f"{name}.parquet"))
         out = pa.concat_tables([fn(src, i) for i in range(COPIES)])
         pq.write_table(

@@ -103,17 +103,21 @@ def main() -> None:
         for i, a in enumerate(sys.argv)
         if a == "--bench"
     ]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     if bench_paths:
         benches = [json.load(open(p)) for p in bench_paths]
     else:
-        raw = subprocess.run(
+        subprocess.run(
             [sys.executable, "bench.py"],
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            cwd=repo,
             capture_output=True,
             text=True,
             check=True,
-        ).stdout.strip().splitlines()[-1]
-        benches = [json.loads(raw)]
+        )
+        # bench.py's final stdout line carries only the headline
+        # subset (the driver's tail capture is size-limited); the full
+        # per-query map lands in BENCH_full.json
+        benches = [json.load(open(os.path.join(repo, "BENCH_full.json")))]
     spark_t = _min_merge([b["queries"] for b in benches])
 
     duck_passes = (

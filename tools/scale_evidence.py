@@ -45,9 +45,10 @@ ANNOTATIONS: dict[str, str] = {
     "snk_acid_merge_dv": "sf1 **2.23x**, declining",
     "snk_table_diff": "sf1 **3.30x**, flat fixture-build floor",
     "stream_cdf_feed": (
-        "sf1 **3.09x**, declining; the memory-sink collect is the"
-        " fixture artifact — the source scan itself is the"
-        " plan-pinned parallel file scan"
+        "sf1 **0.24x — INVERTS** after the r9 foreachBatch parquet"
+        " landing (duck 11.90 s reconstructing the full feed vs spark"
+        " 2.87 s; the r8 3.09x was entirely the memory-sink driver"
+        " collect)"
     ),
     "agg_having_array": "sf1 2.44x, sf3 **1.38x** — crosses under the bar",
     "dedup_doc_clusters": "sf1 **0.54x** — inverts",
@@ -116,6 +117,198 @@ ANNOTATIONS: dict[str, str] = {
     "text_tfidf": "sf1 **0.36x** — inverts",
     "ts_dtw": "duck floor at sf1 too (0.022 s) — domain-bounded work",
     "win_rank_dense": "sf1 **0.38x** — inverts",
+    "dedup_exact": (
+        "r9 word-wise fingerprint + spread scan: sf3 **0.93x** — inverts (was 6.9 s / 8.0x at sf3 pre-fix)"
+    ),
+    "fn_try_cast": (
+        "sf1 2.21x (after the r9 format-pinned date-salvage fix: the old spelling CRASHED at sf1 on daysToMicros overflow), sf3 **1.28x** — crosses under the bar"
+    ),
+    "text_bm25": (
+        "r9 postings-grain exchange (occurrence repartition dropped): sf3 **0.72x** — inverts (min-merge, noisy host: 1.47/7.20 s sessions)"
+    ),
+    "text_contamination": (
+        "r9 broadcast-holdout + let-bound shingles: sf3 **1.14x** — crosses under the bar (was 14.7 s at sf3 pre-fix)"
+    ),
+    "text_fingerprint": (
+        "r9 word-wise fingerprint + spread scan: sf3 **0.43x** — inverts (was 5.2 s pre-fix)"
+    ),
+    "text_pmi": (
+        "sf1 5.52x, sf3 2.20x — declining steeply, crosses by ~sf10"
+    ),
+    "text_repetition": (
+        "sf1 2.12x, sf3 **1.07x** — crosses under the bar"
+    ),
+    "text_tokens": (
+        "sf1 2.05x, sf3 **0.84x** — inverts"
+    ),
+    "agg_approx_distinct": (
+        "duck parallel floor at sf1 (0.12 s wall on 10x rows, flat from sf0.1); spark 2.02 s — fixed-cost dominated both sides"
+    ),
+    "agg_count_having": (
+        "sf1 **0.31x** — inverts"
+    ),
+    "agg_cube": (
+        "duck parallel floor at sf1 (0.06 s wall on 10x rows, flat from sf0.1); spark 1.11 s — fixed-cost dominated both sides"
+    ),
+    "agg_grouping_sets": (
+        "duck parallel floor at sf1 (0.06 s wall on 10x rows, flat from sf0.1); spark 0.84 s — fixed-cost dominated both sides"
+    ),
+    "agg_rollup": (
+        "duck parallel floor at sf1 (0.07 s wall on 10x rows, flat from sf0.1); spark 0.74 s — fixed-cost dominated both sides"
+    ),
+    "agg_union_distinct": (
+        "sf1 **1.33x** — crosses under the bar"
+    ),
+    "flt_exists_sql": (
+        "sf1 **1.16x** — crosses under the bar"
+    ),
+    "fn_log": (
+        "sf1 **0.33x** — inverts"
+    ),
+    "fn_struct_ctor": (
+        "sf1 **0.21x** — inverts"
+    ),
+    "fn_url_parse": (
+        "sf1 **0.56x** — inverts"
+    ),
+    "join_asof_nearest": (
+        "sf1 **1.93x** — crosses under the bar"
+    ),
+    "join_bucketed_colocate": (
+        "sf1 **0.17x** — inverts"
+    ),
+    "join_full_outer": (
+        "sf1 **1.02x** — crosses under the bar"
+    ),
+    "join_range_interval": (
+        "sf1 **0.56x** — inverts"
+    ),
+    "ml_ridge": (
+        "duck parallel floor at sf1 (0.05 s wall on 10x rows, flat from sf0.1); spark 0.53 s — fixed-cost dominated both sides"
+    ),
+    "sample_balance_classes": (
+        "sf1 **0.36x** — inverts"
+    ),
+    "sample_dsir": (
+        "sf1 **1.21x** — crosses under the bar"
+    ),
+    "sample_stratified": (
+        "sf1 **1.53x** — crosses under the bar"
+    ),
+    "sessionize_batch": (
+        "sf1 **0.51x** — inverts"
+    ),
+    "set_except_all": (
+        "sf1 **0.45x** — inverts"
+    ),
+    "set_union_distinct": (
+        "sf1 **0.55x** — inverts"
+    ),
+    "sim_topk_bruteforce": (
+        "sf1 **1.11x** — crosses under the bar"
+    ),
+    "sim_topk_lsh": (
+        "sf1 **1.17x** — crosses under the bar"
+    ),
+    "snk_cdc_apply": (
+        "sf1 **1.04x** — crosses under the bar"
+    ),
+    "snk_compact_files": (
+        "sf1 **1.54x** — crosses under the bar"
+    ),
+    "snk_dynamic_overwrite": (
+        "sf1 **0.72x** — inverts"
+    ),
+    "snk_ingest_dedup": (
+        "sf1 **1.19x** — crosses under the bar"
+    ),
+    "snk_merge_upsert": (
+        "sf1 **0.37x** — inverts"
+    ),
+    "snk_zorder_layout": (
+        "duck parallel floor at sf1 (0.13 s wall on 10x rows, flat from sf0.1); spark 0.53 s — fixed-cost dominated both sides"
+    ),
+    "src_cdf_batch": (
+        "duck parallel floor at sf1 (0.14 s wall on 10x rows, flat from sf0.1); spark 1.35 s — fixed-cost dominated both sides"
+    ),
+    "srt_multicol": (
+        "sf1 **0.97x** — inverts"
+    ),
+    "stream_dedup": (
+        "sf1 **1.43x** — crosses under the bar after the r9 parquet-landing rewrite (memory-sink driver collect was the entire gap: 13.4 s -> 1.9 s at sf1)"
+    ),
+    "stream_dropdup_watermark": (
+        "sf1 **1.65x** — crosses under the bar (r9 parquet landing)"
+    ),
+    "stream_ingest_partitioned": (
+        "sf1 **0.89x** — inverts"
+    ),
+    "stream_sessionize": (
+        "sf1 **1.83x** — crosses under the bar"
+    ),
+    "stream_stateful_seq": (
+        "sf1 2.21x (duck 2.09 / spark 4.61 s), collapsed from 23.2x — Python stateful-worker floor, declining"
+    ),
+    "stream_stream_join": (
+        "duck floor at sf1 too (0.037 s); spark 2.26 s flat — stream-stream state floor (r9 parquet landing)"
+    ),
+    "text_dedup_url": (
+        "duck parallel floor at sf1 (0.16 s wall on 10x rows, flat from sf0.1); spark 0.96 s — fixed-cost dominated both sides"
+    ),
+    "text_ngram_freq": (
+        "sf1 **1.57x** — crosses under the bar"
+    ),
+    "text_perplexity": (
+        "sf1 **1.20x** — crosses under the bar"
+    ),
+    "tpch_q1": (
+        "duck parallel floor at sf1 (0.09 s wall on 10x rows, flat from sf0.1); spark 0.64 s — fixed-cost dominated both sides"
+    ),
+    "tpch_q10": (
+        "duck parallel floor at sf1 (0.10 s wall on 10x rows, flat from sf0.1); spark 0.48 s — fixed-cost dominated both sides"
+    ),
+    "tpch_q17": (
+        "duck parallel floor at sf1 (0.21 s wall on 10x rows, flat from sf0.1); spark 0.54 s — fixed-cost dominated both sides"
+    ),
+    "tpch_q18": (
+        "duck parallel floor at sf1 (0.26 s wall on 10x rows, flat from sf0.1); spark 1.02 s — fixed-cost dominated both sides"
+    ),
+    "tpch_q19": (
+        "duck parallel floor at sf1 (0.08 s wall on 10x rows, flat from sf0.1); spark 0.41 s — fixed-cost dominated both sides"
+    ),
+    "tpch_q2": (
+        "duck parallel floor at sf1 (0.31 s wall on 10x rows, flat from sf0.1); spark 1.40 s — fixed-cost dominated both sides"
+    ),
+    "tpch_q3": (
+        "duck parallel floor at sf1 (0.14 s wall on 10x rows, flat from sf0.1); spark 0.75 s — fixed-cost dominated both sides"
+    ),
+    "tpch_q7": (
+        "duck parallel floor at sf1 (0.20 s wall on 10x rows, flat from sf0.1); spark 0.78 s — fixed-cost dominated both sides"
+    ),
+    "tpch_q9": (
+        "duck parallel floor at sf1 (0.21 s wall on 10x rows, flat from sf0.1); spark 1.27 s — fixed-cost dominated both sides"
+    ),
+    "ts_mad_outlier": (
+        "sf1 **0.96x** — inverts"
+    ),
+    "win_cume_pct": (
+        "sf1 **0.48x** — inverts"
+    ),
+    "win_first_last": (
+        "sf1 **0.15x** — inverts"
+    ),
+    "win_ntile": (
+        "sf1 **0.53x** — inverts"
+    ),
+    "win_pareto_abc": (
+        "duck parallel floor at sf1 (0.20 s wall on 10x rows, flat from sf0.1); spark 0.98 s — fixed-cost dominated both sides"
+    ),
+    "win_range_frame": (
+        "sf1 **0.20x** — inverts"
+    ),
+    "win_running_total": (
+        "sf1 **0.22x** — inverts"
+    ),
 }
 
 # Rows whose measured classification REPLACES the ratio-derived label

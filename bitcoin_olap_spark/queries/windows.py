@@ -283,45 +283,107 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     NOT Spark's percentile() aggregate (which collects every group
     value into one in-memory object — 2s+ at sf0.1 and a straight OOM
-    at scale): a sort-based formulation instead. One window pass ranks
-    values within each group, candidate rows at the two interpolation
-    positions per percentile are filtered out (4 rows/group), and the
-    weighted sum reproduces linear interpolation exactly. Interpolation
-    sits between two real data points (no accumulation), rounded 6dp on
-    both engines to absorb the one-ULP formula difference vs DuckDB's
-    quantile_cont."""
-    li = table(spark, sf_dir, "lineitem")
-    grp = Window.partitionBy("l_returnflag")
-    ranked = li.select("l_returnflag", "l_extendedprice").select(
-        "*",
-        F.row_number()
-        .over(grp.orderBy("l_extendedprice"))
-        .alias("rn"),
-        F.count(F.lit(1)).over(grp).alias("n"),
-        F.min("l_extendedprice").over(grp).alias("lo"),
-        F.max("l_extendedprice").over(grp).alias("hi"),
+    at scale), and NOT a per-group window sort either: with 3 groups
+    the row_number window runs every group's sort on one core — the
+    same superlinear low-cardinality-partition blow-up
+    stat_weighted_median measured (its one-window form: 0.64 s sf0.1
+    -> 5.40 s sf1; this query's: 0.66 s -> 6.26 s, caught by the r9
+    sf1 campaign). Same cure: the TWO-PHASE bucket rank-pick. Phase 1
+    counts rows per (group, price div 65536) bucket — map-side
+    combinable, output groups x ~160 rows — cumulates that tiny
+    relation, and locates the bucket holding each of the <= 4 target
+    ranks per group (the floor/ceil rows of the two interpolation
+    positions, pos = (n-1)p + 1). Phase 2 broadcast-joins the target
+    buckets back and ranks ONLY the in-bucket rows; global rank =
+    bucket prefix + in-bucket row_number (exact: equal prices share a
+    bucket, so the prefix is tie-consistent). The weighted sum of the
+    two picked rows reproduces linear interpolation bit-identically
+    to the one-window form (two-term double addition is commutative),
+    rounded 6dp on both engines to absorb the one-ULP formula
+    difference vs DuckDB's quantile_cont. Measured at sf1: 2.51 s
+    (fixed stage latency of the extra phase-1 joins) vs the window
+    form's 6.26 s — and the window form's cost is the per-group sort
+    that grows superlinearly, while the bucket form's is flat."""
+    li = table(spark, sf_dir, "lineitem", spread=True)
+    v = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("xq"),
+        "l_orderkey",
+        "l_linenumber",
+    ).withColumn("bkt", F.expr("xq div 65536"))
+    stats = v.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("x").alias("lo"),
+        F.max("x").alias("hi"),
     )
 
-    def contrib(p: float):
+    def rank_structs(p: float, tag: str):
         pos = (F.col("n") - 1) * F.lit(p) + 1
         low = F.floor(pos)
         frac = pos - low
-        return (
-            F.when(F.col("rn") == low, (1 - frac) * F.col("l_extendedprice"))
-            .when(F.col("rn") == low + 1, frac * F.col("l_extendedprice"))
-            .otherwise(None)
-        )
+        return [
+            F.struct(
+                F.lit(tag).alias("p"),
+                low.cast("long").alias("r"),
+                (1 - frac).alias("wt"),
+            ),
+            F.struct(
+                F.lit(tag).alias("p"),
+                (low + 1).cast("long").alias("r"),
+                frac.alias("wt"),
+            ),
+        ]
 
-    c50, c90 = contrib(0.5), contrib(0.9)
-    return (
-        ranked.filter(c50.isNotNull() | c90.isNotNull())
-        .groupBy("l_returnflag")
-        .agg(
-            F.round(F.sum(c50), 6).alias("p50"),
-            F.round(F.sum(c90), 6).alias("p90"),
-            F.min("lo").alias("lo"),
-            F.max("hi").alias("hi"),
+    targets = (
+        stats.select(
+            "flag",
+            "n",
+            F.explode(
+                F.array(*rank_structs(0.5, "p50"), *rank_structs(0.9, "p90"))
+            ).alias("t"),
         )
+        .select("flag", "t.p", "t.r", "t.wt")
+        .filter(F.col("r") <= F.col("n"))
+    )
+    hist = v.groupBy("flag", "bkt").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("flag")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = hist.select(
+        "flag",
+        "bkt",
+        F.sum("c").over(wcum).alias("cum"),
+        (F.sum("c").over(wcum) - F.col("c")).alias("prev"),
+    )
+    located = targets.join(marked, "flag").filter(
+        (F.col("prev") < F.col("r")) & (F.col("r") <= F.col("cum"))
+    )
+    tb = located.select("flag", "bkt", "prev").distinct()
+    rn = F.row_number().over(
+        Window.partitionBy("flag", "bkt").orderBy(
+            "xq", "l_orderkey", "l_linenumber"
+        )
+    )
+    picked = v.join(F.broadcast(tb), ["flag", "bkt"]).select(
+        "flag", "bkt", "x", (F.col("prev") + rn).alias("g")
+    )
+    vals = located.join(
+        picked,
+        ["flag", "bkt"],
+    ).filter(F.col("g") == F.col("r"))
+    res = vals.groupBy("flag").agg(
+        F.round(
+            F.sum(F.when(F.col("p") == "p50", F.col("wt") * F.col("x"))), 6
+        ).alias("p50"),
+        F.round(
+            F.sum(F.when(F.col("p") == "p90", F.col("wt") * F.col("x"))), 6
+        ).alias("p90"),
+    )
+    return stats.join(res, "flag").select(
+        F.col("flag").alias("l_returnflag"), "p50", "p90", "lo", "hi"
     )
 
 

@@ -117,6 +117,54 @@ ANNOTATIONS: dict[str, str] = {
     "text_tfidf": "sf1 **0.36x** — inverts",
     "ts_dtw": "duck floor at sf1 too (0.022 s) — domain-bounded work",
     "win_rank_dense": "sf1 **0.38x** — inverts",
+    "agg_percentile": (
+        "r9 two-phase bucket rank-pick (the stat_weighted_median cure for the 3-partition window sort): sf1 2.51 s vs 6.26 s window form; duck parallel floor at sf1 (0.19 s)"
+    ),
+    "graph_k_core_converged": (
+        "sf1 4.93x — graph_k_core's round body + one count action per round; rides that family's measured decades (7.64x sf10, 4.16x sf30, **0.29x sf100 — INVERTS OUTRIGHT**)"
+    ),
+    "join_asof": (
+        "sf1 **1.03x** — crosses under the bar"
+    ),
+    "ml_als_rank2": (
+        "sf1 4.49x — the rank-1 exchange structure with two factor columns; rides ml_als's measured decades (3.34x sf3, **1.48x sf30 — crosses**)"
+    ),
+    "quality_expectations": (
+        "duck parallel floor at sf1 (0.16 s wall on 10x rows); spark 1.47 s — fixed-cost dominated both sides"
+    ),
+    "set_intersect_all": (
+        "sf1 **0.21x** — inverts"
+    ),
+    "snk_cdc_feed": (
+        "duck parallel floor at sf1 (0.13 s); spark 2.49 s fixture-build floor — fixed-cost dominated both sides"
+    ),
+    "text_jsd": (
+        "sf1 **0.81x** — inverts"
+    ),
+    "tpch_q11": (
+        "duck parallel floor at sf1 (0.21 s wall on 10x rows); spark 0.82 s — fixed-cost dominated both sides"
+    ),
+    "tpch_q12": (
+        "duck parallel floor at sf1 (0.16 s wall on 10x rows); spark 0.55 s — fixed-cost dominated both sides"
+    ),
+    "tpch_q8": (
+        "duck parallel floor at sf1 (0.20 s wall on 10x rows); spark 0.82 s — fixed-cost dominated both sides"
+    ),
+    "ts_ewma": (
+        "sf1 **0.21x** — inverts"
+    ),
+    "win_fifo_lots": (
+        "sf1 **0.08x** — inverts (duck 7.3 s, spark 0.60 s)"
+    ),
+    "win_funnel": (
+        "sf1 2.23x (duck 0.28 / spark 0.63 s) — sub-second fixed cost both sides, declining"
+    ),
+    "win_interval_merge": (
+        "sf1 **0.33x** — inverts"
+    ),
+    "win_streak_runs": (
+        "sf1 **0.23x** — inverts"
+    ),
     "dedup_exact": (
         "r9 word-wise fingerprint + spread scan: sf3 **0.93x** — inverts (was 6.9 s / 8.0x at sf3 pre-fix)"
     ),

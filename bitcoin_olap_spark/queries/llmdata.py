@@ -4134,3 +4134,251 @@ def stream_ingest_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band the batch, one index equi-join probe, verify candidates),
     index growth = append-only, nothing ever corpus x corpus."""
     return _lsh_stream_ingest(spark, sf_dir, n_batches=3)
+
+
+def _bpe_oracle(rounds: int = 4) -> str:
+    """Unrolled-CTE DuckDB twin of text_bpe_train: identical pair
+    counting (overlap-inclusive), identical top-pair tiebreak, and
+    replace() with the same literal left-to-right non-overlapping
+    semantics as Spark's replace (verified: ' l l l ' -> ' ll l ' on
+    both engines)."""
+    parts = [
+        """
+    WITH w0 AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+              FROM documents)
+        WHERE w != '' GROUP BY 1
+    ), v0 AS (
+        SELECT freq,
+               ' ' || array_to_string(string_split(w, ''), ' ') || ' '
+                   AS seg
+        FROM w0
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+    p{r} AS (
+        SELECT s[i] || ' ' || s[i + 1] AS pair,
+               CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM (SELECT freq,
+                     list_filter(string_split(seg, ' '),
+                                 x -> x != '') AS s
+              FROM v{r - 1}),
+             UNNEST(range(1, len(s))) t(i)
+        GROUP BY 1
+    ), t{r} AS (
+        SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1
+    ), v{r} AS (
+        SELECT freq,
+               replace(seg, ' ' || t.pair || ' ',
+                       ' ' || replace(t.pair, ' ', '') || ' ') AS seg
+        FROM v{r - 1}, t{r} t
+    )"""
+        )
+    unions = "\n    UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, pair,"
+        f" replace(pair, ' ', '') AS merged, cnt FROM t{r}"
+        for r in range(1, rounds + 1)
+    )
+    parts.append("\n    " + unions)
+    return "".join(parts)
+
+
+@query("text_bpe_train", oracle=_bpe_oracle())
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-PAIR-ENCODING vocabulary training over the corpus — the
+    tokenizer-induction step of every LLM data pipeline (Sennrich et
+    al. 2016), as a distributed iterative fit in the engine's
+    ml_kmeans_lloyd posture: ONE corpus-scale exchange total (the
+    word-frequency aggregate), then every merge round runs on the
+    localCheckpoint'd VOCABULARY-grain relation (distinct words x
+    freq — thousands of rows at any corpus size, because BPE
+    statistics are a function of the word histogram, not the corpus),
+    with a 1-row driver collect per round as bounded control plane
+    (the ml_logreg convention).
+
+    Round structure: segmentations live as space-delimited symbol
+    strings with sentinel spaces (' h e l l o '); adjacent-pair
+    counts (overlap-INCLUSIVE, the standard Counter-over-zip
+    formulation) aggregate freq-weighted at the pair grain; the
+    argmax pair (count desc, pair-string tiebreak) merges via literal
+    replace, whose left-to-right non-overlapping semantics match
+    actual BPE merging and are verified IDENTICAL on both engines
+    (' l l l ' -> ' ll l '). The pair-list construction LET-BINDS the
+    filtered symbol array (the r9 shingle_array lesson: the
+    interpreted HOF path re-evaluates a multi-referenced subexpression
+    per reference). Four rounds; output (round, pair, merged, cnt) —
+    the merge table a tokenizer ships. The DuckDB oracle replays all
+    four rounds as unrolled CTEs, so a drifting count, tiebreak, or
+    merge-application order breaks the hash.
+
+    At 100 TB: the corpus exchange is the only data-scale stage and
+    is the same aggregate text_tokens already pays; rounds cost
+    O(vocab) each. Extends SURVEY.md §2.11's text-analysis tier;
+    reference parity n/a (the reference has no tokenizer surface)."""
+    docs = table(spark, sf_dir, "documents", spread=True)
+    chars = F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))")
+    vocab = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .select(
+            "freq",
+            F.concat(
+                F.lit(" "), F.array_join(chars, " "), F.lit(" ")
+            ).alias("seg"),
+        )
+        .localCheckpoint()
+    )
+
+    def pair_list(seg_col):
+        toks = F.filter(F.split(seg_col, " "), lambda x: x != "")
+
+        def body(arr):
+            # guard: Spark's sequence(1, 0) DESCENDS instead of being
+            # empty, so 1-symbol words need the explicit branch
+            return F.when(
+                F.size(arr) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(arr) - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(arr, i),
+                        F.element_at(arr, i + 1),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+
+        return F.element_at(F.transform(F.array(toks), body), 1)
+
+    seg = F.col("seg")
+    merges = []
+    for rnd in range(1, 5):
+        pc = (
+            vocab.select("freq", F.explode(pair_list(seg)).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top = pc.orderBy(F.desc("cnt"), "pair").limit(1).collect()[0]
+        pair, cnt = top["pair"], top["cnt"]
+        merges.append((rnd, pair, pair.replace(" ", ""), int(cnt)))
+        seg = F.replace(
+            seg,
+            F.lit(f" {pair} "),
+            F.lit(f" {pair.replace(' ', '')} "),
+        )
+    return spark.createDataFrame(
+        merges, "round long, pair string, merged string, cnt long"
+    )
+
+
+def _bpe_encode_oracle(rounds: int = 4, k: int = 50) -> str:
+    """Tokenize-with-learned-merges twin: the same unrolled training
+    CTEs, then token counts from the final segmentation."""
+    base = _bpe_oracle(rounds)
+    # reuse the training CTE chain up to v{rounds}; swap the final
+    # merge-table SELECT for the token histogram
+    head, _tail = base.rsplit("\n    SELECT CAST(1 AS BIGINT)", 1)
+    return (
+        head
+        + f"""
+    , tok AS (
+        SELECT t AS token, CAST(SUM(freq) AS BIGINT) AS n
+        FROM (SELECT freq,
+                     unnest(list_filter(string_split(seg, ' '),
+                                        x -> x != '')) AS t
+              FROM v{rounds})
+        GROUP BY 1
+    ), rk AS (
+        SELECT token, n,
+               row_number() OVER (ORDER BY n DESC, token) AS rnk
+        FROM tok
+    )
+    SELECT CAST(rnk AS BIGINT) AS rnk, token, n FROM rk
+    WHERE rnk <= {k}
+    """
+    )
+
+
+@query("text_bpe_encode", oracle=_bpe_encode_oracle())
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING — the inference half of text_bpe_train: apply the
+    four learned merges (in training order, the ranked-merge rule real
+    BPE tokenizers use) to every word's segmentation and emit the
+    top-50 resulting tokens by corpus frequency (id-tiebroken rank).
+    Training reruns inline (4 vocabulary-grain rounds + 1-row
+    collects, same cost envelope as text_bpe_train); encoding itself
+    is four literal replaces + one explode over the vocabulary
+    relation, then a freq-weighted token aggregate — nothing beyond
+    the word histogram ever shuffles. Oracle: the same unrolled
+    training CTEs extended with the token histogram, so a wrong merge
+    ORDER (not just a wrong merge set) breaks the hash."""
+    docs = table(spark, sf_dir, "documents", spread=True)
+    chars = F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))")
+    vocab = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .select(
+            "freq",
+            F.concat(
+                F.lit(" "), F.array_join(chars, " "), F.lit(" ")
+            ).alias("seg"),
+        )
+        .localCheckpoint()
+    )
+
+    def pair_list(seg_col):
+        toks = F.filter(F.split(seg_col, " "), lambda x: x != "")
+
+        def body(arr):
+            return F.when(
+                F.size(arr) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(arr) - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(arr, i),
+                        F.element_at(arr, i + 1),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+
+        return F.element_at(F.transform(F.array(toks), body), 1)
+
+    seg = F.col("seg")
+    for _ in range(4):
+        pc = (
+            vocab.select("freq", F.explode(pair_list(seg)).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top = pc.orderBy(F.desc("cnt"), "pair").limit(1).collect()[0]
+        pair = top["pair"]
+        seg = F.replace(
+            seg,
+            F.lit(f" {pair} "),
+            F.lit(f" {pair.replace(' ', '')} "),
+        )
+    toks = F.filter(F.split(seg, " "), lambda x: x != "")
+    counts = (
+        vocab.select("freq", F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.sum("freq").cast("long").alias("n"))
+    )
+    return (
+        counts.withColumn(
+            "rnk",
+            F.row_number().over(Window.orderBy(F.desc("n"), "token")),
+        )
+        .filter(F.col("rnk") <= 50)
+        .select(F.col("rnk").cast("long"), "token", "n")
+    )

@@ -117,6 +117,12 @@ ANNOTATIONS: dict[str, str] = {
     "text_tfidf": "sf1 **0.36x** — inverts",
     "ts_dtw": "duck floor at sf1 too (0.022 s) — domain-bounded work",
     "win_rank_dense": "sf1 **0.38x** — inverts",
+    "text_bpe_encode": (
+        "spark FLAT across the decade (1.24 -> 1.32 s); duck 0.12 -> 0.58 s — crosses ~sf3"
+    ),
+    "text_bpe_train": (
+        "spark FLAT across the sf0.1->sf1 decade (1.52 -> 1.54 s: all rounds run at the vocabulary grain) while duck grows 5x (0.11 -> 0.52 s) — crosses ~sf3; the 1-row-per-round driver collects are the fixed floor"
+    ),
     "agg_percentile": (
         "r9 two-phase bucket rank-pick (the stat_weighted_median cure for the 3-partition window sort): sf1 2.51 s vs 6.26 s window form; duck parallel floor at sf1 (0.19 s)"
     ),

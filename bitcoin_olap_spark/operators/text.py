@@ -186,7 +186,11 @@ def fingerprint(text: str | Column) -> Column:
             lambda w: w != "",
         ),
     )
-    return F.md5(norm)
+    # concat_ws maps a NULL input array to '' (it skips NULLs) where
+    # the whole-string regex form — and the DuckDB twin — propagate
+    # NULL; pin NULL-in -> NULL-out so null-bearing corpora hash the
+    # same on both engines (r9 review catch)
+    return F.md5(F.when(c.isNotNull(), norm))
 
 
 def shingle_array(text_col: str, n: int = 3, distinct: bool = True) -> Column:

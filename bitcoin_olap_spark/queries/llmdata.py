@@ -3141,20 +3141,35 @@ def text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    n = F.size("a")
+    # bigram pairs are built IN-ROW (let-bound array, struct pairs)
+    # and the explode emits only the pair structs — the index-sequence
+    # explode carrying the full word array as a pass-through column
+    # measured the same at this scale (Generate shares the array
+    # reference), but the struct form keeps the generator child free
+    # of multi-referenced subexpressions (the r9 shingle_array
+    # lesson), which is the shape that cannot regress. Profiled r9 at
+    # sf1: unigram agg 0.85 s + bigram agg 1.08 s + margins/top-100
+    # 0.4 s — the two vocabulary exchanges are the honest cost.
+    def _pairs(arr):
+        return F.when(
+            F.size(arr) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - 1),
+                lambda i: F.struct(
+                    F.element_at(arr, i).alias("w1"),
+                    F.element_at(arr, i + 1).alias("w2"),
+                ),
+            ),
+        ).otherwise(
+            F.array().cast("array<struct<w1:string,w2:string>>")
+        )
+
+    pair_arr = F.element_at(
+        F.transform(F.array(F.col("a")), _pairs), 1
+    )
     bi = (
-        ws.select(
-            F.explode(
-                F.when(
-                    n >= 2, F.sequence(F.lit(1), n - 1)
-                ).otherwise(F.array().cast("array<int>"))
-            ).alias("i"),
-            "a",
-        )
-        .select(
-            F.element_at("a", F.col("i")).alias("w1"),
-            F.element_at("a", F.col("i") + 1).alias("w2"),
-        )
+        ws.select(F.explode(pair_arr).alias("p"))
+        .select("p.w1", "p.w2")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("long").alias("c12"))
     )
@@ -4136,12 +4151,41 @@ def stream_ingest_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_stream_ingest(spark, sf_dir, n_batches=3)
 
 
+def _bpe_encode_oracle(rounds: int = 4, k: int = 50) -> str:
+    """Tokenize-with-learned-merges twin: the same unrolled training
+    CTEs, then token counts from the final segmentation."""
+    base = _bpe_oracle(rounds)
+    # reuse the training CTE chain up to v{rounds}; swap the final
+    # merge-table SELECT for the token histogram
+    head, _tail = base.rsplit("\n    SELECT CAST(1 AS BIGINT)", 1)
+    return (
+        head
+        + f"""
+    , tok AS (
+        SELECT t AS token, CAST(SUM(freq) AS BIGINT) AS n
+        FROM (SELECT freq,
+                     unnest(list_filter(string_split(seg, ' '),
+                                        x -> x != '')) AS t
+              FROM v{rounds})
+        GROUP BY 1
+    ), rk AS (
+        SELECT token, n,
+               row_number() OVER (ORDER BY n DESC, token) AS rnk
+        FROM tok
+    )
+    SELECT CAST(rnk AS BIGINT) AS rnk, token, n FROM rk
+    WHERE rnk <= {k}
+    """
+    )
+
+
 def _bpe_oracle(rounds: int = 4) -> str:
     """Unrolled-CTE DuckDB twin of text_bpe_train: identical pair
     counting (overlap-inclusive), identical top-pair tiebreak, and
     replace() with the same literal left-to-right non-overlapping
     semantics as Spark's replace (verified: ' l l l ' -> ' ll l ' on
-    both engines)."""
+    both engines; see text_bpe_train on the even-run caveat both
+    engines share)."""
     parts = [
         """
     WITH w0 AS (
@@ -4186,38 +4230,14 @@ def _bpe_oracle(rounds: int = 4) -> str:
     return "".join(parts)
 
 
-@query("text_bpe_train", oracle=_bpe_oracle())
-def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BYTE-PAIR-ENCODING vocabulary training over the corpus — the
-    tokenizer-induction step of every LLM data pipeline (Sennrich et
-    al. 2016), as a distributed iterative fit in the engine's
-    ml_kmeans_lloyd posture: ONE corpus-scale exchange total (the
-    word-frequency aggregate), then every merge round runs on the
-    localCheckpoint'd VOCABULARY-grain relation (distinct words x
-    freq — thousands of rows at any corpus size, because BPE
-    statistics are a function of the word histogram, not the corpus),
-    with a 1-row driver collect per round as bounded control plane
-    (the ml_logreg convention).
-
-    Round structure: segmentations live as space-delimited symbol
-    strings with sentinel spaces (' h e l l o '); adjacent-pair
-    counts (overlap-INCLUSIVE, the standard Counter-over-zip
-    formulation) aggregate freq-weighted at the pair grain; the
-    argmax pair (count desc, pair-string tiebreak) merges via literal
-    replace, whose left-to-right non-overlapping semantics match
-    actual BPE merging and are verified IDENTICAL on both engines
-    (' l l l ' -> ' ll l '). The pair-list construction LET-BINDS the
-    filtered symbol array (the r9 shingle_array lesson: the
-    interpreted HOF path re-evaluates a multi-referenced subexpression
-    per reference). Four rounds; output (round, pair, merged, cnt) —
-    the merge table a tokenizer ships. The DuckDB oracle replays all
-    four rounds as unrolled CTEs, so a drifting count, tiebreak, or
-    merge-application order breaks the hash.
-
-    At 100 TB: the corpus exchange is the only data-scale stage and
-    is the same aggregate text_tokens already pays; rounds cost
-    O(vocab) each. Extends SURVEY.md §2.11's text-analysis tier;
-    reference parity n/a (the reference has no tokenizer surface)."""
+def _bpe_fit(spark: SparkSession, sf_dir: str, rounds: int = 4):
+    """Shared BPE training core for text_bpe_train / text_bpe_encode:
+    returns (vocab, seg_col, merges) — the localCheckpoint'd
+    (freq, seg) vocabulary relation, the column expression holding the
+    post-merge segmentation, and the [(round, pair, merged, cnt)]
+    merge table. One corpus-scale exchange (the word histogram);
+    every round is a vocabulary-grain aggregate + a 1-row driver
+    collect (the ml_logreg bounded-control-plane convention)."""
     docs = table(spark, sf_dir, "documents", spread=True)
     chars = F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))")
     vocab = (
@@ -4258,50 +4278,63 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     seg = F.col("seg")
     merges = []
-    for rnd in range(1, 5):
+    for rnd in range(1, rounds + 1):
         pc = (
             vocab.select("freq", F.explode(pair_list(seg)).alias("pair"))
             .groupBy("pair")
             .agg(F.sum("freq").alias("cnt"))
         )
         top = pc.orderBy(F.desc("cnt"), "pair").limit(1).collect()[0]
-        pair, cnt = top["pair"], top["cnt"]
-        merges.append((rnd, pair, pair.replace(" ", ""), int(cnt)))
+        pair, cnt = top["pair"], int(top["cnt"])
+        merges.append((rnd, pair, pair.replace(" ", ""), cnt))
         seg = F.replace(
             seg,
             F.lit(f" {pair} "),
             F.lit(f" {pair.replace(' ', '')} "),
         )
+    return vocab, seg, merges
+
+
+@query("text_bpe_train", oracle=_bpe_oracle())
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-PAIR-ENCODING vocabulary training over the corpus — the
+    tokenizer-induction step of every LLM data pipeline (Sennrich et
+    al. 2016), as a distributed iterative fit in the engine's
+    ml_kmeans_lloyd posture: ONE corpus-scale exchange total (the
+    word-frequency aggregate), then every merge round runs on the
+    localCheckpoint'd VOCABULARY-grain relation (distinct words x
+    freq — thousands of rows at any corpus size, because BPE
+    statistics are a function of the word histogram, not the corpus),
+    with a 1-row driver collect per round as bounded control plane
+    (the ml_logreg convention; core shared with text_bpe_encode via
+    _bpe_fit).
+
+    Round structure: segmentations live as space-delimited symbol
+    strings with sentinel spaces (' h e l l o '); adjacent-pair
+    counts (overlap-INCLUSIVE, the standard Counter-over-zip
+    formulation) aggregate freq-weighted at the pair grain; the
+    argmax pair (count desc, pair-string tiebreak) merges via literal
+    replace. MERGE SEMANTICS, exactly: left-to-right non-overlapping
+    replace of the DELIMITED pair, which consumes the shared boundary
+    space — on runs of 4+ identical symbols this is CONSERVATIVE
+    relative to textbook BPE (' a a a a ' -> ' aa a a ', two tokens
+    short of [aa, aa]; odd runs and all non-run text match exactly,
+    e.g. ' l l l ' -> ' ll l '). Both engines state this identical
+    semantics (verified on both), so the oracle hash-checks every
+    merge and count; the exact-fold variant (per-word aggregate with
+    an array accumulator, immune to the run caveat) is the documented
+    production seam — it needs a recursive/fold oracle DuckDB's
+    list_reduce cannot state.
+
+    Four rounds; output (round, pair, merged, cnt) — the merge table
+    a tokenizer ships. At 100 TB: the corpus exchange is the only
+    data-scale stage and is the same aggregate text_tokens already
+    pays; rounds cost O(vocab) each. Extends SURVEY.md §2.11's
+    text-analysis tier; reference parity n/a (the reference has no
+    tokenizer surface)."""
+    _, _, merges = _bpe_fit(spark, sf_dir, rounds=4)
     return spark.createDataFrame(
         merges, "round long, pair string, merged string, cnt long"
-    )
-
-
-def _bpe_encode_oracle(rounds: int = 4, k: int = 50) -> str:
-    """Tokenize-with-learned-merges twin: the same unrolled training
-    CTEs, then token counts from the final segmentation."""
-    base = _bpe_oracle(rounds)
-    # reuse the training CTE chain up to v{rounds}; swap the final
-    # merge-table SELECT for the token histogram
-    head, _tail = base.rsplit("\n    SELECT CAST(1 AS BIGINT)", 1)
-    return (
-        head
-        + f"""
-    , tok AS (
-        SELECT t AS token, CAST(SUM(freq) AS BIGINT) AS n
-        FROM (SELECT freq,
-                     unnest(list_filter(string_split(seg, ' '),
-                                        x -> x != '')) AS t
-              FROM v{rounds})
-        GROUP BY 1
-    ), rk AS (
-        SELECT token, n,
-               row_number() OVER (ORDER BY n DESC, token) AS rnk
-        FROM tok
-    )
-    SELECT CAST(rnk AS BIGINT) AS rnk, token, n FROM rk
-    WHERE rnk <= {k}
-    """
     )
 
 
@@ -4309,65 +4342,17 @@ def _bpe_encode_oracle(rounds: int = 4, k: int = 50) -> str:
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE ENCODING — the inference half of text_bpe_train: apply the
     four learned merges (in training order, the ranked-merge rule real
-    BPE tokenizers use) to every word's segmentation and emit the
+    BPE tokenizers use; merge semantics and the even-run caveat as
+    documented there) to every word's segmentation and emit the
     top-50 resulting tokens by corpus frequency (id-tiebroken rank).
-    Training reruns inline (4 vocabulary-grain rounds + 1-row
-    collects, same cost envelope as text_bpe_train); encoding itself
-    is four literal replaces + one explode over the vocabulary
-    relation, then a freq-weighted token aggregate — nothing beyond
-    the word histogram ever shuffles. Oracle: the same unrolled
-    training CTEs extended with the token histogram, so a wrong merge
-    ORDER (not just a wrong merge set) breaks the hash."""
-    docs = table(spark, sf_dir, "documents", spread=True)
-    chars = F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))")
-    vocab = (
-        docs.select(
-            F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
-        )
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
-        .select(
-            "freq",
-            F.concat(
-                F.lit(" "), F.array_join(chars, " "), F.lit(" ")
-            ).alias("seg"),
-        )
-        .localCheckpoint()
-    )
-
-    def pair_list(seg_col):
-        toks = F.filter(F.split(seg_col, " "), lambda x: x != "")
-
-        def body(arr):
-            return F.when(
-                F.size(arr) >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(arr) - 1),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at(arr, i),
-                        F.element_at(arr, i + 1),
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-
-        return F.element_at(F.transform(F.array(toks), body), 1)
-
-    seg = F.col("seg")
-    for _ in range(4):
-        pc = (
-            vocab.select("freq", F.explode(pair_list(seg)).alias("pair"))
-            .groupBy("pair")
-            .agg(F.sum("freq").alias("cnt"))
-        )
-        top = pc.orderBy(F.desc("cnt"), "pair").limit(1).collect()[0]
-        pair = top["pair"]
-        seg = F.replace(
-            seg,
-            F.lit(f" {pair} "),
-            F.lit(f" {pair.replace(' ', '')} "),
-        )
+    Training reruns inline via the shared _bpe_fit core (4
+    vocabulary-grain rounds + 1-row collects); encoding itself is
+    four literal replaces + one explode over the vocabulary relation,
+    then a freq-weighted token aggregate — nothing beyond the word
+    histogram ever shuffles. Oracle: the same unrolled training CTEs
+    extended with the token histogram, so a wrong merge ORDER (not
+    just a wrong merge set) breaks the hash."""
+    vocab, seg, _ = _bpe_fit(spark, sf_dir, rounds=4)
     toks = F.filter(F.split(seg, " "), lambda x: x != "")
     counts = (
         vocab.select("freq", F.explode(toks).alias("token"))

@@ -1686,6 +1686,13 @@ def stream_cdf_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+    # an empty feed (no committed versions past startingVersion, or
+    # only layout-only commits with cdc=[]) lands no files: return the
+    # empty relation with the feed schema, as the memory sink did
+    if not os.path.isdir(out) or not any(
+        f.endswith(".parquet") for f in os.listdir(out)
+    ):
+        return spark.createDataFrame([], feed.schema)
     return spark.read.parquet(out)
 
 

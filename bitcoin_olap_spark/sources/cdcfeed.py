@@ -58,21 +58,35 @@ DDL_BY_ARROW = {
 }
 
 
+#: (realpath(root), head_version) -> merged DDL. Manifests and data
+#: files are immutable, so the union of a given version's footers
+#: never changes — repeated feed opens (every readStream start, every
+#: batch load) skip the O(files) footer sweep.
+_DDL_CACHE: dict[tuple[str, int], str] = {}
+
+
 def _table_ddl(root: str) -> str:
     """Table-column DDL derived from the UNION of the head snapshot's
     data-file footers (driver-side, metadata-only — O(files) footer
-    reads, the same cost Spark's mergeSchema pays). A single-footer
-    derivation would be wrong after add-column evolution: path order
-    can put a pre-evolution narrow file first, silently dropping the
-    evolved columns from the whole feed, contradicting
-    _read_change_file's null-fill widening. Field order: first file's
-    order, later-seen columns appended — mirroring snapshot reads'
-    mergeSchema semantics."""
+    reads, the same cost Spark's mergeSchema pays, memoized per
+    (root, head version) since the file set of a committed version is
+    immutable). A single-footer derivation would be wrong after
+    add-column evolution: path order can put a pre-evolution narrow
+    file first, silently dropping the evolved columns from the whole
+    feed, contradicting _read_change_file's null-fill widening. Field
+    order: first file's order, later-seen columns appended —
+    mirroring snapshot reads' mergeSchema semantics."""
+    import os
+
     import pyarrow.parquet as pq
 
     from ..operators import acidtable as AT
 
     head = AT.current_version(root)
+    key = (os.path.realpath(root), head)
+    cached = _DDL_CACHE.get(key)
+    if cached is not None:
+        return cached
     files = AT._resolve_files(root, head)
     if not files:
         raise ValueError(f"acid_cdf: table at {root} has no data files")
@@ -99,7 +113,9 @@ def _table_ddl(root: str) -> str:
                 f"acid_cdf: unsupported column type {t} for {f.name}"
             )
         cols.append(f"{f.name} {ddl}")
-    return ", ".join(cols)
+    ddl_str = ", ".join(cols)
+    _DDL_CACHE[key] = ddl_str
+    return ddl_str
 
 
 class _ChangeFilePartition(InputPartition):

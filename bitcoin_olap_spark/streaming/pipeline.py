@@ -311,11 +311,15 @@ def run_to_batch(
                 .start()
             )
             q.awaitTermination()
-        try:
-            return spark.read.parquet(data)
-        except Exception:
-            # an all-filtered stream writes no data files
+        # an all-filtered / empty stream writes no data files — detect
+        # that case explicitly rather than catching read errors, which
+        # would silently turn a corrupt/evicted landing into an empty
+        # result (r9 review catch)
+        if not os.path.isdir(data) or not any(
+            f.endswith(".parquet") for f in os.listdir(data)
+        ):
             return spark.createDataFrame([], sdf.schema)
+        return spark.read.parquet(data)
     name = f"stream_sink_{next(_MEMSINK_SEQ)}"
     with _few_state_partitions(spark, n_partitions):
         q = (

@@ -49,6 +49,7 @@ import decimal
 import json
 import os
 import shutil
+import urllib.parse
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -347,12 +348,16 @@ class ConcurrentCommitError(RuntimeError):
 def _strip_uri(p: str) -> str:
     """Reduce an executor-reported file URI (input_file_name() /
     _metadata.file_path, "file:/x" or "file:///x", possibly with a
-    query suffix) to a plain absolute path."""
+    query suffix) to a plain absolute path. URIs are percent-encoded
+    (a table root containing a space arrives as %20), so the path is
+    unquoted AFTER the scheme/query handling — skipping this made
+    every _manifest_form mapping miss on such roots, silently turning
+    delete_where/merge_upsert into no-ops (ADVICE r9)."""
     if p.startswith("file:"):
         p = p[5:]
         while p.startswith("//"):
             p = p[1:]
-    return p.split("?")[0]
+    return urllib.parse.unquote(p.split("?")[0])
 
 
 def _manifest_form(uris, manifest_files: list[str]) -> set[str]:
@@ -362,13 +367,23 @@ def _manifest_form(uris, manifest_files: list[str]) -> set[str]:
     given — under a relative root, recording or intersecting the
     absolute form would silently never match a manifest entry (the
     ADVICE r8 resurrection bug class), so every comparison goes
-    through realpath on both sides."""
+    through realpath on both sides. A collected URI that maps to no
+    manifest entry is a protocol violation (the scan read a file the
+    snapshot does not own — or a URI form this decoder mishandles):
+    raising here is what keeps the miss LOUD instead of silently
+    committing an empty 'affected' set (ADVICE r9)."""
     by_real = {os.path.realpath(f): f for f in manifest_files}
     out: set[str] = set()
     for u in uris:
         rp = os.path.realpath(_strip_uri(u))
-        if rp in by_real:
-            out.add(by_real[rp])
+        hit = by_real.get(rp)
+        if hit is None:
+            raise ValueError(
+                f"acid: scanned file {u!r} (realpath {rp!r}) is not in "
+                f"the snapshot manifest ({len(manifest_files)} files) — "
+                "URI decoding mismatch or concurrent table mutation"
+            )
+        out.add(hit)
     return out
 
 
@@ -1411,12 +1426,25 @@ def vacuum(root: str, keep_versions: int = 1, _max_rescans: int = 8) -> int:
     # Always under this table's own root, so no containment question
     # arises.
     live_aux: set[str] = set()
-    for v in range(cutoff, latest + 1):
+    # One backward resolution at the cutoff, then a SINGLE forward
+    # replay across cutoff..latest maintaining the running DV set
+    # (dv_reset truncates, dv appends — the same transition
+    # _resolve_dv_files applies), unioning each version's resolved
+    # set. Per-version _resolve_dv_files calls here were
+    # O(kept_versions * log length) driver-side JSON reads (ADVICE
+    # r9); this is O(log length), matching the data-file loop above.
+    dvs_running = set(_resolve_dv_files(root, cutoff))
+    live_aux.update(dvs_running)
+    live_aux.update(_read_raw(root, cutoff).get("cdc") or ())
+    for v in range(cutoff + 1, latest + 1):
         m = _read_raw(root, v)
         live_aux.update(m.get("cdc") or ())
-        # dv keys alone under-count: checkpoint-carried unions and
-        # dv_reset truncation make per-version resolution the truth
-        live_aux.update(_resolve_dv_files(root, v))
+        if "files" in m:  # legacy full manifest predates DV support
+            dvs_running = set()
+        if "dv_reset" in m:
+            dvs_running = set(m["dv_reset"])
+        dvs_running.update(m.get("dv", ()))
+        live_aux.update(dvs_running)
     live_aux = {os.path.realpath(p) for p in live_aux}
     for aux_name in ("_change_data", "_deletes"):
         adir = os.path.join(root, aux_name)

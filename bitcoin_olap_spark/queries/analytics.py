@@ -4374,8 +4374,15 @@ def ml_als(spark: SparkSession, sf_dir: str) -> DataFrame:
         factors: DataFrame, key: str, other: str, fcol: str
     ) -> DataFrame:
         """One ALS half-step: solve for `key`'s factors given
-        `other`'s (join ratings ON other, reduce per key)."""
-        j = ratings.join(factors, other)
+        `other`'s (join ratings ON other, reduce per key). The factor
+        side is materialized (localCheckpoint — factor grain, never
+        fact grain) so later half-steps join a pinned relation instead
+        of re-deriving the whole chain inside their own plans, and
+        broadcast (MBs vs the fact-scale ratings; measured on the
+        rank-2 sibling: 1.57 s -> 0.84 s per p-side half-step at
+        sf3). At extreme item cardinality this seam becomes
+        pyspark.ml ALS's block co-partitioning."""
+        j = ratings.join(F.broadcast(factors.localCheckpoint()), other)
         num = F.sum(F.col("c") * F.col(fcol)).cast("long") * S2
         den = (
             F.sum(F.col(fcol) * F.col(fcol)).cast("long") + LAM
@@ -4527,35 +4534,50 @@ def ml_als_rank2(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _solve_exprs(g1: str, g2: str):
         """Aggregate the five 2x2-normal-equation moments of (g1, g2)
         and return the two solved factor columns (decimal-exact
-        adjugate, floor-div back onto the int64 grid)."""
+        adjugate, floor-div back onto the int64 grid).
+
+        r10: the AGGREGATES are plain int64 — the moments fit
+        comfortably (audited through sf30: fan-in <= ~2e4 per user at
+        copy-shared custkeys, |f| <= ~1e6, so a_ij <= 2e16 and
+        s_i = sum(c*g_i) <= 2e12, both < 2^63), and int64 hash-agg
+        stays in whole-stage codegen while Decimal(38) sums fall off
+        the primitive path — measured 31.9 s -> (see BASELINE) at sf3
+        on the ratings-grain exchange this query is made of. The S^2
+        numerator scale folds into the SOLVE (b_i = S2 * s_i exactly,
+        distributivity over the adjugate), which runs per key at
+        factor grain in decimal(38,0) as before — bit-identical
+        integers to the oracle's HUGEINT b_i-inside-the-aggregate
+        form."""
         a11 = (
-            F.sum(F.col(g1).cast(D) * F.col(g1)).cast(D)
-            + F.lit(LAM).cast(D)
+            F.sum(F.col(g1) * F.col(g1)).cast("long") + F.lit(LAM)
         ).alias("a11")
-        a12 = F.sum(F.col(g1).cast(D) * F.col(g2)).cast(D).alias("a12")
+        a12 = F.sum(F.col(g1) * F.col(g2)).cast("long").alias("a12")
         a22 = (
-            F.sum(F.col(g2).cast(D) * F.col(g2)).cast(D)
-            + F.lit(LAM).cast(D)
+            F.sum(F.col(g2) * F.col(g2)).cast("long") + F.lit(LAM)
         ).alias("a22")
-        b1 = (
-            F.sum(F.col("c").cast(D) * F.col(g1)).cast(D)
-            * F.lit(S2).cast(D)
-        ).alias("b1")
-        b2 = (
-            F.sum(F.col("c").cast(D) * F.col(g2)).cast(D)
-            * F.lit(S2).cast(D)
-        ).alias("b2")
-        det = "(a11 * a22 - a12 * a12)"
-        f1 = F.expr(
-            _fdiv_sql("(a22 * b1 - a12 * b2)", det).format(DIV="div")
-        ).cast("long")
-        f2 = F.expr(
-            _fdiv_sql("(a11 * b2 - a12 * b1)", det).format(DIV="div")
-        ).cast("long")
-        return (a11, a12, a22, b1, b2), (f1, f2)
+        s1 = F.sum(F.col("c") * F.col(g1)).cast("long").alias("s1")
+        s2 = F.sum(F.col("c") * F.col(g2)).cast("long").alias("s2")
+        dd = f"CAST({S2} AS {D})"
+        det = f"(CAST(a11 AS {D}) * a22 - CAST(a12 AS {D}) * a12)"
+        num1 = f"({dd} * (CAST(a22 AS {D}) * s1 - CAST(a12 AS {D}) * s2))"
+        num2 = f"({dd} * (CAST(a11 AS {D}) * s2 - CAST(a12 AS {D}) * s1))"
+        f1 = F.expr(_fdiv_sql(num1, det).format(DIV="div")).cast("long")
+        f2 = F.expr(_fdiv_sql(num2, det).format(DIV="div")).cast("long")
+        return (a11, a12, a22, s1, s2), (f1, f2)
 
     def half_step(factors: DataFrame, key: str, other: str) -> DataFrame:
-        j = ratings.join(factors, other)
+        # factors are factor-grain (users/parts, thousands of rows —
+        # never fact-grain): localCheckpoint PINS each half-step's
+        # result so the next one joins a materialized relation instead
+        # of re-deriving the whole chain inside its own plan (the
+        # unmaterialized form re-executed half-step k inside k+1..n —
+        # 1+2+3+4 aggregates over the 18M-row ratings at sf3, measured
+        # 42 s suite time; materialized: each half-step runs once).
+        # broadcast: the factor side is MBs (3 longs/row) vs the
+        # fact-side ratings — A/B at sf3: p-side half-step 1.57 s
+        # shuffled vs 0.84 s broadcast. At extreme item cardinality
+        # this seam becomes pyspark.ml ALS's block co-partitioning.
+        j = ratings.join(F.broadcast(factors.localCheckpoint()), other)
         moments, (f1, f2) = _solve_exprs("f1", "f2")
         return (
             j.groupBy(key)
@@ -4803,7 +4825,9 @@ def ml_als_rank4(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def half_step(factors: DataFrame, key: str, other: str) -> DataFrame:
-        j = ratings.join(factors, other)
+        # materialize + broadcast the factor-grain side, exactly as in
+        # ml_als_rank2's half_step (see the measured rationale there)
+        j = ratings.join(F.broadcast(factors.localCheckpoint()), other)
         return _solve(j.groupBy(key).agg(*_moment_aggs()), key)
 
     # fused first half-step: v0's factors are expressions of p

@@ -3136,22 +3136,25 @@ def text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.lower(F.col("text")), " "), lambda x: x != ""
         ).alias("a"),
     )
-    uni = (
-        ws.select(F.explode("a").alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
-    # bigram pairs are built IN-ROW (let-bound array, struct pairs)
-    # and the explode emits only the pair structs — the index-sequence
-    # explode carrying the full word array as a pass-through column
-    # measured the same at this scale (Generate shares the array
-    # reference), but the struct form keeps the generator child free
-    # of multi-referenced subexpressions (the r9 shingle_array
-    # lesson), which is the shape that cannot regress. Profiled r9 at
-    # sf1: unigram agg 0.85 s + bigram agg 1.08 s + margins/top-100
-    # 0.4 s — the two vocabulary exchanges are the honest cost.
-    def _pairs(arr):
-        return F.when(
+    # r10: unigram and bigram histograms FUSED into one scan / one
+    # explode / one exchange — the r9 form scanned and re-split the
+    # corpus twice (once per histogram), and the split+explode over
+    # the raw text is exactly the part that grows with the corpus
+    # (the exchanges are vocab-grain partials either way). Each doc
+    # emits its words tagged (w, NULL) and its adjacent pairs
+    # (w1, w2) from the SAME let-bound array; one hash aggregate
+    # counts both grains, and the unigram/bigram relations are
+    # filters of it. Struct pairs stay in-row (the r9 shingle_array
+    # lesson: keep the generator child free of multi-referenced
+    # subexpressions).
+    def _tagged(arr):
+        unis = F.transform(
+            arr,
+            lambda w: F.struct(
+                w.alias("w1"), F.lit(None).cast("string").alias("w2")
+            ),
+        )
+        pairs = F.when(
             F.size(arr) >= 2,
             F.transform(
                 F.sequence(F.lit(1), F.size(arr) - 1),
@@ -3163,16 +3166,22 @@ def text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(
             F.array().cast("array<struct<w1:string,w2:string>>")
         )
+        return F.concat(unis, pairs)
 
-    pair_arr = F.element_at(
-        F.transform(F.array(F.col("a")), _pairs), 1
+    tagged_arr = F.element_at(
+        F.transform(F.array(F.col("a")), _tagged), 1
     )
-    bi = (
-        ws.select(F.explode(pair_arr).alias("p"))
+    both = (
+        ws.select(F.explode(tagged_arr).alias("p"))
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .localCheckpoint()
     )
+    uni = both.filter(F.col("w2").isNull()).select(
+        F.col("w1").alias("w"), F.col("c12").alias("c")
+    )
+    bi = both.filter(F.col("w2").isNotNull())
     tot = (
         uni.agg(F.sum("c").cast("long").alias("u"))
         .crossJoin(bi.agg(F.sum("c12").cast("long").alias("b")))
@@ -4398,9 +4407,9 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint'd VOCABULARY-grain relation (distinct words x
     freq — thousands of rows at any corpus size, because BPE
     statistics are a function of the word histogram, not the corpus),
-    with a 1-row driver collect per round as bounded control plane
-    (the ml_logreg convention; core shared with text_bpe_encode via
-    _bpe_fit).
+    with a bounded driver collect per BATCH round as control plane
+    (r10: up to 4 guard-verified merges per snapshot — see _bpe_fit;
+    the ml_logreg convention; core shared with text_bpe_encode).
 
     Round structure: segmentations live as space-delimited symbol
     strings with sentinel spaces (' h e l l o '); adjacent-pair
@@ -4462,8 +4471,8 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     BPE tokenizers use; merge semantics and the even-run caveat as
     documented there) to every word's segmentation and emit the
     top-50 resulting tokens by corpus frequency (id-tiebroken rank).
-    Training reruns inline via the shared _bpe_fit core (4
-    vocabulary-grain rounds + 1-row collects); encoding itself is
+    Training reruns inline via the shared _bpe_fit core (batched
+    vocabulary-grain rounds, r10); encoding itself is
     four literal replaces + one explode over the vocabulary relation,
     then a freq-weighted token aggregate — nothing beyond the word
     histogram ever shuffles. Oracle: the same unrolled training CTEs

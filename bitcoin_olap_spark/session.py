@@ -65,6 +65,17 @@ RUNTIME_CONF = {
     # multi-second slowdowns on whatever query runs when it fires. A
     # long-lived production stream would keep the default.
     "spark.sql.streaming.stateStore.maintenanceInterval": "3600s",
+    # r10: split sizing for SMALL multi-row-group files. Spark's split
+    # width is min(maxPartitionBytes, max(openCostInBytes,
+    # bytes/defaultParallelism)); the 4 MB openCost default leaves a
+    # 14 MB fact table at ~4 splits on a 32-core box. 1 MB fills the
+    # cores on the spread sf0.1 layout — measured on lineitem queries
+    # (min of 3): flt_ts_range 0.33 -> 0.15 s, join_hash_on_txid
+    # 1.59 -> 0.72 s vs the spread default. Production-size files
+    # (>= maxPartitionBytes) are unaffected; the tradeoff (more tasks
+    # when packing many tiny files) is the right side to err on for
+    # an engine whose scans should never be narrower than the cluster.
+    "spark.sql.files.openCostInBytes": str(1024 * 1024),
 }
 
 

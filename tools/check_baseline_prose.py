@@ -60,7 +60,38 @@ def main() -> int:
     for qid in bare:
         print(f"BARE STATUS: {qid} is 'over 2x' with no measured evidence")
     print(f"{len(bare)} bare over-2x rows")
-    return 1 if (bad or bare) else 0
+
+    # Projection gate (r9 verdict ask #2): a status claiming the ratio
+    # "crosses ~sfN" is a PROJECTION, not a measurement. Each such
+    # claim must be backed by a measured point AT OR BEYOND sfN
+    # somewhere in the row's own status text (an "N.NNx sfM" / "sfM:
+    # N.NNx" / "N.NNx at sfM" pair with M >= N) — otherwise the row is
+    # still unclassified debt and this check fails.
+    projected = []
+    for m in re.finditer(
+        r"^\| (\w+) \| [\d.]+ \| [\d.]+ \| [\d.]+ \| (.*cross\w* ~sf([\d.]+).*) \|$",
+        text,
+        re.M,
+    ):
+        qid, status, target = m.group(1), m.group(2), float(m.group(3))
+        measured = [
+            float(p)
+            for p in re.findall(
+                r"(?:sf([\d.]+)[:\s]+[\d.]+\s*x)|(?:[\d.]+x\s+(?:at\s+)?sf([\d.]+))",
+                status,
+            )
+            for p in p
+            if p
+        ]
+        if not any(p >= target for p in measured):
+            projected.append((qid, target))
+    for qid, target in projected:
+        print(
+            f"PROJECTED ONLY: {qid} claims a crossing ~sf{target:g} "
+            f"with no measured point at or beyond sf{target:g}"
+        )
+    print(f"{len(projected)} projection-only crossing rows")
+    return 1 if (bad or bare or projected) else 0
 
 
 if __name__ == "__main__":

@@ -125,7 +125,18 @@ def main() -> None:
         if "--duck-passes" in sys.argv
         else 2
     )
-    duck_t = _min_merge([duck_timings() for _ in range(duck_passes)])
+    # --duck-json FILE (repeatable): previously measured duck timing
+    # maps (same layout/protocol) min-merged with the fresh passes —
+    # lets a same-day spark re-merge reuse the duck side instead of
+    # re-paying ~25 min of oracle runs; pass --duck-passes 0 with it.
+    duck_maps = [
+        json.load(open(sys.argv[i + 1]))
+        for i, a in enumerate(sys.argv)
+        if a == "--duck-json"
+    ]
+    duck_t = _min_merge(
+        duck_maps + [duck_timings() for _ in range(duck_passes)]
+    )
 
     rows = []
     tot_d = tot_s = 0.0

@@ -33,6 +33,27 @@ import sys
 # qid -> note (joined into `<label> (<note>)`). Bold marks the
 # measured point that settles the classification.
 ANNOTATIONS: dict[str, str] = {
+    "join_asof_tolerance": (
+        "sf1 5.85x, sf3 **1.78x** — crosses under the bar"
+    ),
+    "join_inner_explicit": (
+        "sf1 **0.59x** — inverts"
+    ),
+    "mm_png_roundtrip": (
+        "sf1 **1.26x** — crosses under the bar"
+    ),
+    "snk_acid_merge": (
+        "sf1 3.03x, sf3 **1.69x** — crosses under the bar"
+    ),
+    "src_schema_evolution": (
+        "sf1 **0.61x** — inverts"
+    ),
+    "text_hash_embed": (
+        "sf1 **1.14x** — crosses under the bar"
+    ),
+    "tpch_q21": (
+        "sf1 2.25x, sf3 **1.69x** — crosses under the bar"
+    ),
     "agg_array_agg": "sf1 **1.22x** — crosses under the bar",
     "graph_connected_components": (
         "sf1 disjoint-copy decade 10.0x — copy-COUNT growth, the"
@@ -42,7 +63,7 @@ ANNOTATIONS: dict[str, str] = {
         " >= 140x** on the component-SIZE dimension a growing"
         " corpus actually follows"
     ),
-    "snk_acid_merge_dv": "sf1 **2.23x**, declining",
+    "snk_acid_merge_dv": "sf1 2.23x, sf3 **1.72x** — crosses under the bar",
     "snk_table_diff": "sf1 **3.30x**, flat fixture-build floor",
     "stream_cdf_feed": (
         "sf1 **0.24x — INVERTS** after the r9 foreachBatch parquet"
@@ -70,7 +91,8 @@ ANNOTATIONS: dict[str, str] = {
     ),
     "ml_adaboost": "fused; sf1 2.19x, sf3 **0.94x**, sf10 **0.50x** — inverts",
     "ml_als": (
-        "fused first half-step; sf1 5.11x, sf3 3.34x, sf10 3.91x,"
+        "fused first half-step; r10 materialized+broadcast factor"
+        " half-steps: sf3 **2.10x** (was 3.34x unmaterialized);"
         " sf30 **1.48x** — CROSSES UNDER THE BAR"
     ),
     "ml_gbt_stumps": (
@@ -118,10 +140,18 @@ ANNOTATIONS: dict[str, str] = {
     "ts_dtw": "duck floor at sf1 too (0.022 s) — domain-bounded work",
     "win_rank_dense": "sf1 **0.38x** — inverts",
     "text_bpe_encode": (
-        "spark FLAT across the decade (1.24 -> 1.32 s); duck 0.12 -> 0.58 s — crosses ~sf3"
+        "spark FLAT (0.8-1.3 s control-plane floor at every scale);"
+        " sf3 **1.64x**, sf10 4.57x on the 100-copy corpus where the"
+        " multi-row-group layout parallelizes duck's scan —"
+        " fixed-floor class both sides, sub-second duck everywhere"
     ),
     "text_bpe_train": (
-        "spark FLAT across the sf0.1->sf1 decade (1.52 -> 1.54 s: all rounds run at the vocabulary grain) while duck grows 5x (0.11 -> 0.52 s) — crosses ~sf3; the 1-row-per-round driver collects are the fixed floor"
+        "r10 batched merges: spark FLAT (1.1-1.3 s: batched"
+        " vocabulary-grain rounds are the fixed control-plane floor,"
+        " down from 1.5 s sequential); sf3 **2.48x**, sf10 4.07x"
+        " (duck's histogram scan parallelizes on the multi-row-group"
+        " sf10 layout) — fixed-floor class, duck sub-second at every"
+        " fixture scale"
     ),
     "agg_percentile": (
         "r9 two-phase bucket rank-pick (the stat_weighted_median cure for the 3-partition window sort): sf1 2.51 s vs 6.26 s window form; duck parallel floor at sf1 (0.19 s)"
@@ -133,7 +163,29 @@ ANNOTATIONS: dict[str, str] = {
         "sf1 **1.03x** — crosses under the bar"
     ),
     "ml_als_rank2": (
-        "sf1 4.49x — the rank-1 exchange structure with two factor columns; rides ml_als's measured decades (3.34x sf3, **1.48x sf30 — crosses**)"
+        "r10 int64 moments (S^2 folded into the per-key solve) +"
+        " materialized/broadcast factor half-steps: sf1 2.81x, sf3 **1.38x —"
+        " CROSSES UNDER THE BAR** (was 6.8x at sf3 when each"
+        " half-step re-derived the whole chain inside its own plan)"
+    ),
+    "ml_als_rank4": (
+        "sf1 1.33x, sf3 **0.93x — INVERTS** (duck 53.4 s vs spark 49.5 s: the"
+        " CCD inner solve is 24 scalar integer updates per key on"
+        " both engines; Spark amortizes them across the cluster)"
+    ),
+    "text_bpe_train64": (
+        "spark FLAT in data volume (10.5 s sf1, 6.9 s sf3, 8.9 s sf10 — 64"
+        " batched vocabulary-grain rounds are the fixed control-plane"
+        " floor); duck 1.7-1.9 s on the same corpora — fixed-floor"
+        " class, no crossing inside the fixture decades; at"
+        " production merge counts the 64-deep unrolled CTE chain is"
+        " duck's wall, not spark's"
+    ),
+    "stream_watermark_disorder": (
+        "fixed 601-slot semantic fixture (watermark keep/drop"
+        " contract under disorder) — micro-batch floor vs a"
+        " range()-generated oracle; volume rides stream_daily_agg's"
+        " measured plan"
     ),
     "quality_expectations": (
         "duck parallel floor at sf1 (0.16 s wall on 10x rows); spark 1.47 s — fixed-cost dominated both sides"
@@ -163,7 +215,10 @@ ANNOTATIONS: dict[str, str] = {
         "sf1 **0.08x** — inverts (duck 7.3 s, spark 0.60 s)"
     ),
     "win_funnel": (
-        "sf1 2.23x (duck 0.28 / spark 0.63 s) — sub-second fixed cost both sides, declining"
+        "sf1 2.23x, sf3 3.74x, sf10 **2.86x** (duck 0.28/0.28/0.68 s"
+        " — near its parallel floor everywhere; spark"
+        " 0.63/1.04/1.93 s) — single-exchange fold, fixed-cost"
+        " dominated, ratio flat in the 2-4x band across three decades"
     ),
     "win_interval_merge": (
         "sf1 **0.33x** — inverts"
@@ -187,7 +242,12 @@ ANNOTATIONS: dict[str, str] = {
         "r9 word-wise fingerprint + spread scan: sf3 **0.43x** — inverts (was 5.2 s pre-fix)"
     ),
     "text_pmi": (
-        "sf1 5.52x, sf3 2.20x — declining steeply, crosses by ~sf10"
+        "sf1 5.52x, sf3 **2.65x**, sf10 4.34x (100-copy corpus:"
+        " vocabulary grows with copies and duck's scan parallelizes"
+        " on its multi-row-group layout) — exchange-tax class, r10"
+        " fused single-scan uni+bigram histogram (one corpus scan,"
+        " one exchange); no crossing measured inside the fixture"
+        " decades"
     ),
     "text_repetition": (
         "sf1 2.12x, sf3 **1.07x** — crosses under the bar"
@@ -301,7 +361,10 @@ ANNOTATIONS: dict[str, str] = {
         "sf1 **1.83x** — crosses under the bar"
     ),
     "stream_stateful_seq": (
-        "sf1 2.21x (duck 2.09 / spark 4.61 s), collapsed from 23.2x — Python stateful-worker floor, declining"
+        "sf1 2.21x (duck 2.09 / spark 4.61 s), collapsed from 23.2x"
+        " — Python stateful-worker floor, declining; r10 re-measure"
+        " sf0.1 min-of-5 2.02 s (the r9 3.85 s was host noise) and"
+        " 16 state partitions A/B-picked (1.60 s vs 1.91 s at 32)"
     ),
     "stream_stream_join": (
         "duck floor at sf1 too (0.037 s); spark 2.26 s flat — stream-stream state floor (r9 parquet landing)"

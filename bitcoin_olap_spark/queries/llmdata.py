@@ -3141,47 +3141,47 @@ def text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus twice (once per histogram), and the split+explode over
     # the raw text is exactly the part that grows with the corpus
     # (the exchanges are vocab-grain partials either way). Each doc
-    # emits its words tagged (w, NULL) and its adjacent pairs
-    # (w1, w2) from the SAME let-bound array; one hash aggregate
-    # counts both grains, and the unigram/bigram relations are
-    # filters of it. Struct pairs stay in-row (the r9 shingle_array
-    # lesson: keep the generator child free of multi-referenced
-    # subexpressions).
+    # emits its words AND its space-joined adjacent pairs ('w1 w2' —
+    # unambiguous: words are split on space, so no unigram contains
+    # one) from the SAME let-bound array into a SINGLE STRING key
+    # column: one explode, one single-key hash aggregate, and the
+    # unigram/bigram relations are filters of it (bigram keys split
+    # back at vocab grain). Measured at sf10, same session: string
+    # keys 5.36 s vs tagged (w1, w2) struct keys 8.11 s — the struct
+    # allocation and two-column grouping were a third of the cost.
     def _tagged(arr):
-        unis = F.transform(
-            arr,
-            lambda w: F.struct(
-                w.alias("w1"), F.lit(None).cast("string").alias("w2")
-            ),
-        )
         pairs = F.when(
             F.size(arr) >= 2,
             F.transform(
                 F.sequence(F.lit(1), F.size(arr) - 1),
-                lambda i: F.struct(
-                    F.element_at(arr, i).alias("w1"),
-                    F.element_at(arr, i + 1).alias("w2"),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(arr, i),
+                    F.element_at(arr, i + 1),
                 ),
             ),
-        ).otherwise(
-            F.array().cast("array<struct<w1:string,w2:string>>")
-        )
-        return F.concat(unis, pairs)
+        ).otherwise(F.array().cast("array<string>"))
+        return F.concat(arr, pairs)
 
     tagged_arr = F.element_at(
         F.transform(F.array(F.col("a")), _tagged), 1
     )
     both = (
-        ws.select(F.explode(tagged_arr).alias("p"))
-        .select("p.w1", "p.w2")
-        .groupBy("w1", "w2")
+        ws.select(F.explode(tagged_arr).alias("k"))
+        .groupBy("k")
         .agg(F.count(F.lit(1)).cast("long").alias("c12"))
         .localCheckpoint()
     )
-    uni = both.filter(F.col("w2").isNull()).select(
-        F.col("w1").alias("w"), F.col("c12").alias("c")
+    is_bi = F.col("k").contains(" ")
+    uni = both.filter(~is_bi).select(
+        F.col("k").alias("w"), F.col("c12").alias("c")
     )
-    bi = both.filter(F.col("w2").isNotNull())
+    sp = F.split("k", " ")
+    bi = both.filter(is_bi).select(
+        F.element_at(sp, 1).alias("w1"),
+        F.element_at(sp, 2).alias("w2"),
+        "c12",
+    )
     tot = (
         uni.agg(F.sum("c").cast("long").alias("u"))
         .crossJoin(bi.agg(F.sum("c12").cast("long").alias("b")))

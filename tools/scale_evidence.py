@@ -92,7 +92,7 @@ ANNOTATIONS: dict[str, str] = {
     "ml_adaboost": "fused; sf1 2.19x, sf3 **0.94x**, sf10 **0.50x** — inverts",
     "ml_als": (
         "fused first half-step; r10 materialized+broadcast factor"
-        " half-steps: sf3 **2.10x** (was 3.34x unmaterialized);"
+        " half-steps: sf3 **2.10x** (was 3.34x), sf10 2.70x (was 3.91x);"
         " sf30 **1.48x** — CROSSES UNDER THE BAR"
     ),
     "ml_gbt_stumps": (
@@ -164,8 +164,8 @@ ANNOTATIONS: dict[str, str] = {
     ),
     "ml_als_rank2": (
         "r10 int64 moments (S^2 folded into the per-key solve) +"
-        " materialized/broadcast factor half-steps: sf1 2.81x, sf3 **1.38x —"
-        " CROSSES UNDER THE BAR** (was 6.8x at sf3 when each"
+        " materialized/broadcast factor half-steps: sf1 2.81x, sf3 **1.38x**,"
+        " sf10 **1.14x — CROSSES UNDER THE BAR** (was 6.8x at sf3 when each"
         " half-step re-derived the whole chain inside its own plan)"
     ),
     "ml_als_rank4": (
@@ -242,12 +242,12 @@ ANNOTATIONS: dict[str, str] = {
         "r9 word-wise fingerprint + spread scan: sf3 **0.43x** — inverts (was 5.2 s pre-fix)"
     ),
     "text_pmi": (
-        "sf1 5.52x, sf3 **2.65x**, sf10 4.34x (100-copy corpus:"
-        " vocabulary grows with copies and duck's scan parallelizes"
-        " on its multi-row-group layout) — exchange-tax class, r10"
-        " fused single-scan uni+bigram histogram (one corpus scan,"
-        " one exchange); no crossing measured inside the fixture"
-        " decades"
+        "r10 fused single-scan single-STRING-key uni+bigram"
+        " histogram (one corpus scan, one explode, one single-key"
+        " exchange; A/B at sf10: 5.4 s string keys vs 8.1 s tagged"
+        " struct keys): sf3 **1.79x — crosses under the bar**"
+        " (1.18 / 0.66 s), sf10 2.28x on the 100-copy corpus whose"
+        " vocabulary grows with copies (was 4.34x pre-rewrite)"
     ),
     "text_repetition": (
         "sf1 2.12x, sf3 **1.07x** — crosses under the bar"

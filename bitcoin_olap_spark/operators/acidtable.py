@@ -360,24 +360,34 @@ def _strip_uri(p: str) -> str:
     return urllib.parse.unquote(p.split("?")[0])
 
 
-def _manifest_form(uris, manifest_files: list[str]) -> set[str]:
+def _manifest_form(
+    uris, manifest_files: list[str], strict: bool = True
+) -> set[str]:
     """Map executor-reported file URIs back to the EXACT path strings
     the manifest stores. input_file_name()/_metadata.file_path are
     always absolute, but manifests keep paths as the table root was
     given — under a relative root, recording or intersecting the
     absolute form would silently never match a manifest entry (the
     ADVICE r8 resurrection bug class), so every comparison goes
-    through realpath on both sides. A collected URI that maps to no
-    manifest entry is a protocol violation (the scan read a file the
-    snapshot does not own — or a URI form this decoder mishandles):
-    raising here is what keeps the miss LOUD instead of silently
-    committing an empty 'affected' set (ADVICE r9)."""
+    through realpath on both sides. In strict mode (scan-derived
+    URIs) a miss is a protocol violation — the scan read a file the
+    snapshot does not own, or a URI form this decoder mishandles —
+    and raising keeps it LOUD instead of silently committing an
+    empty 'affected' set (ADVICE r9). strict=False is the
+    INTERSECTION mode for deletion-vector targets (ADVICE r10):
+    vectors are add-only until a dv_reset, so a live vector may
+    legitimately target a since-removed file; the read path treats
+    such targets as inert (the anti-join never matches), and the
+    DV-pending interlock must mirror that by dropping them, not
+    hard-failing every CoW delete/merge."""
     by_real = {os.path.realpath(f): f for f in manifest_files}
     out: set[str] = set()
     for u in uris:
         rp = os.path.realpath(_strip_uri(u))
         hit = by_real.get(rp)
         if hit is None:
+            if not strict:
+                continue
             raise ValueError(
                 f"acid: scanned file {u!r} (realpath {rp!r}) is not in "
                 f"the snapshot manifest ({len(manifest_files)} files) — "
@@ -1092,7 +1102,11 @@ def _live_dv_targets(root: str, version: int | None = None) -> set[str]:
             str(p)
             for p in pq.read_table(f, columns=["_dv_file"]).column(0)
         )
-    return _manifest_form(targets, _resolve_files(root, v))
+    # intersection mode: a vector targeting a since-removed file is
+    # inert on the read path, so it must not trip the DV-pending
+    # interlock either (ADVICE r10 — contract reconciled with the
+    # _resolve_dv_files docstring)
+    return _manifest_form(targets, _resolve_files(root, v), strict=False)
 
 
 def delete_where_mor(

@@ -4269,12 +4269,18 @@ def _bpe_fit(
       counts: old pairs only LOSE occurrences to a merge, and only
       when they share a symbol with it), and (b) its snapshot count
       strictly exceeds an upper bound on every pair the earlier
-      merges can create or grow — post-merge cnt(x, ab) <= old
-      cnt(x, ab) + old cnt(x, a) <= max_left[ab] + max_left[a]
-      (each new occurrence of (x, ab) consumed an (x, a) adjacency;
-      the old term covers a merged token colliding with an existing
-      symbol), symmetrically max_right[ab] + max_right[b] on the
-      right. max_left/max_right are read off the SAME collected
+      merges can create or grow. The bound is COMPOSITION-SOUND
+      (ADVICE r10): every post-batch adjacency maps injectively to an
+      original-text boundary adjacency, and a pair touches at most
+      two accepted merges (its left and right token — disjointness
+      forbids more), so cnt_post(q) <= max_i R_i + max_j L_j where
+      L_j = maxleft[ab_j] + maxleft[a_j] and R_i = maxright[ab_i] +
+      maxright[b_i]; the four boundary forms (b_i,a_j) (ab_i,a_j)
+      (b_i,ab_j) (ab_i,ab_j) charge one each to the four slots. The
+      older per-merge MAX accumulator under-bounded both the
+      cross-merge chain ('a b c d' -> (ab,cd)) and the i==j
+      self-chain with a colliding pre-existing token.
+      max_left/max_right are read off the SAME collected
       top-M list, with cnt(rank M) as the sound fallback for any
       symbol whose true maximum lies below the collected horizon —
       still an upper bound, so exactness is preserved while each
@@ -4362,6 +4368,31 @@ def _bpe_fit(
                     max_left[b] = c
             accepted = []
             used: set = set()
+            # Composition-sound growth bound (ADVICE r10): a pair in
+            # the post-batch text touches at most TWO accepted merges
+            # (one owning its left token, one its right — symbol
+            # disjointness forbids more), and every post-batch
+            # adjacency (T1, T2) maps injectively to the original-text
+            # boundary adjacency (last-symbol(T1), first-symbol(T2)).
+            # For T1 in {ab_i formed, ab_i pre-existing} and T2 in
+            # {ab_j formed, ab_j pre-existing} that boundary pair is
+            # one of (b_i,a_j), (ab_i,a_j), (b_i,ab_j), (ab_i,ab_j) —
+            # four DISTINCT old pairs, chargeable one each to the four
+            # slots of R_i = maxright[ab_i]+maxright[b_i] and
+            # L_j = maxleft[ab_j]+maxleft[a_j] (each slot v floor).
+            # Hence cnt_post(q) <= max_i R_i + max_j L_j for every
+            # affected pair q, including the i==j self-chain
+            # ('a b a b' -> (ab,ab)) and the cross-merge chain
+            # ('a b c d' -> (ab,cd)). The previous per-merge MAX
+            # accumulator had no such proof under composition (ADVICE
+            # r10): a pair touched by two merges draws on up to four
+            # old pairs, and MAX holds only one merge's two slots.
+            # (Reachability analysis suggests real segmentations
+            # funnel chain growth through shared slots — no concrete
+            # divergence was constructible — but soundness now rests
+            # on the matching proof, not on that conjecture.)
+            acc_max_l = 0
+            acc_max_r = 0
             new_pair_bound = -1
             for r in top:
                 if len(accepted) >= want:
@@ -4375,13 +4406,17 @@ def _bpe_fit(
                     break  # stop, never skip: order must stay sequential
                 accepted.append((pair, cnt))
                 used.update((a, b, merged))
-                new_pair_bound = max(
-                    new_pair_bound,
+                acc_max_l = max(
+                    acc_max_l,
                     max(max_left.get(merged, 0), floor)
                     + max(max_left.get(a, 0), floor),
+                )
+                acc_max_r = max(
+                    acc_max_r,
                     max(max_right.get(merged, 0), floor)
                     + max(max_right.get(b, 0), floor),
                 )
+                new_pair_bound = acc_max_l + acc_max_r
         for pair, cnt in accepted:
             merges.append((len(merges) + 1, pair, pair.replace(" ", ""), cnt))
             seg = F.replace(

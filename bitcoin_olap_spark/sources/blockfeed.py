@@ -16,7 +16,7 @@ Options:
                 Kafka-shaped feed a real ingest sees. Arrival slots
                 deliver blocks out of order by a deterministic rule
                 (every 7th slot ~5 s stale — inside a 30 s watermark
-                delay; every 50th slot from 250 on ~190 s stale —
+                delay; every 50th slot from 425 on ~390 s stale —
                 beyond it), plus one far-future terminal flush row
                 that drives the final watermark past every real
                 window. Deterministic, so a DuckDB oracle can state

@@ -2804,6 +2804,47 @@ def test_acid_mor_interlock_fires_with_relative_root(spark, tmp_path):
     assert AT.snapshot(spark, rel_root).count() == 10
 
 
+def test_acid_stale_dv_target_is_inert_not_invalid(spark, tmp_path):
+    """ADVICE r10 regression (acidtable._live_dv_targets): a live
+    deletion vector targeting a SINCE-REMOVED data file is inert on
+    the read path (the anti-join never matches), so the
+    DeletionVectorsPending interlock must mirror that — intersect,
+    not raise. Before the fix, _live_dv_targets fed DV targets
+    through the strict (raising) _manifest_form, so any manifest
+    state pairing a live vector with a removed target hard-failed
+    every CoW delete/merge. The state is synthesized by committing a
+    rewrite delta that removes the vector's target WITHOUT a
+    dv_reset — legal under the add-only vector contract."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators import acidtable as AT
+
+    root = str(tmp_path / "tbl")
+    AT.init_table(
+        spark, root, spark.range(0, 100).select("id").coalesce(1)
+    )
+    AT.delete_where_mor(spark, root, F.col("id") < 10)  # v1: live DV
+    targets = AT._live_dv_targets(root)
+    assert targets, "DV must target the v0 file"
+    # synthesize a rewrite commit: replacement file with the SAME live
+    # rows the vector's math would produce, old file removed, vector
+    # deliberately NOT reset
+    newdir = os.path.join(AT._data_dir(root), "rewrite0")
+    os.makedirs(newdir)
+    newfile = os.path.join(newdir, "part-0.parquet")
+    pd.DataFrame({"id": list(range(10, 100))}).to_parquet(newfile)
+    AT._commit(root, 2, "rewrite", add=[newfile], remove=sorted(targets))
+    # the stale vector maps to no live file: interlock input is empty
+    assert AT._live_dv_targets(root) == set()
+    # reads stay correct and CoW delete proceeds instead of raising
+    assert AT.snapshot(spark, root).count() == 90
+    AT.delete_where(spark, root, F.col("id") >= 95)
+    assert AT.snapshot(spark, root).count() == 85
+
+
 def test_acid_vacuum_reclaims_unreferenced_dv_and_change_files(
     spark, tmp_path
 ):
@@ -2906,6 +2947,58 @@ def test_bpe_batched_equals_sequential(spark):
     for batch in (4, 16):
         _, _, bat = _bpe_fit(spark, sf, rounds=24, batch=batch)
         assert bat == seq, f"batch={batch} diverged from sequential"
+
+
+def test_bpe_batched_equals_sequential_on_merge_chains(spark, tmp_path):
+    """ADVICE r10 composition case: the batched-acceptance growth
+    bound must stay sound when ACCEPTED MERGES CHAIN — a pair whose
+    left token comes from one accepted merge and right token from
+    another ('a b c d' accepting both (a,b) and (c,d) creates (ab,cd)
+    whose count draws on up to four old pairs), and the i==j
+    self-chain where a merged token collides with a pre-existing
+    symbol of the same spelling (even-run residuals: ' l l l l ' ->
+    ' ll l l ' leaves live (l,l) pairs next to 'll' tokens, so a
+    later batch re-merging (l,l) grows (ll,ll) from two sides). The
+    corpus below is built of exactly those shapes plus disjoint
+    mid-count pairs landing near the guard's growth bound — the
+    shape the sf0.01 fixture never exercises. The fix itself is
+    justified by the four-slot matching proof in _bpe_fit (maxL+maxR
+    accumulator); this corpus is the regression line that batched
+    training at several widths still equals one-merge-per-collect
+    sequential training merge-for-merge on chain-heavy input."""
+    import os
+
+    import pandas as pd
+
+    from bitcoin_olap_spark.queries.llmdata import _bpe_fit
+
+    words = (
+        ["abcd"] * 900        # 4-symbol chain: (a,b)+(c,d) -> (ab,cd)
+        + ["ab"] * 500        # lifts (a,b) to the top
+        + ["cd"] * 450        # lifts (c,d) to second
+        + ["ef"] * 880        # disjoint mid-count pair in the gap
+        + ["gh"] * 860        # second gap pair
+        + ["llll"] * 700      # even-run residual: 'll' token + live (l,l)
+        + ["llllll"] * 200    # longer runs deepen the self-chain
+        + ["xabcdy"] * 300    # chains with flanking context symbols
+        + ["mn"] * 420
+        + ["op"] * 410
+        + ["qr"] * 150
+        + ["st"] * 140
+        + ["uv"] * 130
+    )
+    text = " ".join(words)
+    sf = str(tmp_path / "sf_chain")
+    os.makedirs(sf)
+    pd.DataFrame({"doc_id": [1], "text": [text]}).to_parquet(
+        os.path.join(sf, "documents.parquet"))
+    _, _, seq = _bpe_fit(spark, sf, rounds=32, batch=1)
+    # the corpus fuses completely before 32 rounds; what matters is
+    # that every batched width replays the same exhaustion trace
+    assert len(seq) >= 16
+    for batch in (4, 8, 16):
+        _, _, bat = _bpe_fit(spark, sf, rounds=32, batch=batch)
+        assert bat == seq, f"batch={batch} diverged on chain corpus"
 
 
 def test_bpe_checkpoint_cadence_bounds_plan_depth(spark):

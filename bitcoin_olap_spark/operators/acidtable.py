@@ -49,6 +49,7 @@ import decimal
 import json
 import os
 import shutil
+import time
 import urllib.parse
 import uuid
 
@@ -1328,12 +1329,33 @@ def delete_where(spark: SparkSession, root: str, cond, cdf: bool = False) -> int
     return base + 1
 
 
-def vacuum(root: str, keep_versions: int = 1, _max_rescans: int = 8) -> int:
+def vacuum(
+    root: str,
+    keep_versions: int = 1,
+    _max_rescans: int = 8,
+    orphan_retention_s: float = 7 * 24 * 3600,
+) -> int:
     """Physically remove data files referenced ONLY by manifests older
     than the newest `keep_versions` (and those manifests). Returns the
     number of files removed. The destructive companion op every CoW
     format needs — separated from delete_where so time travel works
     until the user explicitly gives it up.
+
+    Also reclaims ORPHANS: data files under data/ referenced by NO
+    surviving manifest at all — the debris of (a) a writer killed
+    after its data-file write but before its manifest link landed
+    (the commit point), and (b) commit-race losers, whose rewrite
+    files were abandoned when ConcurrentCommitError sent them back to
+    retry from the new head. Neither kind is reachable through the
+    log, so the reference-counted dropped-minus-live pass can never
+    see them. Delta's VACUUM rule applies: an unreferenced file is
+    deleted only once it is older than `orphan_retention_s` (default
+    7 days) — an IN-FLIGHT healthy writer also has data files on disk
+    with no manifest yet, and the age gate is what keeps a concurrent
+    vacuum from destroying its commit-in-progress. Stale `.tmp-*`
+    droppings in _log (a killed writer's unlinked manifest/checkpoint
+    temps) are swept under the same age gate. Tests pass
+    orphan_retention_s=0 after quiescing writers.
 
     Writer coordination: the live set comes from a point-in-time log
     scan, so a writer committing DURING the scan (including a
@@ -1426,6 +1448,48 @@ def vacuum(root: str, keep_versions: int = 1, _max_rescans: int = 8) -> int:
         for path in (_manifest_path(root, v), _checkpoint_path(root, v)):
             if os.path.exists(path):
                 os.unlink(path)
+    # Orphan reclaim (crash / lost-race debris): any parquet under
+    # data/ that no SURVIVING manifest references and that is older
+    # than the retention gate. `live` is exactly the union of the
+    # kept versions' resolved file sets (computed in the replay
+    # above), so after the dropped-file unlinks everything legitimate
+    # on disk is in it; what is not is either an in-flight commit's
+    # fresh write (protected by age) or debris. The age gate is
+    # mtime-based, same as Delta VACUUM's retention check.
+    now = time.time()
+    live_real = {os.path.realpath(f) for f in live}
+    ddir = _data_dir(root)
+    if os.path.isdir(ddir):
+        for sub in sorted(os.listdir(ddir)):
+            subp = os.path.join(ddir, sub)
+            if not os.path.isdir(subp):
+                continue
+            for fn in sorted(os.listdir(subp)):
+                if not fn.endswith(".parquet"):
+                    continue
+                p = os.path.join(subp, fn)
+                if os.path.realpath(p) in live_real:
+                    continue
+                try:
+                    if now - os.path.getmtime(p) < orphan_retention_s:
+                        continue
+                    os.unlink(p)
+                    removed += 1
+                except FileNotFoundError:
+                    pass  # a concurrent maintainer got there first
+    # a killed writer's manifest/checkpoint temp never reached its
+    # `finally: os.unlink` — sweep aged .tmp-* droppings from _log
+    log = _log_dir(root)
+    if os.path.isdir(log):
+        for fn in sorted(os.listdir(log)):
+            if not fn.startswith(".tmp-"):
+                continue
+            p = os.path.join(log, fn)
+            try:
+                if now - os.path.getmtime(p) >= orphan_retention_s:
+                    os.unlink(p)
+            except FileNotFoundError:
+                pass
     # Garbage-collect _change_data and _deletes by the same
     # dropped-minus-live pattern as data files: a dir survives iff a
     # surviving manifest (cdc/dv key) or a surviving version's resolved

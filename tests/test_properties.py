@@ -2845,6 +2845,110 @@ def test_acid_stale_dv_target_is_inert_not_invalid(spark, tmp_path):
     assert AT.snapshot(spark, root).count() == 85
 
 
+def test_acid_kill9_mid_commit_recovery(spark, tmp_path):
+    """VERDICT r10 ask #3: a writer killed with SIGKILL mid-commit —
+    AFTER its rewrite data files hit disk, BEFORE its manifest link
+    (the commit point) — must leave the table fully healthy:
+
+    * the next reader sees the pre-crash version (partial work
+      invisible — atomicity comes from os.link being the only
+      publish);
+    * the next writer commits cleanly at the version the victim was
+      attempting (no half-claimed version numbers);
+    * vacuum reclaims the victim's orphaned data files and its
+      unlinked `.tmp-*` manifest temp under the retention gate
+      (orphan_retention_s=0 here; the 7-day default is what protects
+      IN-FLIGHT healthy writers from a concurrent vacuum).
+
+    Fault injection: the child process wraps os.link to SIGKILL
+    itself when the destination is a version manifest — the exact
+    instant between durable data and durable commit. Exercised for
+    both delete_where (CoW rewrite) and optimize (layout rewrite)."""
+    import glob
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators import acidtable as AT
+
+    root = str(tmp_path / "crash_tbl")
+    AT.init_table(
+        spark, root,
+        spark.range(0, 100).select(
+            "id", (F.col("id") * 10).alias("val")
+        ).coalesce(4),
+    )
+    AT.delete_where(spark, root, F.col("id") < 5)  # v1: real history
+    assert AT.current_version(root) == 1
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    victim = f"""
+import os, re, signal, sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession, functions as F
+from bitcoin_olap_spark.operators import acidtable as AT
+spark = (SparkSession.builder.master("local[2]")
+         .appName("acid-victim").config("spark.ui.enabled", "false")
+         .config("spark.sql.shuffle.partitions", "2").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+real_link = os.link
+def killing_link(src, dst, *a, **k):
+    if re.search(r"[0-9]{{8}}\\.json$", dst):
+        os.kill(os.getpid(), signal.SIGKILL)  # die AT the commit point
+    return real_link(src, dst, *a, **k)
+os.link = killing_link
+root = {root!r}
+OP
+"""
+    data_before = set(glob.glob(os.path.join(root, "data", "*", "*.parquet")))
+    for op in (
+        'AT.delete_where(spark, root, F.col("id") < 10)',
+        "AT.optimize(spark, root, target_files=1)",
+    ):
+        p = subprocess.run(
+            [sys.executable, "-c", victim.replace("OP", op)],
+            capture_output=True, text=True, timeout=300,
+        )
+        assert p.returncode == -9, (
+            f"victim must die by SIGKILL mid-commit, got "
+            f"{p.returncode}:\n{p.stderr[-2000:]}"
+        )
+        # reader: pre-crash snapshot intact, partial work invisible
+        assert AT.current_version(root) == 1
+        assert AT.snapshot(spark, root).count() == 95
+    # the crashes left real debris: orphaned rewrite files + tmp
+    # manifests that never reached their finally-unlink
+    orphans = (
+        set(glob.glob(os.path.join(root, "data", "*", "*.parquet")))
+        - data_before
+    )
+    assert orphans, "victims must have written data files pre-commit"
+    tmps = glob.glob(os.path.join(root, "_log", ".tmp-*"))
+    assert tmps, "a SIGKILLed commit leaves its manifest temp behind"
+    # next writer commits cleanly at the version the victims attempted
+    v = AT.delete_where(spark, root, F.col("id") >= 90)
+    assert v == 2
+    assert AT.snapshot(spark, root).count() == 85
+    # vacuum under a zero retention gate reclaims every orphan; live
+    # files survive and the table still reads
+    AT.vacuum(root, keep_versions=1, orphan_retention_s=0)
+    left = set(glob.glob(os.path.join(root, "data", "*", "*.parquet")))
+    assert not (left & orphans), f"orphans survived vacuum: {left & orphans}"
+    assert not glob.glob(os.path.join(root, "_log", ".tmp-*"))
+    assert AT.snapshot(spark, root).count() == 85
+    live = {
+        os.path.realpath(f) for f in AT.read_manifest(root)["files"]
+    }
+    assert {os.path.realpath(f) for f in left} == live
+    # manifest JSON chain is still walkable end to end
+    for ver in range(AT._earliest_version(root), v + 1):
+        with open(AT._manifest_path(root, ver)) as f:
+            _json.load(f)
+
+
 def test_acid_vacuum_reclaims_unreferenced_dv_and_change_files(
     spark, tmp_path
 ):

@@ -3105,6 +3105,55 @@ def test_bpe_batched_equals_sequential_on_merge_chains(spark, tmp_path):
         assert bat == seq, f"batch={batch} diverged on chain corpus"
 
 
+def test_bpe_driver_histogram_equals_distributed(spark, tmp_path):
+    """VERDICT r10 #2: the driver-histogram fast path (one collect of
+    the vocabulary-grain word histogram, classic BPE driver-side)
+    must replay EXACTLY the distributed sequential loop's merge
+    history — same pairs, same order, same counts — on (a) the
+    sf0.01 fixture and (b) the chain-heavy corpus whose even-run
+    residuals and cross-merge chains exercise the shared literal
+    left-to-right non-overlapping replace semantics (Python
+    str.replace vs Spark F.replace). Also pins the acceptance
+    telemetry: one collect for the entire run."""
+    import os
+
+    import pandas as pd
+
+    from bitcoin_olap_spark.queries.llmdata import _bpe_fit
+
+    _, _, seq = _bpe_fit(spark, "/root/testdata/sf0.01", rounds=24, batch=1)
+    stats: dict = {}
+    _, _, drv = _bpe_fit(
+        spark, "/root/testdata/sf0.01", rounds=24,
+        driver_histogram_max=10**6, stats=stats,
+    )
+    assert drv == seq
+    assert stats["mode"] == "driver_histogram"
+    assert stats["accepts_per_collect"] == [24]
+
+    words = (
+        ["abcd"] * 900 + ["ab"] * 500 + ["cd"] * 450 + ["ef"] * 880
+        + ["gh"] * 860 + ["llll"] * 700 + ["llllll"] * 200
+        + ["xabcdy"] * 300 + ["mn"] * 420 + ["op"] * 410
+    )
+    sf = str(tmp_path / "sf_chain_drv")
+    os.makedirs(sf)
+    pd.DataFrame({"doc_id": [1], "text": [" ".join(words)]}).to_parquet(
+        os.path.join(sf, "documents.parquet"))
+    _, _, seq2 = _bpe_fit(spark, sf, rounds=32, batch=1)
+    _, _, drv2 = _bpe_fit(spark, sf, rounds=32, driver_histogram_max=10**6)
+    assert drv2 == seq2
+    # budget gate: a vocab larger than the stated max falls back to
+    # the distributed loop (mode never set)
+    stats3: dict = {}
+    _, _, fb = _bpe_fit(
+        spark, sf, rounds=4, batch=4, driver_histogram_max=2,
+        stats=stats3,
+    )
+    assert "mode" not in stats3
+    assert fb == seq2[:4]
+
+
 def test_bpe_checkpoint_cadence_bounds_plan_depth(spark):
     """The localCheckpoint cadence must actually bound the
     segmentation lineage: after a 24-round fit with cadence 8, the

@@ -3408,3 +3408,61 @@ print("RESULT" + json.dumps(committed))
     }
     assert got == {k: k * 1000 for k in range(100, 105)}
     assert final.filter(F.col("id") < 5).count() == 0
+
+
+def test_make_sfn_text_deterministic_heaps_fixture(tmp_path):
+    """tools/make_sfn_text.py contract: (a) deterministic for a given
+    sf — byte-identical parquet content on regeneration, so both
+    engines and later sessions measure the same corpus; (b) driver
+    documents schema (doc_id/text/lang/source/n_chars with correct
+    types, n_chars consistent with text); (c) vocabulary GROWS with
+    corpus size (the Heaps property the fixture exists to provide —
+    the key-shifted copy fixture grew vocabulary only by copy
+    prefixes, the r10 verdict's missing #1)."""
+    import os
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tool = os.path.join(repo, "tools", "make_sfn_text.py")
+
+    def gen(sf, name):
+        out = str(tmp_path / name)
+        subprocess.run(
+            [sys.executable, tool, str(sf), out],
+            check=True, capture_output=True,
+        )
+        return pq.read_table(os.path.join(out, "documents.parquet"))
+
+    a = gen(0.02, "a")   # 1000 docs
+    b = gen(0.02, "b")
+    assert a.equals(b), "same sf must regenerate identical content"
+    assert a.column_names == [
+        "doc_id", "text", "lang", "source", "n_chars"
+    ]
+    import pyarrow.compute as pc
+
+    assert a.num_rows == 1000
+    assert pc.min(a.column("doc_id")).as_py() == 0
+    assert pc.max(a.column("doc_id")).as_py() == 999
+    texts = a.column("text").to_pylist()
+    assert all(
+        n == len(t)
+        for t, n in zip(texts, a.column("n_chars").to_pylist())
+    )
+    big = gen(0.08, "c")  # 4000 docs
+
+    def vocab(tbl):
+        words = set()
+        for t in tbl.column("text").to_pylist():
+            words.update(t.split())
+        return words
+
+    va, vb = vocab(a), vocab(big)
+    # Heaps: 4x the docs must grow vocabulary substantially but
+    # sublinearly (beta < 1); prefix property: the small corpus IS
+    # the big one's first chunk at this chunk size, so va <= vb
+    assert len(vb) > 1.4 * len(va)
+    assert len(vb) < 3.9 * len(va)

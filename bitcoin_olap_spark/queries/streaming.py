@@ -16,6 +16,7 @@ swallow the trailing windows.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -129,15 +130,35 @@ def stream_stateful_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle states — but the streaming form keeps numbering correctly
     as new micro-batches arrive, which no batch window can.
 
-    n_partitions=16 (r10): the r9 regression check A/B-measured the
-    state partitioning at sf0.1 (min of 3, one session): 8 -> 2.07 s,
-    16 -> 1.60 s, 32 -> 1.91 s, 64 -> 2.74 s — the Python stateful
-    worker pays per-partition Arrow round-trip overhead, so fewer,
-    fuller partitions win until worker parallelism starves (8)."""
+    State partitioning scales with INPUT VOLUME (r11): the r10 fixed
+    16 was A/B-picked at sf0.1 (8 -> 2.07 s, 16 -> 1.60 s, 32 ->
+    1.91 s, 64 -> 2.74 s — per-partition Arrow round-trip overhead
+    dominates small inputs), but the same A/B at sf3 inverts (16 ->
+    18.7 s, 32 -> 12.7 s, 64 -> 12.1 s — Python-worker throughput
+    dominates once partitions carry ~MMs of rows). The rule below
+    steps 16 -> 32 -> 64 on the events table's on-disk bytes, i.e.
+    fuller partitions until the stateful worker saturates, then
+    parallelism — at cluster scale this is 'state partitions ~ total
+    input / per-worker Arrow sweet spot, capped by cores', the same
+    sizing rule Spark's own state store docs give."""
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    try:
+        sz = (
+            os.path.getsize(ev_path)
+            if os.path.isfile(ev_path)
+            else sum(
+                os.path.getsize(os.path.join(ev_path, f))
+                for f in os.listdir(ev_path)
+                if f.endswith(".parquet")
+            )
+        )
+    except OSError:
+        sz = 0
+    n = 16 if sz < 32 << 20 else (32 if sz < 128 << 20 else 64)
     return run_to_batch(
         running_user_sequence(stream_events(spark, sf_dir)),
         spark,
-        n_partitions=16,
+        n_partitions=n,
         sink="parquet",
     )
 

@@ -202,21 +202,37 @@ def running_user_sequence(events: DataFrame) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    import numpy as np
+
     def assign(key, pdfs, state):
+        # r11: the fold avoids pandas' per-call overhead (no concat
+        # for the common single-chunk case, np.lexsort instead of
+        # sort_values, output built once from numpy views). Measured
+        # at sf3: noise-level vs the pandas form (~10.2 s both, min
+        # of 6) — the operator's floor is the Arrow transfer + state
+        # machinery, NOT per-group pandas; kept because it is never
+        # slower and removes the per-group allocation churn that
+        # WOULD dominate at higher group-per-partition densities.
         start = state.get[0] if state.exists else 0
         frames = [
             pdf[["user_id", "event_id", "ts"]] for pdf in pdfs if len(pdf)
         ]
         if not frames:
             return
-        batch = (
-            pd.concat(frames)
-            .sort_values(["ts", "event_id"])
-            .reset_index(drop=True)
+        batch = frames[0] if len(frames) == 1 else pd.concat(frames)
+        ev = batch["event_id"].to_numpy()
+        ts = batch["ts"].to_numpy()
+        order = np.lexsort((ev, ts))
+        n = len(order)
+        state.update((start + n,))
+        yield pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy()[order],
+                "event_id": ev[order],
+                "ts": ts[order],
+                "seq": np.arange(start + 1, start + 1 + n, dtype="int64"),
+            }
         )
-        batch["seq"] = range(start + 1, start + 1 + len(batch))
-        state.update((start + len(batch),))
-        yield batch
 
     return events.groupBy("user_id").applyInPandasWithState(
         assign,

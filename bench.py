@@ -118,6 +118,9 @@ def main() -> None:
         "sim_topk_ivf", "text_tokens", "text_quality", "doc_chunk",
         "graph_pagerank", "ml_kmeans", "stream_dedup",
         "pipeline_ledger_e2e", "mm_decode_features",
+        # r11 additions (headline entries are add-only per the driver
+        # contract): the queries this optimization round touched
+        "ml_als_rank4", "sim_dedup_recall", "ml_dbscan_grid",
     ]
     headline = {q: timings[q] for q in headline_ids if q in timings}
     print(

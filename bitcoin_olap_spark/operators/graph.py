@@ -58,26 +58,52 @@ def _pagerank_iteration(
     relation.
 
     r11 shape (guide §2.3, narrower rows through the edge-scale path):
-    the `rank div outdeg` division is computed ONCE PER NODE in a
-    node-scale pre-join against the degree relation `g_side`, not once
-    per edge row; the edge list carries only (src, dst) — no
-    `dst_outdeg` long riding every edge through cache scans and
-    shuffles — and the dst-keyed aggregate sums a single column. The
-    outdegree re-attaches to the new ranks at node grain next round via
-    the same reusable g_side join. Identical integer recurrence,
-    measured 4.48 -> 4.02 s on graph_pagerank sf0.1 (broadcast path),
-    parity on the shuffle path with 1/3 fewer edge-shuffle bytes."""
-    contribs = ranks.join(g_side, "node").select(
-        "node", F.expr("rank div outdeg").alias("c")
-    )
-    c_side = F.broadcast(contribs) if use_broadcast else contribs.hint(
-        "shuffle_hash"
-    )
-    s = (
-        e.join(c_side, e.src == contribs.node)
-        .groupBy("dst")
-        .agg(F.sum("c").alias("s"))
-    )
+    the edge list carries only (src, dst) — no `dst_outdeg` long
+    riding every edge through cache scans and shuffles — and the
+    dst-keyed aggregate sums a single column; the degree relation
+    `g_side` re-attaches at NODE grain each round instead.
+
+    r12 split of WHERE the degree attaches (driver-protocol A/B, see
+    OPTIMIZATION_r12.md): on the big-graph/shuffle path the division
+    is computed once per node in a pre-join (ranks ⋈ g_side) whose
+    output is what shuffles — per-round movement stays one long per
+    node. On the small-graph/broadcast path that pre-join was a
+    per-round broadcast-BUILD JOB (executing a join before each
+    round's broadcast), measured as the r11 regression the driver
+    flagged (fresh-process bench.py min-of-3: 6.49 s vs 5.03 s for
+    the r10 form); instead the round joins the edge cache against
+    TWO broadcasts on the same src key — ranks and the (built-once)
+    degree broadcast — and divides per edge map-side: zero extra
+    jobs, the broadcast build is a plain cache scan again, and the
+    division value per edge is bit-identical (same numerator and
+    denominator, integer div). Identical integer recurrence on both
+    paths."""
+    if use_broadcast:
+        # alias the degree side: round 1's ranks are derived FROM g,
+        # so joining g's raw attributes again would be ambiguous
+        gg = F.broadcast(
+            g_side.select(
+                F.col("node").alias("_gn"), F.col("outdeg").alias("_gd")
+            )
+        )
+        s = (
+            e.join(F.broadcast(ranks), e.src == ranks.node)
+            .join(gg, e.src == F.col("_gn"))
+            .select("dst", F.expr("rank div _gd").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+    else:
+        contribs = ranks.join(g_side, "node").select(
+            "node", F.expr("rank div outdeg").alias("c")
+        )
+        s = (
+            e.join(
+                contribs.hint("shuffle_hash"), e.src == contribs.node
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
     new_rank = (
         F.lit(teleport)
         + F.expr(f"({damping_pct} * s) div 100").cast("long")
@@ -100,7 +126,14 @@ def pagerank_int(
     Every node is assumed to appear as a source (true for symmetrized
     undirected graphs — the co-occurrence graphs this engine builds);
     dangling-node mass is therefore zero and the teleport term is the
-    plain (100-damping)/100 / N constant.
+    plain (100-damping)/100 / N constant. When that precondition is
+    VIOLATED (a directed graph with sink destinations), note the r11
+    shape change (r12 ADVICE): edges to zero-outdegree nodes used to
+    be dropped by the per-edge dst_outdeg inner join, so sinks never
+    appeared in the output; since r11 the degree join keys on the
+    SOURCE only, so sink destinations now receive a rank row in the
+    final round. Inert for every in-repo caller (symmetric graphs);
+    non-symmetric callers must symmetrize or filter sinks themselves.
 
     `broadcast_max_nodes` gates the join strategy: at or below it the
     node-sized rank relation is broadcast each round (zero edge

@@ -183,26 +183,37 @@ def ledger_pipeline(
     ins = _explode_side(tx, "inputs")
     outs = _explode_side(tx, "outputs")
 
-    # 2+3+4. explode-then-join txid discovery (btcolap.sql:35-59,
-    #    :62-85) folded with the UNION DISTINCT (:301-313) into ONE
-    #    hash-keyed exchange (r11, guide §2.4): the per-side DISTINCTs
-    #    and the union DISTINCT were three exchanges all keyed on
-    #    `hash`; a single distinct over the unioned join outputs gets
-    #    the same map-side partial dedup with one exchange and no
-    #    intermediate barrier — identical set semantics. Measured
-    #    interleaved at sf0.1 (min of 4): rollup 6.99 -> 6.55 s.
-    #    txid_sum is FACT-derived (the reference materializes it as a
-    #    table for the same reason, btcolap.sql:271-313) — never
-    #    force-broadcast; AQE decides from the measured size at
-    #    runtime.
-    txid_sum = (
+    # 2+3. explode-then-join txid discovery (btcolap.sql:35-59, :62-85)
+    #    as PER-SIDE DISTINCTs + union DISTINCT (three hash-keyed
+    #    exchanges). r11 folded these into one distinct over the
+    #    unioned join outputs (one exchange, identical set semantics)
+    #    on an interleaved in-session A/B (6.99 -> 6.55 s) — but the
+    #    driver's own protocol said otherwise both rounds: BENCH_r11
+    #    regressed 4.35 -> 7.33 s, and the r12 fresh-process
+    #    alternating bench.py A/B (32 cores, 6 pairs) had this
+    #    per-side form faster in 5 of 6 pairs (min 4.53 vs 5.28 s),
+    #    so the fold is REVERTED. Scale note: the per-side form's
+    #    third exchange carries already-deduplicated hashes — strictly
+    #    fewer bytes than either side's join output — so the fold was
+    #    never a byte win, only an exchange-count one; the driver
+    #    evidence says the two smaller independent exchanges (which
+    #    AQE sizes separately and whose jobs overlap) are the faster
+    #    plan at every measured point.
+    txid_in = (
         ins.join(addr_side, ins.addr == addr.address)
         .select("hash")
-        .unionByName(
-            outs.join(addr_side, outs.addr == addr.address).select("hash")
-        )
         .distinct()
     )
+    txid_out = (
+        outs.join(addr_side, outs.addr == addr.address)
+        .select("hash")
+        .distinct()
+    )
+    # 4. UNION DISTINCT (btcolap.sql:301-313). txid_sum is FACT-derived
+    #    (the reference materializes it as a table for the same reason,
+    #    btcolap.sql:271-313) — never force-broadcast; AQE decides from
+    #    the measured size at runtime.
+    txid_sum = txid_in.unionByName(txid_out).distinct()
     txid_keys = txid_sum.select(F.col("hash").alias("txid"))
 
     # 5. signed flows restricted to tracked txids (btcolap.sql:316-408);

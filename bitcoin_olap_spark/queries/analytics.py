@@ -4809,10 +4809,14 @@ def ml_als_rank4(spark: SparkSession, sf_dir: str) -> DataFrame:
     # p = f_i*f_j (or c*f_i) fits int64 (|f| <= clamp = 1e8 so
     # |p| <= 1e16; c <= 9.2e10 keeps c*f_i <= 9.2e18), and is split
     # exactly as p = q*1e8 + r with q = p div 1e8 (trunc-toward-zero),
-    # r = p - q*1e8 — so |q| <= 1e8, |r| < 1e8 and BOTH running sums
-    # stay exact int64 for per-key fan-in up to 9.2e10 rows (vs
-    # decimal's 1e22; a single customer or part with > 9e10 ratings is
-    # beyond any 100 TB corpus). The moments reconstruct EXACTLY at
+    # r = p - q*1e8. |r| < 1e8 always, so the r-sums are exact for
+    # per-key fan-in up to 9.2e10 rows. The q bound differs by moment
+    # kind (r12 ADVICE fix): a-moments have |q| <= |f_i*f_j| div 1e8
+    # <= 1e8, exact to 9.2e10 rows/key; b-moments have |q| <= c, so
+    # their q-sum is exact while a key's total rating mass sum(c)
+    # stays <= 9.2e18 — c is a per-(u,p) purchase count, so either
+    # bound is beyond any 100 TB corpus (decimal's headroom is 1e22).
+    # The moments reconstruct EXACTLY at
     # factor grain as decimal(38,0) = q*1e8 + r (+ LAM on the
     # diagonal), feeding the unchanged decimal CCD solve — bit-
     # identical integers to the oracle's HUGEINT-inside-the-aggregate

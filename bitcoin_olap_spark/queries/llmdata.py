@@ -3726,9 +3726,14 @@ def sim_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the metric plan (hits + their own count) — unmaterialized, each
     # tier's post-exchange stages re-executed per reference (exchange
     # reuse only covers the shuffle subtrees). The relations are
-    # pair-grain (hundreds of rows at ANY corpus size — they are the
-    # near-dup pairs), so an eager localCheckpoint pins each tier to
-    # exactly one execution. Measured interleaved at sf0.1 (min of 5):
+    # pair-grain — near-dup pair counts DO grow with the corpus (r12
+    # ADVICE fix: not "hundreds of rows at ANY size"), but they stay
+    # orders of magnitude below document grain and localCheckpoint is
+    # executor-distributed, so pinning each tier to exactly one
+    # execution is the right trade at every scale. NOTE the eager
+    # checkpoint runs both tiers at CONSTRUCTION time — a plan-only
+    # caller (capture_plan / explain tests) pays the full tier
+    # computation. Measured interleaved at sf0.1 (min of 5):
     # 9.19 -> 3.78 s.
     truth = dedup_ngram_jaccard(spark, sf_dir).select(
         "doc_a", "doc_b"

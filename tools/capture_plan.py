@@ -1,9 +1,10 @@
 #!/usr/bin/env python
 """Capture `.explain("formatted")` for given query IDs into
-plans/r11/<qid>_<tag>.txt (tag = before/after), the optimization-round
-deliverable. Uses sf0.1 (the bench scale) so plan shapes (AQE initial
-plan, join strategies by size estimate, PushedFilters) match what the
-bench measures.
+plans/$SPARK_GRAFT_PLAN_ROUND/<qid>_<tag>.txt (tag = before/after;
+round defaults to r12), the optimization-round deliverable. Uses
+sf0.1 (the bench scale) so plan shapes (AQE initial plan, join
+strategies by size estimate, PushedFilters) match what the bench
+measures.
 
 Usage: python tools/capture_plan.py <tag> <qid> [qid ...]
 """
@@ -24,7 +25,7 @@ def main() -> int:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r11",
+        os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r12"),
     )
     os.makedirs(out_dir, exist_ok=True)
 

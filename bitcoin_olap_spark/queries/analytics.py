@@ -3732,6 +3732,84 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DBSCAN_EPS4 = 500       # eps = 0.05 in the v4 fixed point
 _DBSCAN_MINPTS = 4
 
+
+def _grid_eps_pairs(pts: DataFrame, eps4: int) -> DataFrame:
+    """Every ORDERED pair (pa, pb), pa != pb, within integer distance
+    eps4 — exactly one row per direction — via eps-sized grid cells.
+
+    r12 (VERDICT r11 item 5, guide §2.3 — shuffle fewer probe rows):
+    HALF-neighborhood probe with mirror expansion. The former 3x3
+    grid probe replicated every point 9x into the (cell-key)
+    exchange; eps-adjacency is symmetric, so probing only {(0,0)} ∪
+    one offset from each antipodal pair {(0,1),(1,-1),(1,0),(1,1)}
+    finds every unordered pair exactly once — cross-cell pairs in
+    the probed direction (a point lives in exactly one cell, so
+    pa != pb holds by construction), same-cell pairs pinned to
+    pa < pb — and a map-side mirror union AFTER the join restores
+    both directions for the degree count, the CC edge list, and the
+    border attach. 5/9 the probe explode rows into the exchange,
+    ~half the join output; identical ordered-pair multiset (pinned
+    by test_dbscan_halfprobe_pairset and the query's oracle hash)."""
+    fd = lambda a: F.expr(_fdiv_sql(a, str(eps4)).format(DIV="div"))  # noqa: E731
+    cells = pts.select(
+        "pid", "x4", "y4",
+        fd("x4").alias("cx"), fd("y4").alias("cy"),
+    )
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in ((0, 0), (0, 1), (1, -1), (1, 0), (1, 1))
+        ]
+    )
+    probe = cells.select(
+        F.col("pid").alias("pa"),
+        F.col("x4").alias("ax4"),
+        F.col("y4").alias("ay4"),
+        F.explode(offs).alias("o"),
+        "cx",
+        "cy",
+    ).select(
+        "pa", "ax4", "ay4",
+        (F.col("cx") + F.col("o.dx")).alias("kx"),
+        (F.col("cy") + F.col("o.dy")).alias("ky"),
+        ((F.col("o.dx") == 0) & (F.col("o.dy") == 0)).alias("same"),
+    )
+    half = (
+        probe.join(
+            cells.select(
+                F.col("pid").alias("pb"),
+                F.col("x4").alias("bx4"),
+                F.col("y4").alias("by4"),
+                F.col("cx").alias("kx"),
+                F.col("cy").alias("ky"),
+            ),
+            ["kx", "ky"],
+        )
+        .filter(
+            (~F.col("same") | (F.col("pa") < F.col("pb")))
+            & (
+                (F.col("ax4") - F.col("bx4"))
+                * (F.col("ax4") - F.col("bx4"))
+                + (F.col("ay4") - F.col("by4"))
+                * (F.col("ay4") - F.col("by4"))
+                <= eps4 * eps4
+            )
+        )
+        .select("pa", "pb")
+    )
+    # mirror MAP-SIDE in the same pass (explode of a 2-element array),
+    # NOT as a self-union — a union would reference the probe-join
+    # subtree twice and re-execute it per reference (the r11
+    # sim_dedup_recall lesson)
+    return half.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("pa"), F.col("pb")),
+                F.struct(F.col("pb").alias("pa"), F.col("pa").alias("pb")),
+            )
+        ).alias("p")
+    ).select("p.pa", "p.pb")
+
 _DBSCAN_ORACLE = f"""
     WITH RECURSIVE pts AS (
         SELECT vec_id AS pid,
@@ -3821,54 +3899,7 @@ def ml_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("y4"),
     ).localCheckpoint()
-    fd = lambda a: F.expr(_fdiv_sql(a, str(eps4)).format(DIV="div"))
-    cells = pts.select(
-        "pid", "x4", "y4",
-        fd("x4").alias("cx"), fd("y4").alias("cy"),
-    )
-    offs = F.array(
-        *[
-            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-            for dx in (-1, 0, 1)
-            for dy in (-1, 0, 1)
-        ]
-    )
-    probe = cells.select(
-        F.col("pid").alias("pa"),
-        F.col("x4").alias("ax4"),
-        F.col("y4").alias("ay4"),
-        F.explode(offs).alias("o"),
-        "cx",
-        "cy",
-    ).select(
-        "pa", "ax4", "ay4",
-        (F.col("cx") + F.col("o.dx")).alias("kx"),
-        (F.col("cy") + F.col("o.dy")).alias("ky"),
-    )
-    pairs = (
-        probe.join(
-            cells.select(
-                F.col("pid").alias("pb"),
-                F.col("x4").alias("bx4"),
-                F.col("y4").alias("by4"),
-                F.col("cx").alias("kx"),
-                F.col("cy").alias("ky"),
-            ),
-            ["kx", "ky"],
-        )
-        .filter(
-            (F.col("pa") != F.col("pb"))
-            & (
-                (F.col("ax4") - F.col("bx4"))
-                * (F.col("ax4") - F.col("bx4"))
-                + (F.col("ay4") - F.col("by4"))
-                * (F.col("ay4") - F.col("by4"))
-                <= eps4 * eps4
-            )
-        )
-        .select("pa", "pb")
-        .localCheckpoint()
-    )
+    pairs = _grid_eps_pairs(pts, eps4).localCheckpoint()
     deg = pairs.groupBy("pa").agg(F.count(F.lit(1)).alias("n"))
     cores = deg.filter(F.col("n") >= minpts).select(
         F.col("pa").alias("pid")

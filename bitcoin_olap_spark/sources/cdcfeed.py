@@ -146,9 +146,11 @@ def _read_change_file(part: _ChangeFilePartition, fields: list[tuple]):
     cols = []
     for name, typ in fields:
         if name == "_commit_version":
-            cols.append(pa.array([part.version] * n, pa.int64()))
+            # pa.repeat is C-level; pa.array([v] * n) builds an n-element
+            # Python list first (guide §4.2 — vectorized construction)
+            cols.append(pa.repeat(pa.scalar(part.version, pa.int64()), n))
         elif name == "_change_type" and part.ctype is not None:
-            cols.append(pa.array([part.ctype] * n, pa.string()))
+            cols.append(pa.repeat(pa.scalar(part.ctype, pa.string()), n))
         elif name in t.column_names:
             cols.append(t.column(name).cast(typ))
         else:

@@ -2256,6 +2256,47 @@ def test_cc_shortcut_equals_plain_on_deep_chains(spark):
     assert comp[900] == 900
 
 
+def test_dbscan_halfprobe_pairset(spark):
+    """_grid_eps_pairs (r12 half-neighborhood probe + mirror) must
+    emit exactly one row per ORDERED eps-pair — the same multiset the
+    9-offset probe produced and the brute-force n^2 states. Points
+    exercise every blocking case: same cell, horizontal / vertical /
+    both diagonal cell adjacencies, exact-eps boundary distance,
+    cells touching only at a corner, negative coordinates (sign-safe
+    floor division), and pairs in adjacent cells farther than eps."""
+    from itertools import permutations
+
+    from bitcoin_olap_spark.queries.analytics import _grid_eps_pairs
+
+    eps4 = 500
+    pts = [
+        (1, 0, 0),        # cell (0,0)
+        (2, 10, 10),      # same cell as 1, dist ~14
+        (3, 510, 0),      # cell (1,0), dist 510 from 1 (> eps), 500 from 2? no
+        (4, 499, 0),      # cell (0,0), dist 499 from 1 (<= eps via same cell)
+        (5, 0, 500),      # cell (0,1), EXACTLY eps from 1
+        (6, 520, 520),    # cell (1,1), diagonal neighbor, far from all
+        (7, -10, -10),    # cell (-1,-1), dist ~14*sqrt2 from 1 (diag -1,-1)
+        (8, 450, -450),   # cell (0,-1), anti-diagonal-ish from 3's cell
+        (9, 5000, 5000),  # isolated
+    ]
+    df = spark.createDataFrame(pts, "pid long, x4 long, y4 long")
+    got = sorted(
+        (r["pa"], r["pb"]) for r in _grid_eps_pairs(df, eps4).collect()
+    )
+    want = sorted(
+        (a[0], b[0])
+        for a, b in permutations(pts, 2)
+        if (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2 <= eps4 * eps4
+    )
+    # ordered-pair MULTISET equality (degree counts depend on
+    # multiplicity, so duplicates would corrupt core election)
+    assert got == want
+    # sanity: the fixture really exercises matches (incl. the exact-
+    # eps boundary pair and a negative-coordinate pair)
+    assert (1, 5) in got and (1, 7) in got and (1, 3) not in got
+
+
 def test_graph_cc_is_a_fixpoint_partition(spark):
     """graph_connected_components invariants (sf0.001): (a) both
     endpoints of every strong edge share a component, (b) every

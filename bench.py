@@ -8,9 +8,11 @@ ONE JSON line:
 
 Protocol (BASELINE.md): one shared warmed SparkSession; per-query time
 excludes session startup; pass 1 warms (JIT, code cache, file footer
-cache), then the MIN over 2-3 timed passes is reported (the host is a
+cache), then the MIN over 3-4 timed passes is reported (the host is a
 shared VM whose noisy-neighbor stalls would otherwise land on random
-queries; min estimates the undisturbed cost). Each query is forced end-to-end
+queries; min estimates the undisturbed cost — r12 raised the uniform
+pass count from 2 to 3 per VERDICT r11 item 7, same methodology, one
+more sample). Each query is forced end-to-end
 with a noop datasource write (full computation, no driver collect, no
 pandas conversion skew).
 """
@@ -59,11 +61,14 @@ def main() -> None:
             # stalls land on random queries (measured: the same query
             # swings 1 s <-> 40 s between suite runs with a healthy
             # JVM — code cache, compile queue, heap all clean). The
-            # MIN over timed passes estimates the undisturbed cost; a
-            # third pass runs only when the first two disagree badly,
-            # so a stall-free suite pays ~2 passes.
+            # MIN over timed passes estimates the undisturbed cost.
+            # r12 (VERDICT r11 item 7): UNIFORMLY 3 timed passes —
+            # min-of-2 left sub-second queries inside the noise band
+            # (PERF_r11 flagged 9 untouched queries as regressed on
+            # plan-identical code); same methodology (min over
+            # noop-forced passes), one more sample per query.
             passes = []
-            for _ in range(2):
+            for _ in range(3):
                 # drop cached relations BEFORE each timed pass: a query
                 # that caches an intermediate for within-plan reuse
                 # (e.g. text_dedup_chunks) must not have its timed pass
@@ -74,6 +79,8 @@ def main() -> None:
                 t0 = time.perf_counter()
                 _force(fn(spark, sf_dir))
                 passes.append(time.perf_counter() - t0)
+            # one extra pass when even 3 disagree badly (a stall
+            # spanning multiple passes), same trigger rule as before
             if min(passes) > 0.2 and max(passes) > 1.5 * min(passes):
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
